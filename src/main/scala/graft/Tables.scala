@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Named-table registry over the driver-generated parquet test data.
+  *
+  * Mirrors the reference's catalog surface (SessionCatalog /
+  * `sql/catalyst/.../catalog/SessionCatalog.scala`) at the scale we need:
+  * a fixed star schema resolved by name from a scale-factor directory.
+  *
+  * Scale notes: every load is a plain parquet scan, so Catalyst keeps
+  * predicate pushdown / column pruning / partition pruning intact — at
+  * 100 TB these tables would be directories of many files and nothing
+  * here changes.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view so `spark.sql` works too. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
