@@ -19,7 +19,21 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries a nanosecond-precision parquet timestamp,
+    * which Spark's TimestampType (µs) cannot hold ([PARQUET_TYPE_ILLEGAL]).
+    * Read it as a long and truncate ns → µs with integer division (the
+    * value ~1.7e18 exceeds 2^53, so float division would corrupt it).
+    * DuckDB's `CAST(ts AS TIMESTAMP)` truncates identically.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
 
   /** Register every table as a temp view so `spark.sql` works too. */
   def registerAll(spark: SparkSession, dir: String): Unit =
