@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Tpch.queries ++
     graft.queries.Joins.queries ++
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++
+    graft.queries.OpsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Tpch.oracle ++
     graft.queries.Joins.oracle ++
-    graft.queries.Relational.oracle
+    graft.queries.Relational.oracle ++
+    graft.queries.OpsQueries.oracle
 }

@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot paths of the LLM-pipeline
+  * operators (SURVEY.md §7 layer 3).  Each implements `doGenCode` so it
+  * stays inside whole-stage codegen — the preference order the reference
+  * itself demonstrates with its expression library
+  * (`sql/catalyst/src/main/scala/.../expressions/hash.scala`,
+  * `stringExpressions.scala`): a codegen'd Expression beats a Scala UDF.
+  */
+
+/** popcount(a ^ b) — Hamming distance between two 64-bit SimHash values.
+  * Used by near-duplicate detection to compare signatures without
+  * leaving codegen (a UDF here would box two Longs per comparison; at
+  * 100 TB the candidate-pair stream is billions of rows).
+  */
+case class HammingDistance64(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = java.lang.Long.bitCount($a ^ $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Polynomial rolling hash of a UTF-8 string (base 31, 64-bit wrap).
+  * Deterministic document fingerprint over normalized text; the 64-bit
+  * wraparound is intentional (same recurrence as `java.lang.String
+  * .hashCode` widened to 64 bits), cheap, and codegen-friendly.
+  */
+case class RollingHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * 31L + (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""byte[] gbytes = $c.getBytes();
+         |long gh = 0L;
+         |for (int gi = 0; gi < gbytes.length; gi++) {
+         |  gh = gh * 31L + (gbytes[gi] & 0xffL);
+         |}
+         |${ev.value} = gh;""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Cosine similarity of two float vectors, computed in double precision
+  * with a single fused pass (dot, |a|², |b|² in one loop).  The
+  * higher-order-function composition (`aggregate(zip_with(...))`)
+  * allocates an intermediate array per row; this runs allocation-free
+  * inside codegen — the difference between feasible and not on an
+  * O(candidates × dim) ANN refine step.
+  */
+case class CosineSimilarityF(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  private def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""int gn = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double gdot = 0.0, gna = 0.0, gnb = 0.0;
+         |for (int gi = 0; gi < gn; gi++) {
+         |  double gx = (double) $a.getFloat(gi);
+         |  double gy = (double) $b.getFloat(gi);
+         |  gdot += gx * gy; gna += gx * gx; gnb += gy * gy;
+         |}
+         |${ev.value} = (gna == 0.0 || gnb == 0.0)
+         |  ? 0.0 : gdot / (java.lang.Math.sqrt(gna) * java.lang.Math.sqrt(gnb));
+         |""".stripMargin)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

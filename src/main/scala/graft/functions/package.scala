@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Column-level wrappers for graft's native Catalyst expressions. */
+package object functions {
+  private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    ColumnBridge.column(e)
+  private def toExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    ColumnBridge.expression(c)
+
+  /** popcount(a ^ b) over two int64 columns. */
+  def hamming64(a: Column, b: Column): Column =
+    toCol(HammingDistance64(toExpr(a), toExpr(b)))
+
+  /** 64-bit polynomial rolling hash of a string column. */
+  def rolling_hash64(c: Column): Column =
+    toCol(RollingHash64(toExpr(c)))
+
+  /** Cosine similarity of two array<float> columns (double result). */
+  def cosine_sim(a: Column, b: Column): Column =
+    toCol(CosineSimilarityF(toExpr(a), toExpr(b)))
+}

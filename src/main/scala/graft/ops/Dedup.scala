@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.hamming64
+
+/** Deduplication operators for LLM training-data pipelines.
+  *
+  * Four tiers, cheapest first:
+  *  1. exact        — hash-groupBy on normalized text (one shuffle).
+  *  2. MinHash+LSH  — shingle → 64-perm signature → banded bucket join →
+  *                    exact-Jaccard refine.  Candidate generation is an
+  *                    equi-join on (band, bandHash): at 100 TB this is
+  *                    the only shuffle and it carries ~b rows per doc.
+  *  3. SimHash      — 64-bit signature, banded by 4×16-bit chunks
+  *                    (pigeonhole: hamming ≤ 3 ⇒ one chunk equal).
+  *  4. Embedding    — random-hyperplane LSH buckets + exact cosine
+  *                    refine (see Similarity).
+  *
+  * Everything is seeded and deterministic: signatures come from
+  * xxhash64(seed-literal, value), never from Random.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact duplicates by normalized text: returns one row per duplicate
+    * group with the member ids (smallest id is the keeper).
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), TextAnalysis.normalize(col(textCol)).as("norm"))
+      .groupBy(col("norm"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("id")).as("keeper"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .filter(col("n_members") > 1)
+
+  /** Keep one row per distinct normalized text (smallest id wins).
+    * Window-free formulation: min-id per key then semi-join, so the
+    * heavy payload column is never shuffled through a sort.
+    */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepers = df
+      .select(col(idCol).as("__id"), TextAnalysis.normalize(col(textCol)).as("__norm"))
+      .groupBy(col("__norm")).agg(min(col("__id")).as("__keep"))
+      .select(col("__keep"))
+    df.join(keepers, col(idCol) === col("__keep"), "left_semi")
+  }
+
+  // -------------------------------------------------------------- MinHash
+
+  /** Word w-shingles of the normalized text, hashed to 64 bits. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = split(TextAnalysis.normalize(text), " ")
+    val n = size(toks)
+    // sliding window: shingle i covers tokens [i+1, i+w]
+    when(n >= w,
+      array_distinct(transform(
+        sequence(lit(0), n - lit(w)),
+        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(w)))))))
+      .otherwise(array(xxhash64(concat_ws(" ", toks))))
+  }
+
+  /** k seeded MinHash values of a 64-bit shingle array: column i is
+    * min(xxhash64(i, shingle)).  Stays entirely in codegen; the k
+    * hashes are independent because the seed literal participates in
+    * the xxhash mix.
+    */
+  def minhashSignature(shingleCol: Column, k: Int = 64): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingleCol, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** LSH candidate pairs from signatures: b bands of r rows.  Pairs
+    * sharing any band bucket are candidates.  Self-join is on the
+    * (band, bucket) equi-key — broadcast-free, shuffle-partitioned by
+    * bucket, skew-safe because bucket cardinality is bounded by band
+    * hashing.
+    */
+  def lshCandidates(sigs: DataFrame, idCol: String, sigCol: String,
+      bands: Int = 16, rows: Int = 4): DataFrame = {
+    val banded = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .select(col("id"), posexplode(array((0 until bands).map { b =>
+        xxhash64((lit(b) +: (0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1))): _*)
+      }: _*)).as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Full MinHash near-dup pipeline with exact-Jaccard refine: returns
+    * (id_a, id_b, jaccard) for pairs with jaccard >= threshold.  The
+    * refine joins the (small) candidate set back to shingle sets — at
+    * scale candidates ≪ corpus so both joins broadcast or stay tiny.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.6, w: Int = 3, k: Int = 64,
+      bands: Int = 16, rows: Int = 4): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), w).as("sh"))
+    val sigs = sh.select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+    val cands = lshCandidates(sigs, "id", "sig", bands, rows)
+    val withSets = cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    withSets
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", round(when(col("uni") > 0, col("inter") / col("uni"))
+        .otherwise(lit(0.0)), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard similarity for ALL pairs above a threshold —
+    * the brute-force oracle twin of minhashPairs (quadratic; use only
+    * for validation or small partitions).
+    */
+  def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, w: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), w).as("sh"))
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", round(when(col("uni") > 0, col("inter") / col("uni"))
+        .otherwise(lit(0.0)), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash of the token multiset: per-bit weighted vote of
+    * token hashes, folded into one long with bitwise ops.  Built from
+    * explode + groupBy-sum (partial aggregation keeps the shuffle at 64
+    * longs per doc regardless of doc length).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
+    }
+    val agg = tok.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist, using
+    * 4×16-bit chunk banding (pigeonhole sound for maxDist <= 3) and the
+    * codegen'd hamming64 refine.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val sigs = simhash(df, idCol, textCol)
+    val banded = sigs.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map { c =>
+        col("simhash").bitwiseAND(lit(0xffffL << (16 * c)))
+      }: _*)).as(Seq("chunk", "key")))
+    val l = banded.select(col("chunk"), col("key"),
+      col("id").as("id_a"), col("simhash").as("sig_a"))
+    val r = banded.select(col("chunk"), col("key"),
+      col("id").as("id_b"), col("simhash").as("sig_b"))
+    l.join(r, Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque binary
+  * columns with typed metadata, processed by batched per-partition
+  * pipelines.
+  *
+  * The Spark-side machinery (schema, partition-sized batching, codec
+  * dispatch, feature schema) is real and tested; the actual media codec
+  * is STUBBED with a deterministic fake (this container has no
+  * image/audio libraries).  Swap `decodeStub` for a real decoder —
+  * nothing else changes.
+  *
+  * Scale notes: decode work is per-row and CPU-heavy, so the operator
+  * repartitions by a hash of the id to spread skew (one giant video per
+  * partition otherwise serializes a whole executor), and mapPartitions
+  * amortizes codec init per partition, the same shape mapInPandas gives
+  * Python pipelines.
+  */
+object Multimodal {
+
+  /** One media record: opaque payload + typed metadata. */
+  case class MediaRecord(media_id: Long, kind: String, content: Array[Byte],
+      width: Int, height: Int, sample_rate: Int)
+
+  /** Deterministic fake features standing in for a real decode:
+    * byte histogram moments + payload digest. Replace with a codec call.
+    */
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+      digest: String, mean_byte: Double, frames_sampled: Int)
+
+  /** Wrap a text table as fake media rows (payload = UTF-8 bytes) so the
+    * pipeline has real binary data to move; in production this column
+    * comes straight from parquet `binary`.
+    */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      // deterministic kind assignment: id mod 3
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("content"),
+      (col("doc_id") % 640 + 1).cast("int").as("width"),
+      (col("doc_id") % 480 + 1).cast("int").as("height"),
+      lit(16000).as("sample_rate"))
+
+  /** STUB decode: a real implementation would parse the codec here.
+    * This fake is deterministic in the payload bytes only.
+    */
+  private def decodeStub(rec: MediaRecord): MediaFeatures = {
+    val bytes = rec.content
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+    val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+    // "frame sampling": every 1024th byte counts as a frame
+    val frames = 1 + bytes.length / 1024
+    MediaFeatures(rec.media_id, rec.kind, bytes.length.toLong, digest,
+      math.rint(mean * 1e6) / 1e6, frames)
+  }
+
+  /** Batched feature extraction: repartition for skew, decode per
+    * partition (codec init amortized), return a typed Dataset.
+    */
+  def extractFeatures(media: DataFrame, partitions: Int = 0): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val ds = media.as[MediaRecord]
+    val repart = if (partitions > 0) ds.repartition(partitions, col("media_id")) else ds
+    repart.mapPartitions { it =>
+      // real codecs initialize here, once per partition
+      it.map(decodeStub)
+    }
+  }
+}

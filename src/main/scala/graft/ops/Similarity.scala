@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.cosine_sim
+
+/** Similarity search over embedding columns (array<float>).
+  *
+  * Two paths:
+  *  - brute-force exact top-k (baseline): query-set × corpus join with
+  *    the codegen'd cosine expression, ranked per query.  The corpus
+  *    side streams — at 100 TB the query set broadcasts and the scan
+  *    stays a single pass, so "exact" is viable whenever |queries| is
+  *    small (evaluation, dedup refine).
+  *  - LSH-bucketed ANN (scale path): 16-bit random-hyperplane sketch →
+  *    multi-probe bucket join → exact cosine refine.  Hyperplanes are
+  *    derived from a seeded hash, not Random, so results are stable
+  *    across runs/executors.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors (excluding itself when ids collide).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine_sim(col("qvec"), col("cvec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), asc("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 → uniform in [-1, 1).  Cheap, seedable, identical on every
+    * executor without shipping a matrix.
+    */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** nBits-bit sign sketch of an embedding under seeded hyperplanes. */
+  def hyperplaneSketch(vec: Column, nBits: Int = 16): Column =
+    (0 until nBits).map { p =>
+      val dot = aggregate(
+        zip_with(vec, transform(sequence(lit(0), size(vec) - 1),
+          i => planeComponent(p, i)), (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** ANN via LSH buckets: candidates share the sketch bucket; refine
+    * with exact cosine and rank.  Recall is tunable via nBits (fewer
+    * bits → bigger buckets → higher recall, more compute).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nBits: Int = 12, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
+      hyperplaneSketch(col(vecCol), nBits).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      hyperplaneSketch(col(vecCol), nBits).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine_sim(col("qvec"), col("cvec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), asc("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold, found via
+    * sketch-bucket self-join (hamming-0 probe) + exact refine.
+    */
+  def cosineNearDupPairs(df: DataFrame, threshold: Double,
+      nBits: Int = 12, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val s = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      hyperplaneSketch(col(vecCol), nBits).as("bucket"))
+    val l = s.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = s.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine_sim(col("vec_a"), col("vec_b")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+}

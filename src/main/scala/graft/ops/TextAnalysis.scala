@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.rolling_hash64
+
+/** Text-analysis operators for LLM training-data pipelines: tokenization,
+  * quality scoring, language identification, token counting, and document
+  * fingerprinting.  All are narrow (per-row, no shuffle) column pipelines
+  * built from codegen'd built-ins — at 100 TB each is a single pass over
+  * the scan with full predicate/column pushdown intact.
+  */
+object TextAnalysis {
+
+  /** Lowercased word tokens (runs of letters/digits/apostrophe). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9']+"), lit(0))
+
+  /** Token count without materializing the token array downstream. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: whitespace tokens weighted by
+    * ceil(len/4) — a deterministic proxy for tokenizer cost used to
+    * budget training data (real BPE runs out-of-band).
+    */
+  def subwordEstimate(text: Column): Column =
+    aggregate(
+      transform(split(text, "\\s+"), w => ceil(length(w) / lit(4.0)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Quality metrics struct: length, token stats, punctuation and
+    * stopword ratios, plus a composite [0,1] score.  Everything is a
+    * deterministic arithmetic pipeline — no UDFs, stays in codegen.
+    */
+  def qualityMetrics(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val nChar = length(text).cast("double")
+    val nPunct = nChar - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    val stop = array(Seq("the", "a", "of", "and", "to", "in", "is", "that",
+      "it", "for").map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stop, t))).cast("double")
+    val avgWordLen = when(nTok > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)
+      .otherwise(lit(0.0))
+    val punctRatio = when(nChar > 0, nPunct / nChar).otherwise(lit(0.0))
+    val stopRatio = when(nTok > 0, nStop / nTok).otherwise(lit(0.0))
+    // Composite: reward stopword presence (naturalness), penalize
+    // punctuation soup and degenerate word lengths.
+    val score = greatest(lit(0.0), least(lit(1.0),
+      lit(0.5) + lit(0.5) * stopRatio - punctRatio -
+        when(avgWordLen < 2 || avgWordLen > 12, 0.25).otherwise(0.0)))
+    struct(
+      nChar.cast("long").as("n_chars"),
+      nTok.cast("long").as("n_tokens"),
+      round(avgWordLen, 6).as("avg_word_len"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(score, 6).as("quality_score"))
+  }
+
+  /** Stopword profiles for the n-gram-free language-ID heuristic.  Tiny
+    * on purpose: broadcast as literals into codegen, no lookup table.
+    */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "you", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
+    "de" -> Seq("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich"),
+    "pt" -> Seq("o", "a", "de", "e", "do", "da", "em", "um", "para", "com"))
+
+  /** Heuristic language ID: argmax over per-language stopword hit ratios
+    * with a deterministic tie-break (profile order), "und" when nothing
+    * matches.  Pure column arithmetic → scales linearly.
+    */
+  def languageId(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val scored = langProfiles.zipWithIndex.map { case ((lang, words), i) =>
+      val hits = size(filter(toks,
+        t => array_contains(array(words.map(lit): _*), t))).cast("double")
+      val score = when(n > 0, hits / n).otherwise(lit(0.0))
+      // encode (score, -index) so array_max picks highest score, then
+      // earliest profile on ties
+      struct(score.as("score"), lit(-i).as("prio"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: 64-bit rolling hash over whitespace-normalized
+    * lowercase text (graft's codegen'd RollingHash64 expression).
+    */
+  def fingerprint(text: Column): Column =
+    rolling_hash64(normalize(text))
+
+  /** Canonical text normalization used by fingerprint + exact dedup:
+    * lowercase, strip punctuation, collapse whitespace.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Attach all text-analysis columns at once (single projection). */
+  def annotate(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("metrics", qualityMetrics(t))
+      .withColumn("lang_pred", languageId(t))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_subwords", subwordEstimate(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Query entries for the LLM-pipeline operators (dedup, similarity,
+  * text analysis, multimodal) — the north-star additions beyond the
+  * reference's own surface.  Where the semantics are SQL-expressible the
+  * oracle is exact DuckDB SQL; signature-based ops (MinHash/SimHash/LSH)
+  * are deterministic but not SQL-expressible, so they ship as rows-only
+  * checks here and get golden ScalaTest coverage instead.
+  */
+object OpsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: duplicate-group stats per language.
+    "q_dedup_exact" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("lang"), col("doc_id"),
+          TextAnalysis.normalize(col("text")).as("norm"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("norm")).as("n_distinct"),
+          (count(lit(1)) - countDistinct(col("norm"))).as("n_dupes"))
+        .orderBy(col("lang"))
+    },
+
+    // Exact dedup keep-first: survivor count + sum of surviving ids.
+    "q_dedup_keep_first" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.dropExactDuplicates(docs, "doc_id", "text")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+    },
+
+    // Text quality metrics, aggregated per language.
+    "q_text_quality" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("lang"), TextAnalysis.qualityMetrics(col("text")).as("m"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("m.n_tokens")).as("total_tokens"),
+          round(avg(col("m.avg_word_len")), 4).as("mean_word_len"),
+          round(avg(col("m.stopword_ratio")), 4).as("mean_stop_ratio"),
+          round(avg(col("m.quality_score")), 4).as("mean_quality"))
+        .orderBy(col("lang"))
+    },
+
+    // Token counting (regex tokens + subword estimate).
+    "q_token_count" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok"),
+          TextAnalysis.subwordEstimate(col("text")).as("n_sub"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(col("n_sub")).as("total_subwords"))
+        .orderBy(col("source"))
+    },
+
+    // Language-ID heuristic vs the labeled lang column (confusion counts).
+    "q_lang_id" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("lang"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))
+    },
+
+    // Document fingerprints (custom RollingHash64 expression): stable
+    // 64-bit ids — check distribution + exact values via min/max per src.
+    "q_fingerprint" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("source"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("fp")).as("n_distinct_fp"),
+          min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+        .orderBy(col("source"))
+    },
+
+    // MinHash+LSH near-dup pairs (deterministic; rows-only check — the
+    // exact-Jaccard refine makes output independent of LSH internals
+    // up to candidate recall; golden-tested in DedupSpec).
+    "q_dedup_minhash" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // SimHash near-dup pairs (rows-only; golden-tested in DedupSpec).
+    "q_dedup_simhash" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // N-gram Jaccard near-dup, brute-force exact — SQL-expressible via
+    // DuckDB list functions, so this one IS oracle-checked (on a capped
+    // subset to keep the quadratic oracle cheap).
+    "q_dedup_jaccard" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+      Dedup.jaccardPairsExact(docs, "doc_id", "text", threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Brute-force exact cosine top-k for a small query set (oracle via
+    // DuckDB list_cosine_similarity).
+    "q_knn_brute" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      Similarity.bruteForceTopK(emb, queries, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // LSH ANN top-k (rows-only: bucket recall is engine-specific;
+    // golden-tested for recall against brute force in SimilaritySpec).
+    "q_knn_lsh" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      Similarity.lshTopK(emb, queries, k = 5, nBits = 8)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Embedding cosine near-dup pairs above 0.95 (rows-only + spec).
+    "q_embed_neardup" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.cosineNearDupPairs(emb, threshold = 0.95, nBits = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Multimodal plumbing: binary payload + metadata → stub features.
+    // Oracle-checked because the fake decode is SQL-expressible
+    // (octet_length / md5 / byte mean via histogram-free arithmetic is
+    // NOT — so the oracle checks the SQL-expressible projection).
+    "q_multimodal" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val feats = Multimodal.extractFeatures(Multimodal.asMedia(docs))
+      feats.toDF()
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_bytes")).as("total_bytes"),
+          countDistinct(col("digest")).as("n_distinct_digests"),
+          sum(col("frames_sampled")).as("total_frames"))
+        .orderBy(col("kind"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""SELECT lang, count(*) AS n_docs,
+        |  count(DISTINCT $normSql) AS n_distinct,
+        |  count(*) - count(DISTINCT $normSql) AS n_dupes
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_dedup_keep_first" ->
+      s"""SELECT count(*) AS n_kept, sum(doc_id) AS id_sum FROM (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY $normSql)""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH m AS (
+        |  SELECT lang,
+        |    len(text) AS n_chars,
+        |    len($toksSql) AS n_tokens,
+        |    CASE WHEN len($toksSql) > 0
+        |      THEN list_reduce(list_transform($toksSql, t -> len(t)), (a,b) -> a+b)::DOUBLE / len($toksSql)
+        |      ELSE 0.0 END AS awl,
+        |    CASE WHEN len(text) > 0
+        |      THEN (len(text) - len(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))::DOUBLE / len(text)
+        |      ELSE 0.0 END AS pr,
+        |    CASE WHEN len($toksSql) > 0
+        |      THEN len(list_filter($toksSql, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t)))::DOUBLE / len($toksSql)
+        |      ELSE 0.0 END AS sr
+        |  FROM documents)
+        |SELECT lang, count(*) AS n, sum(n_tokens) AS total_tokens,
+        |  round(avg(round(awl, 6)), 4) AS mean_word_len,
+        |  round(avg(round(sr, 6)), 4) AS mean_stop_ratio,
+        |  round(avg(round(greatest(0.0, least(1.0,
+        |    0.5 + 0.5*sr - pr - (CASE WHEN awl < 2 OR awl > 12 THEN 0.25 ELSE 0.0 END))), 6)), 4) AS mean_quality
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_token_count" ->
+      s"""SELECT source, count(*) AS n_docs,
+        |  sum(len($toksSql)) AS total_tokens,
+        |  sum(list_reduce(list_transform(regexp_split_to_array(text, '\\s+'), w -> CAST(ceil(len(w)/4.0) AS BIGINT)), (a,b) -> a+b)) AS total_subwords
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_lang_id" -> langIdOracle,
+    "q_dedup_jaccard" -> jaccardOracle,
+    "q_knn_brute" ->
+      """SELECT query_id, rank, corpus_id, cos FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_multimodal" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  count(*) AS n,
+        |  sum(strlen(text)) AS total_bytes,
+        |  count(DISTINCT md5(text)) AS n_distinct_digests,
+        |  sum(1 + strlen(text) // 1024) AS total_frames
+        |FROM documents
+        |GROUP BY 1 ORDER BY kind""".stripMargin)
+
+  /** DuckDB twin of TextAnalysis.normalize. */
+  private def normSql: String =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  /** DuckDB twin of TextAnalysis.tokens. */
+  private def toksSql: String =
+    "regexp_extract_all(lower(text), '[a-z0-9'']+')"
+
+  private def langIdOracle: String = {
+    val profiles = Seq(
+      "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "you", "that", "it"),
+      "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un", "por", "con"),
+      "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
+      "de" -> Seq("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich"),
+      "pt" -> Seq("o", "a", "de", "e", "do", "da", "em", "um", "para", "com"))
+    val scoreExprs = profiles.zipWithIndex.map { case ((lang, words), i) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"struct_pack(score := CASE WHEN len($toksSql) > 0 THEN len(list_filter($toksSql, t -> list_contains($arr, t)))::DOUBLE / len($toksSql) ELSE 0.0 END, prio := ${-i}, lang := '$lang')"
+    }.mkString(", ")
+    s"""SELECT lang, lang_pred, count(*) AS n FROM (
+      |  SELECT lang,
+      |    CASE WHEN list_max([$scoreExprs]).score > 0
+      |      THEN list_max([$scoreExprs]).lang ELSE 'und' END AS lang_pred
+      |  FROM documents)
+      |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
+  }
+
+  private def jaccardOracle: String = {
+    val norm = normSql
+    s"""WITH sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+      |    THEN list_transform(generate_series(0, len(toks) - 3),
+      |         i -> hash(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+      |    ELSE [hash(array_to_string(toks, ' '))] END) AS s
+      |  FROM (SELECT doc_id, string_split($norm, ' ') AS toks
+      |        FROM documents WHERE doc_id < 200))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+      |        len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+      |  AND len(list_intersect(a.s, b.s))::DOUBLE /
+      |      len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` Column ⇄ Expression conversion
+  * (`org.apache.spark.sql.classic.ExpressionUtils`).  Spark 4 routes
+  * Column through ColumnNode, so extensions need this one-hop shim to
+  * expose custom Catalyst expressions as user-facing Columns.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
