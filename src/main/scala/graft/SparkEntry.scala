@@ -18,7 +18,9 @@ object SparkEntry {
     graft.queries.Joins.queries ++
     graft.queries.Relational.queries ++
     graft.queries.OpsQueries.queries ++
-    graft.queries.LineageQueries.queries
+    graft.queries.LineageQueries.queries ++
+    graft.queries.Functions.queries ++
+    graft.queries.Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +29,7 @@ object SparkEntry {
     graft.queries.Joins.oracle ++
     graft.queries.Relational.oracle ++
     graft.queries.OpsQueries.oracle ++
-    graft.queries.LineageQueries.oracle
+    graft.queries.LineageQueries.oracle ++
+    graft.queries.Functions.oracle ++
+    graft.queries.Events.oracle
 }
