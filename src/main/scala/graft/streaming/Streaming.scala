@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-streaming operators matching SURVEY.md §2.11: watermarked
+  * windowed aggregation, streaming dedup, arbitrary-state
+  * sessionization (flatMapGroupsWithState — `GroupState.scala:196`,
+  * `FlatMapGroupsWithStateExec.scala:44` in the reference), and
+  * stream-stream joins (`StreamingSymmetricHashJoinExec.scala:126`).
+  *
+  * Each helper takes/returns streaming Datasets so callers compose them
+  * with `readStream`/`writeStream`; the specs drive them with
+  * MemoryStream + processAllAvailable for deterministic micro-batches.
+  * State scale: everything keys by user/window so state partitions by
+  * groupBy key; watermarks bound state growth exactly as the
+  * reference's `WatermarkTracker` (min-policy) does.
+  */
+/** Event row shape used by the streaming specs (events table twin). */
+case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+case class SessionOut(user_id: Long, session_start: Long, n_events: Int,
+    total_value: Double)
+
+case class SessionState(start: Long, last: Long, n: Int, total: Double)
+
+object Streaming {
+
+  /** Watermarked tumbling-window aggregate (append mode compatible). */
+  def windowedCounts(events: Dataset[Event], watermark: String = "10 minutes",
+      window_ : String = "1 hour"): DataFrame =
+    events.toDF()
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total"))
+
+  /** Streaming dedup on event_id with watermark-bounded state
+    * (StreamingDeduplicateExec in the reference, `statefulOperators
+    * .scala:428`).
+    */
+  def dedupped(events: Dataset[Event], watermark: String = "10 minutes"): Dataset[Event] =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("event_id", "ts")
+
+  /** Session windows via flatMapGroupsWithState with event-time timeout:
+    * emits a session when `gapSeconds` of event-time silence passes the
+    * watermark.  This is the §2.11 "arbitrary state" capability — the
+    * only way to sessionize in the reference (no session_window in 2.4).
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
+      watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              SessionOut(userId, s.start, s.n, s.total)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            // events within a micro-batch are not ordered: sort this chunk
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if t - s.last <= gapSeconds =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.start, s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.last + gapSeconds) * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Stream-stream inner join on user_id within a ±1 hour event-time
+    * band (symmetric hash join with watermark-bounded buffers).
+    */
+  def streamStreamJoin(left: Dataset[Event], right: Dataset[Event]): DataFrame = {
+    val l = left.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("l_ts"), col("value").as("l_value"))
+    val r = right.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+      col("r_ts") >= col("l_ts") - expr("INTERVAL 1 HOUR") &&
+      col("r_ts") <= col("l_ts") + expr("INTERVAL 1 HOUR"))
+  }
+}

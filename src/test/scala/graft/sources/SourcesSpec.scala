@@ -1,0 +1,93 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{SparkSpec, Tables}
+
+/** Source/sink round-trips (SURVEY.md §2.1): parquet → {csv, json, orc,
+  * text} → back, schema + values preserved; partitioned writes with
+  * partition pruning; file streaming source reading a directory.
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val nation = Tables.load(spark, sf, "nation")
+  private def tmp(): String =
+    Files.createTempDirectory("graft_src").toString
+
+  test("csv round-trip preserves values (header + explicit schema)") {
+    val dir = tmp()
+    nation.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true")
+      .schema(nation.schema).csv(dir)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("json round-trip with schema inference") {
+    val dir = tmp()
+    nation.write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == nation.count())
+    val row = back.filter(col("n_nationkey") === 0).head()
+    assert(row.getAs[String]("n_name") == nation.filter(col("n_nationkey") === 0)
+      .head().getAs[String]("n_name"))
+  }
+
+  test("orc round-trip preserves schema and values") {
+    val dir = tmp()
+    nation.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == nation.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("text sink/source round-trips lines") {
+    val dir = tmp()
+    nation.select(col("n_name")).write.mode("overwrite").text(dir)
+    val back = spark.read.text(dir).select(col("value"))
+    assert(back.as[String].collect().sorted.toSeq ==
+      nation.select("n_name").as[String].collect().sorted.toSeq)
+  }
+
+  test("partitioned parquet write enables partition pruning") {
+    val dir = tmp()
+    nation.write.mode("overwrite").partitionBy("n_regionkey").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("n_regionkey") === 1)
+    assert(pruned.count() == nation.filter(col("n_regionkey") === 1).count())
+    // pruning visible in the plan: only one partition directory scanned
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scan.contains("n_regionkey=0") || scan.contains("n_regionkey=1"))
+  }
+
+  test("file streaming source processes a directory as a stream") {
+    val dir = tmp()
+    nation.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(nation.schema).parquet(dir)
+      .groupBy(col("n_regionkey")).agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("file_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_stream").as[(Int, Long)].collect().toMap
+      val want = nation.groupBy(col("n_regionkey")).count()
+        .as[(Int, Long)].collect().toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("jdbc-style predicate pushdown: filters reach the parquet scan") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val scanStr = li.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanStr.contains("PushedFilters") &&
+      scanStr.contains("GreaterThan(l_quantity,45.0"))
+    // column pruning: ReadSchema carries only the 3 needed columns
+    assert(scanStr.contains("l_orderkey") && !scanStr.contains("l_extendedprice"))
+  }
+}

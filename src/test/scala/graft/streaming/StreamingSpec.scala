@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.SparkSpec
+import graft.streaming.Streaming._
+import graft.streaming.{Event, SessionOut}
+
+/** Streaming semantics specs (§2.11): drive each operator with a
+  * MemoryStream through deterministic micro-batches, asserting window
+  * results, dedup, late-data drop past the watermark, session state,
+  * and stream-stream join output.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(id: Long, minute: Int, user: Long = 1, typ: String = "click",
+      value: Double = 1.0): Event = Event(id, ts(minute), user, typ, value)
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): StreamingQuery = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q
+  }
+
+  test("watermarked tumbling window aggregates and drops late data") {
+    val in = MemoryStream[Event]
+    val q = runToMemory(windowedCounts(in.toDS(), "10 minutes", "1 hour"), "win_agg")
+    try {
+      in.addData(ev(1, 10), ev(2, 20), ev(3, 65))
+      q.processAllAvailable()
+      // nothing emitted yet: watermark (65-10=55m) is before hour 0's end
+      assert(spark.table("win_agg").count() == 0)
+      in.addData(ev(4, 130)) // watermark -> 120m: hour-0 and hour-1 close
+      q.processAllAvailable()
+      val rows = spark.table("win_agg")
+        .select("ws", "n").as[(Timestamp, Long)].collect().toMap
+      assert(rows(ts(0)) == 2)   // events at minute 10, 20
+      assert(rows(ts(60)) == 1)  // event at minute 65
+      // a late event far behind the watermark is dropped
+      in.addData(ev(5, 15))
+      q.processAllAvailable()
+      assert(spark.table("win_agg").select("ws", "n")
+        .as[(Timestamp, Long)].collect().toMap.apply(ts(0)) == 2)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops re-delivered event ids") {
+    val in = MemoryStream[Event]
+    val q = runToMemory(dedupped(in.toDS()).toDF(), "dedup_out")
+    try {
+      in.addData(ev(1, 1), ev(2, 2))
+      q.processAllAvailable()
+      in.addData(ev(1, 1), ev(3, 3)) // id 1 re-delivered
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizes with event-time timeout") {
+    val in = MemoryStream[Event]
+    val q = runToMemory(sessionize(in.toDS(), gapSeconds = 600, "0 seconds").toDF(),
+      "sessions")
+    try {
+      // user 1: events at minute 0 and 5 (one session), then silence
+      in.addData(ev(1, 0, user = 1, value = 2.0), ev(2, 5, user = 1, value = 3.0))
+      q.processAllAvailable()
+      // advance event time well past the gap via another user
+      in.addData(ev(3, 60, user = 2))
+      q.processAllAvailable()
+      in.addData(ev(4, 90, user = 2)) // push watermark again to fire timeouts
+      q.processAllAvailable()
+      val out = spark.table("sessions").as[SessionOut].collect()
+      val u1 = out.filter(_.user_id == 1)
+      assert(u1.length == 1)
+      assert(u1.head.n_events == 2)
+      assert(u1.head.total_value == 5.0)
+      assert(u1.head.session_start == ts(0).getTime / 1000)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches within the time band") {
+    val l = MemoryStream[Event]
+    val r = MemoryStream[Event]
+    val q = runToMemory(streamStreamJoin(l.toDS(), r.toDS()), "ssj")
+    try {
+      l.addData(ev(1, 30, user = 7, value = 10.0))
+      r.addData(ev(2, 45, user = 7, value = 20.0))  // within 1h -> match
+      r.addData(ev(3, 30, user = 8, value = 30.0))  // other user -> no match
+      q.processAllAvailable()
+      val rows = spark.table("ssj").select("user_id", "l_value", "r_value")
+        .as[(Long, Double, Double)].collect().toSet
+      assert(rows == Set((7L, 10.0, 20.0)))
+    } finally q.stop()
+  }
+
+  test("output modes: update mode emits refined aggregates per batch") {
+    val in = MemoryStream[Event]
+    val agg = in.toDS().toDF().groupBy($"event_type").count()
+    val q = runToMemory(agg, "upd", mode = "update")
+    try {
+      in.addData(ev(1, 1), ev(2, 2))
+      q.processAllAvailable()
+      in.addData(ev(3, 3))
+      q.processAllAvailable()
+      // last update row reflects the refined count of 3
+      val counts = spark.table("upd").as[(String, Long)].collect().map(_._2)
+      assert(counts.max == 3)
+    } finally q.stop()
+  }
+}
