@@ -51,9 +51,14 @@ object Dedup {
 
   // -------------------------------------------------------------- MinHash
 
-  /** Word w-shingles of the normalized text, hashed to 64 bits. */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val toks = split(TextAnalysis.normalize(text), " ")
+  /** Word w-shingles over an already-materialized token-array COLUMN.
+    * The token argument must be a plain attribute, not an expression:
+    * lambda bodies re-evaluate captured row expressions once per array
+    * element (no subexpression elimination inside higher-order
+    * functions), so passing `split(regexp_replace(...))` here would
+    * re-tokenize the document once per shingle — O(doc²) work.
+    */
+  def shinglesFromTokens(toks: Column, w: Int = 3): Column = {
     val n = size(toks)
     // sliding window: shingle i covers tokens [i+1, i+w]
     when(n >= w,
@@ -63,15 +68,46 @@ object Dedup {
       .otherwise(array(xxhash64(concat_ws(" ", toks))))
   }
 
+  /** (id, sh) shingle-set table for a document table — tokenizes in one
+    * projection, shingles over the materialized array in the next.
+    */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+        split(TextAnalysis.normalize(col(textCol)), " ").as("toks"))
+      .select(col("id"), shinglesFromTokens(col("toks"), w).as("sh"))
+
+  /** Word w-shingles of the normalized text, hashed to 64 bits.
+    * Convenience form; prefer [[shingleSets]] in pipelines (see
+    * [[shinglesFromTokens]] for why).
+    */
+  def shingles(text: Column, w: Int = 3): Column =
+    shinglesFromTokens(split(TextAnalysis.normalize(text), " "), w)
+
   /** k seeded MinHash values of a 64-bit shingle array: column i is
     * min(xxhash64(i, shingle)).  Stays entirely in codegen; the k
     * hashes are independent because the seed literal participates in
-    * the xxhash mix.
+    * the xxhash mix.  (Array formulation — fine for narrow use; the
+    * pipeline uses [[minhashSignatures]] which computes the same values
+    * via explode + partial aggregation, avoiding k array
+    * materializations per row.)
     */
   def minhashSignature(shingleCol: Column, k: Int = 64): Column =
     array((0 until k).map { i =>
       array_min(transform(shingleCol, s => xxhash64(lit(i), s)))
     }: _*)
+
+  /** Signature table (id, h0..h{k-1}) computed scale-first: explode the
+    * shingle set once and take k seeded mins with hash aggregation.
+    * Partial aggregation (map-side combine) means the shuffle carries k
+    * longs per doc regardless of document length, and nothing allocates
+    * intermediate arrays in the hot loop.
+    */
+  def minhashSignatures(sh: DataFrame, k: Int = 64): DataFrame = {
+    val ex = sh.select(col("id"), explode(col("sh")).as("h"))
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"h$i"))
+    ex.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** LSH candidate pairs from signatures: b bands of r rows.  Pairs
     * sharing any band bucket are candidates.  Self-join is on the
@@ -102,9 +138,22 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.6, w: Int = 3, k: Int = 64,
       bands: Int = 16, rows: Int = 4): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), w).as("sh"))
-    val sigs = sh.select(col("id"), minhashSignature(col("sh"), k).as("sig"))
-    val cands = lshCandidates(sigs, "id", "sig", bands, rows)
+    // The shingle sets feed three plan branches (signatures + both
+    // refine joins); cache them so tokenization runs once.  At cluster
+    // scale MEMORY_AND_DISK spills gracefully; recomputation would cost
+    // three full tokenization passes instead.
+    val sh = shingleSets(df, idCol, textCol, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val flat = minhashSignatures(sh, k)
+    val banded = flat.select(col("id"), posexplode(array((0 until bands).map { b =>
+      xxhash64((lit(b) +: (0 until rows).map(r => col(s"h${b * rows + r}"))): _*)
+    }: _*)).as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val cands = l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
     val withSets = cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -123,7 +172,7 @@ object Dedup {
     */
   def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, w: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), w).as("sh"))
+    val sh = shingleSets(df, idCol, textCol, w)
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
