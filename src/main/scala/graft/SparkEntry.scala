@@ -20,7 +20,9 @@ object SparkEntry {
     graft.queries.OpsQueries.queries ++
     graft.queries.LineageQueries.queries ++
     graft.queries.Functions.queries ++
-    graft.queries.Events.queries
+    graft.queries.Events.queries ++
+    graft.queries.AsOfQueries.queries ++
+    graft.queries.Subqueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +33,7 @@ object SparkEntry {
     graft.queries.OpsQueries.oracle ++
     graft.queries.LineageQueries.oracle ++
     graft.queries.Functions.oracle ++
-    graft.queries.Events.oracle
+    graft.queries.Events.oracle ++
+    graft.queries.AsOfQueries.oracle ++
+    graft.queries.Subqueries.oracle
 }
