@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.Functions.queries ++
     graft.queries.Events.queries ++
     graft.queries.AsOfQueries.queries ++
-    graft.queries.Subqueries.queries
+    graft.queries.Subqueries.queries ++
+    graft.queries.Approx.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
     graft.queries.Functions.oracle ++
     graft.queries.Events.oracle ++
     graft.queries.AsOfQueries.oracle ++
-    graft.queries.Subqueries.oracle
+    graft.queries.Subqueries.oracle ++
+    graft.queries.Approx.oracle
 }
