@@ -80,6 +80,53 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into cells around
+    * deterministic seed centroids (every (n/nCells)-th vector by id —
+    * stable, no RNG, no k-means iterations needed for a first-cut
+    * recall/compute trade-off), then search only the nProbe cells whose
+    * centroids are nearest the query.  Centroid set is tiny →
+    * broadcast; the corpus is scanned once to assign cells (at scale
+    * you persist the assignment as a bucketed table and amortize it
+    * across queries).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+    val centroids = c.withColumn("__rn", col("corpus_id") % nCells)
+      .filter(col("__rn") === 0 && (col("corpus_id") / nCells) < 1000)
+      .limit(nCells)
+      .select(col("corpus_id").as("cell_id"), col("cvec").as("centroid"))
+    // assign each corpus vector to its nearest centroid (1 pass)
+    val wAssign = Window.partitionBy(col("corpus_id"))
+      .orderBy(desc("csim"), asc("cell_id"))
+    val assigned = c.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine_sim(col("cvec"), col("centroid")))
+      .withColumn("r", row_number().over(wAssign))
+      .filter(col("r") === 1)
+      .select(col("cell_id"), col("corpus_id"), col("cvec"))
+    // pick nProbe nearest cells per query
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(desc("qsim"), asc("cell_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("qsim", cosine_sim(col("qvec"), col("centroid")))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("cell_id"))
+    // search only the probed cells
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), asc("corpus_id"))
+    assigned.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine_sim(col("qvec"), col("cvec")).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, found via
     * sketch-bucket self-join (hamming-0 probe) + exact refine.
     */

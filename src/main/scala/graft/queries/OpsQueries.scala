@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, DupClusters, Multimodal, Similarity, TextAnalysis}
 
 /** Query entries for the LLM-pipeline operators (dedup, similarity,
   * text analysis, multimodal) — the north-star additions beyond the
@@ -123,6 +123,25 @@ object OpsQueries {
       val queries = emb.filter(col("vec_id") < 8)
       Similarity.lshTopK(emb, queries, k = 5, nBits = 8)
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // IVF ANN top-k (rows-only; recall spec in OpsSpec).
+    "q_knn_ivf" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      Similarity.ivfTopK(emb, queries, k = 5, nCells = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Duplicate clusters: minhash pairs -> connected components
+    // (rows-only; transitivity golden-tested in ClusterSpec).
+    "q_dup_clusters" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.9)
+      DupClusters.clusters(pairs)
+        .select(col("cluster"), col("size"),
+          concat_ws(",", col("members").cast("array<string>")).as("member_csv"))
+        .orderBy(col("cluster"))
     },
 
     // Embedding cosine near-dup pairs above 0.95 (rows-only + spec).

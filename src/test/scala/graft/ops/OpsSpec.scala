@@ -138,6 +138,18 @@ class OpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("IVF top-k recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, nCells = 16, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // probing half the cells should recover well over half the true top-k
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+    assert(ivf.size == brute.size)
+  }
+
   // ------------------------------------------------------- text + media
 
   test("language id returns a profile language or und, deterministically") {
