@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.Events.queries ++
     graft.queries.AsOfQueries.queries ++
     graft.queries.Subqueries.queries ++
-    graft.queries.Approx.queries
+    graft.queries.Approx.queries ++
+    graft.queries.TopKQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
     graft.queries.Events.oracle ++
     graft.queries.AsOfQueries.oracle ++
     graft.queries.Subqueries.oracle ++
-    graft.queries.Approx.oracle
+    graft.queries.Approx.oracle ++
+    graft.queries.TopKQueries.oracle
 }

@@ -173,6 +173,7 @@ object Dedup {
   def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, w: Int = 3): DataFrame = {
     val sh = shingleSets(df, idCol, textCol, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
