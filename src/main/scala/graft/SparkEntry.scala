@@ -24,7 +24,8 @@ object SparkEntry {
     graft.queries.AsOfQueries.queries ++
     graft.queries.Subqueries.queries ++
     graft.queries.Approx.queries ++
-    graft.queries.TopKQueries.queries
+    graft.queries.TopKQueries.queries ++
+    graft.queries.SqlSurface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
     graft.queries.AsOfQueries.oracle ++
     graft.queries.Subqueries.oracle ++
     graft.queries.Approx.oracle ++
-    graft.queries.TopKQueries.oracle
+    graft.queries.TopKQueries.oracle ++
+    graft.queries.SqlSurface.oracle
 }

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Remaining SQL-surface coverage: CTEs (§3.1 Substitution batch),
+  * explicit GROUPING SETS (§2.4), the stack generator (§2.9,
+  * `generators.scala:137`), the range table-valued function (§2.1
+  * `RangeExec`), and LATERAL VIEW explode (Hive-style generator
+  * syntax).  Shared ANSI text runs in both engines where possible;
+  * Spark-specific syntax gets a DuckDB translation.
+  */
+object SqlSurface {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def sql(q: String): Q = { (s, dir) =>
+    graft.Tables.registerAll(s, dir)
+    s.sql(q)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Chained CTEs with reuse.
+    "q_cte" -> sql(
+      """WITH big_orders AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_totalprice > 200000),
+        |cust_stats AS (
+        |  SELECT o_custkey, count(*) AS n_big,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |  FROM big_orders GROUP BY o_custkey)
+        |SELECT n_big, count(*) AS n_cust,
+        |  CAST(round(CAST(sum(CAST(total AS DECIMAL(18,2))) AS DOUBLE), 2) AS DOUBLE) AS grand
+        |FROM cust_stats GROUP BY n_big ORDER BY n_big""".stripMargin),
+
+    // Explicit GROUPING SETS with grouping identification.
+    "q_grouping_sets" -> sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, g_rf, g_ls""".stripMargin),
+
+    // stack generator: unpivot columns to rows.
+    "q_stack_unpivot" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_custkey, metric, val FROM (
+          |  SELECT c_custkey,
+          |    stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, val)
+          |  FROM customer WHERE c_custkey <= 50)
+          |ORDER BY c_custkey, metric""".stripMargin)
+    },
+
+    // range() table-valued function joined to data.
+    "q_range_tvf" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT r.id AS bucket, count(n_nationkey) AS n
+          |FROM range(0, 5) r LEFT JOIN nation ON n_regionkey = r.id
+          |GROUP BY r.id ORDER BY r.id""".stripMargin)
+    },
+
+    // LATERAL VIEW explode (Hive-compat generator syntax).
+    "q_lateral_view" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT word, count(*) AS n
+          |FROM documents LATERAL VIEW explode(split(text, ' ')) t AS word
+          |WHERE doc_id < 30 AND word != ''
+          |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin)
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q_cte" ->
+      """WITH big_orders AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_totalprice > 200000),
+        |cust_stats AS (
+        |  SELECT o_custkey, count(*) AS n_big,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |  FROM big_orders GROUP BY o_custkey)
+        |SELECT n_big, count(*) AS n_cust,
+        |  CAST(round(CAST(sum(CAST(total AS DECIMAL(18,2))) AS DOUBLE), 2) AS DOUBLE) AS grand
+        |FROM cust_stats GROUP BY n_big ORDER BY n_big""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, g_rf, g_ls""".stripMargin,
+    "q_stack_unpivot" ->
+      """SELECT c_custkey, metric, val FROM (
+        |  SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val
+        |  FROM customer WHERE c_custkey <= 50
+        |  UNION ALL
+        |  SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE)
+        |  FROM customer WHERE c_custkey <= 50)
+        |ORDER BY c_custkey, metric""".stripMargin,
+    "q_range_tvf" ->
+      """SELECT r.range AS bucket, count(n_nationkey) AS n
+        |FROM range(0, 5) r LEFT JOIN nation ON n_regionkey = r.range
+        |GROUP BY r.range ORDER BY r.range""".stripMargin,
+    "q_lateral_view" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE doc_id < 30 AND word <> ''
+        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin)
+}
