@@ -25,7 +25,8 @@ object SparkEntry {
     graft.queries.Subqueries.queries ++
     graft.queries.Approx.queries ++
     graft.queries.TopKQueries.queries ++
-    graft.queries.SqlSurface.queries
+    graft.queries.SqlSurface.queries ++
+    graft.queries.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
     graft.queries.Subqueries.oracle ++
     graft.queries.Approx.oracle ++
     graft.queries.TopKQueries.oracle ++
-    graft.queries.SqlSurface.oracle
+    graft.queries.SqlSurface.oracle ++
+    graft.queries.StreamingQueries.oracle
 }

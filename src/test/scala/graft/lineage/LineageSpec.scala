@@ -99,6 +99,14 @@ class LineageSpec extends SparkSpec {
     assert(g("c") == Set(src(liTable, "l_extendedprice")))
   }
 
+  test("expand (rollup/cube) outputs trace through projections") {
+    val df = li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("q"))
+    val g = ColumnLineage.of(df)
+    assert(g("q") == Set(src(liTable, "l_quantity")))
+    assert(g("l_returnflag") == Set(src(liTable, "l_returnflag")))
+  }
+
   test("toDF edge list is stable and complete") {
     val df = li.select((col("l_tax") + col("l_discount")).as("rate"))
     val edges = ColumnLineage.of(df).toDF(spark).collect()
