@@ -35,7 +35,15 @@ object Tables {
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
 
-  /** Register every table as a temp view so `spark.sql` works too. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  /** Register every table as a temp view so `spark.sql` works too.
+    * Idempotent per (session, dir): repeated calls from a query battery
+    * skip the 10 view re-registrations (and their parquet footer reads).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!registered.contains((spark, dir))) {
+      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      registered += ((spark, dir))
+    }
+  }
+  private val registered = scala.collection.mutable.Set.empty[(SparkSession, String)]
 }

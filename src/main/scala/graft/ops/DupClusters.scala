@@ -21,9 +21,19 @@ object DupClusters {
     * @return (id, cluster) — cluster = min id reachable from id
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edgesRaw = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Size the iteration to the GRAPH, not the corpus: near-dup pair
+    // graphs are orders of magnitude smaller than their corpus, and a
+    // fixpoint loop at corpus parallelism pays per-iteration scheduling
+    // for empty partitions.  ~100k edges per partition keeps tasks busy.
+    val nEdges = edgesRaw.count()
+    val parts = math.max(1, math.min(
+      pairs.sparkSession.sparkContext.defaultParallelism,
+      (nEdges / 100000L).toInt))
+    val edges = edgesRaw.repartition(parts, col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id"))
       .distinct()

@@ -68,6 +68,21 @@ object Relational {
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     },
 
+    // RANGE frame: sum over a value-range window + percent_rank.
+    "q_window_range" -> { (s, dir) =>
+      val ord = Tables.load(s, dir, "orders").filter(col("o_custkey") < 50)
+      val wRange = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"))
+        .rangeBetween(-50000L, 0L)
+      val wRank = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      ord.select(col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(wRange).as("n_within_50k"),
+          sum(dec(col("o_totalprice"))).over(wRange).cast("double").as("sum_within_50k"),
+          round(percent_rank().over(wRank), 6).as("pr"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
     // GROUPING SETS via rollup: subtotals + grand total with grouping().
     "q_rollup" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
@@ -260,6 +275,15 @@ object Relational {
         |FROM lineitem WHERE l_suppkey < 20
         |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC)
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |  count(*) OVER wr AS n_within_50k,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER wr AS DOUBLE) AS sum_within_50k,
+        |  round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 6) AS pr
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW wr AS (PARTITION BY o_custkey ORDER BY o_totalprice
+        |  RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
