@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, DupClusters, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, DupClusters, Multimodal, Quantize, Similarity, TextAnalysis}
 
 /** Query entries for the LLM-pipeline operators (dedup, similarity,
   * text analysis, multimodal) — the north-star additions beyond the
@@ -149,6 +149,25 @@ object OpsQueries {
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.cosineNearDupPairs(emb, threshold = 0.95, nBits = 8)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Quantized-embedding top-k: int8 codes + integer dot kernel
+    // (rows-only; error-bounded vs exact in OpsSpec).
+    "q_knn_quantized" -> { (s, dir) =>
+      val emb = Quantize.withQuantized(Tables.load(s, dir, "embeddings"), "embedding")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding_q8").as("qq"))
+      val c = emb.select(col("vec_id").as("corpus_id"), col("embedding_q8").as("cq"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(desc("cos"), asc("corpus_id"))
+      c.crossJoin(broadcast(q))
+        .filter(col("corpus_id") =!= col("query_id"))
+        .select(col("query_id"), col("corpus_id"),
+          round(Quantize.cosineQuantized(col("qq"), col("cq")), 6).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("corpus_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
     },
 
     // Multimodal plumbing: binary payload + metadata → stub features.

@@ -75,6 +75,70 @@ object Subqueries {
         |  WHERE s2.s_nationkey = s1.s_nationkey AND s2.s_acctbal > s1.s_acctbal)
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
+    // Q7 shape: volume between two nation pairs by year (no region
+    // table needed; supplier-nation vs customer-nation flows).
+    "q07_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, yr,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT s_nationkey AS supp_nation, c_nationkey AS cust_nation,
+        |    CAST(year(l_shipdate) AS INT) AS yr,
+        |    l_extendedprice, l_discount
+        |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN customer ON c_custkey = o_custkey
+        |  WHERE ((s_nationkey = 1 AND c_nationkey = 2)
+        |      OR (s_nationkey = 2 AND c_nationkey = 1))
+        |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00')
+        |GROUP BY supp_nation, cust_nation, yr
+        |ORDER BY supp_nation, cust_nation, yr""".stripMargin,
+
+    // Q8 shape: market share of one supplier nation inside a region's
+    // customers, per year (conditional numerator over total).
+    "q08_market_share" ->
+      """SELECT yr,
+        |  CAST(round(
+        |    CAST(sum(CASE WHEN supp_nation = 3 THEN vol ELSE CAST(0 AS DECIMAL(26,4)) END) AS DOUBLE)
+        |    / CAST(sum(vol) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS yr, s_nationkey AS supp_nation,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS vol
+        |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN customer ON c_custkey = o_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'AMERICA'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+        |GROUP BY yr ORDER BY yr""".stripMargin,
+
+    // Q15 shape: top supplier by revenue via CTE + scalar-subquery max.
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // Q19 shape: disjunctive multi-branch predicate (OR of ANDs with IN).
+    "q19_discounted_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand IN ('Brand#33', 'Brand#34') AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
+
     // Uncorrelated IN-subquery.
     "q_in_subquery" ->
       """SELECT o_orderstatus, count(*) AS n

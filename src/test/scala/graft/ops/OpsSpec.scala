@@ -150,6 +150,30 @@ class OpsSpec extends SparkSpec {
     assert(ivf.size == brute.size)
   }
 
+  test("int8 quantization: reconstruction and cosine error are small") {
+    val q = Quantize.withQuantized(emb, "embedding")
+    // reconstruction error bounded by scale/2 per component
+    val err = q.select(
+      aggregate(zip_with(col("embedding"), Quantize.dequantize(col("embedding_q8")),
+        (a, b) => abs(a.cast("double") - b.cast("double"))),
+        lit(0.0), (acc, x) => greatest(acc, x)).as("max_err"),
+      col("embedding_q8.scale").as("s"))
+      .filter(col("max_err") > col("s") / 2 + 1e-9)
+    assert(err.count() == 0)
+    // quantized cosine approximates exact cosine
+    val a = q.filter(col("vec_id") < 20).select(col("vec_id").as("ida"),
+      col("embedding").as("ea"), col("embedding_q8").as("qa"))
+    val b = q.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+      .select(col("vec_id").as("idb"), col("embedding").as("eb"),
+        col("embedding_q8").as("qb"))
+    val cmp = a.crossJoin(b).select(
+      graft.functions.cosine_sim(col("ea"), col("eb")).as("exact"),
+      Quantize.cosineQuantized(col("qa"), col("qb")).as("approx"))
+    val maxDiff = cmp.select(max(abs(col("exact") - col("approx"))))
+      .as[Double].head()
+    assert(maxDiff < 0.02, s"quantized cosine error $maxDiff")
+  }
+
   // ------------------------------------------------------- text + media
 
   test("language id returns a profile language or und, deterministically") {
