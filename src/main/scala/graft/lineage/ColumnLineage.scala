@@ -54,6 +54,10 @@ object ColumnLineage {
     */
   def of(df: DataFrame): LineageGraph = ofPlan(df.queryExecution.analyzed)
 
+  /** Lineage of a SQL statement against the session's current views. */
+  def ofSql(spark: SparkSession, sql: String): LineageGraph =
+    of(spark.sql(sql))
+
   /** Lineage of an already-analyzed plan. */
   def ofPlan(plan: LogicalPlan): LineageGraph = {
     val resolved = resolve(plan, None)

@@ -125,6 +125,22 @@ object Functions {
         .orderBy(col("doc_id"))
     },
 
+    "q_fn_map" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 100)
+      val ks = array_distinct(slice(split(col("text"), " "), 1, 5))
+      docs
+        .select(col("doc_id"), ks.as("ks"))
+        .select(col("doc_id"),
+          map_from_arrays(col("ks"), transform(col("ks"), w => length(w))).as("m"))
+        .select(col("doc_id"),
+          sort_array(map_keys(col("m"))).as("keys_sorted"),
+          size(col("m")).as("n_entries"),
+          coalesce(element_at(col("m"), lit("the")), lit(-1)).as("len_of_the"),
+          aggregate(map_values(transform_values(col("m"), (_, v) => v * 2)),
+            lit(0), (acc, x) => acc + x).as("sum_doubled"))
+        .orderBy(col("doc_id"))
+    },
+
     "q_fn_hash_cast" -> { (s, dir) =>
       val c = Tables.load(s, dir, "customer").filter(col("c_custkey") <= 100)
       c.select(col("c_custkey"),
@@ -226,6 +242,17 @@ object Functions {
         |  list_transform(list_zip(string_split(text, ' ')[1:3], string_split(text, ' ')[2:4]),
         |    p -> CASE WHEN p[2] IS NULL THEN p[1] ELSE p[1] || '_' || p[2] END) AS bigrams
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "q_fn_map" ->
+      """WITH m AS (
+        |  SELECT doc_id, map(ks, list_transform(ks, w -> CAST(len(w) AS INT))) AS m
+        |  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')[1:5]) AS ks
+        |        FROM documents WHERE doc_id < 100))
+        |SELECT doc_id,
+        |  list_sort(map_keys(m)) AS keys_sorted,
+        |  CAST(cardinality(m) AS INT) AS n_entries,
+        |  CAST(coalesce(m['the'][1], -1) AS INT) AS len_of_the,
+        |  CAST(list_reduce(list_prepend(0, list_transform(map_values(m), v -> v * 2)), (a,b) -> a+b) AS INT) AS sum_doubled
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_fn_hash_cast" ->
       """SELECT c_custkey, md5(c_name) AS md5_name, sha256(c_name) AS sha256_name,
         |  CAST(trunc(c_acctbal) AS INT) AS bal_int,

@@ -107,6 +107,14 @@ class LineageSpec extends SparkSpec {
     assert(g("l_returnflag") == Set(src(liTable, "l_returnflag")))
   }
 
+  test("ofSql resolves lineage through SQL text and views") {
+    Tables.registerAll(spark, sf)
+    val g = ColumnLineage.ofSql(spark,
+      "SELECT o_orderstatus, sum(o_totalprice * 1.1) AS adj FROM orders GROUP BY o_orderstatus")
+    assert(g("adj").map(_.column) == Set("o_totalprice"))
+    assert(g("o_orderstatus").map(_.column) == Set("o_orderstatus"))
+  }
+
   test("toDF edge list is stable and complete") {
     val df = li.select((col("l_tax") + col("l_discount")).as("rate"))
     val edges = ColumnLineage.of(df).toDF(spark).collect()

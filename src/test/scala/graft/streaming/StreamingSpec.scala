@@ -104,6 +104,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch sink receives every micro-batch exactly once") {
+    val in = MemoryStream[Event]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = in.toDS().toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        seen.add((id, batch.count()))
+        ()
+      }
+      .start()
+    try {
+      in.addData(ev(1, 1), ev(2, 2))
+      q.processAllAvailable()
+      in.addData(ev(3, 3))
+      q.processAllAvailable()
+      val batches = seen.toArray(Array.empty[(Long, Long)]).toSeq.sortBy(_._1)
+      assert(batches.map(_._2).sum == 3)
+      assert(batches.map(_._1) == batches.map(_._1).distinct)
+    } finally q.stop()
+  }
+
   test("output modes: update mode emits refined aggregates per batch") {
     val in = MemoryStream[Event]
     val agg = in.toDS().toDF().groupBy($"event_type").count()
