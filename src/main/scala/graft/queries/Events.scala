@@ -62,6 +62,21 @@ object Events {
         .orderBy(col("user_id"))
     },
 
+    // Native session windows (Spark 3.2+ — a capability SUPERSET over
+    // the reference, which could only sessionize via arbitrary state;
+    // SURVEY.md §2.11 "Session windows: absent in 2.4").
+    "q_session_window" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n"), col("total"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
     // Top event per user-hour: dedup to latest event via row_number.
     "q_ev_latest_per_user" -> { (s, dir) =>
       val ev = Tables.load(s, dir, "events")
@@ -121,6 +136,24 @@ object Events {
         |  max(n_events) AS max_session_events,
         |  max(duration_s) AS max_duration_s
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_session_window" ->
+      """WITH t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |      OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w >= INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))),
+        |s AS (SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM t)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_ev_latest_per_user" ->
       """SELECT user_id,
         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS last_ts,
