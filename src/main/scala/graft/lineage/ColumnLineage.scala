@@ -60,7 +60,7 @@ object ColumnLineage {
 
   /** Lineage of an already-analyzed plan. */
   def ofPlan(plan: LogicalPlan): LineageGraph = {
-    val resolved = resolve(plan, None)
+    val resolved = resolve(plan, None, Map.empty)
     LineageGraph(plan.output.map(a =>
       OutputLineage(a.name, resolved.getOrElse(a.exprId, Set.empty))))
   }
@@ -81,38 +81,56 @@ object ColumnLineage {
   /** Core recursion: map from ExprId to leaf source columns for every
     * attribute visible at `plan`'s output (plus intermediates).
     */
-  private def resolve(plan: LogicalPlan, alias: Option[String])
+  /** CTE context: def id → (def output, def lineage map). */
+  private type CteCtx = Map[Long, (Seq[Attribute], Map[ExprId, Set[SourceColumn]])]
+
+  private def resolve(plan: LogicalPlan, alias: Option[String], ctes: CteCtx)
       : Map[ExprId, Set[SourceColumn]] = plan match {
 
     case s: SubqueryAlias =>
       // name the subtree after the alias only if its leaves are anonymous
-      resolve(s.child, Some(s.alias))
+      resolve(s.child, Some(s.alias), ctes)
+
+    case w: WithCTE =>
+      // resolve defs first (later defs may reference earlier ones)
+      val defCtx = w.cteDefs.foldLeft(ctes) { (ctx, d) =>
+        ctx + (d.id -> (d.child.output, resolve(d.child, None, ctx)))
+      }
+      resolve(w.plan, alias, defCtx)
+
+    case r: CTERelationRef if ctes.contains(r.cteId) =>
+      // positional mapping from the ref's fresh attribute ids to the
+      // def's resolved sources (same algorithm as Union pairing)
+      val (defOut, defMap) = ctes(r.cteId)
+      r.output.zip(defOut).map { case (refAttr, defAttr) =>
+        refAttr.exprId -> defMap.getOrElse(defAttr.exprId, Set.empty[SourceColumn])
+      }.toMap
 
     case l: LeafNode =>
       val table = alias.getOrElse(leafName(l))
       l.output.map(a => a.exprId -> Set(SourceColumn(table, a.name))).toMap
 
     case p: Project =>
-      val child = resolveChildren(p, alias)
+      val child = resolveChildren(p, alias, ctes)
       child ++ namedEdges(p.projectList, child)
 
     case a: Aggregate =>
-      val child = resolveChildren(a, alias)
+      val child = resolveChildren(a, alias, ctes)
       child ++ namedEdges(a.aggregateExpressions, child)
 
     case w: Window =>
-      val child = resolveChildren(w, alias)
+      val child = resolveChildren(w, alias, ctes)
       child ++ namedEdges(w.windowExpressions, child)
 
     case g: Generate =>
-      val child = resolveChildren(g, alias)
+      val child = resolveChildren(g, alias, ctes)
       val genSources = exprSources(g.generator, child)
       child ++ g.generatorOutput.map(a => a.exprId -> genSources).toMap
 
     case u: Union =>
       // n-ary positional pairing (reference: binary-only UnionColumn zip,
       // ResolveLineage.scala:96-107)
-      val childMaps = u.children.map(c => (c, resolve(c, alias)))
+      val childMaps = u.children.map(c => (c, resolve(c, alias, ctes)))
       u.output.zipWithIndex.map { case (out, i) =>
         out.exprId -> childMaps.flatMap { case (c, m) =>
           m.getOrElse(c.output(i).exprId, Set.empty)
@@ -120,7 +138,7 @@ object ColumnLineage {
       }.toMap
 
     case e: Expand =>
-      val child = resolveChildren(e, alias)
+      val child = resolveChildren(e, alias, ctes)
       child ++ e.output.zipWithIndex.map { case (out, i) =>
         out.exprId -> e.projections.flatMap(proj =>
           exprSources(proj(i), child)).toSet
@@ -129,15 +147,15 @@ object ColumnLineage {
     case _ =>
       // Join, Filter, Sort, Limit, Distinct, Repartition, subquery glue…:
       // output attributes pass through from children unchanged.
-      resolveChildren(plan, alias)
+      resolveChildren(plan, alias, ctes)
   }
 
-  private def resolveChildren(plan: LogicalPlan, alias: Option[String])
-      : Map[ExprId, Set[SourceColumn]] =
+  private def resolveChildren(plan: LogicalPlan, alias: Option[String],
+      ctes: CteCtx): Map[ExprId, Set[SourceColumn]] =
     plan.children.map(resolve(_, alias match {
       case Some(_) if plan.children.sizeIs == 1 => alias
       case _ => None
-    })).foldLeft(Map.empty[ExprId, Set[SourceColumn]])(_ ++ _)
+    }, ctes)).foldLeft(Map.empty[ExprId, Set[SourceColumn]])(_ ++ _)
 
   /** ExprId-join of each named expression's leaf references against the
     * child map (the reference's fetchRelation/findAllChildren,
@@ -158,7 +176,7 @@ object ColumnLineage {
     val viaSubquery = e.collect {
       case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
         sq.plan.output.flatMap(a =>
-          resolve(sq.plan, None).getOrElse(a.exprId, Set.empty)).toSet
+          resolve(sq.plan, None, Map.empty).getOrElse(a.exprId, Set.empty)).toSet
     }.flatten.toSet
     direct ++ viaSubquery
   }

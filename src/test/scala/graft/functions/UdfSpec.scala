@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** §2.12 UDF/UDAF surface: scalar udf() (ScalaUDF path), SQL-visible
+  * registration (UDFRegistration.register), typed Aggregator through
+  * functions.udaf in SQL, and the custom-Expression SQL registration
+  * path — the performance-ordered alternatives the rebuild prefers.
+  */
+class UdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scalar udf: DataFrame and SQL registration agree") {
+    val band = udf((price: Double) =>
+      if (price > 300000) "high" else if (price > 100000) "mid" else "low")
+    spark.udf.register("price_band", band)
+    Tables.registerAll(spark, sf)
+    val viaDf = Tables.load(spark, sf, "orders")
+      .select(band(col("o_totalprice")).as("b"))
+      .groupBy("b").count().as[(String, Long)].collect().toMap
+    val viaSql = spark.sql(
+      "SELECT price_band(o_totalprice) AS b, count(*) AS n FROM orders GROUP BY b")
+      .as[(String, Long)].collect().toMap
+    assert(viaDf == viaSql)
+    assert(viaDf.keySet == Set("high", "mid", "low"))
+  }
+
+  test("typed Aggregator registered as SQL udaf") {
+    spark.udf.register("minhash16",
+      graft.ops.MinHashAggregator.minhashUdaf(16))
+    Tables.registerAll(spark, sf)
+    val sig = spark.sql(
+      """SELECT minhash16(xxhash64(word)) AS sig FROM (
+        |  SELECT explode(split(text, ' ')) AS word FROM documents WHERE doc_id = 1)
+        |""".stripMargin).as[Array[Long]].head()
+    assert(sig.length == 16)
+    assert(sig.forall(_ != Long.MaxValue))
+  }
+
+  test("custom codegen Expression registered for SQL") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash64", exprs => RollingHash64(exprs.head), "built-in")
+    val viaSql = spark.sql("SELECT rolling_hash64('abc') AS h")
+      .as[Long].head()
+    val expected = "abc".getBytes("UTF-8")
+      .foldLeft(0L)((h, b) => h * 31L + (b & 0xffL))
+    assert(viaSql == expected)
+  }
+}

@@ -115,6 +115,24 @@ class LineageSpec extends SparkSpec {
     assert(g("o_orderstatus").map(_.column) == Set("o_orderstatus"))
   }
 
+  test("pivot lineage traces both pivot and value columns") {
+    val df = li.groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity")))
+    val g = ColumnLineage.of(df)
+    assert(g("F").map(_.column).contains("l_quantity"))
+    assert(g("l_returnflag") == Set(src(liTable, "l_returnflag")))
+  }
+
+  test("CTE lineage resolves through WITH clauses") {
+    Tables.registerAll(spark, sf)
+    val g = ColumnLineage.ofSql(spark,
+      """WITH x AS (SELECT l_orderkey, l_quantity * 2 AS dq FROM lineitem)
+        |SELECT l_orderkey, dq + 1 AS dq1 FROM x""".stripMargin)
+    assert(g("dq1").map(_.column) == Set("l_quantity"))
+    assert(g("l_orderkey").map(_.column) == Set("l_orderkey"))
+  }
+
   test("toDF edge list is stable and complete") {
     val df = li.select((col("l_tax") + col("l_discount")).as("rate"))
     val edges = ColumnLineage.of(df).toDF(spark).collect()
