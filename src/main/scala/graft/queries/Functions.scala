@@ -155,6 +155,18 @@ object Functions {
         .orderBy(col("c_custkey"))
     },
 
+    "q_fn_misc" -> { (s, dir) =>
+      val n = Tables.load(s, dir, "nation")
+      n.select(col("n_nationkey"),
+          hex(col("n_nationkey")).as("key_hex"),
+          base64(encode(col("n_name"), "UTF-8")).as("name_b64"),
+          sequence(lit(1), col("n_regionkey") + 1).as("seq"),
+          array_repeat(col("n_name"), 2).as("repeated"),
+          format_string("nation-%03d", col("n_nationkey")).as("tag"),
+          conv(col("n_nationkey").cast("string"), 10, 2).as("bin_str"))
+        .orderBy(col("n_nationkey"))
+    },
+
     "q_fn_struct" -> { (s, dir) =>
       val n = Tables.load(s, dir, "nation")
       n.select(col("n_nationkey"),
@@ -262,6 +274,15 @@ object Functions {
         |  CAST('123' AS BIGINT) AS parsed,
         |  CAST(round(CAST(c_acctbal AS DECIMAL(12,2)), 0) AS BIGINT) AS bal_round
         |FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin,
+    "q_fn_misc" ->
+      """SELECT n_nationkey,
+        |  hex(n_nationkey) AS key_hex,
+        |  to_base64(encode(n_name)) AS name_b64,
+        |  generate_series(1, n_regionkey + 1) AS seq,
+        |  [n_name, n_name] AS repeated,
+        |  printf('nation-%03d', n_nationkey) AS tag,
+        |  bin(n_nationkey) AS bin_str
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_fn_struct" ->
       """SELECT n_nationkey, n_name AS name, n_regionkey AS region,
         |  '{"name":"' || n_name || '","region":' || n_regionkey || '}' AS info_json
