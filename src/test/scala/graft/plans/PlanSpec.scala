@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Physical-plan shape assertions (§2.13 repartition/coalesce, §4.2
+  * partitioning & shuffle): the plans we claim in BENCH_NOTES.md,
+  * checked mechanically.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("repartition(n) is round-robin; repartition(col) hashes; coalesce avoids shuffle") {
+    val li = Tables.load(spark, sf, "lineitem")
+    assert(planOf(li.repartition(8)).contains("RoundRobinPartitioning"))
+    assert(planOf(li.repartition(8, col("l_orderkey"))).contains("hashpartitioning(l_orderkey"))
+    val coalesced = planOf(li.coalesce(1))
+    assert(coalesced.contains("Coalesce") && !coalesced.contains("Exchange"))
+  }
+
+  test("global sort range-partitions; broadcast hint forces BHJ") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val ord = Tables.load(spark, sf, "orders")
+    assert(planOf(li.orderBy(col("l_orderkey"))).contains("rangepartitioning"))
+    val joined = li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+    assert(planOf(joined).contains("BroadcastHashJoin"))
+  }
+
+  test("bucketed tables co-locate the join: no shuffle on either side") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_bucketed")
+    // disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = planOf(joined)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      // and the result is still correct
+      assert(joined.count() ==
+        Tables.load(spark, sf, "lineitem")
+          .join(Tables.load(spark, sf, "orders"),
+            col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+}
