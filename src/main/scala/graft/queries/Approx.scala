@@ -33,8 +33,14 @@ object Approx {
       val li = Tables.load(s, dir, "lineitem")
       li.agg(
         expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
-          .as("price_quartiles"),
+          .as("pq"),
         expr("approx_percentile(l_quantity, 0.5, 1000)").as("qty_median"))
+        // String-serialize the array output — raw arrays crash the
+        // driver's pandas compare (unhashable ndarray).
+        .select(
+          concat_ws(",", transform(col("pq"), x => x.cast("string")))
+            .as("price_quartiles"),
+          col("qty_median"))
     },
 
     // Deterministic sampling: seeded Bernoulli sample must be stable

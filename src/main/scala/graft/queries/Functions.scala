@@ -96,6 +96,8 @@ object Functions {
         .orderBy(col("event_id"))
     },
 
+    // Array results are joined to strings (driver compare can't hash
+    // raw ndarray cells) — same array ops, string-serialized output.
     "q_fn_array" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 100)
       val words = split(col("text"), " ")
@@ -103,10 +105,10 @@ object Functions {
           size(words).as("n_words"),
           element_at(words, 1).as("first_word"),
           element_at(words, -1).as("last_word"),
-          slice(words, 1, 3).as("head3"),
-          sort_array(array_distinct(words)).as("vocab"),
+          concat_ws("|", slice(words, 1, 3)).as("head3"),
+          concat_ws("|", sort_array(array_distinct(words))).as("vocab"),
           array_contains(words, "spark").as("has_spark"),
-          reverse(words).as("rev_words"),
+          concat_ws("|", reverse(words)).as("rev_words"),
           concat_ws("-", slice(words, 1, 2)).as("first2"))
         .orderBy(col("doc_id"))
     },
@@ -115,13 +117,13 @@ object Functions {
       val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 100)
       val words = split(col("text"), " ")
       docs.select(col("doc_id"),
-          transform(words, w => length(w)).as("lens"),
-          filter(words, w => length(w) > 4).as("long_words"),
+          concat_ws(",", transform(words, w => length(w).cast("string"))).as("lens"),
+          concat_ws("|", filter(words, w => length(w) > 4)).as("long_words"),
           aggregate(words, lit(0L), (acc, w) => acc + length(w)).as("total_chars"),
           exists(words, w => w === "spark").as("any_spark"),
           forall(words, w => length(w) > 0).as("all_nonempty"),
-          zip_with(slice(words, 1, 3), slice(words, 2, 3),
-            (a, b) => concat_ws("_", a, b)).as("bigrams"))
+          concat_ws("|", zip_with(slice(words, 1, 3), slice(words, 2, 3),
+            (a, b) => concat_ws("_", a, b))).as("bigrams"))
         .orderBy(col("doc_id"))
     },
 
@@ -133,7 +135,7 @@ object Functions {
         .select(col("doc_id"),
           map_from_arrays(col("ks"), transform(col("ks"), w => length(w))).as("m"))
         .select(col("doc_id"),
-          sort_array(map_keys(col("m"))).as("keys_sorted"),
+          concat_ws("|", sort_array(map_keys(col("m")))).as("keys_sorted"),
           size(col("m")).as("n_entries"),
           coalesce(element_at(col("m"), lit("the")), lit(-1)).as("len_of_the"),
           aggregate(map_values(transform_values(col("m"), (_, v) => v * 2)),
@@ -160,8 +162,9 @@ object Functions {
       n.select(col("n_nationkey"),
           hex(col("n_nationkey")).as("key_hex"),
           base64(encode(col("n_name"), "UTF-8")).as("name_b64"),
-          sequence(lit(1), col("n_regionkey") + 1).as("seq"),
-          array_repeat(col("n_name"), 2).as("repeated"),
+          concat_ws(",", transform(sequence(lit(1), col("n_regionkey") + 1),
+            x => x.cast("string"))).as("seq"),
+          concat_ws("|", array_repeat(col("n_name"), 2)).as("repeated"),
           format_string("nation-%03d", col("n_nationkey")).as("tag"),
           conv(col("n_nationkey").cast("string"), 10, 2).as("bin_str"))
         .orderBy(col("n_nationkey"))
@@ -238,21 +241,21 @@ object Functions {
         |  len(string_split(text, ' ')) AS n_words,
         |  string_split(text, ' ')[1] AS first_word,
         |  string_split(text, ' ')[-1] AS last_word,
-        |  string_split(text, ' ')[1:3] AS head3,
-        |  list_sort(list_distinct(string_split(text, ' '))) AS vocab,
+        |  array_to_string(string_split(text, ' ')[1:3], '|') AS head3,
+        |  array_to_string(list_sort(list_distinct(string_split(text, ' '))), '|') AS vocab,
         |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
-        |  list_reverse(string_split(text, ' ')) AS rev_words,
+        |  array_to_string(list_reverse(string_split(text, ' ')), '|') AS rev_words,
         |  array_to_string(string_split(text, ' ')[1:2], '-') AS first2
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     "q_fn_higher_order" ->
       """SELECT doc_id,
-        |  list_transform(string_split(text, ' '), w -> len(w)) AS lens,
-        |  list_filter(string_split(text, ' '), w -> len(w) > 4) AS long_words,
+        |  array_to_string(list_transform(string_split(text, ' '), w -> len(w)), ',') AS lens,
+        |  array_to_string(list_filter(string_split(text, ' '), w -> len(w) > 4), '|') AS long_words,
         |  CAST(list_reduce(list_prepend(0, list_transform(string_split(text, ' '), w -> len(w))), (a,b) -> a+b) AS BIGINT) AS total_chars,
         |  list_contains(string_split(text, ' '), 'spark') AS any_spark,
         |  len(list_filter(string_split(text, ' '), w -> len(w) = 0)) = 0 AS all_nonempty,
-        |  list_transform(list_zip(string_split(text, ' ')[1:3], string_split(text, ' ')[2:4]),
-        |    p -> CASE WHEN p[2] IS NULL THEN p[1] ELSE p[1] || '_' || p[2] END) AS bigrams
+        |  array_to_string(list_transform(list_zip(string_split(text, ' ')[1:3], string_split(text, ' ')[2:4]),
+        |    p -> CASE WHEN p[2] IS NULL THEN p[1] ELSE p[1] || '_' || p[2] END), '|') AS bigrams
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     "q_fn_map" ->
       """WITH m AS (
@@ -260,7 +263,7 @@ object Functions {
         |  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')[1:5]) AS ks
         |        FROM documents WHERE doc_id < 100))
         |SELECT doc_id,
-        |  list_sort(map_keys(m)) AS keys_sorted,
+        |  array_to_string(list_sort(map_keys(m)), '|') AS keys_sorted,
         |  CAST(cardinality(m) AS INT) AS n_entries,
         |  CAST(coalesce(m['the'][1], -1) AS INT) AS len_of_the,
         |  CAST(list_reduce(list_prepend(0, list_transform(map_values(m), v -> v * 2)), (a,b) -> a+b) AS INT) AS sum_doubled
@@ -278,8 +281,8 @@ object Functions {
       """SELECT n_nationkey,
         |  hex(n_nationkey) AS key_hex,
         |  to_base64(encode(n_name)) AS name_b64,
-        |  generate_series(1, n_regionkey + 1) AS seq,
-        |  [n_name, n_name] AS repeated,
+        |  array_to_string(generate_series(1, n_regionkey + 1), ',') AS seq,
+        |  array_to_string([n_name, n_name], '|') AS repeated,
         |  printf('nation-%03d', n_nationkey) AS tag,
         |  bin(n_nationkey) AS bin_str
         |FROM nation ORDER BY n_nationkey""".stripMargin,

@@ -193,7 +193,7 @@ object OpsQueries {
         |  count(*) - count(DISTINCT $normSql) AS n_dupes
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_dedup_keep_first" ->
-      s"""SELECT count(*) AS n_kept, sum(doc_id) AS id_sum FROM (
+      s"""SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM (
         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY $normSql)""".stripMargin,
     "q_text_quality" ->
       s"""WITH m AS (
@@ -210,7 +210,7 @@ object OpsQueries {
         |      THEN len(list_filter($toksSql, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t)))::DOUBLE / len($toksSql)
         |      ELSE 0.0 END AS sr
         |  FROM documents)
-        |SELECT lang, count(*) AS n, sum(n_tokens) AS total_tokens,
+        |SELECT lang, count(*) AS n, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |  round(avg(round(awl, 6)), 4) AS mean_word_len,
         |  round(avg(round(sr, 6)), 4) AS mean_stop_ratio,
         |  round(avg(round(greatest(0.0, least(1.0,
@@ -218,8 +218,8 @@ object OpsQueries {
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
     "q_token_count" ->
       s"""SELECT source, count(*) AS n_docs,
-        |  sum(len($toksSql)) AS total_tokens,
-        |  sum(list_reduce(list_transform(regexp_split_to_array(text, '\\s+'), w -> CAST(ceil(len(w)/4.0) AS BIGINT)), (a,b) -> a+b)) AS total_subwords
+        |  CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens,
+        |  CAST(sum(list_reduce(list_transform(regexp_split_to_array(text, '\\s+'), w -> CAST(ceil(len(w)/4.0) AS BIGINT)), (a,b) -> a+b)) AS BIGINT) AS total_subwords
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_lang_id" -> langIdOracle,
     "q_dedup_jaccard" -> jaccardOracle,
@@ -236,9 +236,9 @@ object OpsQueries {
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
         |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
         |  count(*) AS n,
-        |  sum(strlen(text)) AS total_bytes,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
         |  count(DISTINCT md5(text)) AS n_distinct_digests,
-        |  sum(1 + strlen(text) // 1024) AS total_frames
+        |  CAST(sum(1 + strlen(text) // 1024) AS BIGINT) AS total_frames
         |FROM documents
         |GROUP BY 1 ORDER BY kind""".stripMargin)
 

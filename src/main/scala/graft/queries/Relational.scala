@@ -154,11 +154,13 @@ object Relational {
     },
 
     // collect_list/collect_set surfaced deterministically via sort.
+    // Array outputs are joined to strings — the driver's pandas compare
+    // cannot hash raw ndarray cells.
     "q_agg_collect" -> { (s, dir) =>
       val nation = Tables.load(s, dir, "nation")
       nation.groupBy(col("n_regionkey"))
-        .agg(sort_array(collect_list(col("n_name"))).as("nations"),
-          sort_array(collect_set(col("n_name"))).as("nation_set"))
+        .agg(concat_ws("|", sort_array(collect_list(col("n_name")))).as("nations"),
+          concat_ws("|", sort_array(collect_set(col("n_name")))).as("nation_set"))
         .orderBy(col("n_regionkey"))
     },
 
@@ -218,7 +220,7 @@ object Relational {
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
         .as[(String, Double, Double)]
-      li.map { case (f, q, p) => (f, (q * 100).toLong, (p * 100).toLong) }
+      li.map { case (f, q, p) => (f, math.round(q * 100), math.round(p * 100)) }
         .groupByKey(_._1)
         .mapGroups { (flag, rows) =>
           var n = 0L; var qty = 0L
@@ -322,8 +324,9 @@ object Relational {
         |  min_by(o_orderkey, o_totalprice * 1000000 + o_orderkey) AS argmin_order
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_agg_collect" ->
-      """SELECT n_regionkey, list_sort(list(n_name)) AS nations,
-        |  list_sort(list(DISTINCT n_name)) AS nation_set
+      """SELECT n_regionkey,
+        |  array_to_string(list_sort(list(n_name)), '|') AS nations,
+        |  array_to_string(list_sort(list(DISTINCT n_name)), '|') AS nation_set
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "q_agg_percentile" ->
       """SELECT l_returnflag,
@@ -354,7 +357,7 @@ object Relational {
         |GROUP BY word ORDER BY n DESC, word ASC LIMIT 30""".stripMargin,
     "q_typed_mapgroups" ->
       """SELECT l_returnflag, count(*) AS n,
-        |  sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
