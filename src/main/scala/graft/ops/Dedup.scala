@@ -144,7 +144,11 @@ object Dedup {
     // three full tokenization passes instead.
     val sh = shingleSets(df, idCol, textCol, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Both sides of the bucket self-join derive from the signature
+    // tower; cache it so the k-way min aggregation runs once, not twice
+    // (k longs per doc — tiny relative to the corpus).
     val flat = minhashSignatures(sh, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = flat.select(col("id"), posexplode(array((0 until bands).map { b =>
       xxhash64((lit(b) +: (0 until rows).map(r => col(s"h${b * rows + r}"))): _*)
     }: _*)).as(Seq("band", "bucket")))
@@ -212,7 +216,10 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
+    // The banded self-join reads the signature table twice — cache the
+    // 64-bit sigs (one long per doc) so the vote aggregation runs once.
     val sigs = simhash(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map { c =>
         col("simhash").bitwiseAND(lit(0xffffL << (16 * c)))
