@@ -15,6 +15,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Tpch.queries ++
+    graft.queries.TpchHard.queries ++
     graft.queries.Joins.queries ++
     graft.queries.Relational.queries ++
     graft.queries.OpsQueries.queries ++
@@ -32,6 +33,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Tpch.oracle ++
+    graft.queries.TpchHard.oracle ++
     graft.queries.Joins.oracle ++
     graft.queries.Relational.oracle ++
     graft.queries.OpsQueries.oracle ++
