@@ -164,6 +164,24 @@ object Relational {
         .orderBy(col("n_regionkey"))
     },
 
+    // first/last aggregates (reference `aggregate/First.scala:38`,
+    // `Last.scala:38`): order-sensitive, made deterministic by
+    // co-locating each group (repartition by key) and sorting within
+    // partitions — EliminateSorts keeps the sort because First/Last
+    // are order-dependent aggregates.  Oracle uses DuckDB's
+    // ORDER-BY-in-aggregate form.
+    "q_agg_first_last" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      ev.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+        .groupBy(col("user_id"))
+        .agg(first(col("event_type")).as("first_type"),
+          last(col("event_type")).as("last_type"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
+    },
+
     // Exact percentiles (Percentile / ApproximatePercentile's exact twin).
     "q_agg_percentile" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
@@ -229,6 +247,30 @@ object Relational {
         }
         .toDF("l_returnflag", "n", "qty_cents")
         .orderBy(col("l_returnflag"))
+    },
+
+    // Typed cogroup (reference `KeyValueGroupedDataset.scala`,
+    // `objects.scala:445`): per-key streams from two Datasets zipped by
+    // key.  Money is summed as rounded cents (long) so iterator order
+    // inside a group can never flip a floating-point bit.
+    "q_cogroup" -> { (s, dir) =>
+      val s2 = s
+      import s2.implicits._
+      val ords = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)]
+        .groupByKey(_._1)
+      val custs = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal")).as[(Long, Double)]
+        .groupByKey(_._1)
+      ords.cogroup(custs) { (k, os, cs) =>
+        var n = 0L
+        var cents = 0L
+        os.foreach { o => n += 1; cents += math.round(o._2 * 100) }
+        val bal = cs.buffered.headOption
+          .map(c => math.round(c._2 * 100)).getOrElse(-1L)
+        Iterator((k, n, cents, bal))
+      }.toDF("custkey", "n_orders", "price_cents", "bal_cents")
+        .orderBy(col("custkey"))
     },
 
     // Top-k: ORDER BY ... LIMIT → TakeOrderedAndProjectExec (no global sort).
@@ -328,6 +370,22 @@ object Relational {
         |  array_to_string(list_sort(list(n_name)), '|') AS nations,
         |  array_to_string(list_sort(list(DISTINCT n_name)), '|') AS nation_set
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q_agg_first_last" ->
+      """SELECT user_id,
+        |  first(event_type ORDER BY ts, event_id) AS first_type,
+        |  last(event_type ORDER BY ts, event_id) AS last_type,
+        |  count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_cogroup" ->
+      """SELECT coalesce(o.o_custkey, c.c_custkey) AS custkey,
+        |  CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders,
+        |  CAST(coalesce(o.cents, 0) AS BIGINT) AS price_cents,
+        |  CAST(coalesce(CAST(round(c.c_acctbal * 100) AS BIGINT), -1) AS BIGINT) AS bal_cents
+        |FROM (SELECT o_custkey, count(*) AS n,
+        |        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |      FROM orders GROUP BY o_custkey) o
+        |FULL OUTER JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY custkey""".stripMargin,
     "q_agg_percentile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,

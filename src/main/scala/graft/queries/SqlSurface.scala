@@ -60,6 +60,28 @@ object SqlSurface {
           |GROUP BY r.id ORDER BY r.id""".stripMargin)
     },
 
+    // inline generator: explode an array of structs into columns
+    // (reference `generators.scala:400`).
+    "q_inline" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT n_regionkey, tag, key2 FROM (
+          |  SELECT n_regionkey, inline(array(
+          |    named_struct('tag', n_name, 'key2', n_nationkey),
+          |    named_struct('tag', upper(n_name), 'key2', n_nationkey + 100)))
+          |  FROM nation)
+          |ORDER BY n_regionkey, key2""".stripMargin)
+    },
+
+    // json_tuple generator (reference `jsonExpressions.scala:345`).
+    "q_json_tuple" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT event_id, j.k AS k_str
+          |FROM events LATERAL VIEW json_tuple(props, 'k') j AS k
+          |WHERE event_id <= 200 ORDER BY event_id""".stripMargin)
+    },
+
     // LATERAL VIEW explode (Hive-compat generator syntax).
     "q_lateral_view" -> { (s, dir) =>
       graft.Tables.registerAll(s, dir)
@@ -101,6 +123,15 @@ object SqlSurface {
       """SELECT r.range AS bucket, count(n_nationkey) AS n
         |FROM range(0, 5) r LEFT JOIN nation ON n_regionkey = r.range
         |GROUP BY r.range ORDER BY r.range""".stripMargin,
+    "q_inline" ->
+      """SELECT n_regionkey, tag, key2 FROM (
+        |  SELECT n_regionkey, n_name AS tag, n_nationkey AS key2 FROM nation
+        |  UNION ALL
+        |  SELECT n_regionkey, upper(n_name), n_nationkey + 100 FROM nation)
+        |ORDER BY n_regionkey, key2""".stripMargin,
+    "q_json_tuple" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str
+        |FROM events WHERE event_id <= 200 ORDER BY event_id""".stripMargin,
     "q_lateral_view" ->
       """SELECT word, count(*) AS n
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
