@@ -66,6 +66,46 @@ object Approx {
         .select(sort_array(col("o_orderstatus_freqItems")).as("frequent_statuses"))
     },
 
+    // Stratified sampling (DataFrameStatFunctions.sampleBy,
+    // reference `DataFrameStatFunctions.scala:372`): seeded per-stratum
+    // Bernoulli — deterministic, but engine-specific (rows-only).
+    "q_stat_sampleby" -> { (s, dir) =>
+      val ord = Tables.load(s, dir, "orders")
+      val fractions = Map("F" -> 0.1, "O" -> 0.05, "P" -> 0.2)
+      ord.stat.sampleBy("o_orderstatus", fractions, 7L)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_sampled"), min(col("o_orderkey")).as("first_key"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // Count-min sketch (reference `DataFrameStatFunctions.scala:409`):
+    // seeded, and with eps=0.001 the 3-key status column cannot collide
+    // across all depth rows, so the estimates equal the exact counts —
+    // oracle-checked against plain GROUP BY counts.
+    "q_stat_cms" -> { (s, dir) =>
+      val ord = Tables.load(s, dir, "orders")
+      val cms = ord.stat.countMinSketch("o_orderstatus", 0.001, 0.99, 42)
+      val s2 = s
+      import s2.implicits._
+      Seq("F", "O", "P").map(st => (st, cms.estimateCount(st)))
+        .toDF("status", "est_n")
+        .orderBy(col("status"))
+    },
+
+    // Bloom filter (reference `DataFrameStatFunctions.scala:492`): no
+    // false negatives by construction, so every key that built the
+    // filter must be found — oracle-checked; the false-positive-rate
+    // bound is asserted in StatSketchSpec.
+    "q_stat_bloom" -> { (s, dir) =>
+      val ord = Tables.load(s, dir, "orders")
+      val bf = ord.stat.bloomFilter("o_custkey", 2000, 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+      ord.select(col("o_custkey")).distinct()
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(mightContain(col("o_custkey")), 1L).otherwise(0L)).as("n_found"))
+    },
+
     // approxQuantile surfaces through stat; wrap as single-row frame.
     "q_stat_quantile" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
@@ -77,6 +117,13 @@ object Approx {
     })
 
   val oracle: Map[String, String] = Map(
+    "q_stat_cms" ->
+      """SELECT o_orderstatus AS status, count(*) AS est_n
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+    "q_stat_bloom" ->
+      """SELECT count(DISTINCT o_custkey) AS n_keys,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_found
+        |FROM orders""".stripMargin,
     "q_stat_crosstab" ->
       """SELECT CAST(o_orderstatus AS VARCHAR) AS o_orderstatus_o_orderpriority,
         |  CAST(coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS BIGINT) AS "1-URGENT",
