@@ -93,17 +93,28 @@ object Similarity {
       nCells: Int = 16, nProbe: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
-    val centroids = c.withColumn("__rn", col("corpus_id") % nCells)
-      .filter(col("__rn") === 0 && (col("corpus_id") / nCells) < 1000)
-      .limit(nCells)
-      .select(col("corpus_id").as("cell_id"), col("cvec").as("centroid"))
-    // assign each corpus vector to its nearest centroid (1 pass)
-    val wAssign = Window.partitionBy(col("corpus_id"))
-      .orderBy(desc("csim"), asc("cell_id"))
+    // Deterministic centroid pick by key arithmetic alone: ids
+    // {0, nCells, …, nCells*(nCells-1)} — a pushed-down filter, no
+    // limit-without-sort (whose row choice would depend on partitioning).
+    val centroids = c
+      .filter(col("corpus_id") % nCells === 0 &&
+        col("corpus_id") < lit(nCells.toLong * nCells))
+      .select((col("corpus_id") / nCells).cast("long").as("cell_id"),
+        col("cvec").as("centroid"))
+    // assign each corpus vector to its nearest centroid in ONE corpus
+    // pass: broadcast-expand by nCells, then max_by with map-side
+    // partial aggregation — the shuffle carries |corpus| rows, not
+    // |corpus|×nCells like a window/rank formulation would.
     val assigned = c.crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine_sim(col("cvec"), col("centroid")))
-      .withColumn("r", row_number().over(wAssign))
-      .filter(col("r") === 1)
+      .select(col("corpus_id"), col("cvec"), col("cell_id"),
+        cosine_sim(col("cvec"), col("centroid")).as("csim"))
+      .groupBy(col("corpus_id"))
+      .agg(
+        // deterministic argmax: higher csim wins, smaller cell on ties
+        max_by(col("cell_id"),
+          struct(col("csim").as("s"), (-col("cell_id")).as("nc"))).as("cell_id"),
+        // every expanded row carries the same vector for this id
+        first(col("cvec")).as("cvec"))
       .select(col("cell_id"), col("corpus_id"), col("cvec"))
     // pick nProbe nearest cells per query
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))

@@ -29,6 +29,18 @@ class PlanSpec extends SparkSpec {
     assert(planOf(joined).contains("BroadcastHashJoin"))
   }
 
+  test("IVF assignment partial-aggregates map-side, no corpus-keyed window") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val df = graft.ops.Similarity.ivfTopK(
+      emb, emb.filter(col("vec_id") < 4), k = 3, nCells = 8, nProbe = 2)
+    val plan = planOf(df)
+    assert(plan.contains("partial_max_by"),
+      s"cell assignment should map-side combine:\n$plan")
+    // remaining windows are query-side (probe + final rank) only
+    assert(!plan.contains("windowspecdefinition(corpus_id"),
+      s"corpus-wide window shuffle crept back in:\n$plan")
+  }
+
   test("bucketed tables co-locate the join: no shuffle on either side") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
