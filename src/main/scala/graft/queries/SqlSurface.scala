@@ -60,6 +60,19 @@ object SqlSurface {
           |GROUP BY r.id ORDER BY r.id""".stripMargin)
     },
 
+    // Custom DataSource V2 TableProvider (§2.1): a deterministic
+    // generated table read through the full DSv2 scan path
+    // (TableProvider → ScanBuilder → Batch → partition readers).
+    "q_dsv2_source" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      s.read.format("graft.sources.SquaresV2")
+        .option("n", 1000).option("slices", 8).load()
+        .filter(col("id") % 7 === 0)
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n"), sum(col("sq")).as("sum_sq"))
+        .orderBy(col("tag"))
+    },
+
     // inline generator: explode an array of structs into columns
     // (reference `generators.scala:400`).
     "q_inline" -> { (s, dir) =>
@@ -123,6 +136,11 @@ object SqlSurface {
       """SELECT r.range AS bucket, count(n_nationkey) AS n
         |FROM range(0, 5) r LEFT JOIN nation ON n_regionkey = r.range
         |GROUP BY r.range ORDER BY r.range""".stripMargin,
+    "q_dsv2_source" ->
+      """SELECT CASE WHEN i % 2 = 0 THEN 'even' ELSE 'odd' END AS tag,
+        |  count(*) AS n, CAST(sum(i * i) AS BIGINT) AS sum_sq
+        |FROM (SELECT unnest(generate_series(0, 999)) AS i)
+        |WHERE i % 7 = 0 GROUP BY 1 ORDER BY tag""".stripMargin,
     "q_inline" ->
       """SELECT n_regionkey, tag, key2 FROM (
         |  SELECT n_regionkey, n_name AS tag, n_nationkey AS key2 FROM nation

@@ -80,6 +80,17 @@ class SourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("custom DSv2 TableProvider: partitioned parallel read, exact rows") {
+    val df = spark.read.format("graft.sources.SquaresV2")
+      .option("n", 100).option("slices", 8).load()
+    assert(df.rdd.getNumPartitions == 8, "slices should map to input partitions")
+    assert(df.count() == 100)
+    val row = df.filter(col("id") === 9).collect().head
+    assert(row.getLong(1) == 81 && row.getString(2) == "odd")
+    // BatchScan node proves the DSv2 read path (not an RDD fallback)
+    assert(df.queryExecution.executedPlan.toString.contains("BatchScan"))
+  }
+
   test("jdbc-style predicate pushdown: filters reach the parquet scan") {
     val li = Tables.load(spark, sf, "lineitem")
       .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
