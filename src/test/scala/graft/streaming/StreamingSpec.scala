@@ -124,6 +124,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rate source produces timestamped monotonically-increasing rows") {
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", 500).load()
+      .writeStream.format("memory").queryName("rate_out")
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      while (spark.table("rate_out").isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+      }
+      val rows = spark.table("rate_out")
+        .select("value").as[Long].collect()
+      assert(rows.nonEmpty, "rate source emitted nothing within 20s")
+      assert(rows.distinct.length == rows.length, "rate values must be unique")
+      assert(spark.table("rate_out").schema.fieldNames.toSeq ==
+        Seq("timestamp", "value"))
+    } finally q.stop()
+  }
+
+  test("streaming limit caps total appended rows across micro-batches") {
+    val in = MemoryStream[Event]
+    val limited = in.toDS().toDF().limit(5)
+    val q = runToMemory(limited, "lim_out")
+    try {
+      in.addData((1 to 4).map(i => ev(i.toLong, i)): _*)
+      q.processAllAvailable()
+      assert(spark.table("lim_out").count() == 4) // under the cap so far
+      in.addData((5 to 10).map(i => ev(i.toLong, i)): _*)
+      q.processAllAvailable()
+      assert(spark.table("lim_out").count() == 5,
+        "limit state must cap the total across batches")
+      val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(plan.contains("StreamingGlobalLimit"), s"expected streaming limit exec:\n$plan")
+    } finally q.stop()
+  }
+
   test("output modes: update mode emits refined aggregates per batch") {
     val in = MemoryStream[Event]
     val agg = in.toDS().toDF().groupBy($"event_type").count()
