@@ -170,6 +170,44 @@ object Functions {
         .orderBy(col("n_nationkey"))
     },
 
+    // xpath family (reference `expressions/xml/`): extract from XML
+    // synthesized out of table columns, so the oracle is the original
+    // column and the XML round-trip is what's under test.
+    "q_fn_xpath" -> { (s, dir) =>
+      val n = Tables.load(s, dir, "nation")
+      val xml = concat(lit("<r><n>"), col("n_name"),
+        lit("</n><k>"), col("n_nationkey"), lit("</k></r>"))
+      n.select(col("n_nationkey"), xml.as("xml"))
+        .select(col("n_nationkey"),
+          expr("xpath_string(xml, '/r/n')").as("name_x"),
+          expr("xpath_long(xml, '/r/k')").as("key_x"),
+          expr("xpath_boolean(xml, '/r/n')").as("has_n"),
+          expr("size(xpath(xml, '/r/*'))").as("n_children"))
+        .orderBy(col("n_nationkey"))
+    },
+
+    // reflect/java_method (reference `CallMethodViaReflection.scala`):
+    // call a JVM static method per row; oracle is the equivalent SQL.
+    "q_fn_reflect" -> { (s, dir) =>
+      val n = Tables.load(s, dir, "nation")
+      n.select(col("n_nationkey"),
+          expr("CAST(reflect('java.lang.Math', 'abs', CAST(n_nationkey - 12 AS INT)) AS INT)").as("abs_r"),
+          expr("reflect('java.lang.String', 'valueOf', n_regionkey)").as("str_r"),
+          expr("CAST(java_method('java.lang.Math', 'max', CAST(n_nationkey AS INT), CAST(n_regionkey AS INT)) AS INT)").as("max_r"))
+        .orderBy(col("n_nationkey"))
+    },
+
+    // schema_of_json: Spark's inferred-DDL string for a JSON literal
+    // (deterministic; the oracle pins the exact expected text).
+    "q_fn_schema_of_json" -> { (s, dir) =>
+      val s2 = s
+      import s2.implicits._
+      Seq(1).toDF("one")
+        .select(
+          schema_of_json(lit("""{"a": 1, "b": "x", "c": [1.5]}""")).as("schema_abc"),
+          schema_of_json(lit("""[{"k": 2}]""")).as("schema_arr"))
+    },
+
     "q_fn_struct" -> { (s, dir) =>
       val n = Tables.load(s, dir, "nation")
       n.select(col("n_nationkey"),
@@ -285,6 +323,18 @@ object Functions {
         |  array_to_string([n_name, n_name], '|') AS repeated,
         |  printf('nation-%03d', n_nationkey) AS tag,
         |  bin(n_nationkey) AS bin_str
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_fn_schema_of_json" ->
+      """SELECT 'STRUCT<a: BIGINT, b: STRING, c: ARRAY<DOUBLE>>' AS schema_abc,
+        |  'ARRAY<STRUCT<k: BIGINT>>' AS schema_arr""".stripMargin,
+    "q_fn_xpath" ->
+      """SELECT n_nationkey, n_name AS name_x, n_nationkey AS key_x,
+        |  true AS has_n, 2 AS n_children
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_fn_reflect" ->
+      """SELECT n_nationkey, CAST(abs(n_nationkey - 12) AS INT) AS abs_r,
+        |  CAST(n_regionkey AS VARCHAR) AS str_r,
+        |  CAST(greatest(n_nationkey, n_regionkey) AS INT) AS max_r
         |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_fn_struct" ->
       """SELECT n_nationkey, n_name AS name, n_regionkey AS region,

@@ -95,6 +95,22 @@ object SqlSurface {
           |WHERE event_id <= 200 ORDER BY event_id""".stripMargin)
     },
 
+    // Script transform (reference `ScriptTransformationExec.scala:55`):
+    // rows piped through an external process (no-serde mode, no Hive
+    // needed).  'cat' echoes the tab-separated rows back; the oracle is
+    // the identity projection — proving the pipe round-trips exactly.
+    "q_script_transform" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT CAST(k AS BIGINT) AS n_nationkey, name
+          |FROM (
+          |  SELECT TRANSFORM (n_nationkey, n_name)
+          |    USING 'cat'
+          |    AS (k STRING, name STRING)
+          |  FROM nation)
+          |ORDER BY n_nationkey""".stripMargin)
+    },
+
     // LATERAL VIEW explode (Hive-compat generator syntax).
     "q_lateral_view" -> { (s, dir) =>
       graft.Tables.registerAll(s, dir)
@@ -150,6 +166,8 @@ object SqlSurface {
     "q_json_tuple" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str
         |FROM events WHERE event_id <= 200 ORDER BY event_id""".stripMargin,
+    "q_script_transform" ->
+      """SELECT n_nationkey, n_name AS name FROM nation ORDER BY n_nationkey""",
     "q_lateral_view" ->
       """SELECT word, count(*) AS n
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
