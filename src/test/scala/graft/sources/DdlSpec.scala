@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Commands / DDL / stats coverage (§2.13; reference
+  * `execution/command/tables.scala`, `views.scala`,
+  * `AnalyzeTableCommand.scala`, `AnalyzeColumnCommand.scala`):
+  * create/describe/show/alter/drop for datasource tables and views, and
+  * ANALYZE feeding catalog statistics into the optimizer (CBO).
+  */
+class DdlSpec extends SparkSpec {
+
+  test("CTAS + DESCRIBE + SHOW TABLES + ALTER ADD COLUMNS + DROP") {
+    spark.sql("DROP TABLE IF EXISTS ddl_nation")
+    Tables.registerAll(spark, sf)
+    spark.sql(
+      """CREATE TABLE ddl_nation USING parquet AS
+        |SELECT n_nationkey, n_name, n_regionkey FROM nation""".stripMargin)
+    try {
+      assert(spark.sql("SHOW TABLES").collect()
+        .exists(_.getString(1) == "ddl_nation"))
+      val cols = spark.sql("DESCRIBE TABLE ddl_nation")
+        .select("col_name").collect().map(_.getString(0)).toSet
+      assert(Set("n_nationkey", "n_name", "n_regionkey").subsetOf(cols))
+      assert(spark.table("ddl_nation").count() == 25)
+
+      spark.sql("ALTER TABLE ddl_nation ADD COLUMNS (note STRING)")
+      assert(spark.table("ddl_nation").schema.fieldNames.contains("note"))
+      // existing rows read the new column as null
+      assert(spark.table("ddl_nation").filter(col("note").isNull).count() == 25)
+    } finally spark.sql("DROP TABLE IF EXISTS ddl_nation")
+    assert(!spark.sql("SHOW TABLES").collect()
+      .exists(_.getString(1) == "ddl_nation"))
+  }
+
+  test("CREATE VIEW / DESCRIBE / query / DROP VIEW") {
+    Tables.registerAll(spark, sf)
+    spark.sql("DROP VIEW IF EXISTS big_nations")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW big_nations AS
+        |SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey""".stripMargin)
+    try {
+      assert(spark.table("big_nations").count() == 5)
+      assert(spark.sql("SELECT sum(n) FROM big_nations").head().getLong(0) == 25)
+    } finally spark.sql("DROP VIEW IF EXISTS big_nations")
+    assert(!spark.catalog.tableExists("big_nations"))
+  }
+
+  test("ANALYZE TABLE feeds row-count statistics to the optimizer") {
+    spark.sql("DROP TABLE IF EXISTS ddl_orders")
+    Tables.registerAll(spark, sf)
+    spark.sql(
+      """CREATE TABLE ddl_orders USING parquet AS
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM orders""".stripMargin)
+    try {
+      val expected = spark.table("ddl_orders").count()
+      spark.sql("ANALYZE TABLE ddl_orders COMPUTE STATISTICS")
+      spark.sql("ANALYZE TABLE ddl_orders COMPUTE STATISTICS FOR COLUMNS o_custkey")
+
+      // row counts flow into plan stats when the cost-based optimizer
+      // reads catalog statistics
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val stats = spark.table("ddl_orders").queryExecution
+          .optimizedPlan.stats
+        assert(stats.sizeInBytes > 0)
+        assert(stats.rowCount.contains(BigInt(expected)),
+          s"catalog rowCount should be $expected, got ${stats.rowCount}")
+      } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+
+      // column-level stats surface through DESCRIBE EXTENDED
+      val desc = spark.sql("DESCRIBE EXTENDED ddl_orders o_custkey")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc.get("distinct_count").exists(_.toLong > 0))
+    } finally spark.sql("DROP TABLE IF EXISTS ddl_orders")
+  }
+}
