@@ -80,6 +80,26 @@ class SourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("jdbc round-trip via embedded Derby with predicate pushdown") {
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val nation = Tables.load(spark, sf, "nation")
+    nation.write.mode("overwrite")
+      .format("jdbc").option("url", url).option("dbtable", "NATION_J")
+      .save()
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "NATION_J").load()
+    assert(back.count() == nation.count())
+    assert(back.columns.map(_.toLowerCase).toSet ==
+      nation.columns.map(_.toLowerCase).toSet)
+    // filters push into the JDBC scan, not a post-scan Filter
+    val filtered = back.filter(col("N_REGIONKEY") === 3)
+    assert(filtered.count() ==
+      nation.filter(col("n_regionkey") === 3).count())
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("EqualTo(n_regionkey,3)"),
+      s"JDBC scan should carry the pushed filter:\n$scan")
+  }
+
   test("custom DSv2 TableProvider: partitioned parallel read, exact rows") {
     val df = spark.read.format("graft.sources.SquaresV2")
       .option("n", 100).option("slices", 8).load()
