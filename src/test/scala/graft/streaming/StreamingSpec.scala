@@ -161,6 +161,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("socket source streams lines from a TCP server") {
+    val server = new java.net.ServerSocket(0)
+    val writer = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        Seq("alpha", "beta", "gamma").foreach(out.println)
+        out.flush()
+        Thread.sleep(15000) // hold the connection open while the query drains
+        sock.close()
+      } catch { case _: Exception => () }
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val q = spark.readStream.format("socket")
+      .option("host", "localhost").option("port", server.getLocalPort).load()
+      .writeStream.format("memory").queryName("sock_out")
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      while (spark.table("sock_out").count() < 3 &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+      }
+      val lines = spark.table("sock_out").select("value").as[String].collect().toSet
+      assert(lines == Set("alpha", "beta", "gamma"),
+        s"socket source should deliver all published lines, got $lines")
+    } finally { q.stop(); server.close() }
+  }
+
+  test("console sink runs a micro-batch without error") {
+    val in = MemoryStream[Event]
+    val q = in.toDS().toDF().writeStream.format("console")
+      .option("numRows", 5).outputMode("append").start()
+    try {
+      in.addData(ev(1, 1), ev(2, 2))
+      q.processAllAvailable()
+      assert(q.lastProgress != null && q.exception.isEmpty)
+    } finally q.stop()
+  }
+
   test("output modes: update mode emits refined aggregates per batch") {
     val in = MemoryStream[Event]
     val agg = in.toDS().toDF().groupBy($"event_type").count()
