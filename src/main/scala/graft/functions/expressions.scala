@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -59,6 +60,47 @@ case class RollingHash64(child: Expression)
          |${ev.value} = gh;""".stripMargin)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** Custom table-generating function (UDTF path, §2.12): explodes a text
+  * column into word n-grams with their 0-based position.  The same
+  * `Generator` contract the reference's built-in explode/json_tuple use
+  * (`sql/catalyst/src/main/scala/.../expressions/generators.scala:45`);
+  * the analyzer's ExtractGenerator turns a Project over this expression
+  * into a `Generate` node, so it composes with LATERAL VIEW in SQL and
+  * plain `select` in the DataFrame API.  Generation is one row in, k
+  * rows out with no intermediate array materialized per document —
+  * at 100 TB the alternative (split → array column → posexplode) writes
+  * every token list into the row buffer first.
+  */
+case class NGramsGenerator(text: Expression, n: Expression)
+    extends Expression with Generator with CodegenFallback {
+  require(n.foldable, "ngrams width must be a literal")
+  private lazy val width: Int = n.eval(null) match {
+    case i: Int => math.max(i, 1)
+    case l: Long => math.max(l.toInt, 1)
+    case other => throw new IllegalArgumentException(s"ngrams width: $other")
+  }
+  override def children: Seq[Expression] = Seq(text, n)
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("ngram", StringType, nullable = false)))
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = text.eval(input)
+    if (t == null) Nil
+    else {
+      val tokens = t.asInstanceOf[UTF8String].toString
+        .split("\\s+").filter(_.nonEmpty)
+      if (tokens.length < width) Nil
+      else (0 to tokens.length - width).map { i =>
+        InternalRow(i, UTF8String.fromString(
+          tokens.slice(i, i + width).mkString(" ")))
+      }
+    }
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(text = newChildren(0), n = newChildren(1))
 }
 
 /** Cosine similarity of two float vectors, computed in double precision

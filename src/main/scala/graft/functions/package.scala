@@ -21,4 +21,9 @@ package object functions {
   /** Cosine similarity of two array<float> columns (double result). */
   def cosine_sim(a: Column, b: Column): Column =
     toCol(CosineSimilarityF(toExpr(a), toExpr(b)))
+
+  /** Generator: word n-grams of a text column as (pos, ngram) rows. */
+  def ngrams(text: Column, n: Int): Column =
+    toCol(NGramsGenerator(toExpr(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(n)))
 }

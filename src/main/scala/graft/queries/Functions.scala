@@ -217,6 +217,17 @@ object Functions {
           col("info.region").as("region"),
           to_json(col("info")).as("info_json"))
         .orderBy(col("n_nationkey"))
+    },
+
+    // Custom Generator (UDTF): top word bigrams across the corpus.
+    // One Generate node, no per-document token array materialized.
+    "q_ngrams_generate" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      d.select(graft.functions.ngrams(col("text"), 2))
+        .groupBy(col("ngram"))
+        .agg(count(lit(1)).as("n"), min(col("pos")).cast("long").as("first_pos"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(20)
     })
 
   val oracle: Map[String, String] = Map(
@@ -339,5 +350,17 @@ object Functions {
     "q_fn_struct" ->
       """SELECT n_nationkey, n_name AS name, n_regionkey AS region,
         |  '{"name":"' || n_name || '","region":' || n_regionkey || '}' AS info_json
-        |FROM nation ORDER BY n_nationkey""".stripMargin)
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_ngrams_generate" ->
+      """WITH w AS (
+        |  SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+        |  FROM documents
+        |), g AS (
+        |  SELECT unnest(generate_series(1, len(words) - 1)) AS i, words
+        |  FROM w WHERE len(words) >= 2
+        |)
+        |SELECT words[i] || ' ' || words[i + 1] AS ngram,
+        |  count(*) AS n,
+        |  CAST(min(i - 1) AS BIGINT) AS first_pos
+        |FROM g GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20""".stripMargin)
 }

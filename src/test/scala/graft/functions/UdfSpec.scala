@@ -39,6 +39,39 @@ class UdfSpec extends SparkSpec {
     assert(sig.forall(_ != Long.MaxValue))
   }
 
+  test("custom Generator (UDTF): DataFrame select, LATERAL VIEW, and explode-twin agree") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngrams", exprs => NGramsGenerator(exprs(0), exprs(1)), "built-in")
+    Tables.registerAll(spark, sf)
+    val docs = Tables.load(spark, sf, "documents").filter(col("doc_id") <= 50)
+    docs.createOrReplaceTempView("docs_small")
+
+    val viaDf = docs.select(graft.functions.ngrams(col("text"), 2))
+      .as[(Int, String)].collect().toSeq.sorted
+    val viaSql = spark.sql(
+      """SELECT pos, ngram FROM docs_small
+        |LATERAL VIEW ngrams(text, 2) t AS pos, ngram""".stripMargin)
+      .as[(Int, String)].collect().toSeq.sorted
+    assert(viaDf == viaSql, "DataFrame and LATERAL VIEW outputs must agree")
+    assert(viaDf.nonEmpty)
+    // spot-check against a hand-tokenized document
+    val one = docs.filter(col("doc_id") === 1)
+      .select(col("text")).as[String].head()
+    val toks = one.split("\\s+").filter(_.nonEmpty)
+    val expected = toks.sliding(2).zipWithIndex
+      .map { case (p, i) => (i, p.mkString(" ")) }.toSeq
+    val got = docs.filter(col("doc_id") === 1)
+      .select(graft.functions.ngrams(col("text"), 2))
+      .as[(Int, String)].collect().toSeq.sortBy(_._1)
+    assert(got == expected)
+    // every bigram is two tokens joined by a single space
+    assert(viaDf.forall { case (p, g) => p >= 0 && g.split(" ").length == 2 })
+    // a Generate node (not a UDF) carries the custom generator
+    val plan = docs.select(graft.functions.ngrams(col("text"), 2))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Generate"), s"expected Generate node:\n$plan")
+  }
+
   test("custom codegen Expression registered for SQL") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash64", exprs => RollingHash64(exprs.head), "built-in")
