@@ -41,6 +41,45 @@ class PlanSpec extends SparkSpec {
       s"corpus-wide window shuffle crept back in:\n$plan")
   }
 
+  test("shuffle_hash hint selects ShuffledHashJoin over sort-merge") {
+    val li = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    val ord = Tables.load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = li.join(ord.hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = planOf(joined)
+      assert(plan.contains("ShuffledHashJoin"),
+        s"shuffle_hash hint should plan SHJ:\n$plan")
+      assert(!plan.contains("SortMergeJoin"))
+      // SHJ skips both sort passes SMJ would need
+      assert(!plan.contains("Sort "), s"SHJ must not sort either side:\n$plan")
+      assert(joined.count() ==
+        li.join(ord, col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
+  test("immutable agg buffers fall back to SortAggregate when object-hash is off") {
+    val li = Tables.load(spark, sf, "lineitem")
+    spark.conf.set("spark.sql.execution.useObjectHashAggregateExec", "false")
+    try {
+      val agg = li.groupBy(col("l_returnflag"))
+        .agg(collect_list(col("l_linestatus")).as("statuses"))
+      val plan = planOf(agg)
+      assert(plan.contains("SortAggregate"),
+        s"collect_list without ObjectHashAggregate should SortAggregate:\n$plan")
+      assert(agg.count() == 3)
+    } finally {
+      spark.conf.set("spark.sql.execution.useObjectHashAggregateExec", "true")
+    }
+    // with the default conf the same shape uses ObjectHashAggregate
+    val objPlan = planOf(li.groupBy(col("l_returnflag"))
+      .agg(collect_list(col("l_linestatus"))))
+    assert(objPlan.contains("ObjectHashAggregate"))
+  }
+
   test("bucketed tables co-locate the join: no shuffle on either side") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
