@@ -101,6 +101,36 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** PII categories as (label, regex), in application order.  Patterns
+    * stay inside the Java-regex ∩ RE2 common subset so the DuckDB oracle
+    * can mirror them verbatim.  SSN (3-2-4) is scrubbed before phone
+    * (3-3-4) — the groupings are disjoint but the order is part of the
+    * published contract; replacement tokens contain no digits, so later
+    * patterns can never re-match inside an earlier redaction.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ssn"   -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "phone" -> "\\b\\d{3}-\\d{3}-\\d{4}\\b",
+    "ip"    -> "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b")
+
+  /** Scrub PII in place: each category becomes an `<UPPERCASE>` token.
+    * A fold of codegen'd regexp_replace calls — one projection, no
+    * shuffle, linear in document bytes at any scale.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (t, (label, pat)) =>
+      regexp_replace(t, pat, s"<${label.toUpperCase}>")
+    }
+
+  /** Per-category PII hit counts over the ORIGINAL text (counts are
+    * independent per pattern, not post-redaction residues).
+    */
+  def piiCounts(text: Column): Column =
+    struct(piiPatterns.map { case (label, pat) =>
+      regexp_count(text, lit(pat)).as(s"n_$label")
+    }: _*)
+
   /** Attach all text-analysis columns at once (single projection). */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -170,6 +170,28 @@ object OpsQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // PII redaction: deterministic synthetic PII is appended to each
+    // document (the corpus itself is PII-free), then scrubbed + counted.
+    // The injection and both regex sets are SQL-expressible, so the
+    // redacted text is oracle-checked byte-for-byte.
+    "q_pii_redact" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 60)
+      val injected = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com ph 555-"),
+        (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+        (col("doc_id") % 9000 + 1000).cast("string"),
+        lit(" ssn 987-65-"), (col("doc_id") % 9000 + 1000).cast("string"),
+        lit(" ip 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
+      docs.select(col("doc_id"),
+          TextAnalysis.redactPii(injected).as("redacted"),
+          TextAnalysis.piiCounts(injected).as("c"))
+        .select(col("doc_id"), col("redacted"),
+          col("c.n_email").as("n_email"), col("c.n_ssn").as("n_ssn"),
+          col("c.n_phone").as("n_phone"), col("c.n_ip").as("n_ip"))
+        .orderBy(col("doc_id"))
+    },
+
     // Multimodal plumbing: binary payload + metadata → stub features.
     // Oracle-checked because the fake decode is SQL-expressible
     // (octet_length / md5 / byte mean via histogram-free arithmetic is
@@ -232,6 +254,7 @@ object OpsQueries {
         |  FROM embeddings q CROSS JOIN embeddings c
         |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_pii_redact" -> piiOracle,
     "q_multimodal" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
         |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -249,6 +272,28 @@ object OpsQueries {
   /** DuckDB twin of TextAnalysis.tokens. */
   private def toksSql: String =
     "regexp_extract_all(lower(text), '[a-z0-9'']+')"
+
+  /** DuckDB twin of TextAnalysis.redactPii/piiCounts, derived from the
+    * same pattern list so the two can never drift.
+    */
+  private def piiOracle: String = {
+    val inj = """text || ' contact user' || doc_id || '@mail.example.com ph 555-' ||
+      | (doc_id % 900 + 100) || '-' || (doc_id % 9000 + 1000) ||
+      | ' ssn 987-65-' || (doc_id % 9000 + 1000) ||
+      | ' ip 10.0.' || (doc_id % 256) || '.7'""".stripMargin.replace("\n", "")
+    val redacted = TextAnalysis.piiPatterns.foldLeft("t") {
+      case (acc, (label, pat)) =>
+        s"regexp_replace($acc, '$pat', '<${label.toUpperCase}>', 'g')"
+    }
+    val counts = TextAnalysis.piiPatterns.map { case (label, pat) =>
+      s"CAST(len(regexp_extract_all(t, '$pat')) AS INT) AS n_$label"
+    }.mkString(",\n  ")
+    s"""WITH inj AS (
+      |  SELECT doc_id, $inj AS t FROM documents WHERE doc_id < 60)
+      |SELECT doc_id, $redacted AS redacted,
+      |  $counts
+      |FROM inj ORDER BY doc_id""".stripMargin
+  }
 
   private def langIdOracle: String = {
     val profiles = Seq(

@@ -50,6 +50,32 @@ class OpsSpec extends SparkSpec {
     assert(zero == 0.0)
   }
 
+  // ------------------------------------------------------ pii redaction
+
+  test("redactPii scrubs email/ssn/phone/ip and piiCounts counts them") {
+    val txt = "mail a.b+c@x.co.uk, ssn 123-45-6789, ph 555-123-4567, " +
+      "host 192.168.0.1; clean text 12-34 stays"
+    val row = Seq(txt).toDF("t")
+      .select(TextAnalysis.redactPii(col("t")).as("r"),
+        TextAnalysis.piiCounts(col("t")).as("c"))
+      .select(col("r"), col("c.n_email"), col("c.n_ssn"),
+        col("c.n_phone"), col("c.n_ip"))
+      .as[(String, Int, Int, Int, Int)].head()
+    assert(row._1 == "mail <EMAIL>, ssn <SSN>, ph <PHONE>, " +
+      "host <IP>; clean text 12-34 stays")
+    assert((row._2, row._3, row._4, row._5) == ((1, 1, 1, 1)))
+  }
+
+  test("redactPii is idempotent and never cross-matches categories") {
+    val txt = "a@b.io 111-22-3333 444-555-6666 10.0.0.255"
+    val once = Seq(txt).toDF("t")
+      .select(TextAnalysis.redactPii(col("t")).as("r")).as[String].head()
+    val twice = Seq(once).toDF("t")
+      .select(TextAnalysis.redactPii(col("t")).as("r")).as[String].head()
+    assert(once == "<EMAIL> <SSN> <PHONE> <IP>")
+    assert(twice == once)
+  }
+
   // ------------------------------------------------------------- dedup
 
   test("exact dedup: keeps min-id per normalized text, total preserved") {
