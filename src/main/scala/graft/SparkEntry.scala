@@ -27,7 +27,8 @@ object SparkEntry {
     graft.queries.Approx.queries ++
     graft.queries.TopKQueries.queries ++
     graft.queries.SqlSurface.queries ++
-    graft.queries.StreamingQueries.queries
+    graft.queries.StreamingQueries.queries ++
+    graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
     graft.queries.Approx.oracle ++
     graft.queries.TopKQueries.oracle ++
     graft.queries.SqlSurface.oracle ++
-    graft.queries.StreamingQueries.oracle
+    graft.queries.StreamingQueries.oracle ++
+    graft.queries.PipelineQueries.oracle
 }

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Training-data curation operators a 100 TB pipeline needs beyond the
+  * reference's relational surface: intra-document repetition metrics,
+  * benchmark-contamination detection, greedy sequence packing, and
+  * salted (skew-proof) aggregation.  Everything is built from codegen'd
+  * built-ins — narrow projections where possible, and where a shuffle is
+  * unavoidable its key and payload are chosen so the plan survives a
+  * 1000-executor scale-up (documented per op).
+  */
+object PipelineOps {
+
+  /** Word n-grams of a MATERIALIZED token-array column, computed inside
+    * the row (no explode, no shuffle).  `toks` must be a bound column
+    * reference (`withColumn` it first), not a raw `split(...)`
+    * expression — higher-order lambdas re-evaluate captured expressions
+    * per element (see CLAUDE.md).  Returns an empty array when the
+    * document is shorter than `n`.
+    */
+  def wordNgrams(toks: Column, n: Int): Column = {
+    require(n >= 1)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Fraction of duplicated elements in an array:
+    * `1 - |distinct| / |all|`, rounded to 6 dp; 0.0 for empty input.
+    */
+  def dupFraction(arr: Column): Column =
+    when(size(arr) > 0,
+      round(lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr), 6))
+      .otherwise(lit(0.0))
+
+  /** Gopher-style intra-document repetition metrics: duplicate word /
+    * bigram / trigram fractions, appended as columns.  Pure per-row
+    * column arithmetic — a single codegen'd projection over the scan,
+    * linear in document bytes at any scale (the n-gram arrays live only
+    * inside the projection, never in a shuffle).
+    */
+  def repetitionMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val withToks = df.withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+    withToks
+      .withColumn("dup_word_frac", dupFraction(col("__toks")))
+      .withColumn("__g2", wordNgrams(col("__toks"), 2))
+      .withColumn("__g3", wordNgrams(col("__toks"), 3))
+      .withColumn("dup_bigram_frac", dupFraction(col("__g2")))
+      .withColumn("dup_trigram_frac", dupFraction(col("__g3")))
+      .drop("__toks", "__g2", "__g3")
+  }
+
+  /** Benchmark-contamination check: for every training document, count
+    * how many of its distinct word `n`-grams appear in ANY benchmark
+    * document (docs with `doc_id % benchMod == 0` play the benchmark
+    * set).  Returns one row per training doc:
+    * (doc_id, source, n_grams, n_shared).
+    *
+    * Scale shape: the benchmark n-gram set is deduplicated and hashed to
+    * 64-bit (xxhash64) before the join, so the broadcast side carries 8
+    * bytes per distinct benchmark n-gram — a few GB even for a large
+    * eval battery — and the training side streams through a broadcast
+    * hash join with no shuffle of document text.  If the benchmark side
+    * ever outgrew broadcast, the same plan degrades gracefully to a
+    * shuffled join on the hash key.  Hashing is an implementation detail
+    * (64-bit collisions are negligible); the DuckDB oracle joins on the
+    * raw strings and must agree.
+    */
+  def contamination(docs: DataFrame, n: Int = 5, benchMod: Long = 97): DataFrame = {
+    val withG = docs
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        array_distinct(wordNgrams(col("__toks"), n)).as("__g"))
+      // Three consumers (benchmark set, training explode, per-doc base);
+      // persist so tokenization + n-gram construction runs once.
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val isBench = col("doc_id") % benchMod === 0
+    val bench = withG.filter(isBench)
+      .select(explode(col("__g")).as("g")).distinct()
+      .select(xxhash64(col("g")).as("gh"))
+    val shared = withG.filter(!isBench)
+      .select(col("doc_id"), col("source"), explode(col("__g")).as("g"))
+      .select(col("doc_id"), col("source"), xxhash64(col("g")).as("gh"))
+      .join(broadcast(bench), Seq("gh"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_shared"))
+    withG.filter(!isBench)
+      .select(col("doc_id"), col("source"), size(col("__g")).as("n_grams"))
+      .join(shared, Seq("doc_id", "source"), "left")
+      .na.fill(0L, Seq("n_shared"))
+  }
+
+  /** Greedy sequence packing for training-batch assembly: documents are
+    * laid out in `orderCol` order within each `shardCol` shard, and each
+    * doc is assigned to the fixed-size token bin its start offset falls
+    * in (`seq_bin = floor(cum_tokens_before / budget)`).
+    *
+    * Scale shape: ONE shuffle, partitioned by shard; the running sum is
+    * a window inside each shard partition, so parallelism = number of
+    * shards (at 100 TB, shard = file group / date bucket, thousands of
+    * them).  No global sort and no driver state.
+    */
+  def sequencePacking(df: DataFrame, shardCol: String, orderCol: String,
+      tokCol: Column, budget: Long): DataFrame = {
+    require(budget > 0)
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__ntok", tokCol)
+      .withColumn("__cum", coalesce(sum(col("__ntok")).over(w), lit(0L)))
+      .withColumn("seq_bin", floor(col("__cum") / budget.toDouble).cast("long"))
+      .drop("__cum")
+      .withColumnRenamed("__ntok", "n_tok")
+  }
+
+  /** Two-phase salted aggregation (count + sum) for skewed or
+    * low-cardinality group keys.  A plain `groupBy(key)` over a
+    * low-cardinality key funnels each key's entire data through one
+    * reducer — the classic straggler at 100 TB.  Salting splits each key
+    * into `salts` sub-groups (salt derived from a stable row attribute,
+    * so the result is deterministic), aggregates partially, then
+    * combines the tiny (|keys| × salts) intermediate exactly.
+    *
+    * Spark's map-side partial aggregation already mitigates this for
+    * algebraic aggregates; the salted form is the general pattern that
+    * also covers high-cardinality-payload aggs (collect-like,
+    * approx-sketch merges) where map-side combine doesn't collapse the
+    * data.  Result is identical to the direct aggregation.
+    */
+  def saltedCountSum(df: DataFrame, keyCol: String, value: Column,
+      saltSrc: Column, salts: Int = 32): DataFrame = {
+    require(salts > 0)
+    df.withColumn("__salt", pmod(xxhash64(saltSrc), lit(salts.toLong)))
+      .withColumn("__v", value)
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__n")).as("n_rows"), sum(col("__s")).as("val_sum"))
+  }
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{KMeansOps, PipelineOps, RangeJoin, TextAnalysis}
+import graft.plans.TopK
+
+/** Round-2 pipeline operators through the driver contract: binned range
+  * join, per-domain capping, repetition metrics, benchmark
+  * contamination, sequence packing, salted aggregation, and k-means —
+  * each oracle-checked against DuckDB where SQL-expressible (k-means is
+  * iterative, rows-only + `KMeansSpec` cost-descent golden).
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Epoch days from a timestamp column (both engines agree: date
+    * truncation then day diff from 1970-01-01).
+    */
+  private def days(c: Column): Column =
+    datediff(to_date(c), to_date(lit("1970-01-01"))).cast("long")
+
+  val queries: Map[String, Q] = Map(
+    // Binned range join: lineitems shipped within 7 days of a sampled
+    // order's date (no equi-key — a pure interval predicate that would
+    // otherwise plan as a nested loop).
+    "q_range_join" -> { (s, dir) =>
+      val iv = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 40 === 0)
+        .select(col("o_orderpriority"), days(col("o_orderdate")).as("d_start"))
+        .withColumn("d_end", col("d_start") + lit(7L))
+      val pts = Tables.load(s, dir, "lineitem")
+        .select(col("l_quantity"), days(col("l_shipdate")).as("d_ship"))
+      RangeJoin.binned(pts, iv, "d_ship", "d_start", "d_end", binWidth = 8L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("qty_sum"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Per-domain cap: synthesize a URL per doc, extract its host, keep
+    // the 5 largest docs per domain via the custom TopKPerKey operator
+    // (bounded heaps — no per-domain sort).
+    "q_domain_cap" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/"), col("lang"), lit("/"), col("doc_id")))
+        .withColumn("domain", regexp_extract(col("url"), "^https?://([^/]+)/", 1))
+      TopK.perKey(docs, Seq(col("domain")),
+          Seq(col("n_chars").desc, col("doc_id").asc), k = 5)
+        .select(col("domain"), col("doc_id"), col("n_chars"))
+        .orderBy(col("domain"), desc("n_chars"), asc("doc_id"))
+    },
+
+    // Intra-doc repetition metrics, aggregated per language.
+    "q_repetition" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      PipelineOps.repetitionMetrics(docs, "text")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("dup_word_frac")), 4).as("mean_dup_word"),
+          round(avg(col("dup_bigram_frac")), 4).as("mean_dup_bigram"),
+          round(avg(col("dup_trigram_frac")), 4).as("mean_dup_trigram"))
+        .orderBy(col("lang"))
+    },
+
+    // Benchmark contamination: training docs sharing >= 3 distinct
+    // 5-grams with the benchmark subset (doc_id % 97 == 0), per source.
+    "q_contamination" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      PipelineOps.contamination(docs, n = 5, benchMod = 97L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_shared") >= 3, 1L).otherwise(0L)).as("n_contaminated"),
+          sum(col("n_shared")).as("shared_total"))
+        .orderBy(col("source"))
+    },
+
+    // Greedy sequence packing at a 2048-token budget, per source shard.
+    "q_seq_packing" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      PipelineOps.sequencePacking(docs, "source", "doc_id",
+          TextAnalysis.tokenCount(col("text")).cast("long"), budget = 2048L)
+        .groupBy(col("source"), col("seq_bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"))
+        .orderBy(col("source"), col("seq_bin"))
+    },
+
+    // Salted two-phase aggregation over the (low-cardinality, hence
+    // skewed-at-scale) event_type key; result identical to direct agg.
+    "q_skew_salted" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      PipelineOps.saltedCountSum(ev, "event_type",
+          floor(col("value") * 100).cast("long"), saltSrc = col("event_id"))
+        .orderBy(col("event_type"))
+    },
+
+    // Lloyd k-means over embeddings (iterative — rows-only entry; the
+    // cost-descent and determinism goldens live in KMeansSpec).
+    "q_kmeans" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      KMeansOps.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"), round(avg(col("d2")), 4).as("mean_d2"))
+        .orderBy(col("cell"))
+    })
+
+  /** DuckDB twin of TextAnalysis.tokens (same as OpsQueries). */
+  private val toksSql = "regexp_extract_all(lower(text), '[a-z0-9'']+')"
+
+  /** DuckDB word n-grams over a token list column named `toks`:
+    * i-th gram = join of toks[i .. i+n-1]; empty when len < n
+    * (DuckDB `range(a, b)` is end-exclusive and empty for b <= a).
+    */
+  private def ngramSql(n: Int): String =
+    s"list_transform(range(1, len(toks) - ${n - 2}), i -> array_to_string(toks[i:i+${n - 1}], ' '))"
+
+  private def dupFracSql(g: String): String =
+    s"CASE WHEN len($g) > 0 THEN round(1.0 - len(list_distinct($g))::DOUBLE / len($g), 6) ELSE 0.0 END"
+
+  val oracle: Map[String, String] = Map(
+    "q_range_join" ->
+      """SELECT o_orderpriority, count(*) AS n_pairs,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_sum
+        |FROM (SELECT o_orderpriority,
+        |        date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d_start
+        |      FROM orders WHERE o_orderkey % 40 = 0) o
+        |JOIN (SELECT l_quantity,
+        |        date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d_ship
+        |      FROM lineitem) l
+        |  ON l.d_ship BETWEEN o.d_start AND o.d_start + 7
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_domain_cap" ->
+      """SELECT domain, doc_id, n_chars FROM (
+        |  SELECT domain, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM (SELECT regexp_extract('https://' || source || '.example.com/' || lang || '/' || doc_id,
+        |          '^https?://([^/]+)/', 1) AS domain, doc_id, n_chars
+        |        FROM documents))
+        |WHERE rn <= 5 ORDER BY domain, n_chars DESC, doc_id ASC""".stripMargin,
+
+    "q_repetition" ->
+      s"""SELECT lang, count(*) AS n_docs,
+        |  round(avg(dw), 4) AS mean_dup_word,
+        |  round(avg(d2), 4) AS mean_dup_bigram,
+        |  round(avg(d3), 4) AS mean_dup_trigram
+        |FROM (
+        |  SELECT lang,
+        |    ${dupFracSql("toks")} AS dw,
+        |    ${dupFracSql(ngramSql(2))} AS d2,
+        |    ${dupFracSql(ngramSql(3))} AS d3
+        |  FROM (SELECT lang, $toksSql AS toks FROM documents))
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH g AS (
+        |  SELECT doc_id, source, list_distinct(${ngramSql(5)}) AS gs
+        |  FROM (SELECT doc_id, source, $toksSql AS toks FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(gs) AS bg FROM g WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, unnest(gs) AS ng FROM g WHERE doc_id % 97 <> 0),
+        |per AS (SELECT tr.doc_id, count(bench.bg) AS n_shared
+        |        FROM tr LEFT JOIN bench ON tr.ng = bench.bg GROUP BY tr.doc_id)
+        |SELECT g.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN coalesce(per.n_shared, 0) >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  CAST(sum(coalesce(per.n_shared, 0)) AS BIGINT) AS shared_total
+        |FROM g LEFT JOIN per ON g.doc_id = per.doc_id
+        |WHERE g.doc_id % 97 <> 0
+        |GROUP BY g.source ORDER BY g.source""".stripMargin,
+
+    "q_seq_packing" ->
+      s"""SELECT source, seq_bin, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS tok_sum
+        |FROM (
+        |  SELECT source,
+        |    CAST(floor(COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS seq_bin,
+        |    n_tok
+        |  FROM (SELECT source, doc_id, CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents))
+        |GROUP BY source, seq_bin ORDER BY source, seq_bin""".stripMargin,
+
+    "q_skew_salted" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS val_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

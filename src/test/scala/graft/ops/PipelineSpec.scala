@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Goldens for the round-2 pipeline operators: binned range join vs the
+  * naive theta join, repetition metrics on crafted docs, contamination
+  * counting, packing invariants, and salted-agg equivalence.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binned range join == naive theta join") {
+    val pts = Seq((1L, "a"), (5L, "b"), (10L, "c"), (17L, "d"), (23L, "e"))
+      .toDF("p", "pname")
+    val ivs = Seq((0L, 6L, "i1"), (4L, 12L, "i2"), (20L, 30L, "i3"))
+      .toDF("s", "e", "iname")
+    val binned = RangeJoin.binned(pts, ivs, "p", "s", "e", binWidth = 7L)
+      .select("pname", "iname").as[(String, String)].collect().toSet
+    val naive = pts.crossJoin(ivs)
+      .filter(col("p") >= col("s") && col("p") <= col("e"))
+      .select("pname", "iname").as[(String, String)].collect().toSet
+    assert(binned == naive)
+    assert(binned == Set(("a", "i1"), ("b", "i1"), ("b", "i2"),
+      ("c", "i2"), ("e", "i3")))
+  }
+
+  test("binned range join emits each qualifying pair exactly once") {
+    // interval spans many bins; the point's single bin dedups naturally
+    val pts = Seq((50L, "x")).toDF("p", "pname")
+    val ivs = Seq((0L, 100L, "wide")).toDF("s", "e", "iname")
+    val out = RangeJoin.binned(pts, ivs, "p", "s", "e", binWidth = 10L).collect()
+    assert(out.length == 1)
+  }
+
+  test("repetition metrics: crafted duplicate fractions") {
+    val docs = Seq(
+      (1L, "a b c d"),          // all distinct: every frac 0
+      (2L, "a a a a"),          // 4 words 1 distinct; 3 bigrams 1 distinct
+      (3L, "xy"))               // single token: no bigrams -> 0.0
+      .toDF("doc_id", "text")
+    val m = PipelineOps.repetitionMetrics(docs, "text")
+      .select("doc_id", "dup_word_frac", "dup_bigram_frac")
+      .as[(Long, Double, Double)].collect()
+      .map { case (k, v1, v2) => k -> ((v1, v2)) }.toMap
+    assert(m(1L) == (0.0, 0.0))
+    assert(m(2L) == (0.75, round6(1.0 - 1.0 / 3)))
+    assert(m(3L) == (0.0, 0.0))
+  }
+
+  private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
+  test("contamination: shared n-gram counts against a benchmark subset") {
+    // doc 0 is benchmark (0 % 97 == 0); docs 1..2 train.
+    val docs = Seq(
+      (0L, "src0", "one two three four five six"),
+      // shares "one two three four five" and "two three four five six"
+      (1L, "src0", "zero one two three four five six"),
+      (2L, "src1", "totally different words here indeed"))
+      .toDF("doc_id", "source", "text")
+    val per = PipelineOps.contamination(docs, n = 5, benchMod = 97L)
+      .select("doc_id", "n_shared").as[(Long, Long)].collect().toMap
+    assert(per(1L) == 2L)
+    assert(per(2L) == 0L)
+    assert(!per.contains(0L)) // benchmark docs are not scored
+  }
+
+  test("sequence packing: bins respect order and budget") {
+    val docs = Seq(
+      (1L, "s", 1000L), (2L, "s", 1000L), (3L, "s", 1000L), (4L, "s", 100L))
+      .toDF("doc_id", "source", "nt")
+    val out = PipelineOps.sequencePacking(docs, "source", "doc_id",
+        col("nt"), budget = 2048L)
+      .select("doc_id", "seq_bin").as[(Long, Long)].collect().toMap
+    // cum-before: 0, 1000, 2000, 3000 -> bins 0, 0, 0, 1
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+  }
+
+  test("salted count+sum equals direct aggregation") {
+    val ev = Tables.load(spark, sf, "events")
+    val salted = PipelineOps.saltedCountSum(ev, "event_type",
+        floor(col("value") * 100).cast("long"), col("event_id"), salts = 16)
+      .orderBy("event_type")
+      .as[(String, Long, Long)].collect().toSeq
+    val direct = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(floor(col("value") * 100).cast("long")).as("s"))
+      .orderBy("event_type")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(salted == direct)
+    // the partial stage really groups on the salt
+    val plan = PipelineOps.saltedCountSum(ev, "event_type",
+      floor(col("value") * 100).cast("long"), col("event_id"), salts = 16)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__salt"))
+  }
+}
