@@ -28,7 +28,8 @@ object SparkEntry {
     graft.queries.TopKQueries.queries ++
     graft.queries.SqlSurface.queries ++
     graft.queries.StreamingQueries.queries ++
-    graft.queries.PipelineQueries.queries
+    graft.queries.PipelineQueries.queries ++
+    graft.queries.GateQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +48,6 @@ object SparkEntry {
     graft.queries.TopKQueries.oracle ++
     graft.queries.SqlSurface.oracle ++
     graft.queries.StreamingQueries.oracle ++
-    graft.queries.PipelineQueries.oracle
+    graft.queries.PipelineQueries.oracle ++
+    graft.queries.GateQueries.oracle
 }

@@ -1,0 +1,160 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Gate entries that flip spec-only VERDICT rows to oracle-checked:
+  * CSV/JSON/ORC sinks+sources round-trip THROUGH the driver contract
+  * (write to a temp dir, read back, aggregate — the oracle aggregates
+  * the original parquet, so any write/read corruption breaks the hash),
+  * partitioned-write pruning, scalar UDF and typed-Aggregator UDAF
+  * registration, and the custom codegen `hamming64` expression against
+  * DuckDB's native `bit_count(xor(..))`.
+  */
+object GateQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Typed Aggregator summing prices as integer cents — deterministic
+    * under any partitioning/merge order (long addition is associative-
+    * commutative; double addition is not, which is why the UDAF gate
+    * uses cents).  The `functions.udaf` path plans as
+    * ObjectHashAggregate with partial merge — same shape as any
+    * built-in declarative aggregate.
+    */
+  private val sumCents: Aggregator[Double, Long, Long] =
+    new Aggregator[Double, Long, Long] {
+      override def zero: Long = 0L
+      override def reduce(b: Long, a: Double): Long = b + math.floor(a * 100).toLong
+      override def merge(b1: Long, b2: Long): Long = b1 + b2
+      override def finish(r: Long): Long = r
+      override def bufferEncoder = Encoders.scalaLong
+      override def outputEncoder = Encoders.scalaLong
+    }
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  val queries: Map[String, Q] = Map(
+    // CSV sink + source round-trip (header mode, explicit schema on
+    // read): aggregate of the round-tripped data == oracle on parquet.
+    "q_csv_roundtrip" -> { (s, dir) =>
+      val src = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val tmp = tmpDir("graft_csv_rt")
+      src.write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.schema(src.schema).option("header", "true").csv(tmp)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("price_sum"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // JSON sink + source round-trip with SCHEMA INFERENCE on read.
+    "q_json_roundtrip" -> { (s, dir) =>
+      val src = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val tmp = tmpDir("graft_json_rt")
+      src.write.mode("overwrite").json(tmp)
+      s.read.json(tmp) // inferred: bigint + strings
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("key_sum"),
+          min(col("c_name")).as("first_name"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // ORC sink + source round-trip.
+    "q_orc_roundtrip" -> { (s, dir) =>
+      val src = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"))
+      val tmp = tmpDir("graft_orc_rt")
+      src.write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("qty_sum"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Partitioned parquet write + partition-pruned read: only the 'F'
+    // directory is scanned (pruning asserted in SourcesSpec; here the
+    // values go through the oracle).
+    "q_partitioned_write" -> { (s, dir) =>
+      val src = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val tmp = tmpDir("graft_part_rt")
+      src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("o_orderstatus") === "F")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+    },
+
+    // Scalar UDF, SQL-registered and invoked through SQL text.
+    "q_udf_scalar" -> { (s, dir) =>
+      s.udf.register("vowel_count",
+        (t: String) => if (t == null) 0L else t.count("aeiou".contains(_)).toLong)
+      Tables.load(s, dir, "documents")
+        .select(col("source"), expr("vowel_count(text)").as("nv"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nv")).as("vowel_sum"))
+        .orderBy(col("source"))
+    },
+
+    // Typed Aggregator (UDAF) via functions.udaf, SQL-registered.
+    "q_udaf_sum_cents" -> { (s, dir) =>
+      s.udf.register("sum_cents", udaf(sumCents, Encoders.scalaDouble))
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("sum_cents(o_totalprice)").as("cents_sum"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // Custom codegen expression hamming64 vs DuckDB bit_count(xor()):
+    // popcount of two key-derived 64-bit words per doc.
+    "q_hamming" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("source"),
+          graft.functions.hamming64(col("doc_id") * lit(2654435761L),
+            col("doc_id") * lit(40503L) + lit(17L)).as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("h")).as("ham_sum"),
+          min(col("h")).cast("long").as("ham_min"),
+          max(col("h")).cast("long").as("ham_max"))
+        .orderBy(col("source"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_json_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_sum, min(c_name) AS first_name
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_sum
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_partitioned_write" ->
+      """SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "q_udf_scalar" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))) AS BIGINT) AS vowel_sum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_udaf_sum_cents" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_hamming" ->
+      """SELECT source, count(*) AS n,
+        |  CAST(sum(bit_count(xor(doc_id * 2654435761, doc_id * 40503 + 17))) AS BIGINT) AS ham_sum,
+        |  CAST(min(bit_count(xor(doc_id * 2654435761, doc_id * 40503 + 17))) AS BIGINT) AS ham_min,
+        |  CAST(max(bit_count(xor(doc_id * 2654435761, doc_id * 40503 + 17))) AS BIGINT) AS ham_max
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+}

@@ -73,6 +73,52 @@ object StreamingQueries {
       s.table(name)
         .select(col("user_id"))
         .orderBy(col("user_id"))
+    },
+
+    // Stream-stream inner join: clicks joined to same-user purchases
+    // within the following hour, both sides replayed as file streams.
+    // No watermark in the GATE variant: the replay interleaves event
+    // time across micro-batches, and a watermark would (correctly, per
+    // spec) drop late rows — here we prove the buffered-state join
+    // converges to the exact batch answer.  The bounded-state
+    // production shape (watermarks both sides + time-range condition,
+    // state evicted as the watermark passes) is exercised in
+    // `StreamingSpec`("stream-stream interval join").
+    "q_stream_join" -> { (s, dir) =>
+      // a user subset keeps unwatermarked join state (and micro-batch
+      // count × state-store overhead) proportionate for a gate entry
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id") % 3 === 0)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      // clicks split across 2 micro-batches, purchases land in the
+      // first: batch-2 clicks must join purchase rows buffered in the
+      // join state from batch 1 — the cross-batch property under test.
+      val clicks = replay(s, ev.filter(col("event_type") === "click"), chunks = 2)
+        .select(col("user_id"), col("ts").as("c_ts"))
+      val purchases = replay(s, ev.filter(col("event_type") === "purchase"), chunks = 1)
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val name = s"stream_join_${runId.incrementAndGet()}"
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      // 8 state-store partitions are plenty for the gate volume; the
+      // per-trigger cost of a stateful join is dominated by state-store
+      // instances (= shuffle partitions), not rows.  Restored after the
+      // streaming run; the post-stream batch projection below is tiny.
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      }
+      s.table(name)
+        .select(col("user_id"),
+          col("c_ts").cast("long").as("click_s"),
+          col("p_ts").cast("long").as("purchase_s"))
+        .orderBy(col("user_id"), col("click_s"), col("purchase_s"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -82,5 +128,16 @@ object StreamingQueries {
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
     "q_stream_dedup" ->
-      """SELECT DISTINCT user_id FROM events ORDER BY user_id""".stripMargin)
+      """SELECT DISTINCT user_id FROM events ORDER BY user_id""".stripMargin,
+    "q_stream_join" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events WHERE user_id % 3 = 0)
+        |SELECT c.user_id,
+        |  CAST(floor(epoch(c.ts)) AS BIGINT) AS click_s,
+        |  CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_s
+        |FROM (SELECT * FROM e WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY c.user_id, click_s, purchase_s""".stripMargin)
 }
