@@ -29,7 +29,8 @@ object SparkEntry {
     graft.queries.SqlSurface.queries ++
     graft.queries.StreamingQueries.queries ++
     graft.queries.PipelineQueries.queries ++
-    graft.queries.GateQueries.queries
+    graft.queries.GateQueries.queries ++
+    graft.queries.ModernSql.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,5 +50,6 @@ object SparkEntry {
     graft.queries.SqlSurface.oracle ++
     graft.queries.StreamingQueries.oracle ++
     graft.queries.PipelineQueries.oracle ++
-    graft.queries.GateQueries.oracle
+    graft.queries.GateQueries.oracle ++
+    graft.queries.ModernSql.oracle
 }

@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.ops.{PipelineOps, RangeJoin, TextAnalysis}
+
+/** Plan-shape assertions for the round-2 operators — the 100 TB
+  * properties, checked on the executed plan, not just the results:
+  * the binned range join never degrades to a nested loop, the
+  * contamination join broadcasts the benchmark side, sequence packing
+  * shuffles exactly once, and the salted aggregate really groups on
+  * the salt in its first stage.
+  */
+class PipelinePlanSpec extends SparkSpec {
+
+  /** Final executed plan only — AdaptiveSparkPlan's toString repeats
+    * the tree under "== Initial Plan ==", which would double-count
+    * node occurrences.
+    */
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("binned range join plans as an equi-join, not a nested loop") {
+    val iv = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01"))).cast("long").as("s"))
+      .withColumn("e", col("s") + 7L)
+    val pts = Tables.load(spark, sf, "lineitem")
+      .select(datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01"))).cast("long").as("p"))
+    val plan = executedPlan(RangeJoin.binned(pts, iv, "p", "s", "e", 8L))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
+  }
+
+  test("contamination broadcasts the benchmark n-gram set") {
+    val docs = Tables.load(spark, sf, "documents")
+    val plan = executedPlan(PipelineOps.contamination(docs, n = 5, benchMod = 97L))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+
+  test("sequence packing shuffles exactly once (by shard)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val df = PipelineOps.sequencePacking(docs, "source", "doc_id",
+      TextAnalysis.tokenCount(col("text")).cast("long"), budget = 2048L)
+    val plan = executedPlan(df)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length +
+      "Exchange rangepartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one shuffle:\n$plan")
+    assert(plan.contains("hashpartitioning(source"))
+  }
+
+  test("salted aggregation groups on the salt before the key") {
+    val ev = Tables.load(spark, sf, "events")
+    val df = PipelineOps.saltedCountSum(ev, "event_type",
+      floor(col("value") * 100).cast("long"), col("event_id"), salts = 16)
+    val plan = executedPlan(df)
+    assert(plan.contains("__salt"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected the two-phase shape (salted + final):\n$plan")
+  }
+}
