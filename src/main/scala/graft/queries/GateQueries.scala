@@ -113,6 +113,52 @@ object GateQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // Text sink + source round-trip: rows serialized to TSV lines,
+    // written as a text file, read back and re-parsed.
+    "q_text_roundtrip" -> { (s, dir) =>
+      val src = Tables.load(s, dir, "documents")
+        .select(concat_ws("\t", col("doc_id"), col("source")).as("value"))
+      val tmp = tmpDir("graft_text_rt")
+      src.write.mode("overwrite").text(tmp)
+      s.read.text(tmp)
+        .select(split(col("value"), "\t").as("f"))
+        .select(element_at(col("f"), 1).cast("long").as("doc_id"),
+          element_at(col("f"), 2).as("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("source"))
+    },
+
+    // DataFrameNaFunctions: nullif-created nulls, then fill + replace +
+    // drop, all reflected exactly in the oracle's CASE algebra.
+    "q_na_handling" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          expr("nullif(event_type, 'error')").as("etype"),
+          when(col("value") >= 1, col("value")).as("v"))
+      ev.na.fill(Map("etype" -> "scrubbed"))
+        .na.replace("etype", Map("view" -> "viewed"))
+        .na.drop(Seq("v"))
+        .groupBy(col("etype"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("v") * 100).cast("long")).as("cents_sum"))
+        .orderBy(col("etype"))
+    },
+
+    // from_xml: typed extraction from synthesized XML payloads.
+    "q_from_xml" -> { (s, dir) =>
+      import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+      val xmlSchema = StructType(Seq(
+        StructField("k", IntegerType), StructField("n", StringType)))
+      Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"),
+          concat(lit("<r><k>"), col("n_nationkey"), lit("</k><n>"),
+            col("n_name"), lit("</n></r>")).as("x"))
+        .select(col("n_nationkey"), from_xml(col("x"), xmlSchema).as("p"))
+        .select(col("n_nationkey"), col("p.k").as("k"), col("p.n").as("n"))
+        .orderBy(col("n_nationkey"))
+    },
+
     // Custom codegen expression hamming64 vs DuckDB bit_count(xor()):
     // popcount of two key-derived 64-bit words per doc.
     "q_hamming" -> { (s, dir) =>
@@ -151,6 +197,20 @@ object GateQueries {
       """SELECT o_orderstatus,
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_text_roundtrip" ->
+      """SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_na_handling" ->
+      """SELECT CASE coalesce(nullif(event_type, 'error'), 'scrubbed')
+        |         WHEN 'view' THEN 'viewed'
+        |         ELSE coalesce(nullif(event_type, 'error'), 'scrubbed') END AS etype,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+        |FROM events WHERE value >= 1
+        |GROUP BY etype ORDER BY etype""".stripMargin,
+    "q_from_xml" ->
+      """SELECT n_nationkey, CAST(n_nationkey AS INT) AS k, n_name AS n
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_hamming" ->
       """SELECT source, count(*) AS n,
         |  CAST(sum(bit_count(xor(doc_id * 2654435761, doc_id * 40503 + 17))) AS BIGINT) AS ham_sum,

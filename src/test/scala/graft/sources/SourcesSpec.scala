@@ -111,6 +111,23 @@ class SourcesSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("BatchScan"))
   }
 
+  test("custom DSv2 source: filter and column pushdown reach the scan") {
+    val df = spark.read.format("graft.sources.SquaresV2")
+      .option("n", 1000000).option("slices", 8).load()
+      .filter(col("id") >= 10 && col("id") < 20)
+      .select(col("sq"))
+    // range absorbed into the generator: 10 rows of work, not 1M
+    assert(df.count() == 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("LessThan(id,20)") || plan.contains("range=[10,20)")),
+      s"pushdown missing from scan description:\n$plan")
+    assert(plan.contains("struct<sq:bigint>") || plan.contains("ReadSchema: struct<sq"),
+      s"column pruning missing from scan description:\n$plan")
+    assert(df.as[Long].collect().sorted.toSeq ==
+      (10L until 20L).map(i => i * i).sorted.toSeq)
+  }
+
   test("jdbc-style predicate pushdown: filters reach the parquet scan") {
     val li = Tables.load(spark, sf, "lineitem")
       .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
