@@ -24,6 +24,19 @@ object StreamingQueries {
 
   private val runId = new AtomicInteger(0)
 
+  /** Run a streaming job with 8 state-store partitions: per-trigger
+    * cost of a stateful operator is dominated by state-store instances
+    * (= shuffle partitions), not rows, and 8 is plenty for gate-scale
+    * state.  The session default is restored afterwards; only the
+    * eager streaming run inside `body` is affected (the lazy batch
+    * projection each entry returns plans later, under the default).
+    */
+  private def withStatePartitions[T](s: SparkSession)(body: => T): T = {
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally s.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   /** Write the (projected) events to a temp dir as `chunks` parquet
     * files and open a file stream over them, one file per micro-batch.
     */
@@ -48,9 +61,11 @@ object StreamingQueries {
       val agg = stream
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      withStatePartitions(s) {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(name)
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("h"),
           col("event_type"), col("n"), col("total").cast("double").as("total"))
@@ -67,9 +82,11 @@ object StreamingQueries {
       val stream = replay(s, src, chunks = 3)
       val name = s"stream_dedup_${runId.incrementAndGet()}"
       val deduped = stream.dropDuplicates("user_id")
-      val q = deduped.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      withStatePartitions(s) {
+        val q = deduped.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(name)
         .select(col("user_id"))
         .orderBy(col("user_id"))
@@ -102,17 +119,10 @@ object StreamingQueries {
         col("user_id") === col("p_user") &&
           col("p_ts") >= col("c_ts") &&
           col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
-      // 8 state-store partitions are plenty for the gate volume; the
-      // per-trigger cost of a stateful join is dominated by state-store
-      // instances (= shuffle partitions), not rows.  Restored after the
-      // streaming run; the post-stream batch projection below is tiny.
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = joined.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      withStatePartitions(s) {
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
       }
       s.table(name)
         .select(col("user_id"),
