@@ -30,7 +30,8 @@ object SparkEntry {
     graft.queries.StreamingQueries.queries ++
     graft.queries.PipelineQueries.queries ++
     graft.queries.GateQueries.queries ++
-    graft.queries.ModernSql.queries
+    graft.queries.ModernSql.queries ++
+    graft.queries.VocabQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -51,5 +52,6 @@ object SparkEntry {
     graft.queries.StreamingQueries.oracle ++
     graft.queries.PipelineQueries.oracle ++
     graft.queries.GateQueries.oracle ++
-    graft.queries.ModernSql.oracle
+    graft.queries.ModernSql.oracle ++
+    graft.queries.VocabQueries.oracle
 }

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.TextAnalysis
+import graft.plans.TopK
+
+/** Vocabulary induction + embedding pooling + ANSI-safe try_* family —
+  * the remaining training-pipeline staples.
+  */
+object VocabQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Tokenizer vocabulary induction: top-10 tokens per language by
+    // frequency.  Explode → hash-agg (map-side combine collapses the
+    // token stream per partition) → the custom TopKPerKey heap operator
+    // (no per-language sort).  At 100 TB the shuffle carries one row
+    // per distinct (lang, token) per partition — vocabulary-sized, not
+    // corpus-sized.
+    "q_vocab_topk" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val counts = docs
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("n"))
+      TopK.perKey(counts, Seq(col("lang")),
+          Seq(col("n").desc, col("tok").asc), k = 10)
+        .select(col("lang"), col("tok"), col("n"))
+        .orderBy(col("lang"), desc("n"), asc("tok"))
+    },
+
+    // Per-label mean embedding (centroid export for distillation /
+    // data-mix analysis), first 4 dimensions through the oracle.
+    // posexplode + partial agg: the shuffle carries (label, dim)
+    // partial sums — k·d groups — regardless of corpus size.
+    "q_embed_pool" -> { (s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .filter(col("dim") < 4)
+        .groupBy(col("label"), col("dim"))
+        .agg(round(avg(col("x").cast("double")), 6).as("mean_x"))
+        .orderBy(col("label"), col("dim"))
+    },
+
+    // ANSI-mode-safe arithmetic: try_divide / try_add / try_cast return
+    // NULL where strict ANSI (Spark 4 default) would raise.
+    "q_try_functions" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT n_nationkey,
+          |  round(try_divide(100, n_nationkey), 6) AS d,
+          |  try_add(9223372036854775800, CAST(n_nationkey AS BIGINT) * 10) AS big,
+          |  try_cast(CASE WHEN n_nationkey < 5 THEN CAST(n_nationkey AS STRING)
+          |           ELSE n_name END AS INT) AS cst
+          |FROM nation ORDER BY n_nationkey""".stripMargin)
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q_vocab_topk" ->
+      """SELECT lang, tok, n FROM (
+        |  SELECT lang, tok, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS rn
+        |  FROM (
+        |    SELECT lang, tok, count(*) AS n FROM (
+        |      SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS tok
+        |      FROM documents)
+        |    GROUP BY lang, tok))
+        |WHERE rn <= 10
+        |ORDER BY lang, n DESC, tok ASC""".stripMargin,
+    "q_embed_pool" ->
+      """SELECT label, CAST(i - 1 AS INT) AS dim,
+        |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_x
+        |FROM embeddings, range(1, 5) t(i)
+        |GROUP BY label, i ORDER BY label, dim""".stripMargin,
+    "q_try_functions" ->
+      """SELECT n_nationkey,
+        |  CASE WHEN n_nationkey = 0 THEN NULL
+        |       ELSE round(100.0 / n_nationkey, 6) END AS d,
+        |  CASE WHEN n_nationkey = 0 THEN 9223372036854775800 ELSE NULL END AS big,
+        |  CASE WHEN n_nationkey < 5 THEN n_nationkey ELSE TRY_CAST(n_name AS INT) END AS cst
+        |FROM nation ORDER BY n_nationkey""".stripMargin)
+}

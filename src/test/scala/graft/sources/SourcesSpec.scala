@@ -128,6 +128,32 @@ class SourcesSpec extends SparkSpec {
       (10L until 20L).map(i => i * i).sorted.toSeq)
   }
 
+  test("custom DSv2 streaming source: micro-batches cover the bounded counter") {
+    val name = "counter_v2_sink"
+    val q = spark.readStream.format("graft.sources.CounterStreamV2")
+      .option("n", 1000).option("rowsPerBatch", 300).option("slices", 4).load()
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table(name).collect()
+    assert(rows.length == 1000)
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (0L until 1000L))
+    assert(rows.forall(r => r.getLong(1) == r.getLong(0) * r.getLong(0)))
+    // 1000 rows at 300/batch needs >= 4 micro-batches
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4)
+  }
+
+  test("custom DSv2 write: task rows publish atomically on driver commit") {
+    import spark.implicits._
+    graft.sources.MemSinkV2.clear("t1")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .repartition(3)
+      .write.format("graft.sources.MemSinkV2")
+      .option("name", "t1").mode("append").save()
+    val rows = graft.sources.MemSinkV2.rows("t1")
+    assert(rows.map(r => (r(0), r(1))).sortBy(_._1.asInstanceOf[Long]) ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("jdbc-style predicate pushdown: filters reach the parquet scan") {
     val li = Tables.load(spark, sf, "lineitem")
       .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
