@@ -31,7 +31,8 @@ object SparkEntry {
     graft.queries.PipelineQueries.queries ++
     graft.queries.GateQueries.queries ++
     graft.queries.ModernSql.queries ++
-    graft.queries.VocabQueries.queries
+    graft.queries.VocabQueries.queries ++
+    graft.queries.MergeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -53,5 +54,6 @@ object SparkEntry {
     graft.queries.PipelineQueries.oracle ++
     graft.queries.GateQueries.oracle ++
     graft.queries.ModernSql.oracle ++
-    graft.queries.VocabQueries.oracle
+    graft.queries.VocabQueries.oracle ++
+    graft.queries.MergeQueries.oracle
 }

@@ -154,6 +154,23 @@ class SourcesSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("Trigger.AvailableNow drains a file source then stops on its own") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_avail_now").toString
+    spark.range(100).selectExpr("id", "id * id AS sq")
+      .repartition(4).write.mode("overwrite").parquet(tmp)
+    val name = "avail_now_sink"
+    val q = spark.readStream
+      .schema("id LONG, sq LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp)
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(!q.isActive, "AvailableNow should self-terminate after draining")
+    assert(spark.table(name).count() == 100)
+  }
+
   test("jdbc-style predicate pushdown: filters reach the parquet scan") {
     val li = Tables.load(spark, sf, "lineitem")
       .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
