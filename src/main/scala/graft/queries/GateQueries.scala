@@ -39,6 +39,8 @@ object GateQueries {
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
+
   val queries: Map[String, Q] = Map(
     // CSV sink + source round-trip (header mode, explicit schema on
     // read): aggregate of the round-tripped data == oracle on parquet.
@@ -110,6 +112,25 @@ object GateQueries {
       Tables.load(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(expr("sum_cents(o_totalprice)").as("cents_sum"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // JDBC sink + source round-trip through embedded Derby: write a
+    // sampled orders projection to a real SQL database, read it back
+    // over JDBC (with pushdown available at the scan), aggregate.
+    // Derby uppercases identifiers; aliases restore the oracle names.
+    "q_jdbc_roundtrip" -> { (s, dir) =>
+      val url = s"jdbc:derby:memory:graft_gate_${runId.incrementAndGet()};create=true"
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").format("jdbc")
+        .option("url", url).option("dbtable", "ORDERS_J").save()
+      s.read.format("jdbc")
+        .option("url", url).option("dbtable", "ORDERS_J").load()
+        .groupBy(col("O_ORDERSTATUS").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("O_TOTALPRICE").cast("decimal(12,2)")).cast("double").as("price_sum"))
         .orderBy(col("o_orderstatus"))
     },
 
@@ -197,6 +218,11 @@ object GateQueries {
       """SELECT o_orderstatus,
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_jdbc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_text_roundtrip" ->
       """SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,

@@ -36,6 +36,22 @@ object OpsQueries {
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
     },
 
+    // Quality-weighted downsampling: keep each doc with probability
+    // proportional to its quality score, decided by deterministic key
+    // arithmetic (no RNG, reproducible across runs/partitionings) —
+    // the curation step that biases a training mix toward clean text.
+    // A pure filter over a narrow projection: no shuffle before the
+    // final stats aggregation.
+    "q_weighted_sample" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityMetrics(col("text")).getField("quality_score").as("q"))
+        .filter(pmod(col("doc_id") * lit(2654435761L), lit(1000)) < col("q") * 1000)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"))
+    },
+
     // Text quality metrics, aggregated per language.
     "q_text_quality" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
@@ -217,6 +233,26 @@ object OpsQueries {
     "q_dedup_keep_first" ->
       s"""SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM (
         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY $normSql)""".stripMargin,
+    "q_weighted_sample" ->
+      s"""WITH m AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len($toksSql) > 0
+        |      THEN list_reduce(list_transform($toksSql, t -> len(t)), (a,b) -> a+b)::DOUBLE / len($toksSql)
+        |      ELSE 0.0 END AS awl,
+        |    CASE WHEN len(text) > 0
+        |      THEN (len(text) - len(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))::DOUBLE / len(text)
+        |      ELSE 0.0 END AS pr,
+        |    CASE WHEN len($toksSql) > 0
+        |      THEN len(list_filter($toksSql, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t)))::DOUBLE / len($toksSql)
+        |      ELSE 0.0 END AS sr
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM (SELECT doc_id, lang,
+        |        round(greatest(0.0, least(1.0,
+        |          0.5 + 0.5*sr - pr - (CASE WHEN awl < 2 OR awl > 12 THEN 0.25 ELSE 0.0 END))), 6) AS q
+        |      FROM m)
+        |WHERE (doc_id * 2654435761) % 1000 < q * 1000
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_quality" ->
       s"""WITH m AS (
         |  SELECT lang,
