@@ -32,7 +32,8 @@ object SparkEntry {
     graft.queries.GateQueries.queries ++
     graft.queries.ModernSql.queries ++
     graft.queries.VocabQueries.queries ++
-    graft.queries.MergeQueries.queries
+    graft.queries.MergeQueries.queries ++
+    graft.queries.FinalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -55,5 +56,6 @@ object SparkEntry {
     graft.queries.GateQueries.oracle ++
     graft.queries.ModernSql.oracle ++
     graft.queries.VocabQueries.oracle ++
-    graft.queries.MergeQueries.oracle
+    graft.queries.MergeQueries.oracle ++
+    graft.queries.FinalQueries.oracle
 }

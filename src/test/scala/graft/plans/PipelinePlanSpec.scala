@@ -36,10 +36,13 @@ class PipelinePlanSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
   }
 
-  test("contamination broadcasts the benchmark n-gram set") {
+  test("contamination broadcasts the benchmark n-gram set and reuses the cache") {
     val docs = Tables.load(spark, sf, "documents")
     val plan = executedPlan(PipelineOps.contamination(docs, n = 5, benchMod = 97L))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+    // the persisted n-gram projection serves all three consumers
+    assert(plan.contains("InMemory") || plan.contains("TableCacheQueryStage"),
+      s"expected the cached n-gram table in the plan:\n$plan")
   }
 
   test("sequence packing shuffles exactly once (by shard)") {
