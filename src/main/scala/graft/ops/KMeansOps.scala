@@ -66,8 +66,14 @@ object KMeansOps {
     val emb = embeddings
       .select(col(idCol), col(vecCol).cast("array<double>").as("__vec"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var centroids = emb.filter(col(idCol) < k)
-      .select(col(idCol).cast("long").as("__cell"), col("__vec").as("__cvec"))
+    // first k vectors BY RANK of id (not `id < k`, which assumes a
+    // dense 0-based id space and would silently under-provision
+    // centroids for 1-based or hashed ids); the single-partition
+    // row_number window runs over only the k limited rows
+    val rankW = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    var centroids = emb.orderBy(col(idCol)).limit(k)
+      .select((row_number().over(rankW) - 1).cast("long").as("__cell"),
+        col("__vec").as("__cvec"))
       .localCheckpoint()
     var assigned = assign(emb, centroids, idCol)
     for (_ <- 0 until iters) {

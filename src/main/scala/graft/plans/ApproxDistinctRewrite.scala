@@ -20,8 +20,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * `SparkSessionExtensions.injectOptimizerRule` ([[GraftExtensions]]) or
   * `spark.experimental.extraOptimizations`.
   *
-  * Only single-child, unfiltered `count(DISTINCT x)` rewrites; grouped
-  * or multi-distinct aggregates keep exact semantics.  The rule is a
+  * Every unfiltered single-child `count(DISTINCT x)` aggregate
+  * expression rewrites — grouped aggregates and multi-distinct lists
+  * included (each distinct count becomes its own sketch).  Filtered
+  * (`count(DISTINCT x) FILTER (...)`) and multi-child
+  * (`count(DISTINCT a, b)`) forms keep exact semantics.  The rule is a
   * no-op unless the session flag is set, so correctness-gated queries
   * are untouched.
   */

@@ -39,8 +39,6 @@ object GateQueries {
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
-  private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
-
   val queries: Map[String, Q] = Map(
     // CSV sink + source round-trip (header mode, explicit schema on
     // read): aggregate of the round-tripped data == oracle on parquet.
@@ -120,7 +118,9 @@ object GateQueries {
     // over JDBC (with pushdown available at the scan), aggregate.
     // Derby uppercases identifiers; aliases restore the oracle names.
     "q_jdbc_roundtrip" -> { (s, dir) =>
-      val url = s"jdbc:derby:memory:graft_gate_${runId.incrementAndGet()};create=true"
+      // one in-memory database per session, table overwritten per run —
+      // repeated Bench/Verify invocations never accumulate Derby heap
+      val url = "jdbc:derby:memory:graft_gate;create=true"
       Tables.load(s, dir, "orders")
         .filter(col("o_orderkey") % 10 === 0)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))

@@ -77,8 +77,14 @@ private class CounterStream(n: Long, perBatch: Long, slices: Int)
     CounterOffset(available)
   }
 
-  override def deserializeOffset(json: String): Offset =
-    CounterOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    // restart path: never let the high-water mark regress below an
+    // offset restored from the checkpoint, or already-committed rows
+    // would be re-planned (and re-emitted) by later triggers
+    val v = json.toLong
+    if (v > available) available = v
+    CounterOffset(v)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[CounterOffset].v

@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -47,6 +47,9 @@ object MemSinkV2 {
 
   private[sources] def publish(name: String, rows: Seq[Seq[Any]]): Unit =
     store.merge(name, rows, (a, b) => a ++ b)
+
+  private[sources] def replace(name: String, rows: Seq[Seq[Any]]): Unit =
+    store.put(name, rows)
 }
 
 private class MemSinkTable(name: String, schema0: StructType)
@@ -57,24 +60,31 @@ private class MemSinkTable(name: String, schema0: StructType)
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with SupportsTruncate {
+      private var truncateFirst = false
+      // mode("overwrite") → truncate-then-append, still atomic at commit
+      override def truncate(): WriteBuilder = { truncateFirst = true; this }
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new MemBatchWrite(name, info.schema())
+        override def toBatch: BatchWrite =
+          new MemBatchWrite(name, info.schema(), truncateFirst)
       }
     }
 }
 
 private case class RowsMessage(rows: Seq[Seq[Any]]) extends WriterCommitMessage
 
-private class MemBatchWrite(name: String, schema: StructType) extends BatchWrite {
+private class MemBatchWrite(name: String, schema: StructType,
+    truncateFirst: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new MemWriterFactory(schema)
 
   // publish ONLY here: task messages become visible atomically on
   // driver commit; abort discards everything
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    MemSinkV2.publish(name,
-      messages.toSeq.flatMap(_.asInstanceOf[RowsMessage].rows))
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rows = messages.toSeq.flatMap(_.asInstanceOf[RowsMessage].rows)
+    if (truncateFirst) MemSinkV2.replace(name, rows)
+    else MemSinkV2.publish(name, rows)
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

@@ -28,8 +28,8 @@ class KMeansSpec extends SparkSpec {
   }
 
   test("separable clusters are recovered") {
-    // ids 0 and 1 are the initial centroids for k = 2; two tight blobs
-    // around (0,0) and (10,10).
+    // the two smallest ids are the initial centroids for k = 2; two
+    // tight blobs around (0,0) and (10,10).
     val pts = Seq(
       (0L, Array(0.1f, 0.0f)), (2L, Array(0.0f, 0.2f)), (4L, Array(-0.1f, 0.1f)),
       (1L, Array(10.0f, 10.1f)), (3L, Array(9.9f, 10.0f)), (5L, Array(10.1f, 9.8f)))
@@ -39,5 +39,18 @@ class KMeansSpec extends SparkSpec {
     assert(Set(cells(0L), cells(2L), cells(4L)).size == 1)
     assert(Set(cells(1L), cells(3L), cells(5L)).size == 1)
     assert(cells(0L) != cells(1L))
+  }
+
+  test("init is rank-based: sparse / offset ids still yield k clusters") {
+    // ids start at 1000 — an `id < k` init would find no centroids
+    val pts = Seq(
+      (1000L, Array(0.1f, 0.0f)), (1002L, Array(0.0f, 0.2f)),
+      (1001L, Array(10.0f, 10.1f)), (1003L, Array(9.9f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val out = KMeansOps.fit(pts, "vec_id", "embedding", k = 2, iters = 1)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(out.size == 4)
+    assert(out.values.toSet.size == 2)
+    assert(out(1000L) == out(1002L) && out(1001L) == out(1003L))
   }
 }

@@ -33,6 +33,24 @@ class RewriteSpec extends SparkSpec {
     }
   }
 
+  test("grouped count(distinct) also rewrites under the flag") {
+    val li = Tables.load(spark, sf, "lineitem")
+    def q = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ ApproxDistinctRewrite
+    try {
+      spark.conf.set(ApproxDistinctRewrite.Flag, "true")
+      assert(q.queryExecution.optimizedPlan.toString
+        .contains("approx_count_distinct"))
+      assert(q.collect().nonEmpty)
+    } finally {
+      spark.conf.unset(ApproxDistinctRewrite.Flag)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == ApproxDistinctRewrite)
+    }
+  }
+
   test("AQE splits a skewed sort-merge-join partition at runtime") {
     val confs = Map(
       "spark.sql.adaptive.enabled" -> "true",

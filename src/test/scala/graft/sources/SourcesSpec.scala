@@ -152,6 +152,12 @@ class SourcesSpec extends SparkSpec {
     val rows = graft.sources.MemSinkV2.rows("t1")
     assert(rows.map(r => (r(0), r(1))).sortBy(_._1.asInstanceOf[Long]) ==
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // overwrite mode truncates atomically at commit (SupportsTruncate)
+    Seq((9L, "z")).toDF("k", "v")
+      .write.format("graft.sources.MemSinkV2")
+      .option("name", "t1").mode("overwrite").save()
+    val after = graft.sources.MemSinkV2.rows("t1")
+    assert(after.map(r => (r(0), r(1))) == Seq((9L, "z")))
   }
 
   test("Trigger.AvailableNow drains a file source then stops on its own") {
