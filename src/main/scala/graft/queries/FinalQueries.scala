@@ -40,6 +40,25 @@ object FinalQueries {
         .orderBy(col("st"))
     },
 
+    // Map higher-order tail: transform_keys / map_filter /
+    // map_zip_with, entries serialized sorted (never raw map output).
+    "q_fn_map_higher" -> { (s, dir) =>
+      def ser(m: org.apache.spark.sql.Column) =
+        concat_ws("|", transform(sort_array(map_entries(m)),
+          e => concat_ws("=", e.getField("key"), e.getField("value"))))
+      val n = col("n_nationkey").cast("long")
+      Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"),
+          map(lit("a"), n, lit("b"), n * 2).as("m1"),
+          map(lit("b"), lit(10L), lit("c"), n).as("m2"))
+        .select(col("n_nationkey"),
+          ser(transform_keys(col("m1"), (k, _) => upper(k))).as("tk"),
+          ser(map_filter(col("m1"), (_, v) => v % 2 === 0)).as("mf"),
+          ser(map_zip_with(col("m1"), col("m2"),
+            (_, x, y) => coalesce(x, lit(0L)) + coalesce(y, lit(0L)))).as("mz"))
+        .orderBy(col("n_nationkey"))
+    },
+
     // String-function tail + NaN handling.
     "q_fn_string_extra" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -64,6 +83,14 @@ object FinalQueries {
       """SELECT o_orderstatus AS st,
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
         |FROM orders GROUP BY o_orderstatus ORDER BY st""".stripMargin,
+    "q_fn_map_higher" ->
+      """SELECT n_nationkey,
+        |  'A=' || n_nationkey || '|B=' || (n_nationkey * 2) AS tk,
+        |  CASE WHEN n_nationkey % 2 = 0
+        |       THEN 'a=' || n_nationkey || '|b=' || (n_nationkey * 2)
+        |       ELSE 'b=' || (n_nationkey * 2) END AS mf,
+        |  'a=' || n_nationkey || '|b=' || (n_nationkey * 2 + 10) || '|c=' || n_nationkey AS mz
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_fn_string_extra" ->
       """SELECT n_nationkey,
         |  levenshtein(n_name, 'FRANCE') AS lev,
