@@ -33,7 +33,9 @@ object SparkEntry {
     graft.queries.ModernSql.queries ++
     graft.queries.VocabQueries.queries ++
     graft.queries.MergeQueries.queries ++
-    graft.queries.FinalQueries.queries
+    graft.queries.FinalQueries.queries ++
+    graft.queries.TpcdsShapes.queries ++
+    graft.queries.CoercionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -57,5 +59,7 @@ object SparkEntry {
     graft.queries.ModernSql.oracle ++
     graft.queries.VocabQueries.oracle ++
     graft.queries.MergeQueries.oracle ++
-    graft.queries.FinalQueries.oracle
+    graft.queries.FinalQueries.oracle ++
+    graft.queries.TpcdsShapes.oracle ++
+    graft.queries.CoercionQueries.oracle
 }

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, UnaryExpression}
@@ -75,10 +76,23 @@ case class RollingHash64(child: Expression)
   */
 case class NGramsGenerator(text: Expression, n: Expression)
     extends Expression with Generator with CodegenFallback {
-  require(n.foldable, "ngrams width must be a literal")
+  // a non-string text column or a bad width is an ANALYSIS error, not a
+  // runtime ClassCastException mid-job
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (text.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"ngrams text must be STRING, got ${text.dataType.sql}")
+    else if (!n.foldable || !Seq[DataType](ByteType, ShortType,
+        IntegerType, LongType).contains(n.dataType))
+      TypeCheckResult.TypeCheckFailure("ngrams width must be an integral literal")
+    else n.eval(null) match {
+      case i: Int if i >= 1  => TypeCheckResult.TypeCheckSuccess
+      case l: Long if l >= 1 => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure("ngrams width must be >= 1")
+    }
   private lazy val width: Int = n.eval(null) match {
-    case i: Int => math.max(i, 1)
-    case l: Long => math.max(l.toInt, 1)
+    case i: Int => i
+    case l: Long => l.toInt
     case other => throw new IllegalArgumentException(s"ngrams width: $other")
   }
   override def children: Seq[Expression] = Seq(text, n)

@@ -1,0 +1,25 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Scopes operator-internal caches to the operator call.
+  *
+  * Several ops persist an intermediate (shingle sets, signatures,
+  * n-gram tables) that feeds multiple plan branches.  Returning a lazy
+  * result would pin those blocks until some unknowable caller action,
+  * so instead the final result — always narrow rows (pairs, scores,
+  * assignments), orders of magnitude smaller than the corpus-sized
+  * intermediate — is materialized eagerly with `localCheckpoint` and
+  * the intermediates are released immediately.  A long-lived session
+  * running hundreds of queries then never accumulates operator-private
+  * blocks (the checkpointed result itself is reclaimed by the
+  * ContextCleaner once the returned DataFrame is unreachable).
+  */
+private[ops] object CacheScope {
+  /** Materialize `result`, then unpersist every cache it was built from. */
+  def releasing(result: DataFrame, caches: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    caches.foreach(_.unpersist(false))
+    out
+  }
+}

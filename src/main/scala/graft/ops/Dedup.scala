@@ -161,13 +161,15 @@ object Dedup {
     val withSets = cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-    withSets
+    val pairs = withSets
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", round(when(col("uni") > 0, col("inter") / col("uni"))
         .otherwise(lit(0.0)), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    // pairs ≪ corpus: materialize them, release the corpus-sized caches
+    CacheScope.releasing(pairs, sh, flat)
   }
 
   /** Exact n-gram Jaccard similarity for ALL pairs above a threshold —
@@ -180,13 +182,14 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+    val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", round(when(col("uni") > 0, col("inter") / col("uni"))
         .otherwise(lit(0.0)), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    CacheScope.releasing(pairs, sh)
   }
 
   // -------------------------------------------------------------- SimHash
@@ -228,11 +231,12 @@ object Dedup {
       col("id").as("id_a"), col("simhash").as("sig_a"))
     val r = banded.select(col("chunk"), col("key"),
       col("id").as("id_b"), col("simhash").as("sig_b"))
-    l.join(r, Seq("chunk", "key"))
+    val pairs = l.join(r, Seq("chunk", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hamming64(col("sig_a"), col("sig_b")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+    CacheScope.releasing(pairs, sigs)
   }
 }

@@ -80,7 +80,9 @@ object KMeansOps {
       centroids = update(assigned)
       assigned = assign(emb, centroids, idCol)
     }
-    assigned.select(col(idCol), col("cell"), col("d2"))
+    // final assignment is 3 narrow columns per id: materialize it and
+    // release the cached embedding projection
+    CacheScope.releasing(assigned.select(col(idCol), col("cell"), col("d2")), emb)
   }
 
   /** Mean squared distance of an assignment — the Lloyd objective. */

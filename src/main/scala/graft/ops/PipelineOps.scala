@@ -71,7 +71,8 @@ object PipelineOps {
     * (64-bit collisions are negligible); the DuckDB oracle joins on the
     * raw strings and must agree.
     */
-  def contamination(docs: DataFrame, n: Int = 5, benchMod: Long = 97): DataFrame = {
+  def contamination(docs: DataFrame, n: Int = 5, benchMod: Long = 97,
+      materialize: Boolean = true): DataFrame = {
     val withG = docs
       .withColumn("__toks", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"), col("source"),
@@ -89,10 +90,15 @@ object PipelineOps {
       .join(broadcast(bench), Seq("gh"))
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_shared"))
-    withG.filter(!isBench)
+    val scored = withG.filter(!isBench)
       .select(col("doc_id"), col("source"), size(col("__g")).as("n_grams"))
       .join(shared, Seq("doc_id", "source"), "left")
       .na.fill(0L, Seq("n_shared"))
+    // per-doc scores (4 narrow cols) — the natural pipeline output —
+    // are materialized; the corpus-sized n-gram cache is released.
+    // materialize=false keeps the plan lazy (for inspection or fusion
+    // into a larger query); the caller then owns the cache lifetime.
+    if (materialize) CacheScope.releasing(scored, withG) else scored
   }
 
   /** Greedy sequence packing for training-batch assembly: documents are

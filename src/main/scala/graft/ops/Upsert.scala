@@ -13,8 +13,14 @@ import org.apache.spark.sql.functions._
   * Scale notes: both sides shuffle once on the key.  In a periodic
   * pipeline the base side should be stored bucketed by the key
   * (`bucketBy`) so only the (small) update side shuffles per batch;
-  * AQE's skew split covers hot keys.  Schemas must match; key columns
-  * must be non-null on both sides.
+  * AQE's skew split covers hot keys.
+  *
+  * Preconditions: schemas must match; key columns must be non-null on
+  * both sides; and `updates` must have AT MOST ONE row per key — a
+  * duplicate update key would fan out matched base rows through the
+  * full-outer join (real MERGE rejects multiple matches per target row
+  * for the same reason).  Deduplicate the update side first
+  * (e.g. keep-latest by version) if the feed can carry replays.
   */
 object Upsert {
 

@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
@@ -37,7 +36,7 @@ object GateQueries {
     }
 
   private def tmpDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    graft.TmpCleanup.tempDir(prefix)
 
   val queries: Map[String, Q] = Map(
     // CSV sink + source round-trip (header mode, explicit schema on
@@ -67,9 +66,12 @@ object GateQueries {
         .orderBy(col("c_mktsegment"))
     },
 
-    // ORC sink + source round-trip.
+    // ORC sink + source round-trip.  Sampled (like the JDBC gate) — the
+    // gate verifies the format plumbing, not full-table write throughput,
+    // so it writes ~10% of lineitem instead of all of it.
     "q_orc_roundtrip" -> { (s, dir) =>
       val src = Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0)
         .select(col("l_returnflag"), col("l_quantity"))
       val tmp = tmpDir("graft_orc_rt")
       src.write.mode("overwrite").orc(tmp)
@@ -206,7 +208,8 @@ object GateQueries {
     "q_orc_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_sum
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        |FROM lineitem WHERE l_orderkey % 10 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_partitioned_write" ->
       """SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,

@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -67,7 +66,12 @@ object MergeQueries {
     // here the VALUES go through the oracle).
     "q_bucketed_join" -> { (s, dir) =>
       val id = runId.incrementAndGet()
-      val tmp = Files.createTempDirectory("graft_bucket").toString
+      // drop the PREVIOUS run's tables (this run's lazy result still
+      // needs its own) so repeated Bench/Verify runs don't accumulate
+      // catalog entries; files live under TmpCleanup-managed dirs.
+      s.sql(s"DROP TABLE IF EXISTS g_bk_orders_${id - 1}")
+      s.sql(s"DROP TABLE IF EXISTS g_bk_lineitem_${id - 1}")
+      val tmp = graft.TmpCleanup.tempDir("graft_bucket")
       val ot = s"g_bk_orders_$id"
       val lt = s"g_bk_lineitem_$id"
       Tables.load(s, dir, "orders")

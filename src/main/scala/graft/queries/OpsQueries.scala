@@ -87,14 +87,18 @@ object OpsQueries {
         .orderBy(col("lang"), col("lang_pred"))
     },
 
-    // Document fingerprints (custom RollingHash64 expression): stable
-    // 64-bit ids — check distribution + exact values via min/max per src.
+    // Document fingerprints (custom RollingHash64 expression), oracle-
+    // checked via the distinct envelope: a 64-bit hash is injective on
+    // gate-scale corpora, so distinct fingerprints per source must equal
+    // distinct NORMALIZED texts — which DuckDB computes directly.  A
+    // collision or a broken normalization breaks the match; the exact
+    // hash values are additionally golden-tested in UdfSpec.
     "q_fingerprint" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       docs.select(col("source"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .groupBy(col("source"))
-        .agg(countDistinct(col("fp")).as("n_distinct_fp"),
-          min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_distinct_fp"))
         .orderBy(col("source"))
     },
 
@@ -225,6 +229,12 @@ object OpsQueries {
     })
 
   val oracle: Map[String, String] = Map(
+    // distinct fingerprints == distinct normalized texts (64-bit hash,
+    // injective at gate scale; see the query's comment)
+    "q_fingerprint" ->
+      s"""SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT $normSql) AS n_distinct_fp
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_dedup_exact" ->
       s"""SELECT lang, count(*) AS n_docs,
         |  count(DISTINCT $normSql) AS n_distinct,

@@ -199,15 +199,16 @@ object Relational {
         .filter(col("o_totalprice") > 300000).select(col("o_custkey"))
       val building = Tables.load(s, dir, "customer")
         .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
-      val unionN = hiVal.union(building).count()
-      val intersectN = hiVal.distinct().intersect(building).count()
-      val exceptN = hiVal.distinct().except(building).count()
-      val intersectAllN = hiVal.intersectAll(building).count()
-      val exceptAllN = hiVal.exceptAll(building).count()
-      val s2 = s
-      import s2.implicits._
-      Seq((unionN, intersectN, exceptN, intersectAllN, exceptAllN))
-        .toDF("n_union_all", "n_intersect", "n_except", "n_intersect_all", "n_except_all")
+      // Five set-op branches folded into ONE plan (cross-join of 1-row
+      // aggregates) so the entry is a single action / single job — the
+      // same shape as the oracle's five scalar subqueries.
+      def cnt(df: org.apache.spark.sql.DataFrame, as: String) =
+        df.agg(count(lit(1)).as(as))
+      cnt(hiVal.union(building), "n_union_all")
+        .crossJoin(cnt(hiVal.distinct().intersect(building), "n_intersect"))
+        .crossJoin(cnt(hiVal.distinct().except(building), "n_except"))
+        .crossJoin(cnt(hiVal.intersectAll(building), "n_intersect_all"))
+        .crossJoin(cnt(hiVal.exceptAll(building), "n_except_all"))
     },
 
     // Distinct / dropDuplicates (ReplaceDeduplicateWithAggregate).

@@ -24,16 +24,17 @@ object StreamingQueries {
 
   private val runId = new AtomicInteger(0)
 
-  /** Run a streaming job with 8 state-store partitions: per-trigger
+  /** Run a streaming job with 4 state-store partitions: per-trigger
     * cost of a stateful operator is dominated by state-store instances
-    * (= shuffle partitions), not rows, and 8 is plenty for gate-scale
-    * state.  The session default is restored afterwards; only the
-    * eager streaming run inside `body` is affected (the lazy batch
-    * projection each entry returns plans later, under the default).
+    * (= shuffle partitions), not rows, and 4 is plenty for gate-scale
+    * state while still exercising partitioned state.  The session
+    * default is restored afterwards; only the eager streaming run
+    * inside `body` is affected (the lazy batch projection each entry
+    * returns plans later, under the default).
     */
   private def withStatePartitions[T](s: SparkSession)(body: => T): T = {
     val saved = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try body finally s.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
@@ -41,7 +42,7 @@ object StreamingQueries {
     * files and open a file stream over them, one file per micro-batch.
     */
   private def replay(s: SparkSession, df: DataFrame, chunks: Int): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_replay").toString
+    val tmp = graft.TmpCleanup.tempDir("graft_stream_replay")
     df.repartition(chunks).write.mode("overwrite").parquet(tmp)
     s.readStream
       .schema(df.schema)
@@ -50,13 +51,13 @@ object StreamingQueries {
   }
 
   val queries: Map[String, Q] = Map(
-    // Tumbling-window aggregation: state merges across 3 micro-batches,
+    // Tumbling-window aggregation: state merges across 2 micro-batches,
     // complete-mode memory sink, equals the batch GROUP BY oracle.
     "q_stream_tumbling" -> { (s, dir) =>
       val src = Tables.load(s, dir, "events")
         .select(col("ts"), col("event_type"),
           col("value").cast("decimal(12,2)").as("v"))
-      val stream = replay(s, src, chunks = 3)
+      val stream = replay(s, src, chunks = 2)
       val name = s"stream_tumbling_${runId.incrementAndGet()}"
       val agg = stream
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -77,9 +78,11 @@ object StreamingQueries {
     // the key is output — which concrete row survives per key depends
     // on partition order and is not part of the operator's contract.
     "q_stream_dedup" -> { (s, dir) =>
+      // only the dedup key is projected: the state store then holds a
+      // key per user and nothing else
       val src = Tables.load(s, dir, "events")
-        .select(col("user_id"), col("ts"))
-      val stream = replay(s, src, chunks = 3)
+        .select(col("user_id"))
+      val stream = replay(s, src, chunks = 2)
       val name = s"stream_dedup_${runId.incrementAndGet()}"
       val deduped = stream.dropDuplicates("user_id")
       withStatePartitions(s) {

@@ -92,12 +92,15 @@ private class MemBatchWrite(name: String, schema: StructType,
 private class MemWriterFactory(schema: StructType) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
+      // schema-driven Catalyst→Scala conversion: decimals, dates,
+      // timestamps, arrays, maps and structs all surface in external
+      // form from MemSinkV2.rows(), not just strings
+      private val toScala =
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(schema)
       private val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
       override def write(record: InternalRow): Unit =
-        buf += record.toSeq(schema).map {
-          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
-          case v => v
-        }
+        buf += toScala(record).asInstanceOf[org.apache.spark.sql.Row].toSeq
       override def commit(): WriterCommitMessage = RowsMessage(buf.toSeq)
       override def abort(): Unit = buf.clear()
       override def close(): Unit = ()

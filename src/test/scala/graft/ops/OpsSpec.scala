@@ -227,4 +227,18 @@ class OpsSpec extends SparkSpec {
       assert(f.frames_sampled == 1 + payload.length / 1024)
     }
   }
+
+  test("operator-internal caches are released (CacheScope)") {
+    // ops that persist intermediates must leave the CacheManager as
+    // they found it: CacheScope materializes the small result and
+    // unpersists before returning, so a long-lived session never
+    // accumulates operator-private blocks across query entries
+    val wasEmpty = spark.sharedState.cacheManager.isEmpty
+    Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.9).count()
+    Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3).count()
+    PipelineOps.contamination(docs, n = 5, benchMod = 97L).count()
+    KMeansOps.fit(emb, "vec_id", "embedding", k = 2, iters = 1).count()
+    assert(!wasEmpty || spark.sharedState.cacheManager.isEmpty,
+      "an operator left a persisted intermediate behind")
+  }
 }

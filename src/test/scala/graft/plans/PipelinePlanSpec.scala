@@ -38,7 +38,11 @@ class PipelinePlanSpec extends SparkSpec {
 
   test("contamination broadcasts the benchmark n-gram set and reuses the cache") {
     val docs = Tables.load(spark, sf, "documents")
-    val plan = executedPlan(PipelineOps.contamination(docs, n = 5, benchMod = 97L))
+    // materialize=false: inspect the live plan (the default eagerly
+    // localCheckpoints the result and releases the cache, which
+    // truncates the visible plan to a Scan of the checkpoint RDD)
+    val plan = executedPlan(PipelineOps.contamination(docs, n = 5, benchMod = 97L,
+      materialize = false))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
     // the persisted n-gram projection serves all three consumers
     assert(plan.contains("InMemory") || plan.contains("TableCacheQueryStage"),
