@@ -84,4 +84,53 @@ class RewriteSpec extends SparkSpec {
       }
     }
   }
+
+  test("CBO reorders a join after ANALYZE (reference CostBasedJoinReorder)") {
+    // Syntactically bad order: two facts joined first, the selective
+    // tiny dimension last.  With catalog stats + CBO the DP join
+    // reorder must pull the tiny table into the innermost join so the
+    // fact is reduced before the fact⋈fact join — the plan change the
+    // reference implements in CostBasedJoinReorder.scala:35.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    Tables.registerAll(spark, sf)
+    Seq("cbo_li", "cbo_ord", "cbo_tiny").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql("CREATE TABLE cbo_li USING parquet AS SELECT l_orderkey, l_suppkey FROM lineitem")
+    spark.sql("CREATE TABLE cbo_ord USING parquet AS SELECT o_orderkey FROM orders")
+    spark.sql("CREATE TABLE cbo_tiny USING parquet AS SELECT DISTINCT s_suppkey FROM supplier WHERE s_suppkey < 3")
+    val sqlText =
+      """SELECT count(*) AS n FROM cbo_li
+        |JOIN cbo_ord ON l_orderkey = o_orderkey
+        |JOIN cbo_tiny ON l_suppkey = s_suppkey""".stripMargin
+    def innermostJoinStr: String = {
+      val joins = spark.sql(sqlText).queryExecution.optimizedPlan
+        .collect { case j: Join => j }
+      joins.last.toString // pre-order collect: last = deepest join
+    }
+    try {
+      Seq("cbo_li", "cbo_ord", "cbo_tiny").foreach { t =>
+        spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+      }
+      spark.sql("ANALYZE TABLE cbo_li COMPUTE STATISTICS FOR COLUMNS l_orderkey, l_suppkey")
+      spark.sql("ANALYZE TABLE cbo_ord COMPUTE STATISTICS FOR COLUMNS o_orderkey")
+      spark.sql("ANALYZE TABLE cbo_tiny COMPUTE STATISTICS FOR COLUMNS s_suppkey")
+      val before = innermostJoinStr
+      assert(!before.contains("cbo_tiny"),
+        s"without CBO the innermost join should be the syntactic li⋈ord:\n$before")
+      val expected = spark.sql(sqlText).head().getLong(0)
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      try {
+        val after = innermostJoinStr
+        assert(after.contains("cbo_tiny"),
+          s"CBO should move the selective tiny table into the innermost join:\n$after")
+        // semantics unchanged by the reorder
+        assert(spark.sql(sqlText).head().getLong(0) == expected)
+      } finally {
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      }
+    } finally Seq("cbo_li", "cbo_ord", "cbo_tiny").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }

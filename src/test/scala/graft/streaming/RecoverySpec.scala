@@ -47,4 +47,55 @@ class RecoverySpec extends SparkSpec {
     assert(all.size == 15, s"expected 15 total, got ${all.size}")
     assert(all.distinct.size == 15, "a batch was replayed after restart")
   }
+
+  test("recovers from the committed checkpoint fixture (version compat)") {
+    // Analogue of the reference's versioned checkpoint-compat fixtures
+    // (structured-streaming/checkpoint-version-2.*): the offset log,
+    // commit log and state-store deltas under
+    // src/test/resources/ckpt-fixture-v1 were produced by
+    // CkptFixtureGen and COMMITTED; this test restarts the same
+    // aggregation against a copy of that checkpoint and must (a) load
+    // the persisted state (a→2, b→1), (b) not replay the committed
+    // batch, (c) process new input exactly once on top of the old state.
+    import java.io.File
+    import CkptFixtureGen.{SrcDir, ResDir, copyTree, deleteRecursively}
+    val fixture = new File(ResDir).toPath
+    assert(Files.exists(fixture), s"committed fixture missing at $ResDir")
+
+    // the file-source offset log records absolute paths: recreate the
+    // source dir byte-for-byte at the pinned location
+    deleteRecursively(new File(SrcDir).toPath)
+    copyTree(fixture.resolve("src"), new File(SrcDir).toPath)
+    // the checkpoint itself is relocatable — restart from a copy so the
+    // committed resources are never mutated
+    val ckpt = Files.createTempDirectory("graft_ckpt_fixture_run")
+    copyTree(fixture.resolve("ckpt"), ckpt)
+
+    // batch 1 arrives while the query was down
+    Seq(("a", 10L), ("c", 7L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(SrcDir)
+
+    val counts = spark.readStream
+      .schema("k STRING, v LONG").parquet(SrcDir)
+      .groupBy($"k").count()
+    val emitted = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val q = counts.writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach(r => emitted.put(r.getString(0), r.getLong(1)))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val rows = { import scala.jdk.CollectionConverters._; emitted.asScala.toMap }
+    // a = 2 (from recovered state) + 1 new row — proves the committed
+    // deltas were loaded, not recomputed from a replay
+    assert(rows.get("a").contains(3L), s"state not recovered: $rows")
+    assert(rows.get("c").contains(1L), s"new batch not processed: $rows")
+    // update-mode output of the restarted run carries only keys touched
+    // by batch 1; a 'b' row would mean batch 0 was reprocessed
+    assert(!rows.contains("b"), s"committed batch was replayed: $rows")
+  }
 }

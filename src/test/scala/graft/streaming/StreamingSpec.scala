@@ -54,6 +54,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("multi-watermark union takes the MIN watermark (late-side rows survive)") {
+    // Reference WatermarkTracker.scala:31-56: with multiple watermarked
+    // inputs the global watermark is the MINIMUM (default policy), so a
+    // slow input holds windows open even when a fast input has raced
+    // far ahead.
+    import org.apache.spark.sql.functions.{col, count, lit, window}
+    val fast = MemoryStream[Event]
+    val slow = MemoryStream[Event]
+    val agg = fast.toDS().toDF().withWatermark("ts", "10 minutes")
+      .union(slow.toDS().toDF().withWatermark("ts", "60 minutes"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val q = runToMemory(agg, "multi_wm")
+    try {
+      // fast side races to minute 130 (its own wm would be 120);
+      // slow side sits at minute 20 (its wm clamps to 0)
+      fast.addData(ev(1, 130))
+      slow.addData(ev(2, 20))
+      q.processAllAvailable()
+      // global wm = min(120, 0) = 0: hour-0 must still be OPEN
+      assert(spark.table("multi_wm").count() == 0,
+        "hour-0 emitted although the slow input's watermark holds it open")
+      // a row far behind the FAST side's watermark but fine for the
+      // global (min) watermark must be accepted, not dropped
+      slow.addData(ev(3, 15))
+      q.processAllAvailable()
+      // slow side advances to 130 -> its wm = 70; global = min(120,70)=70:
+      // hour-0 closes and must contain BOTH slow-side rows (20 and 15)
+      slow.addData(ev(4, 130))
+      q.processAllAvailable()
+      val rows = spark.table("multi_wm")
+        .select("ws", "n").as[(Timestamp, Long)].collect().toMap
+      assert(rows.get(ts(0)).contains(2L),
+        s"hour-0 should hold the two slow-side rows, got $rows")
+      // the reported global watermark is the min, not the fast side's
+      val wm = Option(q.lastProgress).flatMap(p =>
+        Option(p.eventTime.get("watermark"))).getOrElse("")
+      assert(wm.contains("01:10:00"), s"expected min-policy watermark 01:10, got $wm")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered event ids") {
     val in = MemoryStream[Event]
     val q = runToMemory(dedupped(in.toDS()).toDF(), "dedup_out")
