@@ -35,7 +35,8 @@ object SparkEntry {
     graft.queries.MergeQueries.queries ++
     graft.queries.FinalQueries.queries ++
     graft.queries.TpcdsShapes.queries ++
-    graft.queries.CoercionQueries.queries
+    graft.queries.CoercionQueries.queries ++
+    graft.queries.SsbShapes.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -61,5 +62,6 @@ object SparkEntry {
     graft.queries.MergeQueries.oracle ++
     graft.queries.FinalQueries.oracle ++
     graft.queries.TpcdsShapes.oracle ++
-    graft.queries.CoercionQueries.oracle
+    graft.queries.CoercionQueries.oracle ++
+    graft.queries.SsbShapes.oracle
 }
