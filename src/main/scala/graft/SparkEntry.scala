@@ -36,7 +36,9 @@ object SparkEntry {
     graft.queries.FinalQueries.queries ++
     graft.queries.TpcdsShapes.queries ++
     graft.queries.CoercionQueries.queries ++
-    graft.queries.SsbShapes.queries
+    graft.queries.SsbShapes.queries ++
+    graft.queries.SubqueryCorners.queries ++
+    graft.queries.GroupAnalytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -63,5 +65,7 @@ object SparkEntry {
     graft.queries.FinalQueries.oracle ++
     graft.queries.TpcdsShapes.oracle ++
     graft.queries.CoercionQueries.oracle ++
-    graft.queries.SsbShapes.oracle
+    graft.queries.SsbShapes.oracle ++
+    graft.queries.SubqueryCorners.oracle ++
+    graft.queries.GroupAnalytics.oracle
 }

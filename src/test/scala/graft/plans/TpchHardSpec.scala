@@ -38,4 +38,16 @@ class TpchHardSpec extends SparkSpec {
       assert(n >= 0, s"$name failed")
     }
   }
+
+  test("corner battery: correlated scalar COUNT decorrelates to a left-outer agg join") {
+    // q_subq_scalar_empty is the COUNT-bug shape: the rewrite must
+    // produce an outer join + aggregate (0 for empty groups), never a
+    // per-row re-execution of the subquery.
+    val p = graft.queries.SubqueryCorners
+      .queries("q_subq_scalar_empty")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("Join LeftOuter"), s"expected decorrelated outer join:\n$p")
+    assert(!p.toLowerCase.contains("scalar-subquery"),
+      s"correlated scalar subquery left undecorrelated:\n$p")
+  }
 }
