@@ -147,4 +147,62 @@ object PipelineOps {
       .groupBy(col(keyCol))
       .agg(sum(col("__n")).as("n_rows"), sum(col("__s")).as("val_sum"))
   }
+
+  /** Overlapping fixed-token-window document chunking (context-window
+    * preparation): each document's whitespace tokens are cut into
+    * windows of `chunkSize` tokens starting every `stride` tokens
+    * (`stride < chunkSize` ⇒ consecutive chunks overlap by
+    * `chunkSize - stride`).  Empty/whitespace-only docs yield no chunks.
+    *
+    * Output columns: `idCol`, `chunk_idx` (0-based), `chunk` (the
+    * space-joined window), `n_tok` (window length; only a document's
+    * last chunk may be short).
+    *
+    * Scale shape: a single narrow projection + generator — tokens are
+    * split once per row, window starts come from `sequence`, and
+    * `slice`/`concat_ws` run inside the same codegen stage.  No shuffle,
+    * no state; output size is `ceil(n/stride)` rows per doc, linear in
+    * input bytes regardless of cluster size.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      s"need 1 <= stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
+    df.filter(length(trim(col(textCol))) > 0)
+      .withColumn("__toks", split(trim(col(textCol)), "\\s+"))
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_idx", "__st")))
+      .withColumn("__win", slice(col("__toks"), col("__st") + 1, lit(chunkSize)))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ", col("__win")).as("chunk"),
+        size(col("__win")).cast("long").as("n_tok"))
+  }
+
+  /** Deterministic hash-based train/validation/test split: each row is
+    * assigned a named split by its id's multiplicative-hash bucket in
+    * [0, 1000), with cumulative fraction thresholds.  Stateless and
+    * stable — the same id lands in the same split on any cluster, any
+    * run, any subset of the data (no sampling, no shuffle, no seed
+    * coordination across executors), which is what makes held-out sets
+    * reproducible at 100 TB.
+    *
+    * `fractions` e.g. `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`
+    * (must sum to 1 within rounding; the last split absorbs the
+    * remainder).  Appends a `split` column.
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0))
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-6,
+      "split fractions must sum to 1")
+    val bucket = pmod(col(idCol) * lit(2654435761L), lit(1000L))
+    val cuts = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(f => math.round(f * 1000).toInt)
+    val expr = fractions.init.zip(cuts).foldRight(
+        lit(fractions.last._1): Column) { case (((name, _), cut), rest) =>
+      when(bucket < cut, name).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
 }

@@ -105,6 +105,27 @@ object PipelineQueries {
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n_vecs"), round(avg(col("d2")), 4).as("mean_d2"))
         .orderBy(col("cell"))
+    },
+
+    // Overlapping 64-token context windows every 48 tokens; per-chunk
+    // md5 makes the oracle byte-exact on chunk CONTENT, not just counts.
+    "q_doc_chunks" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+      PipelineOps.chunkDocuments(docs, "doc_id", "text", chunkSize = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(col("chunk")).as("chunk_md5"), col("n_tok"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // Deterministic 80/10/10 split; per (split, lang) counts + id sums
+    // prove the exact assignment, not just the proportions.
+    "q_train_split" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      PipelineOps.assignSplit(docs, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("split"), col("lang"))
     })
 
   /** DuckDB twin of TextAnalysis.tokens (same as OpsQueries). */
@@ -185,5 +206,27 @@ object PipelineQueries {
     "q_skew_salted" ->
       """SELECT event_type, count(*) AS n_rows,
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS val_sum
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Window starts: Spark sequence(0, n-1, 48) == DuckDB range(0, n, 48)
+    // (end-inclusive-by-step vs end-exclusive agree for n >= 1);
+    // list slice [st+1 : st+64] == Spark slice(toks, st+1, 64).
+    "q_doc_chunks" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wtoks
+        |           FROM documents WHERE doc_id < 200 AND len(trim(text)) > 0),
+        |s AS (SELECT doc_id, wtoks, unnest(range(0, len(wtoks), 48)) AS st FROM t)
+        |SELECT doc_id, CAST(st // 48 AS BIGINT) AS chunk_idx,
+        |  md5(array_to_string(wtoks[st+1 : st+64], ' ')) AS chunk_md5,
+        |  CAST(len(wtoks[st+1 : st+64]) AS BIGINT) AS n_tok
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_train_split" ->
+      """SELECT split, lang, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM (SELECT lang, doc_id,
+        |        CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+        |             WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+        |             ELSE 'test' END AS split
+        |      FROM documents)
+        |GROUP BY split, lang ORDER BY split, lang""".stripMargin)
 }

@@ -94,4 +94,48 @@ class PipelineSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("__salt"))
   }
+
+  test("chunking: crafted overlap, tail, and empty-doc semantics") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 toks
+      (2L, "a b c"),                          // shorter than one chunk
+      (3L, "   "),                            // whitespace-only: no chunks
+      (4L, "x")
+    ).toDF("doc_id", "text")
+    val chunks = PipelineOps.chunkDocuments(docs, "doc_id", "text",
+        chunkSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(chunks == Seq(
+      // starts 0,3,6,9: full windows then the 1-token tail
+      (1L, 0L, "t1 t2 t3 t4", 4L),
+      (1L, 1L, "t4 t5 t6 t7", 4L),   // 1-token overlap with previous
+      (1L, 2L, "t7 t8 t9 t10", 4L),
+      (1L, 3L, "t10", 1L),
+      (2L, 0L, "a b c", 3L),
+      (4L, 0L, "x", 1L)))
+    // stride == chunkSize: exact partition of the tokens, no overlap
+    val flat = PipelineOps.chunkDocuments(docs.filter(col("doc_id") === 1),
+        "doc_id", "text", chunkSize = 4, stride = 4)
+      .orderBy("chunk_idx").select("chunk").as[String].collect()
+    assert(flat.mkString(" ") === "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")
+  }
+
+  test("deterministic split: total partition, stable, fractions in range") {
+    val docs = Tables.load(spark, sf, "documents")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = PipelineOps.assignSplit(docs, "doc_id", splits)
+    val counts = assigned.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val total = counts.values.sum
+    assert(total == docs.count(), "every row must land in exactly one split")
+    assert(counts.keySet == Set("train", "val", "test"))
+    val trainFrac = counts("train").toDouble / total
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train frac $trainFrac")
+    // stability: same ids -> same assignment on re-evaluation
+    val a = assigned.select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = PipelineOps.assignSplit(docs, "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+  }
 }
