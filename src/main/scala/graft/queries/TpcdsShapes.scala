@@ -19,6 +19,10 @@ import graft.Tables
   *  - FILTER-clause conditional aggregates + HAVING        (q17 / q50)
   *  - per-key channel-completeness (GROUP BY + HAVING)     (q38 / q87)
   *  - share-of-group window ratio                          (q89 / q98)
+  *  - multi-scalar-subquery single-row time bands          (q88)
+  *  - cumulative windows over full-outer channel join      (q51)
+  *  - repeat-buyer frequency banding                       (q34 / q73)
+  *  - channel-exclusive anti membership                    (q78 / q97)
   *
   * The SQL is written in the Spark∩DuckDB common dialect and the SAME
   * text runs on both engines — the strongest possible oracle (any
@@ -174,7 +178,71 @@ object TpcdsShapes {
         |  GROUP BY p_brand, p_type)
         |SELECT p_brand, p_type, cents,
         |  round(CAST(cents AS DOUBLE) / CAST(sum(cents) OVER (PARTITION BY p_brand) AS DOUBLE), 6) AS brand_share
-        |FROM t ORDER BY p_brand, p_type""".stripMargin)
+        |FROM t ORDER BY p_brand, p_type""".stripMargin,
+
+    // q88 shape: eight independent time-band counts folded into ONE
+    // result row via uncorrelated scalar subqueries — at scale each
+    // band is a pushed-filter scan aggregated to a scalar, and the
+    // eight subplans share nothing (embarrassingly parallel).
+    "qds_time_band_counts" ->
+      """SELECT
+        |  (SELECT count(*) FROM events WHERE EXTRACT(HOUR FROM ts) BETWEEN 0 AND 2) AS h0_2,
+        |  (SELECT count(*) FROM events WHERE EXTRACT(HOUR FROM ts) BETWEEN 3 AND 5) AS h3_5,
+        |  (SELECT count(*) FROM events WHERE EXTRACT(HOUR FROM ts) BETWEEN 6 AND 8) AS h6_8,
+        |  (SELECT count(*) FROM events WHERE EXTRACT(HOUR FROM ts) BETWEEN 9 AND 11) AS h9_11,
+        |  (SELECT count(*) FROM events WHERE EXTRACT(HOUR FROM ts) BETWEEN 12 AND 14) AS h12_14,
+        |  (SELECT count(*) FROM events WHERE EXTRACT(HOUR FROM ts) BETWEEN 15 AND 17) AS h15_17,
+        |  (SELECT count(*) FROM events WHERE EXTRACT(HOUR FROM ts) BETWEEN 18 AND 20) AS h18_20,
+        |  (SELECT count(*) FROM events WHERE EXTRACT(HOUR FROM ts) BETWEEN 21 AND 23) AS h21_23""".stripMargin,
+
+    // q51 shape: two channels aggregated to (year, month), FULL OUTER
+    // joined, then cumulative sums over the combined axis — the window
+    // runs over pre-aggregated rows (84), never the facts.
+    "qds_cumulative_channels" ->
+      """WITH store AS (
+        |  SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS yr,
+        |    CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS mo,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY EXTRACT(YEAR FROM l_shipdate), EXTRACT(MONTH FROM l_shipdate)),
+        |web AS (
+        |  SELECT CAST(EXTRACT(YEAR FROM ts) AS BIGINT) AS yr,
+        |    CAST(EXTRACT(MONTH FROM ts) AS BIGINT) AS mo,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY EXTRACT(YEAR FROM ts), EXTRACT(MONTH FROM ts)),
+        |j AS (
+        |  SELECT coalesce(store.yr, web.yr) AS yr, coalesce(store.mo, web.mo) AS mo,
+        |    coalesce(store.cents, 0) AS store_cents, coalesce(web.cents, 0) AS web_cents
+        |  FROM store FULL OUTER JOIN web ON store.yr = web.yr AND store.mo = web.mo)
+        |SELECT yr, mo,
+        |  CAST(sum(store_cents) OVER (ORDER BY yr, mo ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS store_cum,
+        |  CAST(sum(web_cents) OVER (ORDER BY yr, mo ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS web_cum
+        |FROM j ORDER BY yr, mo""".stripMargin,
+
+    // q34/q73 shape: per-customer-quarter order counts banded into
+    // frequency classes — agg over an agg, FILTER-counted.
+    "qds_repeat_buyers" ->
+      """WITH per AS (
+        |  SELECT o_custkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+        |    CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr, count(*) AS n_orders
+        |  FROM orders
+        |  GROUP BY o_custkey, EXTRACT(YEAR FROM o_orderdate), EXTRACT(QUARTER FROM o_orderdate))
+        |SELECT yr, qtr,
+        |  count(*) FILTER (WHERE n_orders = 2) AS n_two,
+        |  count(*) FILTER (WHERE n_orders BETWEEN 3 AND 4) AS n_three_four,
+        |  count(*) FILTER (WHERE n_orders >= 5) AS n_five_plus
+        |FROM per GROUP BY yr, qtr ORDER BY yr, qtr""".stripMargin,
+
+    // q78/q97 shape: membership in one channel, anti-membership in
+    // another (IN + NOT IN over clean key sets → semi + anti joins).
+    "qds_channel_exclusive" ->
+      """SELECT p_brand, count(*) AS n_parts
+        |FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N')
+        |  AND p_partkey NOT IN (
+        |    SELECT l_partkey FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |    WHERE s_acctbal > 9000)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
 
   val queries: Map[String, Q] = sql.map { case (name, text) =>
     name -> { (s: SparkSession, dir: String) =>
