@@ -104,4 +104,36 @@ object Streaming {
       col("r_ts") >= col("l_ts") - expr("INTERVAL 1 HOUR") &&
       col("r_ts") <= col("l_ts") + expr("INTERVAL 1 HOUR"))
   }
+
+  /** Stream-stream LEFT OUTER join on the same ±1 hour band: matched
+    * rows emit immediately; an unmatched left row is held in state and
+    * emitted NULL-padded only once the watermark proves no right-side
+    * match can still arrive (reference `StreamingSymmetricHashJoinExec`
+    * outer-row eviction).  State stays bounded by the same watermark
+    * that drives the eviction.
+    */
+  def streamStreamLeftJoin(left: Dataset[Event], right: Dataset[Event]): DataFrame = {
+    val l = left.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("l_ts"), col("value").as("l_value"))
+    val r = right.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+      col("r_ts") >= col("l_ts") - expr("INTERVAL 1 HOUR") &&
+      col("r_ts") <= col("l_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+  }
+
+  /** Dedup with WATERMARK-SCOPED state (`dropDuplicatesWithinWatermark`):
+    * a key's dedup state is dropped once the watermark passes its event
+    * time + delay, so re-deliveries beyond the lateness horizon are
+    * treated as NEW events.  This is the 100 TB-viable dedup — plain
+    * `dropDuplicates` on a stream keys state forever and OOMs; this
+    * holds only one watermark-window of keys.
+    */
+  def dedupWithinWatermark(events: Dataset[Event]): DataFrame =
+    events.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
 }

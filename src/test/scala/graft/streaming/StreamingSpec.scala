@@ -146,6 +146,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join null-pads once the watermark closes the band") {
+    val l = MemoryStream[Event]
+    val r = MemoryStream[Event]
+    val q = runToMemory(streamStreamLeftJoin(l.toDS(), r.toDS()), "ssj_outer")
+    try {
+      l.addData(ev(1, 30, user = 7, value = 10.0))
+      l.addData(ev(2, 30, user = 9, value = 30.0)) // never matched
+      r.addData(ev(3, 45, user = 7, value = 20.0))
+      q.processAllAvailable()
+      // the unmatched left row is still in state: a match could arrive
+      // until the watermark passes l_ts + 1h band + 10m delay
+      val early = spark.table("ssj_outer")
+        .select("user_id").as[Long].collect().toSet
+      assert(early == Set(7L), s"user 9 must not null-pad early, got $early")
+      // race both sides far ahead -> watermark evicts, null-pad emits
+      l.addData(ev(4, 300, user = 1))
+      r.addData(ev(5, 300, user = 1))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_outer")
+        .select("user_id", "l_value", "r_value")
+        .as[(Long, Double, Option[Double])].collect().toSet
+      assert(rows.contains((7L, 10.0, Some(20.0))))
+      assert(rows.contains((9L, 30.0, None)),
+        s"expected null-padded outer row for user 9, got $rows")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark expires dedup state past the horizon") {
+    val in = MemoryStream[Event]
+    val q = runToMemory(dedupWithinWatermark(in.toDS()), "dedup_wm")
+    try {
+      in.addData(ev(1, 10, value = 1.0))
+      in.addData(ev(1, 11, value = 2.0)) // same id inside the window: dropped
+      q.processAllAvailable()
+      assert(spark.table("dedup_wm").count() == 1)
+      // advance the watermark beyond id-1's state lifetime (11 + 10m)
+      in.addData(ev(2, 60))
+      q.processAllAvailable()
+      // same id re-delivered AFTER the horizon: state expired -> re-emitted
+      in.addData(ev(1, 61, value = 3.0))
+      q.processAllAvailable()
+      val n1 = spark.table("dedup_wm").filter($"event_id" === 1L).count()
+      assert(n1 == 2,
+        s"id 1 should emit once per watermark window, got $n1 emissions")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink receives every micro-batch exactly once") {
     val in = MemoryStream[Event]
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
