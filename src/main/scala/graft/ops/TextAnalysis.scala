@@ -33,8 +33,16 @@ object TextAnalysis {
     * stopword ratios, plus a composite [0,1] score.  Everything is a
     * deterministic arithmetic pipeline — no UDFs, stays in codegen.
     */
-  def qualityMetrics(text: Column): Column = {
-    val toks = tokens(text)
+  def qualityMetrics(text: Column): Column =
+    // Bind the token array ONCE as a lambda variable: higher-order
+    // functions are interpreted (no codegen, no subexpression
+    // elimination), so every direct use of `tokens(text)` below would
+    // re-run the tokenizer regex per use per row.  The 1-element
+    // transform wrapper materializes it a single time.
+    element_at(transform(array(tokens(text)),
+      toks => qualityFromToks(text, toks)), 1)
+
+  private def qualityFromToks(text: Column, toks: Column): Column = {
     val nTok = size(toks).cast("double")
     val nChar = length(text).cast("double")
     val nPunct = nChar - length(regexp_replace(text, "[\\p{Punct}]", ""))
@@ -74,8 +82,12 @@ object TextAnalysis {
     * with a deterministic tie-break (profile order), "und" when nothing
     * matches.  Pure column arithmetic → scales linearly.
     */
-  def languageId(text: Column): Column = {
-    val toks = tokens(text)
+  def languageId(text: Column): Column =
+    // Same bind-once trick as qualityMetrics: five per-language filters
+    // over the SAME token array must not tokenize five times.
+    element_at(transform(array(tokens(text)), toks => langIdFromToks(toks)), 1)
+
+  private def langIdFromToks(toks: Column): Column = {
     val n = size(toks).cast("double")
     val scored = langProfiles.zipWithIndex.map { case ((lang, words), i) =>
       val hits = size(filter(toks,
