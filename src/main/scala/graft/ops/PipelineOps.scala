@@ -148,6 +148,34 @@ object PipelineOps {
       .agg(sum(col("__n")).as("n_rows"), sum(col("__s")).as("val_sum"))
   }
 
+  /** C4/Gopher-style curation funnel: classify every document with the
+    * FIRST failing filter, in documented priority order —
+    * `too_short` (fewer than `minTokens` tokens), `repetitive`
+    * (duplicate-word fraction above `maxDupFrac`), `low_quality`
+    * (composite quality score below `minQuality`) — else `kept`.
+    * Appends a `status` column; reject reasons are mutually exclusive
+    * so funnel counts partition the corpus exactly.
+    *
+    * Scale shape: the tokens are materialized ONCE per row and every
+    * metric derives from that bound column — one narrow codegen
+    * projection over the scan, no shuffle, no UDF.  At 100 TB this is
+    * the shape you want: classification cost is strictly linear in
+    * input bytes and embarrassingly parallel.
+    */
+  def curationFunnel(docs: DataFrame, textCol: String, minTokens: Int = 10,
+      maxDupFrac: Double = 0.3, minQuality: Double = 0.3): DataFrame = {
+    docs.withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn("__dup", dupFraction(col("__toks")))
+      .withColumn("__q",
+        TextAnalysis.qualityFromToks(col(textCol), col("__toks")))
+      .withColumn("status",
+        when(size(col("__toks")) < minTokens, "too_short")
+          .when(col("__dup") > maxDupFrac, "repetitive")
+          .when(col("__q").getField("quality_score") < minQuality, "low_quality")
+          .otherwise("kept"))
+      .drop("__toks", "__dup", "__q")
+  }
+
   /** Overlapping fixed-token-window document chunking (context-window
     * preparation): each document's whitespace tokens are cut into
     * windows of `chunkSize` tokens starting every `stride` tokens

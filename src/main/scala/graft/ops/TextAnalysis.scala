@@ -42,7 +42,7 @@ object TextAnalysis {
     element_at(transform(array(tokens(text)),
       toks => qualityFromToks(text, toks)), 1)
 
-  private def qualityFromToks(text: Column, toks: Column): Column = {
+  private[ops] def qualityFromToks(text: Column, toks: Column): Column = {
     val nTok = size(toks).cast("double")
     val nChar = length(text).cast("double")
     val nPunct = nChar - length(regexp_replace(text, "[\\p{Punct}]", ""))

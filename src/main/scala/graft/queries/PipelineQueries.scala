@@ -117,6 +117,16 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
+    // C4/Gopher-style curation funnel: first-failing-reason status per
+    // doc; per-(source, status) counts prove the exact classification.
+    "q_curation_funnel" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      PipelineOps.curationFunnel(docs, "text")
+        .groupBy(col("source"), col("status"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("source"), col("status"))
+    },
+
     // Deterministic 80/10/10 split; per (split, lang) counts + id sums
     // prove the exact assignment, not just the proportions.
     "q_train_split" -> { (s, dir) =>
@@ -219,6 +229,34 @@ object PipelineQueries {
         |  md5(array_to_string(wtoks[st+1 : st+64], ' ')) AS chunk_md5,
         |  CAST(len(wtoks[st+1 : st+64]) AS BIGINT) AS n_tok
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_curation_funnel" ->
+      s"""WITH base AS (SELECT source, doc_id, text, $toksSql AS toks FROM documents),
+        |m AS (
+        |  SELECT source, doc_id, len(toks) AS ntok,
+        |    ${dupFracSql("toks")} AS dup,
+        |    round(greatest(0.0, least(1.0,
+        |      0.5 + 0.5*sr - pr - (CASE WHEN awl < 2 OR awl > 12 THEN 0.25 ELSE 0.0 END))), 6) AS q
+        |  FROM (
+        |    SELECT source, doc_id, toks,
+        |      CASE WHEN len(toks) > 0
+        |        THEN list_reduce(list_transform(toks, t -> len(t)), (a,b) -> a+b)::DOUBLE / len(toks)
+        |        ELSE 0.0 END AS awl,
+        |      CASE WHEN len(text) > 0
+        |        THEN (len(text) - len(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))::DOUBLE / len(text)
+        |        ELSE 0.0 END AS pr,
+        |      CASE WHEN len(toks) > 0
+        |        THEN len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t)))::DOUBLE / len(toks)
+        |        ELSE 0.0 END AS sr
+        |    FROM base))
+        |SELECT source, status, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM (SELECT source, doc_id,
+        |        CASE WHEN ntok < 10 THEN 'too_short'
+        |             WHEN dup > 0.3 THEN 'repetitive'
+        |             WHEN q < 0.3 THEN 'low_quality'
+        |             ELSE 'kept' END AS status
+        |      FROM m)
+        |GROUP BY source, status ORDER BY source, status""".stripMargin,
 
     "q_train_split" ->
       """SELECT split, lang, count(*) AS n_docs,

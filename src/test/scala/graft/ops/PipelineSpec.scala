@@ -95,6 +95,24 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("__salt"))
   }
 
+  test("curation funnel: each reject reason fires on its crafted doc, in priority order") {
+    val docs = Seq(
+      (1L, "one two three"),                                   // < 10 tokens
+      (2L, "spam spam spam spam spam spam spam spam spam ham also ham"), // dup > 0.3
+      (3L, "a! b! c! d! e! f! g! h! i! j! k! l!"),             // punct soup, no stopwords
+      (4L, "the quick brown fox and the lazy dog walk to town in the morning"),
+      (5L, "one one one")                                      // short AND repetitive
+    ).toDF("doc_id", "text")
+    val statuses = PipelineOps.curationFunnel(docs, "text")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(statuses == Map(
+      1L -> "too_short",
+      2L -> "repetitive",
+      3L -> "low_quality",
+      4L -> "kept",
+      5L -> "too_short")) // priority: too_short wins over repetitive
+  }
+
   test("chunking: crafted overlap, tail, and empty-doc semantics") {
     val docs = Seq(
       (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 toks
