@@ -126,6 +126,19 @@ object Joins {
         .orderBy(col("nationkey"))
     },
 
+    // SHUFFLED HASH JOIN, forced by hint (plan asserted in PlanSpec):
+    // both sides hash-partition on the key, no sort — the build side is
+    // per-partition hashed, not broadcast.
+    "q_join_shuffle_hash" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders").hint("SHUFFLE_HASH")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("qty_sum"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // CROSS join (CartesianProduct / BroadcastNestedLoop on small inputs).
     "q_join_cross" -> { (s, dir) =>
       val region = Tables.load(s, dir, "region")
@@ -224,6 +237,11 @@ object Joins {
         |  (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey) c
         |ON s_nationkey = c_nationkey
         |ORDER BY nationkey""".stripMargin,
+    "q_join_shuffle_hash" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_sum
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_join_cross" ->
       """SELECT r_name, count(*) AS n_pairs
         |FROM region CROSS JOIN nation

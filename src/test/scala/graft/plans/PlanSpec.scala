@@ -56,6 +56,11 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("Sort "), s"SHJ must not sort either side:\n$plan")
       assert(joined.count() ==
         li.join(ord, col("l_orderkey") === col("o_orderkey")).count())
+      // the oracle-gated entry runs the same SHJ shape
+      val entry = planOf(graft.queries.Joins
+        .queries("q_join_shuffle_hash")(spark, sf))
+      assert(entry.contains("ShuffledHashJoin"),
+        s"q_join_shuffle_hash should plan SHJ:\n$entry")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }

@@ -85,6 +85,35 @@ class RewriteSpec extends SparkSpec {
     }
   }
 
+  test("AQE coalesces tiny shuffle partitions at runtime") {
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "67108864",
+      "spark.sql.shuffle.partitions" -> "64")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 64 shuffle partitions of a few KB each: AQE must fuse them
+      // instead of scheduling 64 near-empty reducers
+      val agg = spark.range(10000)
+        .groupBy((col("id") % 512).as("k")).count()
+      agg.collect()
+      val finalPlan = agg.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("AQEShuffleRead") &&
+        finalPlan.contains("coalesced"),
+        s"expected a coalesced AQE shuffle read:\n$finalPlan")
+      val parts = agg.rdd.getNumPartitions
+      assert(parts < 64, s"expected far fewer than 64 reducers, got $parts")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("CBO reorders a join after ANALYZE (reference CostBasedJoinReorder)") {
     // Syntactically bad order: two facts joined first, the selective
     // tiny dimension last.  With catalog stats + CBO the DP join

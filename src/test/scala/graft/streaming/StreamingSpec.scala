@@ -146,6 +146,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session_window merges gap-bounded events and closes on watermark") {
+    import org.apache.spark.sql.functions.{col, count, lit, session_window}
+    val in = MemoryStream[Event]
+    val agg = in.toDS().toDF().withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("ss"), col("user_id"), col("n"))
+    val q = runToMemory(agg, "sess_win")
+    try {
+      // three events inside one 5-minute-gap session, then a fourth
+      // after a gap -> two sessions for user 1
+      in.addData(ev(1, 1), ev(2, 3), ev(3, 6), ev(4, 20))
+      q.processAllAvailable()
+      assert(spark.table("sess_win").count() == 0,
+        "append-mode sessions must stay open until the watermark passes")
+      in.addData(ev(5, 60)) // watermark -> minute 50: both sessions close
+      q.processAllAvailable()
+      val rows = spark.table("sess_win")
+        .select("ss", "n").as[(Timestamp, Long)].collect().toMap
+      assert(rows == Map(ts(1) -> 3L, ts(20) -> 1L),
+        s"expected sessions [1..11)x3 and [20..25)x1, got $rows")
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER join null-pads once the watermark closes the band") {
     val l = MemoryStream[Event]
     val r = MemoryStream[Event]
