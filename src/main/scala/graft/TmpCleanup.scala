@@ -27,6 +27,12 @@ object TmpCleanup {
     p.toString
   }
 
+  /** Best-effort recursive delete for stale paths a previous JVM left
+    * behind (e.g. managed-table locations whose catalog entry died with
+    * the session).
+    */
+  def deleteStale(p: Path): Unit = deleteRecursively(p)
+
   private def deleteRecursively(p: Path): Unit = {
     try {
       if (Files.isDirectory(p)) {

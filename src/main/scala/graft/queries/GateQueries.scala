@@ -38,6 +38,7 @@ object GateQueries {
   private def tmpDir(prefix: String): String =
     graft.TmpCleanup.tempDir(prefix)
 
+
   val queries: Map[String, Q] = Map(
     // CSV sink + source round-trip (header mode, explicit schema on
     // read): aggregate of the round-tripped data == oracle on parquet.
@@ -182,6 +183,83 @@ object GateQueries {
         .orderBy(col("n_nationkey"))
     },
 
+    // DSv2 WRITE gate: the two-phase-commit MemSinkV2 receives a
+    // bounded sample; the committed rows are re-framed and aggregated —
+    // oracle == same aggregate on the source, so a lost/duplicated task
+    // commit breaks the hash.  (Driver-side rows() is the sink's
+    // contract — a test double, bounded by the % 10 sample.)
+    "q_dsv2_write" -> { (s, dir) =>
+      import s.implicits._
+      val name = "g_dsv2_write_gate"
+      graft.sources.MemSinkV2.clear(name)
+      Tables.load(s, dir, "orders").filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.format("graft.sources.MemSinkV2")
+        .option("name", name).mode("append").save()
+      val committed = graft.sources.MemSinkV2.rows(name)
+        .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[String]))
+      graft.sources.MemSinkV2.clear(name)
+      committed.toDF("o_orderkey", "o_orderstatus")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // DDL gate: CTAS into the session catalog, then aggregate FROM the
+    // catalog table — oracle aggregates the original parquet directly.
+    "q_ctas_roundtrip" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      // the warehouse DIRECTORY outlives the in-memory catalog across
+      // JVMs: drop the catalog entry AND scrub any stale location
+      s.sql("DROP TABLE IF EXISTS g_ctas_gate")
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      graft.TmpCleanup.deleteStale(
+        java.nio.file.Paths.get(wh, "g_ctas_gate"))
+      s.sql("""CREATE TABLE g_ctas_gate USING parquet AS
+              |SELECT o_orderpriority, o_totalprice FROM orders
+              |WHERE o_orderkey % 5 = 0""".stripMargin)
+      s.sql("""SELECT o_orderpriority, count(*) AS n,
+              |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum
+              |FROM g_ctas_gate
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // observe() gate: metrics accumulate ON the executors during a
+    // single pass (no second scan) and surface as one driver row.
+    "q_observe" -> { (s, dir) =>
+      import s.implicits._
+      val obs = new org.apache.spark.sql.Observation()
+      Tables.load(s, dir, "lineitem")
+        .observe(obs, count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
+        .write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      Seq((m("n").asInstanceOf[Long], m("cents").asInstanceOf[Long]))
+        .toDF("n", "cents")
+    },
+
+    // Parameterized SQL gate (named-parameter binding, Spark 4 API);
+    // oracle inlines the literal.
+    "q_param_sql" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n
+          |FROM orders WHERE o_totalprice > :minp
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+        Map("minp" -> 300000))
+    },
+
+    // Explicit hash repartition before the aggregation (REPARTITION is
+    // semantically a no-op — the oracle is the plain aggregate).
+    "q_repartition_agg" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .repartition(8, col("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_quantity")).cast("long")).as("qty_sum"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
     // Custom codegen expression hamming64 vs DuckDB bit_count(xor()):
     // popcount of two key-derived 64-bit words per doc.
     "q_hamming" -> { (s, dir) =>
@@ -240,6 +318,29 @@ object GateQueries {
     "q_from_xml" ->
       """SELECT n_nationkey, CAST(n_nationkey AS INT) AS k, n_name AS n
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_dsv2_write" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_ctas_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum
+        |FROM orders WHERE o_orderkey % 5 = 0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_observe" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem""".stripMargin,
+    "q_param_sql" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders WHERE o_totalprice > 300000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_repartition_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty_sum
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_hamming" ->
       """SELECT source, count(*) AS n,
         |  CAST(sum(bit_count(xor(doc_id * 2654435761, doc_id * 40503 + 17))) AS BIGINT) AS ham_sum,

@@ -132,6 +132,21 @@ object StreamingQueries {
           col("c_ts").cast("long").as("click_s"),
           col("p_ts").cast("long").as("purchase_s"))
         .orderBy(col("user_id"), col("click_s"), col("purchase_s"))
+    },
+
+    // DSv2 STREAMING source gate: the custom MicroBatchStream counter
+    // drains to completion through offset planning / partition reads /
+    // commits; the fully-drained aggregate equals the closed-form range
+    // oracle, so a skipped or replayed micro-batch breaks the hash.
+    "q_dsv2_stream" -> { (s, _) =>
+      val name = s"dsv2_stream_${runId.incrementAndGet()}"
+      val q = s.readStream.format("graft.sources.CounterStreamV2")
+        .option("n", 500).option("rowsPerBatch", 125).option("slices", 4)
+        .load()
+        .writeStream.format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).agg(count(lit(1)).as("n"),
+        sum(col("id")).as("id_sum"), sum(col("sq")).as("sq_sum"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -152,5 +167,9 @@ object StreamingQueries {
         |JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
-        |ORDER BY c.user_id, click_s, purchase_s""".stripMargin)
+        |ORDER BY c.user_id, click_s, purchase_s""".stripMargin,
+    "q_dsv2_stream" ->
+      """SELECT count(*) AS n, CAST(sum(r.range) AS BIGINT) AS id_sum,
+        |  CAST(sum(r.range * r.range) AS BIGINT) AS sq_sum
+        |FROM range(0, 500) r""".stripMargin)
 }
