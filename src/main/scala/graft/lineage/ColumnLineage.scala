@@ -71,8 +71,14 @@ object ColumnLineage {
     */
   private def leafName(leaf: LeafNode): String = leaf match {
     case lr: LogicalRelation =>
-      lr.catalogTable.map(_.identifier.unquotedString)
-        .getOrElse(lr.relation.toString.takeWhile(_ != '['))
+      lr.catalogTable.map(_.identifier.unquotedString).getOrElse(lr.relation match {
+        // a file relation's toString is just its format ("parquet") —
+        // the root path is the actual table identity
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          fs.location.rootPaths.headOption.map(_.toString)
+            .getOrElse(fs.toString.takeWhile(_ != '['))
+        case rel => rel.toString.takeWhile(_ != '[')
+      })
     case dsv2: DataSourceV2Relation => dsv2.table.name()
     case lcr: LocalRelation => "local"
     case other => other.nodeName

@@ -176,6 +176,38 @@ object PipelineOps {
       .drop("__toks", "__dup", "__q")
   }
 
+  /** Temperature-based source-mixture sampling (multilingual-corpus
+    * reweighting): per-key target mass ∝ count^alpha — `alpha = 1`
+    * keeps natural proportions, `alpha < 1` flattens the mixture toward
+    * small sources (the standard multilingual resampling curve) — then
+    * each row is kept deterministically when its id hash falls under
+    * the key's rate `min(1, mass_share * budget / count)`.
+    *
+    * Rates are rounded to 9 dp before the comparison so the float
+    * reduction order (engine-dependent at the last ulp) can never flip
+    * a row across the integer hash boundary — the keep set is exactly
+    * reproducible anywhere.
+    *
+    * Scale shape: one tiny aggregation (|keys| rows) → broadcast join
+    * of the rate table back onto the stream → narrow deterministic
+    * filter.  No sampling state, no shuffle of the corpus, resumable on
+    * any subset.
+    */
+  def temperatureSample(df: DataFrame, keyCol: String, idCol: String,
+      alpha: Double, budget: Long): DataFrame = {
+    require(alpha > 0 && budget > 0)
+    val counts = df.groupBy(col(keyCol)).count()
+    val withW = counts.withColumn("__w", pow(col("count"), lit(alpha)))
+    val rates = withW
+      .crossJoin(broadcast(withW.agg(sum(col("__w")).as("__sw"))))
+      .withColumn("keep_rate", round(
+        least(lit(1.0), col("__w") / col("__sw") * budget / col("count")), 9))
+      .select(col(keyCol), col("keep_rate"))
+    df.join(broadcast(rates), keyCol)
+      .filter(pmod(col(idCol) * lit(2654435761L), lit(1000000L)) <
+        col("keep_rate") * 1000000)
+  }
+
   /** Overlapping fixed-token-window document chunking (context-window
     * preparation): each document's whitespace tokens are cut into
     * windows of `chunkSize` tokens starting every `stride` tokens

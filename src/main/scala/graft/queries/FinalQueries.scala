@@ -70,9 +70,40 @@ object FinalQueries {
           |  nanvl(CASE WHEN n_nationkey % 2 = 0 THEN CAST('nan' AS DOUBLE)
           |        ELSE CAST(n_nationkey AS DOUBLE) END, -1.0D) AS nn
           |FROM nation ORDER BY n_nationkey""".stripMargin)
+    },
+
+    // parse_url family over synthesized URLs; the DuckDB oracle mirrors
+    // each component with an equivalent regexp (host, path-sans-query,
+    // single query param, protocol, fragment).
+    "q_fn_url" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT doc_id, u,
+          |  parse_url(u, 'HOST') AS host,
+          |  parse_url(u, 'PATH') AS path,
+          |  parse_url(u, 'QUERY', 'lang') AS q_lang,
+          |  parse_url(u, 'PROTOCOL') AS proto,
+          |  parse_url(u, 'REF') AS frag
+          |FROM (SELECT doc_id,
+          |        concat('https://', source, '.example.com/', lang, '/', doc_id,
+          |               '?lang=', lang, '&id=', doc_id, '#s', doc_id % 5) AS u
+          |      FROM documents WHERE doc_id <= 50)
+          |ORDER BY doc_id""".stripMargin)
     })
 
   val oracle: Map[String, String] = Map(
+    "q_fn_url" ->
+      """SELECT doc_id, u,
+        |  regexp_extract(u, '^https?://([^/?#]+)', 1) AS host,
+        |  regexp_extract(u, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+        |  regexp_extract(u, '[?&]lang=([^&#]*)', 1) AS q_lang,
+        |  regexp_extract(u, '^([a-z]+):', 1) AS proto,
+        |  regexp_extract(u, '#(.*)$', 1) AS frag
+        |FROM (SELECT doc_id,
+        |        'https://' || source || '.example.com/' || lang || '/' || doc_id
+        |          || '?lang=' || lang || '&id=' || doc_id || '#s' || (doc_id % 5) AS u
+        |      FROM documents WHERE doc_id <= 50)
+        |ORDER BY doc_id""".stripMargin,
     "q_natural_join" ->
       """SELECT k, n_name, r_name FROM
         |  (SELECT n_regionkey AS k, n_name FROM nation) a

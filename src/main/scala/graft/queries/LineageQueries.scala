@@ -30,5 +30,18 @@ object LineageQueries {
         .orderBy(col("out_column"), col("src_table"), col("src_column"))
     })
 
-  val oracle: Map[String, String] = Map.empty
+  /** The edge list is a deterministic function of the plan, so the
+    * oracle is the golden edge set itself — the driver hash proves the
+    * lineage walker resolves join + aggregate + expression inputs to
+    * exactly these physical columns.
+    */
+  val oracle: Map[String, String] = Map(
+    "q_lineage_edges" ->
+      """SELECT * FROM (VALUES
+        |  ('n_cust', 'orders', 'o_custkey'),
+        |  ('o_orderstatus', 'orders', 'o_orderstatus'),
+        |  ('revenue', 'lineitem', 'l_discount'),
+        |  ('revenue', 'lineitem', 'l_extendedprice'))
+        |  AS t(out_column, src_table, src_column)
+        |ORDER BY out_column, src_table, src_column""".stripMargin)
 }

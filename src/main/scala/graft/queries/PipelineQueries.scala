@@ -117,6 +117,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
+    // Temperature mixture sampling at alpha=0.5 / budget=5000: exact
+    // per-source keep sets (counts + id sums) against the DuckDB mirror.
+    "q_mixture_sample" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      PipelineOps.temperatureSample(docs, "source", "doc_id",
+          alpha = 0.5, budget = 5000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("source"))
+    },
+
     // C4/Gopher-style curation funnel: first-failing-reason status per
     // doc; per-(source, status) counts prove the exact classification.
     "q_curation_funnel" -> { (s, dir) =>
@@ -229,6 +240,16 @@ object PipelineQueries {
         |  md5(array_to_string(wtoks[st+1 : st+64], ' ')) AS chunk_md5,
         |  CAST(len(wtoks[st+1 : st+64]) AS BIGINT) AS n_tok
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_mixture_sample" ->
+      """WITH c AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source),
+        |r AS (SELECT source,
+        |        round(least(1.0, pow(n, 0.5) / sum(pow(n, 0.5)) OVER () * 5000 / n), 9) AS keep_rate
+        |      FROM c)
+        |SELECT d.source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE (doc_id * 2654435761) % 1000000 < keep_rate * 1000000
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "q_curation_funnel" ->
       s"""WITH base AS (SELECT source, doc_id, text, $toksSql AS toks FROM documents),

@@ -95,6 +95,35 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("__salt"))
   }
 
+  test("temperature sampling flattens the mixture and lands near budget") {
+    val docs = Tables.load(spark, sf, "documents")
+    val total = docs.count()
+    val kept = PipelineOps.temperatureSample(docs, "source", "doc_id",
+      alpha = 0.5, budget = total / 2)
+    val n = kept.count()
+    // hash sampling: expected budget hit within a loose band
+    assert(n > total / 4 && n < total * 3 / 4, s"kept $n of $total")
+    // alpha < 1 over-represents small sources: the keep FRACTION of the
+    // smallest source must be >= that of the largest source
+    val bySrc = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val keptBySrc = kept.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val smallest = bySrc.minBy(_._2)._1
+    val largest = bySrc.maxBy(_._2)._1
+    if (bySrc(smallest) < bySrc(largest)) {
+      val fSmall = keptBySrc.getOrElse(smallest, 0L).toDouble / bySrc(smallest)
+      val fLarge = keptBySrc.getOrElse(largest, 0L).toDouble / bySrc(largest)
+      assert(fSmall >= fLarge,
+        s"alpha<1 must flatten: small=$fSmall large=$fLarge")
+    }
+    // deterministic: re-evaluation keeps the identical id set
+    val a = kept.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = PipelineOps.temperatureSample(docs, "source", "doc_id",
+      alpha = 0.5, budget = total / 2).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
   test("curation funnel: each reject reason fires on its crafted doc, in priority order") {
     val docs = Seq(
       (1L, "one two three"),                                   // < 10 tokens
