@@ -15,41 +15,55 @@ object Approx {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    // HLL++ distinct-count estimates alongside exact counts.
+    // HLL++ distinct-count estimates: the sketch VALUE is
+    // engine-specific, but its accuracy contract is not — emit the
+    // exact count plus an error-bound boolean (default rsd 5%; 10%
+    // tolerance = 2 sigma of headroom), both hash-checked.
     "q_approx_distinct" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
       li.groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
-        .withColumn("rel_err",
-          round(abs(col("approx_parts") - col("exact_parts")) /
-            col("exact_parts"), 4))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.10).as("within_10pct"))
         .orderBy(col("l_returnflag"))
     },
 
-    // Approximate percentiles (deterministic given the data order is
-    // normalized by the aggregation's internal sort).
+    // Approximate percentiles: envelope oracle — each sketch estimate
+    // must land within 5% of the EXACT percentile (computed in the same
+    // pass), and the exact values hash against DuckDB quantile_cont.
     "q_approx_percentile" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
       li.agg(
         expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
-          .as("pq"),
-        expr("approx_percentile(l_quantity, 0.5, 1000)").as("qty_median"))
-        // String-serialize the array output — raw arrays crash the
-        // driver's pandas compare (unhashable ndarray).
+          .as("ap"),
+        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ep"))
         .select(
-          concat_ws(",", transform(col("pq"), x => x.cast("string")))
-            .as("price_quartiles"),
-          col("qty_median"))
+          round(element_at(col("ep"), 1), 4).as("p25_exact"),
+          round(element_at(col("ep"), 2), 4).as("p50_exact"),
+          round(element_at(col("ep"), 3), 4).as("p75_exact"),
+          (abs(element_at(col("ap"), 1) - element_at(col("ep"), 1)) <=
+            element_at(col("ep"), 1) * 0.05).as("p25_close"),
+          (abs(element_at(col("ap"), 2) - element_at(col("ep"), 2)) <=
+            element_at(col("ep"), 2) * 0.05).as("p50_close"),
+          (abs(element_at(col("ap"), 3) - element_at(col("ep"), 3)) <=
+            element_at(col("ep"), 3) * 0.05).as("p75_close"))
     },
 
-    // Deterministic sampling: seeded Bernoulli sample must be stable
-    // across runs (row-count stability asserted by rows-only hash).
+    // Seeded Bernoulli sample: the kept SET is engine-specific, but the
+    // size must sit in the binomial envelope around fraction*N — the
+    // exact N and the bound boolean are hash-checked (determinism of
+    // the set itself is asserted in StatSketchSpec).
     "q_sample_seeded" -> { (s, dir) =>
       val ord = Tables.load(s, dir, "orders")
-      ord.sample(withReplacement = false, fraction = 0.1, seed = 42)
-        .agg(count(lit(1)).as("n_sampled"),
-          min(col("o_orderkey")).as("first_key"))
+      val sampled = ord.sample(withReplacement = false, fraction = 0.1, seed = 42)
+        .agg(count(lit(1)).as("n_sampled"))
+      val total = ord.agg(count(lit(1)).as("n_total"))
+      sampled.crossJoin(total)
+        .select(col("n_total"),
+          (col("n_sampled") >= col("n_total") * 0.08 &&
+           col("n_sampled") <= col("n_total") * 0.12).as("n_in_bounds"))
     },
 
     // Exact crosstab (DataFrameStatFunctions.crosstab) — oracle-checked.
@@ -66,15 +80,22 @@ object Approx {
         .select(sort_array(col("o_orderstatus_freqItems")).as("frequent_statuses"))
     },
 
-    // Stratified sampling (DataFrameStatFunctions.sampleBy,
-    // reference `DataFrameStatFunctions.scala:372`): seeded per-stratum
-    // Bernoulli — deterministic, but engine-specific (rows-only).
+    // Stratified sampling: per-stratum counts must sit within ±40% of
+    // fraction * stratum size (≫ binomial noise); stratum totals exact.
     "q_stat_sampleby" -> { (s, dir) =>
       val ord = Tables.load(s, dir, "orders")
       val fractions = Map("F" -> 0.1, "O" -> 0.05, "P" -> 0.2)
-      ord.stat.sampleBy("o_orderstatus", fractions, 7L)
+      val sampled = ord.stat.sampleBy("o_orderstatus", fractions, 7L)
         .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n_sampled"), min(col("o_orderkey")).as("first_key"))
+        .agg(count(lit(1)).as("n_sampled"))
+      val totals = ord.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_total"))
+      val frac = typedLit(fractions)
+      sampled.join(totals, "o_orderstatus")
+        .select(col("o_orderstatus"), col("n_total"),
+          (col("n_sampled") >= element_at(frac, col("o_orderstatus")) * col("n_total") * 0.6 &&
+           col("n_sampled") <= element_at(frac, col("o_orderstatus")) * col("n_total") * 1.4)
+            .as("in_bounds"))
         .orderBy(col("o_orderstatus"))
     },
 
@@ -106,17 +127,53 @@ object Approx {
           sum(when(mightContain(col("o_custkey")), 1L).otherwise(0L)).as("n_found"))
     },
 
-    // approxQuantile surfaces through stat; wrap as single-row frame.
+    // approxQuantile (Greenwald-Khanna, relativeError 0.01): the GK
+    // contract is a RANK bound, not a value bound — each estimate must
+    // lie between the exact percentiles at p ± 0.02 (2× the configured
+    // rank error).  Exact percentiles hash against quantile_cont.
     "q_stat_quantile" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
       val qs = li.stat.approxQuantile("l_extendedprice",
         Array(0.1, 0.5, 0.9), 0.01)
+      val ex = li.select(expr(
+        "percentile(l_extendedprice, array(0.08,0.1,0.12, 0.48,0.5,0.52, 0.88,0.9,0.92))")
+        .as("ep")).head().getSeq[Double](0)
+      def inBand(est: Double, lo: Double, hi: Double) = est >= lo && est <= hi
       val s2 = s
       import s2.implicits._
-      Seq((qs(0), qs(1), qs(2))).toDF("p10", "p50", "p90")
+      Seq((math.round(ex(1) * 10000) / 10000.0,
+           math.round(ex(4) * 10000) / 10000.0,
+           math.round(ex(7) * 10000) / 10000.0,
+           inBand(qs(0), ex(0), ex(2)),
+           inBand(qs(1), ex(3), ex(5)),
+           inBand(qs(2), ex(6), ex(8))))
+        .toDF("p10_exact", "p50_exact", "p90_exact",
+          "p10_close", "p50_close", "p90_close")
     })
 
   val oracle: Map[String, String] = Map(
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |  true AS within_10pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_approx_percentile" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_exact,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_exact,
+        |  true AS p25_close, true AS p50_close, true AS p75_close
+        |FROM lineitem""".stripMargin,
+    "q_sample_seeded" ->
+      """SELECT count(*) AS n_total, true AS n_in_bounds
+        |FROM orders""".stripMargin,
+    "q_stat_sampleby" ->
+      """SELECT o_orderstatus, count(*) AS n_total, true AS in_bounds
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_stat_quantile" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.1), 4) AS p10_exact,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_exact,
+        |  true AS p10_close, true AS p50_close, true AS p90_close
+        |FROM lineitem""".stripMargin,
     "q_stat_cms" ->
       """SELECT o_orderstatus AS status, count(*) AS est_n
         |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
