@@ -111,6 +111,30 @@ object OpsQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // MinHash recall ENVELOPE (oracle-checked): every exact twin pair
+    // (identical normalized text ⇒ identical shingle set ⇒ identical
+    // signatures ⇒ same bucket in every band ⇒ exact-Jaccard 1.0) MUST
+    // appear in the LSH output — n_found == n_twin_pairs by
+    // construction, and the oracle computes the twin count in SQL.
+    "q_dedup_minhash_recall" -> { (s, dir) =>
+      // the synthetic corpus has no natural twins — inject clones
+      // (1 in 50, offset ids) so the recall constraint has teeth
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val corpus = base.union(base.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text")))
+      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val norm = corpus.select(col("doc_id"),
+        TextAnalysis.normalize(col("text")).as("nt"))
+      val twins = norm.as("a").join(norm.as("b"),
+          col("a.nt") === col("b.nt") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      twins.agg(count(lit(1)).as("n_twin_pairs"))
+        .crossJoin(twins.join(pairs, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("n_found")))
+    },
+
     // SimHash near-dup pairs (rows-only; golden-tested in DedupSpec).
     "q_dedup_simhash" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
@@ -235,6 +259,14 @@ object OpsQueries {
       s"""SELECT source, count(*) AS n_docs,
         |  count(DISTINCT $normSql) AS n_distinct_fp
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_dedup_minhash_recall" ->
+      s"""WITH c AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 50 = 0),
+        |t AS (SELECT doc_id, $normSql AS nt FROM c)
+        |SELECT count(*) AS n_twin_pairs, count(*) AS n_found
+        |FROM t a JOIN t b ON a.nt = b.nt AND a.doc_id < b.doc_id""".stripMargin,
     "q_dedup_exact" ->
       s"""SELECT lang, count(*) AS n_docs,
         |  count(DISTINCT $normSql) AS n_distinct,
