@@ -50,6 +50,32 @@ object StreamingQueries {
       .parquet(tmp)
   }
 
+  /** ORDER-PRESERVING replay: each chunk becomes one file with a
+    * strictly increasing (fixed, deterministic) modification time, so
+    * FileStreamSource — which orders files by (modTime, path) — serves
+    * chunk i as micro-batch i.  Required for order-SENSITIVE stateful
+    * operators (sessionization); the plain `replay` above shuffles rows
+    * across batches and is only sound for order-free aggregations.
+    */
+  private def orderedReplay(s: SparkSession, chunks: Seq[DataFrame]): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val dir = graft.TmpCleanup.tempDir("graft_ordered_replay")
+    chunks.zipWithIndex.foreach { case (df, i) =>
+      val stage = graft.TmpCleanup.tempDir(s"graft_ordered_stage_$i")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = Paths.get(dir, f"chunk_$i%03d.parquet")
+      Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst,
+        FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    s.readStream.schema(chunks.head.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+  }
+
   val queries: Map[String, Q] = Map(
     // Tumbling-window aggregation: state merges across 2 micro-batches,
     // complete-mode memory sink, equals the batch GROUP BY oracle.
@@ -134,6 +160,46 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("click_s"), col("purchase_s"))
     },
 
+    // flatMapGroupsWithState gate (§2.11 arbitrary state): ordered
+    // replay in three micro-batches (early half, late half, per-user
+    // flush) drives the sessionizer; the flush events close every real
+    // session, so the emitted (user, session_start, n_events) set must
+    // equal the batch gap-sessionization oracle exactly.  State crosses
+    // the batch-1/batch-2 boundary — sessions spanning the time split
+    // only come out right if GroupState carried them over.
+    "q_stream_sessionize" -> { (s, dir) =>
+      val s2 = s
+      import s2.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id") % 5 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val b = ev.agg(min(col("ts").cast("long")).as("lo"),
+        max(col("ts").cast("long")).as("hi")).head()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val flushTs = new java.sql.Timestamp((b.getLong(1) + 86400L) * 1000L)
+      val flush = ev.select(col("user_id")).distinct()
+        .select((col("user_id") + lit(1000000000L)).as("event_id"),
+          lit(flushTs).as("ts"), col("user_id"),
+          lit("flush").as("event_type"), lit(0.0).as("value"))
+      val stream = orderedReplay(s, Seq(
+        ev.filter(col("ts").cast("long") <= mid),
+        ev.filter(col("ts").cast("long") > mid),
+        flush))
+      val name = s"stream_sessionize_${runId.incrementAndGet()}"
+      val sessions = graft.streaming.Streaming.sessionize(
+        stream.as[graft.streaming.Event], gapSeconds = 1800,
+        watermark = "10 minutes")
+      withStatePartitions(s) {
+        val q = sessions.toDF().writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(name)
+        .select(col("user_id"), col("session_start"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
     // DSv2 STREAMING source gate: the custom MicroBatchStream counter
     // drains to completion through offset planning / partition reads /
     // commits; the fully-drained aggregate equals the closed-form range
@@ -171,5 +237,25 @@ object StreamingQueries {
     "q_dsv2_stream" ->
       """SELECT count(*) AS n, CAST(sum(r.range) AS BIGINT) AS id_sum,
         |  CAST(sum(r.range * r.range) AS BIGINT) AS sq_sum
-        |FROM range(0, 500) r""".stripMargin)
+        |FROM range(0, 500) r""".stripMargin,
+    "q_stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE user_id % 5 = 0),
+        |marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |         - CAST(floor(epoch(CAST(lag(ts) OVER w AS TIMESTAMP))) AS BIGINT) > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |  CAST(min(floor(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS session_start,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin)
 }
