@@ -21,6 +21,20 @@ import graft.functions.cosine_sim
   */
 object Similarity {
 
+  /** Rank candidate rows (query_id, corpus_id, cos) per query —
+    * deterministic (higher cos first, smaller corpus_id on ties) — and
+    * keep the top k.  The single ranked-top-k device every ANN variant
+    * (brute/LSH/IVF/quantized) funnels through.
+    */
+  def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), asc("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself when ids collide).
     */
@@ -32,12 +46,7 @@ object Similarity {
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
         cosine_sim(col("qvec"), col("cvec")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("cos"), asc("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("corpus_id"),
-        round(col("cos"), 6).as("cos"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
@@ -72,12 +81,7 @@ object Similarity {
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
         cosine_sim(col("qvec"), col("cvec")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("cos"), asc("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("corpus_id"),
-        round(col("cos"), 6).as("cos"))
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) ANN: partition the corpus into cells around
@@ -126,16 +130,10 @@ object Similarity {
       .filter(col("r") <= nProbe)
       .select(col("query_id"), col("qvec"), col("cell_id"))
     // search only the probed cells
-    val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(desc("cos"), asc("corpus_id"))
-    assigned.join(broadcast(probes), Seq("cell_id"))
+    rankTopK(assigned.join(broadcast(probes), Seq("cell_id"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
-        cosine_sim(col("qvec"), col("cvec")).as("cos"))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("corpus_id"),
-        round(col("cos"), 6).as("cos"))
+        cosine_sim(col("qvec"), col("cvec")).as("cos")), k)
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold, found via

@@ -73,11 +73,27 @@ object Approx {
         .orderBy(col("o_orderstatus_o_orderpriority"))
     },
 
-    // Frequent items (deterministic single-pass algorithm).
+    // Frequent items support ENVELOPE (oracle-checked): the freqItems
+    // contract (Karp/Shenker/Papadimitriou single-pass) guarantees NO
+    // FALSE NEGATIVES — every value with frequency > support must be
+    // returned.  The statuses are uniform ~1/3 each, so at support 0.3
+    // all three are above-support and must all be found.  The
+    // above-support set is exact SQL, so its size, its
+    // members and the found-count are all oracle-checkable; false
+    // positives (allowed by the algorithm) are deliberately not output.
     "q_stat_freqitems" -> { (s, dir) =>
       val ord = Tables.load(s, dir, "orders")
-      ord.stat.freqItems(Array("o_orderstatus"), 0.4)
-        .select(sort_array(col("o_orderstatus_freqItems")).as("frequent_statuses"))
+      val fi = ord.stat.freqItems(Array("o_orderstatus"), 0.3)
+        .select(col("o_orderstatus_freqItems").as("items"))
+      val above = ord.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .crossJoin(ord.agg(count(lit(1)).as("total")))
+        .filter(col("n") > col("total") * 0.3)
+        .select(col("o_orderstatus").as("status"))
+      above.crossJoin(fi)
+        .agg(count(lit(1)).as("n_above_support"),
+          sum(when(array_contains(col("items"), col("status")), 1L)
+            .otherwise(0L)).as("n_above_found"),
+          concat_ws(",", sort_array(collect_list(col("status")))).as("above_csv"))
     },
 
     // Stratified sampling: per-stratum counts must sit within ±40% of
@@ -116,15 +132,27 @@ object Approx {
     // Bloom filter (reference `DataFrameStatFunctions.scala:492`): no
     // false negatives by construction, so every key that built the
     // filter must be found — oracle-checked; the false-positive-rate
-    // bound is asserted in StatSketchSpec.
+    // bound is asserted in StatSketchSpec.  Build and probe stay fully
+    // distributed: `BloomFilterAggregate` constructs the filter as an
+    // aggregate (partial sketches OR-merged map-side) and
+    // `BloomFilterMightContain` probes it inside codegen via a scalar
+    // subquery — no driver-built sketch, no per-row UDF boxing.
     "q_stat_bloom" -> { (s, dir) =>
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graftbridge.ColumnBridge
       val ord = Tables.load(s, dir, "orders")
-      val bf = ord.stat.bloomFilter("o_custkey", 2000, 0.01)
-      val bfB = s.sparkContext.broadcast(bf)
-      val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+      // 2000 items at fpp 0.01 → n·log2(1/p)/ln2 ≈ 19.2k bits (the same
+      // sizing stat.bloomFilter(2000, 0.01) derives)
+      val bf = ord.agg(ColumnBridge.column(new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("o_custkey"))),
+        Literal(2000L), Literal(19200L)).toAggregateExpression()).as("bf"))
+      val probe = ColumnBridge.column(BloomFilterMightContain(
+        ColumnBridge.expression(bf.scalar()),
+        ColumnBridge.expression(xxhash64(col("o_custkey")))))
       ord.select(col("o_custkey")).distinct()
         .agg(count(lit(1)).as("n_keys"),
-          sum(when(mightContain(col("o_custkey")), 1L).otherwise(0L)).as("n_found"))
+          sum(when(probe, 1L).otherwise(0L)).as("n_found"))
     },
 
     // approxQuantile (Greenwald-Khanna, relativeError 0.01): the GK
@@ -165,6 +193,15 @@ object Approx {
     "q_sample_seeded" ->
       """SELECT count(*) AS n_total, true AS n_in_bounds
         |FROM orders""".stripMargin,
+    "q_stat_freqitems" ->
+      """WITH a AS (
+        |  SELECT o_orderstatus AS status FROM orders
+        |  GROUP BY o_orderstatus
+        |  HAVING count(*) > 0.3 * (SELECT count(*) FROM orders))
+        |SELECT count(*) AS n_above_support,
+        |  CAST(count(*) AS BIGINT) AS n_above_found,
+        |  string_agg(status, ',' ORDER BY status) AS above_csv
+        |FROM a""".stripMargin,
     "q_stat_sampleby" ->
       """SELECT o_orderstatus, count(*) AS n_total, true AS in_bounds
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,

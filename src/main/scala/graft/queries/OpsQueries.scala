@@ -102,13 +102,21 @@ object OpsQueries {
         .orderBy(col("source"))
     },
 
-    // MinHash+LSH near-dup pairs (deterministic; rows-only check — the
-    // exact-Jaccard refine makes output independent of LSH internals
-    // up to candidate recall; golden-tested in DedupSpec).
+    // MinHash+LSH precision ENVELOPE (oracle-checked): the exact-Jaccard
+    // refine guarantees every emitted pair has true Jaccard >= threshold
+    // with the exact similarity value, i.e. found ⊆ exact-pairs with
+    // matching jaccard.  The anti-join against the brute-force twin
+    // (same shingle definition) must therefore be EMPTY, and the
+    // exact-pair count is DuckDB-computable on the capped subset.
+    // (Twin-pair recall is the companion q_dedup_minhash_recall entry;
+    // pair-level goldens live in DedupSpec.)
     "q_dedup_minhash" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
-        .orderBy(col("id_a"), col("id_b"))
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+      val found = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      val exact = Dedup.jaccardPairsExact(docs, "doc_id", "text", threshold = 0.5)
+      exact.agg(count(lit(1)).as("n_exact_pairs"))
+        .crossJoin(found.join(exact, Seq("id_a", "id_b", "jaccard"), "left_anti")
+          .agg(count(lit(1)).as("n_false_pairs")))
     },
 
     // MinHash recall ENVELOPE (oracle-checked): every exact twin pair
@@ -125,21 +133,38 @@ object OpsQueries {
         .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text")))
       val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.5)
         .select(col("id_a"), col("id_b"))
+      // twin detection joins on xxhash64(normalized text), never the
+      // doc-sized text itself: the shuffle key is 8 bytes, and a 64-bit
+      // hash is injective at gate scale (same argument as q_fingerprint)
       val norm = corpus.select(col("doc_id"),
-        TextAnalysis.normalize(col("text")).as("nt"))
+        xxhash64(TextAnalysis.normalize(col("text"))).as("nh"))
       val twins = norm.as("a").join(norm.as("b"),
-          col("a.nt") === col("b.nt") && col("a.doc_id") < col("b.doc_id"))
+          col("a.nh") === col("b.nh") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       twins.agg(count(lit(1)).as("n_twin_pairs"))
         .crossJoin(twins.join(pairs, Seq("id_a", "id_b"), "left_semi")
           .agg(count(lit(1)).as("n_found")))
     },
 
-    // SimHash near-dup pairs (rows-only; golden-tested in DedupSpec).
+    // SimHash twin ENVELOPE (oracle-checked): an injected clone has the
+    // identical token multiset ⇒ identical 64-bit SimHash ⇒ shares all
+    // four 16-bit band chunks ⇒ the banded join MUST surface the pair
+    // at hamming distance 0.  n_twins_found == n_twin_pairs by
+    // construction; the oracle counts the injected clones in SQL.
+    // (Pair-level goldens live in DedupSpec.)
     "q_dedup_simhash" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
-        .orderBy(col("id_a"), col("id_b"))
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val corpus = base.union(base.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text")))
+      val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxDist = 3)
+      val nTwins = base.filter(col("doc_id") % 50 === 0)
+        .agg(count(lit(1)).as("n_twin_pairs"))
+      val found = pairs
+        .filter(col("id_b") === col("id_a") + lit(10000000L) &&
+          col("id_a") % 50 === 0 && col("hamming") === 0)
+        .agg(count(lit(1)).as("n_twins_found"))
+      nTwins.crossJoin(found)
     },
 
     // N-gram Jaccard near-dup, brute-force exact — SQL-expressible via
@@ -160,58 +185,115 @@ object OpsQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
-    // LSH ANN top-k (rows-only: bucket recall is engine-specific;
-    // golden-tested for recall against brute force in SimilaritySpec).
+    // LSH ANN rank-1 ENVELOPE (oracle-checked): a clone of each query
+    // vector is injected into the corpus; an identical vector has the
+    // identical hyperplane sketch ⇒ lands in the query's bucket ⇒
+    // scores cosine 1.0 ⇒ MUST be rank 1 (the corpus's natural max
+    // pairwise cosine is ~0.6, far below — verified over the test
+    // tables).  Bucketing, the cosine expression and the ranking all
+    // have to work for the row to match; recall-vs-brute goldens live
+    // in OpsSpec.
     "q_knn_lsh" -> { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
-      Similarity.lshTopK(emb, queries, k = 5, nBits = 8)
-        .orderBy(col("query_id"), col("rank"))
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+        .union(queries.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          col("embedding")))
+      Similarity.lshTopK(corpus, queries, k = 5, nBits = 8)
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("corpus_id").as("p1_corpus_id"),
+          col("cos").as("p1_cos"))
+        .orderBy(col("query_id"))
     },
 
-    // IVF ANN top-k (rows-only; recall spec in OpsSpec).
+    // IVF ANN rank-1 ENVELOPE (oracle-checked): the injected clone is
+    // assigned to the cell nearest the query (same argmax + tie-break
+    // as the query's probe ranking), so it is always inside the probed
+    // cell set and must surface at rank 1 with cosine 1.0.
     "q_knn_ivf" -> { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
-      Similarity.ivfTopK(emb, queries, k = 5, nCells = 16, nProbe = 4)
-        .orderBy(col("query_id"), col("rank"))
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+        .union(queries.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          col("embedding")))
+      Similarity.ivfTopK(corpus, queries, k = 5, nCells = 16, nProbe = 4)
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("corpus_id").as("p1_corpus_id"),
+          col("cos").as("p1_cos"))
+        .orderBy(col("query_id"))
     },
 
-    // Duplicate clusters: minhash pairs -> connected components
-    // (rows-only; transitivity golden-tested in ClusterSpec).
+    // Duplicate-cluster clique ENVELOPE (oracle-checked): every 50th
+    // doc is injected twice more (three identical copies — a clique of
+    // exact twins).  Twin pairs are always surfaced by the LSH pipeline
+    // (identical signatures), so connected components MUST place all
+    // three copies in one cluster — n_cliques_intact == n_cliques, the
+    // clique count computable in SQL.  Natural near-dup pairs may merge
+    // cliques into larger clusters, which preserves co-membership.
+    // (Transitivity goldens live in ClusterSpec.)
     "q_dup_clusters" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.9)
-      DupClusters.clusters(pairs)
-        .select(col("cluster"), col("size"),
-          concat_ws(",", col("members").cast("array<string>")).as("member_csv"))
-        .orderBy(col("cluster"))
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val seeds = base.filter(col("doc_id") % 50 === 0)
+      val corpus = base
+        .union(seeds.select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text")))
+        .union(seeds.select((col("doc_id") + lit(20000000L)).as("doc_id"), col("text")))
+      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.9)
+      val memb = DupClusters.connectedComponents(pairs)
+      def labelOf(offset: Long, as: String) =
+        memb.select((col("id") - lit(offset)).as("id0"), col("cluster").as(as))
+      seeds.select(col("doc_id").as("id0"))
+        .join(labelOf(0L, "c0"), Seq("id0"), "left")
+        .join(labelOf(10000000L, "c1"), Seq("id0"), "left")
+        .join(labelOf(20000000L, "c2"), Seq("id0"), "left")
+        .agg(count(lit(1)).as("n_cliques"),
+          sum(when(col("c0").isNotNull && col("c0") === col("c1") &&
+            col("c0") === col("c2"), 1L).otherwise(0L)).as("n_cliques_intact"))
     },
 
-    // Embedding cosine near-dup pairs above 0.95 (rows-only + spec).
+    // Embedding near-dup — fully oracle-checked: clones of every 25th
+    // vector are injected; an identical vector shares the sketch bucket
+    // and scores cosine 1.0, and the corpus's natural max pairwise
+    // cosine is ~0.6 (verified over the test tables), so the output is
+    // EXACTLY the injected clone pairs.
     "q_embed_neardup" -> { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
-      Similarity.cosineNearDupPairs(emb, threshold = 0.95, nBits = 8)
+        .select(col("vec_id"), col("embedding"))
+      val corpus = emb.union(emb.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding")))
+      Similarity.cosineNearDupPairs(corpus, threshold = 0.95, nBits = 8)
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // Quantized-embedding top-k: int8 codes + integer dot kernel
-    // (rows-only; error-bounded vs exact in OpsSpec).
+    // Quantized-kernel ENVELOPE (oracle-checked): int8 codes + integer
+    // dot.  A clone of each query quantizes to identical codes ⇒
+    // quantized cosine exactly 1.0 ⇒ rank 1 (natural max ~0.6 plus a
+    // <0.05 quantization error can't reach it); err_ok additionally
+    // bounds |quantized − exact| cosine over EVERY scored pair, so a
+    // broken kernel fails even when the ranking survives.
     "q_knn_quantized" -> { (s, dir) =>
-      val emb = Quantize.withQuantized(Tables.load(s, dir, "embeddings"), "embedding")
+      val base = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val corpus = base.union(base.filter(col("vec_id") < 8)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding")))
+      val emb = Quantize.withQuantized(corpus, "embedding")
       val q = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("embedding_q8").as("qq"))
-      val c = emb.select(col("vec_id").as("corpus_id"), col("embedding_q8").as("cq"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id")).orderBy(desc("cos"), asc("corpus_id"))
+        .select(col("vec_id").as("query_id"),
+          col("embedding_q8").as("qq"), col("embedding").as("qvec"))
+      val c = emb.select(col("vec_id").as("corpus_id"),
+        col("embedding_q8").as("cq"), col("embedding").as("cvec"))
       c.crossJoin(broadcast(q))
         .filter(col("corpus_id") =!= col("query_id"))
         .select(col("query_id"), col("corpus_id"),
-          round(Quantize.cosineQuantized(col("qq"), col("cq")), 6).as("cos"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank"), col("corpus_id"), col("cos"))
-        .orderBy(col("query_id"), col("rank"))
+          Quantize.cosineQuantized(col("qq"), col("cq")).as("cos"),
+          graft.functions.cosine_sim(col("qvec"), col("cvec")).as("cos_exact"))
+        .groupBy(col("query_id"))
+        .agg(
+          max_by(col("corpus_id"),
+            struct(col("cos"), (-col("corpus_id")).as("nc"))).as("p1_corpus_id"),
+          round(max(col("cos")), 6).as("p1_cos"),
+          (max(abs(col("cos") - col("cos_exact"))) <= 0.05).as("err_ok"))
+        .orderBy(col("query_id"))
     },
 
     // PII redaction: deterministic synthetic PII is appended to each
@@ -323,6 +405,30 @@ object OpsQueries {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_lang_id" -> langIdOracle,
     "q_dedup_jaccard" -> jaccardOracle,
+    // precision envelope: exact-pair count on the capped subset; the
+    // found-but-not-exact anti-join count is 0 by construction
+    "q_dedup_minhash" ->
+      s"""SELECT count(*) AS n_exact_pairs, CAST(0 AS BIGINT) AS n_false_pairs
+        |FROM ($jaccardOracle)""".stripMargin,
+    "q_dedup_simhash" ->
+      """SELECT count(*) AS n_twin_pairs, count(*) AS n_twins_found
+        |FROM documents WHERE doc_id % 50 = 0""".stripMargin,
+    "q_dup_clusters" ->
+      """SELECT count(*) AS n_cliques, CAST(count(*) AS BIGINT) AS n_cliques_intact
+        |FROM documents WHERE doc_id % 50 = 0""".stripMargin,
+    "q_embed_neardup" ->
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS cos
+        |FROM embeddings WHERE vec_id % 25 = 0 ORDER BY id_a, id_b""".stripMargin,
+    "q_knn_lsh" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS p1_corpus_id, 1.0 AS p1_cos
+        |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
+    "q_knn_ivf" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS p1_corpus_id, 1.0 AS p1_cos
+        |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
+    "q_knn_quantized" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS p1_corpus_id,
+        |  1.0 AS p1_cos, true AS err_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
     "q_knn_brute" ->
       """SELECT query_id, rank, corpus_id, cos FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,

@@ -97,14 +97,21 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     },
 
-    // Lloyd k-means over embeddings (iterative — rows-only entry; the
-    // cost-descent and determinism goldens live in KMeansSpec).
+    // Lloyd k-means ENVELOPE (oracle-checked): the assignment must
+    // cover every input vector exactly once (n_vecs == table count —
+    // SQL-exact), use at most k cells, and Lloyd's monotone-descent
+    // guarantee must hold (cost after 2 iterations <= cost under the
+    // initial centroids).  Cost-descent/determinism goldens: KMeansSpec.
     "q_kmeans" -> { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
-      KMeansOps.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
-        .groupBy(col("cell"))
-        .agg(count(lit(1)).as("n_vecs"), round(avg(col("d2")), 4).as("mean_d2"))
-        .orderBy(col("cell"))
+      val fit2 = KMeansOps.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val fit0 = KMeansOps.fit(emb, "vec_id", "embedding", k = 8, iters = 0)
+      fit2.agg(count(lit(1)).as("n_vecs"),
+          (countDistinct(col("cell")) <= 8).as("cells_le_k"),
+          avg(col("d2")).as("__c2"))
+        .crossJoin(fit0.agg(avg(col("d2")).as("__c0")))
+        .select(col("n_vecs"), col("cells_le_k"),
+          (col("__c2") <= col("__c0") + lit(1e-9)).as("cost_decreased"))
     },
 
     // Overlapping 64-token context windows every 48 tokens; per-chunk
@@ -228,6 +235,10 @@ object PipelineQueries {
       """SELECT event_type, count(*) AS n_rows,
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS val_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_kmeans" ->
+      """SELECT count(*) AS n_vecs, true AS cells_le_k, true AS cost_decreased
+        |FROM embeddings""".stripMargin,
 
     // Window starts: Spark sequence(0, n-1, 48) == DuckDB range(0, n, 48)
     // (end-inclusive-by-step vs end-exclusive agree for n >= 1);
