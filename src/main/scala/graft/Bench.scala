@@ -57,7 +57,13 @@ object Bench {
       try Tables.load(spark, sfDir, t).limit(1).count()
       catch { case _: Throwable => }
     }
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated name prefixes — isolated
+    // re-measurement of specific entries (regression triage) without
+    // the 180-entry session around them.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     val samples = mutable.Map.empty[String, mutable.ArrayBuffer[Double]]
     val errs = mutable.Map.empty[String, String]
     for (_ <- 0 until runs; name <- names) {

@@ -1,60 +1,53 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 /** Distributed Lloyd k-means over an embedding column — the clustering
   * step of training-data curation (domain balancing, semantic dedup
   * buckets, data-mix analysis).  Deterministic end to end: centroid
-  * init is key arithmetic (the first k vector ids, same device as
-  * [[Similarity]]'s IVF coarse quantizer — no RNG, no shipped state),
-  * assignment ties break toward the smaller cell id, and the mean is an
-  * exact per-dimension average.
+  * init is key arithmetic (the first k vector ids by rank, same device
+  * as [[Similarity]]'s IVF coarse quantizer — no RNG), assignment ties
+  * break toward the smaller cell id, and the mean is an exact
+  * per-dimension average.
   *
-  * Scale shape per iteration:
-  *  - assignment: centroids (k·d doubles) broadcast; the corpus streams
-  *    once through a codegen'd distance projection and a partial-agg
-  *    argmin — the only shuffle carries one (id, cell, d2) row per
-  *    vector, never the expanded k-way cross product;
+  * Scale shape per iteration (the classic distributed-Lloyd layout —
+  * centroids live on the driver, data never leaves the executors):
+  *  - assignment: the k·d centroid matrix (a few KB) is baked into the
+  *    plan as literal arrays, so scoring is a PURE whole-stage-codegen
+  *    projection over one corpus scan — no join, no shuffle, no
+  *    broadcast exchange;
   *  - update: per-dimension means via posexplode + partial agg — the
   *    shuffle carries d rows per vector of 16 bytes, with map-side
-  *    combine collapsing them to (k·d) groups per partition first;
-  *  - the tiny centroid table is `localCheckpoint`ed so the iteration
-  *    loop's lineage stays O(1) instead of stacking k plan copies
-  *    (the q_dup_clusters lesson from round 1).
+  *    combine collapsing them to (k·d) groups per partition first; the
+  *    k·d result rows are collected to the driver to form the next
+  *    iteration's literals (the only driver traffic, O(k·d) per
+  *    iteration — independent of corpus size);
+  *  - lineage stays O(1) across iterations because each assignment
+  *    plan starts from the cached projection plus fresh literals — no
+  *    stacked plan copies, no checkpoints needed.
   */
 object KMeansOps {
 
-  /** Squared Euclidean distance between two double-array columns. */
-  private def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+  /** Squared Euclidean distance between a vector column and a centroid
+    * literal.
+    */
+  private def dist2Lit(v: Column, c: Array[Double]): Column =
+    aggregate(zip_with(v, lit(c), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
 
-  /** Assign every vector to its nearest centroid.
-    * Input emb: (idCol, __vec); centroids: (__cell, __cvec).
+  /** Assignment projection under the given centroid matrix: array_min
+    * over (d2, cell) structs — nearest centroid, smaller cell on ties.
     * Output: (idCol, cell, d2, __vec).
     */
-  private def assign(emb: DataFrame, centroids: DataFrame, idCol: String): DataFrame =
-    emb.crossJoin(broadcast(centroids))
-      .withColumn("__d2", dist2(col("__vec"), col("__cvec")))
-      .groupBy(col(idCol))
-      .agg(
-        // deterministic argmin: nearest centroid, smaller cell id on ties
-        min_by(col("__cell"), struct(col("__d2"), col("__cell"))).as("cell"),
-        min(col("__d2")).as("d2"),
-        first(col("__vec")).as("__vec"))
-
-  /** Recompute centroids as per-dimension means of their members.
-    * Cells that lost all members drop out (standard Lloyd behavior).
-    */
-  private def update(assigned: DataFrame): DataFrame =
-    assigned.select(col("cell"), posexplode(col("__vec")).as(Seq("dim", "x")))
-      .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
-      .groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-        s => s.getField("m")).as("__cvec"))
-      .select(col("cell").as("__cell"), col("__cvec"))
-      .localCheckpoint()
+  private def assign(emb: DataFrame, centroids: Seq[(Long, Array[Double])],
+      idCol: String): DataFrame =
+    emb.withColumn("__best", array_min(array(centroids.map { case (j, c) =>
+        struct(dist2Lit(col("__vec"), c).as("d2"), lit(j).as("cell"))
+      }: _*)))
+      .select(col(idCol), col("__best.cell").as("cell"),
+        col("__best.d2").as("d2"), col("__vec"))
 
   /** Run `iters` Lloyd iterations; returns (idCol, cell, d2) — the final
     * assignment and its squared distance.  `iters = 0` returns the
@@ -68,16 +61,25 @@ object KMeansOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // first k vectors BY RANK of id (not `id < k`, which assumes a
     // dense 0-based id space and would silently under-provision
-    // centroids for 1-based or hashed ids); the single-partition
-    // row_number window runs over only the k limited rows
-    val rankW = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
-    var centroids = emb.orderBy(col(idCol)).limit(k)
-      .select((row_number().over(rankW) - 1).cast("long").as("__cell"),
-        col("__vec").as("__cvec"))
-      .localCheckpoint()
+    // centroids for 1-based or hashed ids)
+    var centroids: Seq[(Long, Array[Double])] =
+      emb.orderBy(col(idCol)).limit(k).select(col("__vec")).collect()
+        .toSeq.zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Double](0).toArray) }
     var assigned = assign(emb, centroids, idCol)
     for (_ <- 0 until iters) {
-      centroids = update(assigned)
+      // new centroid = per-dimension mean of the cell's members; cells
+      // that lost all members drop out (standard Lloyd behavior).  The
+      // collect is k·d rows of 24 bytes — centroid state, not data.
+      centroids = assigned
+        .select(col("cell"), posexplode(col("__vec")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0)).toSeq
+        .map { case (cell, rows) =>
+          (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+        }
+        .sortBy(_._1)
       assigned = assign(emb, centroids, idCol)
     }
     // final assignment is 3 narrow columns per id: materialize it and
