@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session plumbing shared by the runtime mains (Verify/Bench) and the
+  * test harness: Hive catalog support over an embedded, per-process
+  * Derby metastore.
+  *
+  * The reference engine is a Hive-era deployment — its users scan and
+  * write metastore tables (reference `sql/hive/src/main/scala/org/
+  * apache/spark/sql/hive/execution/HiveTableScanExec.scala:53`,
+  * `InsertIntoHiveTable.scala:66`) and its lineage layer captures the
+  * catalog table as a source (`ResolveHiveRelation.scala:18`).  An
+  * embedded metastore gives the same catalog surface with no external
+  * service: Derby runs in-process (one embedded Derby engine can host
+  * many databases, so this coexists with the JDBC gate's Derby db),
+  * and a fresh per-process directory keeps concurrent JVMs (sbt test
+  * vs a Bench run) from fighting over Derby's single-owner lock.
+  */
+object GraftSession {
+
+  /** Add Hive support backed by a per-process temp metastore +
+    * warehouse to a session builder.
+    */
+  def withHive(b: SparkSession.Builder): SparkSession.Builder = {
+    val base = java.nio.file.Files.createTempDirectory("graft_hive_")
+      .toAbsolutePath.toString
+    b.config("spark.sql.warehouse.dir", s"$base/warehouse")
+      .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$base/metastore;create=true")
+      .enableHiveSupport()
+  }
+}

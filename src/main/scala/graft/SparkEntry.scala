@@ -38,7 +38,8 @@ object SparkEntry {
     graft.queries.CoercionQueries.queries ++
     graft.queries.SsbShapes.queries ++
     graft.queries.SubqueryCorners.queries ++
-    graft.queries.GroupAnalytics.queries
+    graft.queries.GroupAnalytics.queries ++
+    graft.queries.HiveQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -67,5 +68,6 @@ object SparkEntry {
     graft.queries.CoercionQueries.oracle ++
     graft.queries.SsbShapes.oracle ++
     graft.queries.SubqueryCorners.oracle ++
-    graft.queries.GroupAnalytics.oracle
+    graft.queries.GroupAnalytics.oracle ++
+    graft.queries.HiveQueries.oracle
 }

@@ -133,6 +133,22 @@ class LineageSpec extends SparkSpec {
     assert(g("l_orderkey").map(_.column) == Set("l_orderkey"))
   }
 
+  test("hive catalog table is captured as the lineage source by name") {
+    // reference ResolveHiveRelation.scala:18 — the catalogTable, not a
+    // file path, is the source identity for metastore-backed scans
+    Tables.registerAll(spark, sf)
+    spark.sql("DROP TABLE IF EXISTS graft_lin_spec_t")
+    spark.sql(
+      """CREATE TABLE graft_lin_spec_t STORED AS PARQUET AS
+        |SELECT n_nationkey, n_name FROM nation""".stripMargin)
+    val g = ColumnLineage.of(
+      spark.table("graft_lin_spec_t")
+        .select((col("n_nationkey") * 2).as("dk")))
+    assert(g("dk").map(s => (s.table, s.column)) ==
+      Set(("graft_lin_spec_t", "n_nationkey")))
+    spark.sql("DROP TABLE IF EXISTS graft_lin_spec_t")
+  }
+
   test("toDF edge list is stable and complete") {
     val df = li.select((col("l_tax") + col("l_discount")).as("rate"))
     val edges = ColumnLineage.of(df).toDF(spark).collect()
