@@ -23,6 +23,23 @@ import graft.Tables
   *  - cumulative windows over full-outer channel join      (q51)
   *  - repeat-buyer frequency banding                       (q34 / q73)
   *  - channel-exclusive anti membership                    (q78 / q97)
+  *  - multi-CTE + double-IN qualification                  (q23)
+  *  - rank window OVER rollup output                       (q67)
+  *  - 9-way join with date logic in the predicate          (q72)
+  *  - two-level correlated EXISTS chain                    (q93)
+  *  - EXISTS + NOT EXISTS double existence filter          (q95)
+  *  - disjunctive correlated EXISTS (OR of subqueries)     (q35)
+  *  - integer-exact coefficient-of-variation filter        (q39)
+  *  - grouping()-level-partitioned window rank             (q36 / q70)
+  *  - pivot-date FILTER split + HAVING share               (q21)
+  *  - three-role fact self-join (sale/return/rebuy)        (q25 / q29)
+  *  - ratio dense_rank top band                            (q49)
+  *  - anchor event then relative-month window              (q54)
+  *  - balanced-periods integer band filter                 (q58)
+  *  - consecutive-period growth self-join chain            (q31)
+  *  - 12-way FILTER manual pivot                           (q66)
+  *  - NULL-extended channel union cells                    (q76)
+  *  - below-group-average semi join (agg over agg)         (q65)
   *
   * The SQL is written in the Spark∩DuckDB common dialect and the SAME
   * text runs on both engines — the strongest possible oracle (any
@@ -242,7 +259,306 @@ object TpcdsShapes {
         |  AND p_partkey NOT IN (
         |    SELECT l_partkey FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |    WHERE s_acctbal > 9000)
-        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // q23 shape: two independent qualification CTEs (frequently-sold
+    // parts by year-count; best customers by spend vs a scalar-subquery
+    // threshold), then target-period sales restricted by IN over BOTH —
+    // the multi-CTE + double-semi-join plan.
+    "qds_q23_frequent_best" ->
+      """WITH freq_parts AS (
+        |  SELECT l_partkey FROM lineitem
+        |  WHERE EXTRACT(YEAR FROM l_shipdate) BETWEEN 1996 AND 1999
+        |  GROUP BY l_partkey HAVING count(*) >= 8),
+        |best_customers AS (
+        |  SELECT o_custkey FROM orders GROUP BY o_custkey
+        |  HAVING CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS DOUBLE) >
+        |    0.5 * (SELECT max(total) FROM (
+        |      SELECT CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS DOUBLE) AS total
+        |      FROM orders GROUP BY o_custkey) m))
+        |SELECT CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS mo,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE EXTRACT(YEAR FROM l_shipdate) = 2000
+        |  AND l_partkey IN (SELECT l_partkey FROM freq_parts)
+        |  AND o_custkey IN (SELECT o_custkey FROM best_customers)
+        |GROUP BY EXTRACT(MONTH FROM l_shipdate) ORDER BY mo""".stripMargin,
+
+    // q67 shape: ROLLUP over three dimensions, then a rank() WINDOW
+    // OVER THE ROLLUP OUTPUT, keeping the top ranks per grouping —
+    // window-over-grouping-sets composition.
+    "qds_q67_rollup_rank" ->
+      """WITH r AS (
+        |  SELECT coalesce(p_brand, 'ALL') AS brand, coalesce(p_type, 'ALL') AS ptype,
+        |    coalesce(CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT), -1) AS yr,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY ROLLUP (p_brand, p_type, EXTRACT(YEAR FROM l_shipdate)))
+        |SELECT brand, ptype, yr, cents, rk FROM (
+        |  SELECT brand, ptype, yr, cents,
+        |    rank() OVER (PARTITION BY brand ORDER BY cents DESC, ptype, yr) AS rk
+        |  FROM r) t
+        |WHERE rk <= 3 ORDER BY brand, rk, ptype, yr""".stripMargin,
+
+    // q72 shape: the 9-relation join with DATE LOGIC in the join
+    // condition — lineitem to its order plus both geography towers and
+    // part, keeping only lines shipped >30 days after ordering (the
+    // inventory-lag predicate q72 applies between d1/d2/d3 roles).
+    "qds_q72_nine_way_lag" ->
+      """SELECT n1.n_name AS cust_nation, r2.r_name AS supp_region, p_type,
+        |  count(*) AS n_late,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem
+        |JOIN orders    ON l_orderkey = o_orderkey
+        |JOIN customer  ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+        |JOIN supplier  ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |JOIN part      ON l_partkey = p_partkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |  AND r1.r_name IN ('ASIA', 'EUROPE') AND p_size < 20
+        |GROUP BY n1.n_name, r2.r_name, p_type
+        |ORDER BY cust_nation, supp_region, p_type""".stripMargin,
+
+    // q93 shape: EXISTS chained two levels deep — customers having an
+    // order that itself has a returned high-value line.
+    "qds_q93_exists_chain" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_customers,
+        |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM customer
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND EXISTS (
+        |      SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        |        AND l_returnflag = 'R' AND l_extendedprice > 5000))
+        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
+
+    // q95 shape: EXISTS a second line from a DIFFERENT supplier in the
+    // same order AND NOT EXISTS any returned line — the double
+    // correlated-existence filter over one fact.
+    "qds_q95_multi_supplier" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l1 JOIN lineitem l2
+        |      ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+        |    WHERE l1.l_orderkey = o_orderkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = o_orderkey AND l3.l_returnflag = 'R')
+        |GROUP BY EXTRACT(YEAR FROM o_orderdate) ORDER BY yr""".stripMargin,
+
+    // q35 shape: EXISTS in a required channel AND a disjunction of
+    // EXISTS over two optional channels, grouped demographics.
+    "qds_q35_channel_presence" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n,
+        |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND EXTRACT(YEAR FROM o_orderdate) = 2000)
+        |  AND (EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |               AND o_orderpriority = '1-URGENT')
+        |    OR EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |               AND o_orderstatus = 'F'))
+        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
+
+    // q39 shape: per-(part, month) demand variability with a
+    // coefficient-of-variation filter, expressed in EXACT integer
+    // cross-multiplication (n·(n·Σx² − (Σx)²) > (n−1)·(Σx)²  ⇔
+    // CoV² > 1) so no FP accumulation can flip the comparison.
+    "qds_q39_variability" ->
+      """WITH m AS (
+        |  SELECT l_partkey, CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS mo,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT) * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS ss
+        |  FROM lineitem WHERE EXTRACT(YEAR FROM l_shipdate) = 1998
+        |  GROUP BY l_partkey, EXTRACT(MONTH FROM l_shipdate))
+        |SELECT mo, count(*) AS n_volatile_parts
+        |FROM m
+        |WHERE n > 1 AND n * (n * ss - s * s) > (n - 1) * s * s
+        |GROUP BY mo ORDER BY mo""".stripMargin,
+
+    // q36 shape: margin-ratio ROLLUP with rank PARTITIONED BY GROUPING
+    // LEVEL — the grouping()-function-in-window composition.
+    "qds_q36_grouping_rank" ->
+      """WITH r AS (
+        |  SELECT coalesce(n_name, 'ALL') AS nation,
+        |    coalesce(o_orderpriority, 'ALL') AS priority,
+        |    CAST(GROUPING(n_name) + GROUPING(o_orderpriority) AS BIGINT) AS lvl,
+        |    CAST(sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS disc_cents,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS gross_cents
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY ROLLUP (n_name, o_orderpriority))
+        |SELECT nation, priority, lvl,
+        |  rank() OVER (PARTITION BY lvl
+        |    ORDER BY CAST(disc_cents AS DOUBLE) / CAST(gross_cents AS DOUBLE) DESC,
+        |      nation, priority) AS rk
+        |FROM r ORDER BY lvl, rk, nation, priority""".stripMargin,
+
+    // q21 shape: per-supplier counts split around a pivot date with
+    // FILTER, keeping suppliers whose late share exceeds a band.
+    "qds_q21_pivot_date" ->
+      """SELECT s_name, count(*) AS n_lines,
+        |  count(*) FILTER (WHERE l_shipdate >= TIMESTAMP '1998-07-01 00:00:00') AS n_after,
+        |  count(*) FILTER (WHERE l_shipdate <  TIMESTAMP '1998-07-01 00:00:00') AS n_before
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name
+        |HAVING count(*) FILTER (WHERE l_shipdate >= TIMESTAMP '1998-07-01 00:00:00') * 2 > count(*)
+        |ORDER BY s_name""".stripMargin,
+
+    // q25 shape: three ROLES of the same fact joined — sold lines,
+    // returned lines of the same (order, part), and the follow-up
+    // purchase of the same part by the same customer.
+    "qds_q25_three_role" ->
+      """SELECT p_brand, count(*) AS n_chains,
+        |  CAST(sum(CAST(floor(l2.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rebuy_cents
+        |FROM lineitem l1
+        |JOIN orders o1 ON l1.l_orderkey = o1.o_orderkey
+        |JOIN lineitem l2 ON l1.l_partkey = l2.l_partkey AND l1.l_orderkey <> l2.l_orderkey
+        |JOIN orders o2 ON l2.l_orderkey = o2.o_orderkey AND o1.o_custkey = o2.o_custkey
+        |JOIN part ON l1.l_partkey = p_partkey
+        |WHERE l1.l_returnflag = 'R' AND o2.o_orderdate > o1.o_orderdate
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // q49 shape: per-part return ratio as exact integer pair, DENSE_RANK
+    // over the ratio, top band kept (rank ties preserved).
+    "qds_q49_return_rank" ->
+      """WITH t AS (
+        |  SELECT p_brand,
+        |    count(*) FILTER (WHERE l_returnflag = 'R') AS n_ret,
+        |    count(*) AS n_all
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand)
+        |SELECT p_brand, n_ret, n_all, rk FROM (
+        |  SELECT p_brand, n_ret, n_all,
+        |    dense_rank() OVER (ORDER BY CAST(n_ret AS DOUBLE) / n_all DESC) AS rk
+        |  FROM t) x
+        |WHERE rk <= 5 ORDER BY rk, p_brand""".stripMargin,
+
+    // q54 shape: anchor event per customer (first purchase month) then
+    // spend within the following 3 months — month arithmetic on an
+    // integer year*12+month axis (portable, no interval types).
+    "qds_q54_first_then_window" ->
+      """WITH firsts AS (
+        |  SELECT o_custkey,
+        |    min(CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) * 12 +
+        |        CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT)) AS first_mo
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_mktsegment AS segment, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |JOIN firsts ON orders.o_custkey = firsts.o_custkey
+        |JOIN customer ON c_custkey = orders.o_custkey
+        |WHERE CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) * 12 +
+        |      CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT)
+        |      BETWEEN first_mo + 1 AND first_mo + 3
+        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
+
+    // q58 shape: one part's revenue across three period roles of the
+    // same fact; keep parts where every period sits within 20% of the
+    // three-period average (exact integer cross-multiplication).
+    "qds_q58_balanced_periods" ->
+      """WITH per AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |      FILTER (WHERE EXTRACT(YEAR FROM l_shipdate) = 1997) AS BIGINT) AS c1,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |      FILTER (WHERE EXTRACT(YEAR FROM l_shipdate) = 1998) AS BIGINT) AS c2,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |      FILTER (WHERE EXTRACT(YEAR FROM l_shipdate) = 1999) AS BIGINT) AS c3
+        |  FROM lineitem
+        |  WHERE EXTRACT(YEAR FROM l_shipdate) BETWEEN 1997 AND 1999
+        |  GROUP BY l_partkey)
+        |SELECT p_brand, count(*) AS n_balanced
+        |FROM per JOIN part ON l_partkey = p_partkey
+        |WHERE c1 IS NOT NULL AND c2 IS NOT NULL AND c3 IS NOT NULL
+        |  AND 15 * c1 BETWEEN 4 * (c1 + c2 + c3) AND 6 * (c1 + c2 + c3)
+        |  AND 15 * c2 BETWEEN 4 * (c1 + c2 + c3) AND 6 * (c1 + c2 + c3)
+        |  AND 15 * c3 BETWEEN 4 * (c1 + c2 + c3) AND 6 * (c1 + c2 + c3)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // q31 shape: per-(region, quarter) revenue, self-joined across
+    // consecutive quarters, chained growth-ratio comparison between two
+    // geographies' trajectories.
+    "qds_q31_share_growth" ->
+      """WITH rq AS (
+        |  SELECT r_name, CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE EXTRACT(YEAR FROM o_orderdate) = 2000
+        |  GROUP BY r_name, EXTRACT(QUARTER FROM o_orderdate))
+        |SELECT a.r_name, a.qtr AS q_prev, b.qtr AS q_cur,
+        |  round(CAST(b.cents AS DOUBLE) / CAST(a.cents AS DOUBLE), 6) AS growth
+        |FROM rq a JOIN rq b ON a.r_name = b.r_name AND b.qtr = a.qtr + 1
+        |ORDER BY a.r_name, q_prev""".stripMargin,
+
+    // q66 shape: 12 monthly FILTER sums pivoted into wide columns per
+    // nation — the manual-pivot wide aggregate.
+    "qds_q66_monthly_pivot" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) FILTER (WHERE EXTRACT(MONTH FROM o_orderdate) = 1) AS BIGINT) AS m1,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) FILTER (WHERE EXTRACT(MONTH FROM o_orderdate) = 2) AS BIGINT) AS m2,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) FILTER (WHERE EXTRACT(MONTH FROM o_orderdate) = 3) AS BIGINT) AS m3,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) FILTER (WHERE EXTRACT(MONTH FROM o_orderdate) = 4) AS BIGINT) AS m4,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) FILTER (WHERE EXTRACT(MONTH FROM o_orderdate) = 5) AS BIGINT) AS m5,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) FILTER (WHERE EXTRACT(MONTH FROM o_orderdate) = 6) AS BIGINT) AS m6,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) FILTER (WHERE EXTRACT(MONTH FROM o_orderdate) = 7) AS BIGINT) AS m7,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) FILTER (WHERE EXTRACT(MONTH FROM o_orderdate) = 8) AS BIGINT) AS m8,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) FILTER (WHERE EXTRACT(MONTH FROM o_orderdate) = 9) AS BIGINT) AS m9,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) FILTER (WHERE EXTRACT(MONTH FROM o_orderdate) = 10) AS BIGINT) AS m10,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) FILTER (WHERE EXTRACT(MONTH FROM o_orderdate) = 11) AS BIGINT) AS m11,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) FILTER (WHERE EXTRACT(MONTH FROM o_orderdate) = 12) AS BIGINT) AS m12
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // q76 shape: channels UNION ALL'd with schema-aligned NULL-extended
+    // columns, counted per (channel, reason-column-is-null) cell.
+    "qds_q76_null_channels" ->
+      """WITH u AS (
+        |  SELECT 'store' AS channel, l_returnflag AS flag,
+        |    CAST(NULL AS VARCHAR(20)) AS priority,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'catalog' AS channel, CAST(NULL AS VARCHAR(20)) AS flag,
+        |    o_orderpriority AS priority,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT channel, coalesce(flag, '-') AS flag, coalesce(priority, '-') AS priority,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM u GROUP BY channel, flag, priority
+        |ORDER BY channel, flag, priority""".stripMargin,
+
+    // q65 shape: parts trading BELOW half their brand's average revenue
+    // — agg, re-agg to brand means, join back (agg-over-agg + semi).
+    "qds_q65_below_avg" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY l_partkey),
+        |with_brand AS (
+        |  SELECT p_brand, l_partkey, cents FROM per_part JOIN part ON l_partkey = p_partkey),
+        |brand_avg AS (
+        |  SELECT p_brand, CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents
+        |  FROM with_brand GROUP BY p_brand)
+        |SELECT w.p_brand, count(*) AS n_slow,
+        |  CAST(sum(w.cents) AS BIGINT) AS slow_cents
+        |FROM with_brand w JOIN brand_avg b ON w.p_brand = b.p_brand
+        |WHERE CAST(w.cents AS DOUBLE) < 0.5 * b.avg_cents
+        |GROUP BY w.p_brand ORDER BY w.p_brand""".stripMargin)
 
   val queries: Map[String, Q] = sql.map { case (name, text) =>
     name -> { (s: SparkSession, dir: String) =>
