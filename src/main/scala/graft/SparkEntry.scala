@@ -39,7 +39,8 @@ object SparkEntry {
     graft.queries.SsbShapes.queries ++
     graft.queries.SubqueryCorners.queries ++
     graft.queries.GroupAnalytics.queries ++
-    graft.queries.HiveQueries.queries
+    graft.queries.HiveQueries.queries ++
+    graft.queries.SqlGolden.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -69,5 +70,6 @@ object SparkEntry {
     graft.queries.SsbShapes.oracle ++
     graft.queries.SubqueryCorners.oracle ++
     graft.queries.GroupAnalytics.oracle ++
-    graft.queries.HiveQueries.oracle
+    graft.queries.HiveQueries.oracle ++
+    graft.queries.SqlGolden.oracle
 }

@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** SQL-semantics golden battery: the reference's golden-file families
+  * (reference `sql/core/src/test/resources/sql-tests/inputs/` —
+  * group-by-ordinal, order-by-ordinal, null-handling, null-propagation,
+  * order-by-nulls-ordering, inline-table, sql-compatibility-functions,
+  * operators, predicate-functions, count) re-expressed as oracle-checked
+  * gate entries.  Where the two dialects share syntax the SAME text runs
+  * on both engines; otherwise the oracle mirrors the semantics in
+  * DuckDB's dialect (nvl→coalesce, DIV→//, pmod→((a%b)+b)%b).
+  */
+object SqlGolden {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def run(text: String): Q = { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(text)
+  }
+
+  /** Same text on both engines. */
+  private val common: Map[String, String] = Map(
+    // group-by-ordinal.sql / order-by-ordinal.sql: positional refs.
+    "q_sql_ordinals" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // null-handling.sql / null-propagation.sql / count.sql: three-valued
+    // logic, null-skipping aggregates, count variants.
+    "q_sql_null_handling" ->
+      """WITH t AS (
+        |  SELECT n_nationkey AS k,
+        |    CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_nationkey END AS v
+        |  FROM nation)
+        |SELECT count(*) AS n_rows, count(v) AS n_nonnull,
+        |  count(DISTINCT v) AS n_distinct,
+        |  CAST(sum(v) AS BIGINT) AS sum_v,
+        |  round(avg(v), 6) AS avg_v,
+        |  count(*) FILTER (WHERE v = v) AS n_self_eq,
+        |  count(*) FILTER (WHERE v > 10 OR v IS NULL) AS n_or3vl,
+        |  count(*) FILTER (WHERE NOT (v > 10)) AS n_not,
+        |  CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+        |FROM t""".stripMargin,
+
+    // order-by-nulls-ordering.sql: explicit NULLS FIRST / NULLS LAST in
+    // both sort directions, made deterministic with a key tiebreak.
+    "q_sql_nulls_ordering" ->
+      """WITH t AS (
+        |  SELECT n_nationkey AS k,
+        |    CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_nationkey END AS v
+        |  FROM nation WHERE n_nationkey < 12)
+        |SELECT k, v,
+        |  row_number() OVER (ORDER BY v ASC NULLS FIRST, k) AS rn_nf,
+        |  row_number() OVER (ORDER BY v DESC NULLS LAST, k) AS rn_nl
+        |FROM t ORDER BY k""".stripMargin,
+
+    // inline-table.sql: VALUES relation joined to a real table.
+    "q_sql_inline_values" ->
+      """SELECT t.grp, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation JOIN (VALUES (0, 'even'), (1, 'odd')) AS t(m, grp)
+        |  ON n_nationkey % 2 = t.m
+        |GROUP BY t.grp ORDER BY t.grp""".stripMargin,
+
+    // predicate-functions.sql: LIKE with a custom ESCAPE char, BETWEEN,
+    // IN, three-valued IN, IS DISTINCT FROM.
+    "q_sql_predicates" ->
+      """SELECT n_nationkey AS k, n_name,
+        |  n_name LIKE 'NATION!_1%' ESCAPE '!' AS p_like,
+        |  n_nationkey BETWEEN 5 AND 10 AS p_btw,
+        |  n_nationkey IN (1, 3, 5) AS p_in,
+        |  (CASE WHEN n_nationkey % 3 = 0 THEN NULL
+        |        ELSE n_nationkey END) IN (1, 2) AS p_in3vl,
+        |  (CASE WHEN n_nationkey % 3 = 0 THEN NULL
+        |        ELSE n_nationkey END) IS DISTINCT FROM n_nationkey AS p_idf
+        |FROM nation ORDER BY k""".stripMargin)
+
+  /** Spark text whose oracle needs DuckDB-dialect rewrites. */
+  private val sparkOnly: Map[String, String] = Map(
+    // sql-compatibility-functions.sql: nvl / nvl2 / ifnull / nullif / if.
+    "q_sql_compat_fns" ->
+      """SELECT n_nationkey,
+        |  nvl(v, -1) AS c1,
+        |  nvl2(v, 'has', 'null') AS c2,
+        |  ifnull(v, -2) AS c3,
+        |  nullif(n_nationkey, 5) AS c4,
+        |  if(n_nationkey % 2 = 0, 'e', 'o') AS c5
+        |FROM (SELECT n_nationkey,
+        |        CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_nationkey END AS v
+        |      FROM nation)
+        |ORDER BY n_nationkey""".stripMargin,
+
+    // operators.sql: integer division, modulo, pmod, bit ops, shifts.
+    "q_sql_operators" ->
+      """SELECT n_nationkey AS k,
+        |  n_nationkey DIV 3 AS idiv,
+        |  n_nationkey % 3 AS imod,
+        |  pmod(-n_nationkey, 5) AS pm,
+        |  -n_nationkey AS neg,
+        |  CAST(power(n_nationkey, 2) AS BIGINT) AS pw,
+        |  shiftleft(n_nationkey, 2) AS shl,
+        |  n_nationkey & 3 AS band,
+        |  n_nationkey | 8 AS bor,
+        |  n_nationkey ^ 5 AS bxor
+        |FROM nation ORDER BY k""".stripMargin)
+
+  val queries: Map[String, Q] =
+    (common ++ sparkOnly).map { case (n, t) => n -> run(t) }
+
+  val oracle: Map[String, String] = common ++ Map(
+    "q_sql_compat_fns" ->
+      """SELECT n_nationkey,
+        |  coalesce(v, -1) AS c1,
+        |  CASE WHEN v IS NOT NULL THEN 'has' ELSE 'null' END AS c2,
+        |  coalesce(v, -2) AS c3,
+        |  nullif(n_nationkey, 5) AS c4,
+        |  CASE WHEN n_nationkey % 2 = 0 THEN 'e' ELSE 'o' END AS c5
+        |FROM (SELECT n_nationkey,
+        |        CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_nationkey END AS v
+        |      FROM nation) t
+        |ORDER BY n_nationkey""".stripMargin,
+    "q_sql_operators" ->
+      """SELECT n_nationkey AS k,
+        |  n_nationkey // 3 AS idiv,
+        |  n_nationkey % 3 AS imod,
+        |  (((-n_nationkey) % 5) + 5) % 5 AS pm,
+        |  -n_nationkey AS neg,
+        |  CAST(pow(n_nationkey, 2) AS BIGINT) AS pw,
+        |  n_nationkey << 2 AS shl,
+        |  n_nationkey & 3 AS band,
+        |  n_nationkey | 8 AS bor,
+        |  xor(n_nationkey, 5) AS bxor
+        |FROM nation ORDER BY k""".stripMargin)
+}
