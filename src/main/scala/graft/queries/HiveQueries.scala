@@ -54,6 +54,29 @@ object HiveQueries {
         .orderBy(col("out_column"), col("src_table"), col("src_column"))
     },
 
+    // Partitioned metastore table: DYNAMIC partition insert (each
+    // n_regionkey value becomes a partition directory), then a
+    // single-partition read whose filter prunes at the metastore level
+    // — the Hive-era layout for everything date/region-sharded at
+    // scale (reference `InsertIntoHiveTable.scala:66` dynamic-partition
+    // path).  Pruning is plan-asserted in `SourcesSpec`.
+    "q_hive_partitioned" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val dyn = s.conf.getOption("hive.exec.dynamic.partition.mode")
+      s.conf.set("hive.exec.dynamic.partition.mode", "nonstrict")
+      try {
+        s.sql("DROP TABLE IF EXISTS graft_hive_part")
+        s.sql("""CREATE TABLE graft_hive_part (n_nationkey INT, n_name STRING)
+                |PARTITIONED BY (n_regionkey INT) STORED AS PARQUET""".stripMargin)
+        s.sql("""INSERT INTO graft_hive_part PARTITION (n_regionkey)
+                |SELECT n_nationkey, n_name, n_regionkey FROM nation""".stripMargin)
+        s.sql("""SELECT n_regionkey, count(*) AS n_nations,
+                |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+                |FROM graft_hive_part WHERE n_regionkey IN (1, 3)
+                |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+      } finally dyn.foreach(s.conf.set("hive.exec.dynamic.partition.mode", _))
+    },
+
     // Hive UDF bridge, both dispatch flavors: old-style reflection UDF
     // (HiveSimpleUDF) + ObjectInspector GenericUDF (HiveGenericUDF).
     "q_hive_udf" -> { (s, dir) =>
@@ -118,6 +141,11 @@ object HiveQueries {
         |  ('n_regionkey', 'graft_hive_lin', 'n_regionkey'))
         |  AS t(out_column, src_table, src_column)
         |ORDER BY out_column, src_table, src_column""".stripMargin,
+    "q_hive_partitioned" ->
+      """SELECT n_regionkey, count(*) AS n_nations,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation WHERE n_regionkey IN (1, 3)
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "q_hive_udf" ->
       """SELECT n_nationkey,
         |  CAST(n_nationkey AS BIGINT) * n_nationkey AS sq,

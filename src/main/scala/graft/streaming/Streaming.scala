@@ -112,7 +112,19 @@ object Streaming {
     * outer-row eviction).  State stays bounded by the same watermark
     * that drives the eviction.
     */
-  def streamStreamLeftJoin(left: Dataset[Event], right: Dataset[Event]): DataFrame = {
+  def streamStreamLeftJoin(left: Dataset[Event], right: Dataset[Event]): DataFrame =
+    bandJoin(left, right, "left_outer")
+
+  /** Stream-stream FULL OUTER join: unmatched rows of BOTH sides are
+    * held in state and null-padded out when the watermark proves their
+    * band can no longer match (the most state-demanding join mode —
+    * both sides evict on the same watermark).
+    */
+  def streamStreamFullJoin(left: Dataset[Event], right: Dataset[Event]): DataFrame =
+    bandJoin(left, right, "full_outer")
+
+  private def bandJoin(left: Dataset[Event], right: Dataset[Event],
+      joinType: String): DataFrame = {
     val l = left.toDF().withWatermark("ts", "10 minutes")
       .select(col("user_id"), col("ts").as("l_ts"), col("value").as("l_value"))
     val r = right.toDF().withWatermark("ts", "10 minutes")
@@ -122,7 +134,7 @@ object Streaming {
       col("user_id") === col("r_user") &&
       col("r_ts") >= col("l_ts") - expr("INTERVAL 1 HOUR") &&
       col("r_ts") <= col("l_ts") + expr("INTERVAL 1 HOUR"),
-      "left_outer")
+      joinType)
   }
 
   /** Dedup with WATERMARK-SCOPED state (`dropDuplicatesWithinWatermark`):

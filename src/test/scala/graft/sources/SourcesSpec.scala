@@ -64,6 +64,27 @@ class SourcesSpec extends SparkSpec {
     assert(!scan.contains("n_regionkey=0") || scan.contains("n_regionkey=1"))
   }
 
+  test("hive partitioned table: dynamic insert + metastore partition pruning") {
+    Tables.registerAll(spark, sf)
+    spark.conf.set("hive.exec.dynamic.partition.mode", "nonstrict")
+    spark.sql("DROP TABLE IF EXISTS graft_src_part")
+    spark.sql(
+      """CREATE TABLE graft_src_part (n_nationkey INT, n_name STRING)
+        |PARTITIONED BY (n_regionkey INT) STORED AS PARQUET""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_src_part PARTITION (n_regionkey)
+        |SELECT n_nationkey, n_name, n_regionkey FROM nation""".stripMargin)
+    val pruned = spark.table("graft_src_part").filter(col("n_regionkey") === 2)
+    assert(pruned.count() ==
+      Tables.load(spark, sf, "nation").filter(col("n_regionkey") === 2).count())
+    // partition filter must reach the scan as a PartitionFilter (pruned
+    // directory listing), not a post-scan Filter over all partitions
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("n_regionkey"),
+      s"expected partition pruning in:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS graft_src_part")
+  }
+
   test("file streaming source processes a directory as a stream") {
     val dir = tmp()
     nation.write.mode("overwrite").parquet(dir)

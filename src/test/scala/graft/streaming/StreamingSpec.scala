@@ -197,6 +197,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER join null-pads BOTH sides after eviction") {
+    val l = MemoryStream[Event]
+    val r = MemoryStream[Event]
+    val q = runToMemory(streamStreamFullJoin(l.toDS(), r.toDS()), "ssj_full")
+    try {
+      l.addData(ev(1, 30, user = 7, value = 10.0))
+      l.addData(ev(2, 30, user = 9, value = 30.0))  // left-only
+      r.addData(ev(3, 45, user = 7, value = 20.0))
+      r.addData(ev(4, 45, user = 11, value = 40.0)) // right-only
+      q.processAllAvailable()
+      // both unmatched rows are still evictable-state, not yet padded
+      val early = spark.table("ssj_full")
+        .select("user_id").as[Option[Long]].collect().flatten.toSet
+      assert(early == Set(7L), s"no early null-pads expected, got $early")
+      l.addData(ev(5, 300, user = 1))
+      r.addData(ev(6, 300, user = 1))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_full")
+        .select("user_id", "r_user", "l_value", "r_value")
+        .as[(Option[Long], Option[Long], Option[Double], Option[Double])]
+        .collect().toSet
+      assert(rows.contains((Some(7L), Some(7L), Some(10.0), Some(20.0))))
+      assert(rows.contains((Some(9L), None, Some(30.0), None)),
+        s"left row must null-pad, got $rows")
+      assert(rows.contains((None, Some(11L), None, Some(40.0))),
+        s"right row must null-pad, got $rows")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark expires dedup state past the horizon") {
     val in = MemoryStream[Event]
     val q = runToMemory(dedupWithinWatermark(in.toDS()), "dedup_wm")
