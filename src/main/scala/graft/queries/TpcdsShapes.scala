@@ -40,6 +40,16 @@ import graft.Tables
   *  - 12-way FILTER manual pivot                           (q66)
   *  - NULL-extended channel union cells                    (q76)
   *  - below-group-average semi join (agg over agg)         (q65)
+  *  - correlated scalar vs per-group average               (q30 / q1)
+  *  - agg-of-union-of-aggs channel tower                   (q33 / q56 / q60)
+  *  - price-band × date-range COUNT DISTINCT               (q37 / q82)
+  *  - dim-only DISTINCT over OR-of-ANDs tree               (q41)
+  *  - opposite-direction rank join (best/worst)            (q44)
+  *  - IN-subquery inside a disjunction                     (q45)
+  *  - wide OR-of-ANDs band matrix                          (q48)
+  *  - YoY decline diff join                                (q75)
+  *  - lag-band FILTER crosstab                             (q99 / q62)
+  *  - substring key ∩ INTERSECT subquery sets              (q8)
   *
   * The SQL is written in the Spark∩DuckDB common dialect and the SAME
   * text runs on both engines — the strongest possible oracle (any
@@ -558,7 +568,149 @@ object TpcdsShapes {
         |  CAST(sum(w.cents) AS BIGINT) AS slow_cents
         |FROM with_brand w JOIN brand_avg b ON w.p_brand = b.p_brand
         |WHERE CAST(w.cents AS DOUBLE) < 0.5 * b.avg_cents
-        |GROUP BY w.p_brand ORDER BY w.p_brand""".stripMargin)
+        |GROUP BY w.p_brand ORDER BY w.p_brand""".stripMargin,
+
+    // q30/q1 shape: correlated SCALAR subquery against the per-group
+    // average of the same derived table — customers returning >1.2× the
+    // average return volume of their nation.
+    "qds_q30_vs_group_avg" ->
+      """WITH cr AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ret_cents
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY c_custkey, c_nationkey)
+        |SELECT c_custkey, ret_cents
+        |FROM cr a
+        |WHERE CAST(ret_cents AS DOUBLE) > 1.2 * (
+        |  SELECT avg(CAST(ret_cents AS DOUBLE)) FROM cr b
+        |  WHERE b.c_nationkey = a.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    // q33/q56/q60 shape: the SAME dimension aggregated independently
+    // over three channel slices, UNION ALL'd, then re-aggregated — the
+    // agg-of-union-of-aggs tower.
+    "qds_q33_channel_reagg" ->
+      """WITH y1 AS (
+        |  SELECT p_brand, CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE EXTRACT(YEAR FROM l_shipdate) = 1997 GROUP BY p_brand),
+        |y2 AS (
+        |  SELECT p_brand, CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE EXTRACT(YEAR FROM l_shipdate) = 1998 GROUP BY p_brand),
+        |y3 AS (
+        |  SELECT p_brand, CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE EXTRACT(YEAR FROM l_shipdate) = 1999 GROUP BY p_brand)
+        |SELECT p_brand, count(*) AS n_channels, CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM (SELECT * FROM y1 UNION ALL SELECT * FROM y2 UNION ALL SELECT * FROM y3) u
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // q37/q82 shape: price-band dim filter × date-range fact filter
+    // with COUNT DISTINCT over the join.
+    "qds_q37_price_band" ->
+      """SELECT p_brand, count(DISTINCT p_partkey) AS n_parts, count(*) AS n_lines
+        |FROM part JOIN lineitem ON l_partkey = p_partkey
+        |WHERE p_retailprice BETWEEN 500 AND 700
+        |  AND l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+        |                     AND TIMESTAMP '1997-03-31 00:00:00'
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // q41 shape: dimension-only query with a DISTINCT over a deep
+    // OR-of-ANDs predicate tree.
+    "qds_q41_predicate_tree" ->
+      """SELECT DISTINCT p_name FROM part
+        |WHERE p_brand LIKE 'Brand#1%'
+        |  AND ((p_type IN ('ECONOMY', 'PROMO') AND p_size BETWEEN 1 AND 15)
+        |    OR (p_type IN ('SMALL', 'MEDIUM') AND p_size BETWEEN 20 AND 35)
+        |    OR (p_type = 'STANDARD' AND p_size >= 40))
+        |ORDER BY p_name LIMIT 50""".stripMargin,
+
+    // q44 shape: best and worst performers via two opposite-direction
+    // rank subqueries JOINED ON RANK.
+    "qds_q44_best_worst" ->
+      """WITH perf AS (
+        |  SELECT l_suppkey AS sk,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY l_suppkey),
+        |b AS (SELECT sk, row_number() OVER (ORDER BY cents DESC, sk) AS rk FROM perf),
+        |w AS (SELECT sk, row_number() OVER (ORDER BY cents ASC, sk) AS rk FROM perf)
+        |SELECT b.rk AS rk, s1.s_name AS best_name, s2.s_name AS worst_name
+        |FROM b JOIN w ON b.rk = w.rk
+        |JOIN supplier s1 ON b.sk = s1.s_suppkey
+        |JOIN supplier s2 ON w.sk = s2.s_suppkey
+        |WHERE b.rk <= 10 ORDER BY rk""".stripMargin,
+
+    // q45 shape: DISJUNCTIVE membership — a plain predicate OR'd with
+    // an IN-subquery (decorrelation inside a disjunction).
+    "qds_q45_disjunctive_in" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n
+        |FROM customer
+        |WHERE c_custkey % 10 IN (3, 7)
+        |   OR c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
+
+    // q48 shape: one scan under a wide OR-of-ANDs band matrix spanning
+    // dim and fact columns.
+    "qds_q48_band_matrix" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_type = 'ECONOMY'  AND l_quantity BETWEEN 1 AND 15
+        |        AND l_discount BETWEEN 0.02 AND 0.06)
+        |   OR (p_type = 'STANDARD' AND l_quantity BETWEEN 16 AND 35
+        |        AND l_discount BETWEEN 0.04 AND 0.08)
+        |   OR (p_type = 'PROMO'    AND l_quantity BETWEEN 36 AND 50
+        |        AND l_discount BETWEEN 0.00 AND 0.04)""".stripMargin,
+
+    // q75 shape: year-over-year DECLINE report at brand grain — two
+    // year slices of the same per-brand aggregate diff-joined.
+    "qds_q75_yoy_decline" ->
+      """WITH y AS (
+        |  SELECT p_brand, CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS yr,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE EXTRACT(YEAR FROM l_shipdate) IN (1999, 2000)
+        |  GROUP BY p_brand, EXTRACT(YEAR FROM l_shipdate))
+        |SELECT a.p_brand, a.n AS n_prev, b.n AS n_cur,
+        |  a.cents AS cents_prev, b.cents AS cents_cur
+        |FROM y a JOIN y b ON a.p_brand = b.p_brand
+        |WHERE a.yr = 1999 AND b.yr = 2000 AND b.cents < a.cents
+        |ORDER BY a.p_brand""".stripMargin,
+
+    // q99 shape: order→ship lag banded into a FILTER crosstab per
+    // priority (lag on a portable integer month axis).
+    "qds_q99_lag_bands" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority,
+        |    (CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) * 12 +
+        |     CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT)) -
+        |    (CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) * 12 +
+        |     CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT)) AS lag_mo
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE lag_mo <= 0) AS m0,
+        |  count(*) FILTER (WHERE lag_mo = 1) AS m1,
+        |  count(*) FILTER (WHERE lag_mo = 2) AS m2,
+        |  count(*) FILTER (WHERE lag_mo >= 3) AS m3plus
+        |FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // q8 shape: substring-derived key matched against BOTH a literal
+    // list and an IN-subquery INTERSECTION of the two sets.
+    "qds_q8_substr_sets" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE substr(c_name, 10, 1) IN ('1', '3', '5', '7')
+        |  AND c_custkey IN (
+        |    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+        |    INTERSECT
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin)
 
   val queries: Map[String, Q] = sql.map { case (name, text) =>
     name -> { (s: SparkSession, dir: String) =>
