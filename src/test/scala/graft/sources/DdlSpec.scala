@@ -76,4 +76,33 @@ class DdlSpec extends SparkSpec {
       assert(desc.get("distinct_count").exists(_.toLong > 0))
     } finally spark.sql("DROP TABLE IF EXISTS ddl_orders")
   }
+
+  test("hive partition DDL: SHOW PARTITIONS / DROP PARTITION / per-partition ANALYZE") {
+    graft.Tables.registerAll(spark, sf)
+    spark.conf.set("hive.exec.dynamic.partition.mode", "nonstrict")
+    spark.sql("DROP TABLE IF EXISTS ddl_part")
+    try {
+      spark.sql(
+        """CREATE TABLE ddl_part (n_nationkey INT, n_name STRING)
+          |PARTITIONED BY (n_regionkey INT) STORED AS PARQUET""".stripMargin)
+      spark.sql(
+        """INSERT INTO ddl_part PARTITION (n_regionkey)
+          |SELECT n_nationkey, n_name, n_regionkey FROM nation""".stripMargin)
+      val parts = spark.sql("SHOW PARTITIONS ddl_part")
+        .collect().map(_.getString(0)).toSet
+      assert(parts == (0 to 4).map(r => s"n_regionkey=$r").toSet,
+        s"expected 5 region partitions, got $parts")
+      // partition-scoped statistics (reference AnalyzePartitionCommand)
+      spark.sql("ANALYZE TABLE ddl_part PARTITION (n_regionkey=2) COMPUTE STATISTICS")
+      val desc = spark.sql("DESCRIBE EXTENDED ddl_part PARTITION (n_regionkey=2)")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc.get("Partition Statistics").exists(_.contains("rows")),
+        s"expected partition row stats, got ${desc.get("Partition Statistics")}")
+      // metadata-only partition drop
+      spark.sql("ALTER TABLE ddl_part DROP PARTITION (n_regionkey=0)")
+      assert(spark.sql("SHOW PARTITIONS ddl_part").count() == 4)
+      assert(spark.table("ddl_part")
+        .filter(org.apache.spark.sql.functions.col("n_regionkey") === 0).count() == 0)
+    } finally spark.sql("DROP TABLE IF EXISTS ddl_part")
+  }
 }
