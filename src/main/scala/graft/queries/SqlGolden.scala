@@ -64,6 +64,12 @@ object SqlGolden {
         |  ON n_nationkey % 2 = t.m
         |GROUP BY t.grp ORDER BY t.grp""".stripMargin,
 
+    // limit.sql: LIMIT with OFFSET over a total order — pagination
+    // semantics (offset rows skipped, then the page taken).
+    "q_sql_limit_offset" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |ORDER BY n_nationkey LIMIT 7 OFFSET 10""".stripMargin,
+
     // predicate-functions.sql: LIKE with a custom ESCAPE char, BETWEEN,
     // IN, three-valued IN, IS DISTINCT FROM.
     "q_sql_predicates" ->
