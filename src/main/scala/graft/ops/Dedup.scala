@@ -27,11 +27,16 @@ object Dedup {
   // ---------------------------------------------------------------- exact
 
   /** Exact duplicates by normalized text: returns one row per duplicate
-    * group with the member ids (smallest id is the keeper).
+    * group with the member ids (smallest id is the keeper).  Groups on
+    * `xxhash64(normalized)` — an 8-byte shuffle key instead of the
+    * document itself (at 100 TB the group key IS the shuffle row; a
+    * 64-bit hash is injective at any realistic corpus size, the same
+    * argument as [[TextAnalysis.fingerprint]]).
     */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), TextAnalysis.normalize(col(textCol)).as("norm"))
-      .groupBy(col("norm"))
+    df.select(col(idCol).as("id"),
+        xxhash64(TextAnalysis.normalize(col(textCol))).as("nh"))
+      .groupBy(col("nh"))
       .agg(count(lit(1)).as("n_members"),
         min(col("id")).as("keeper"),
         sort_array(collect_list(col("id"))).as("members"))
@@ -39,12 +44,14 @@ object Dedup {
 
   /** Keep one row per distinct normalized text (smallest id wins).
     * Window-free formulation: min-id per key then semi-join, so the
-    * heavy payload column is never shuffled through a sort.
+    * heavy payload column is never shuffled through a sort; the group
+    * key is the 8-byte text hash, not the text (see [[exactGroups]]).
     */
   def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keepers = df
-      .select(col(idCol).as("__id"), TextAnalysis.normalize(col(textCol)).as("__norm"))
-      .groupBy(col("__norm")).agg(min(col("__id")).as("__keep"))
+      .select(col(idCol).as("__id"),
+        xxhash64(TextAnalysis.normalize(col(textCol))).as("__nh"))
+      .groupBy(col("__nh")).agg(min(col("__id")).as("__keep"))
       .select(col("__keep"))
     df.join(keepers, col(idCol) === col("__keep"), "left_semi")
   }

@@ -17,15 +17,19 @@ object OpsQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    // Exact dedup: duplicate-group stats per language.
+    // Exact dedup: duplicate-group stats per language.  The distinct
+    // key is xxhash64(normalized text) — an 8-byte shuffle row instead
+    // of the document (injective at gate scale; the DuckDB oracle
+    // counts distinct normalized TEXTS, so any collision would break
+    // the hash match).
     "q_dedup_exact" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       docs.select(col("lang"), col("doc_id"),
-          TextAnalysis.normalize(col("text")).as("norm"))
+          xxhash64(TextAnalysis.normalize(col("text"))).as("nh"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("norm")).as("n_distinct"),
-          (count(lit(1)) - countDistinct(col("norm"))).as("n_dupes"))
+          countDistinct(col("nh")).as("n_distinct"),
+          (count(lit(1)) - countDistinct(col("nh"))).as("n_dupes"))
         .orderBy(col("lang"))
     },
 
