@@ -61,4 +61,27 @@ class RandomizedSpec extends SparkSpec {
       assert(m(id) >= 0.0 && m(id) < 1.0)
     }
   }
+
+  test("minhashPairs precision == 1 vs exact Jaccard on random corpora (2 seeds)") {
+    for (seed <- Seq(5, 17)) {
+      val rnd = new Random(seed)
+      // small vocabulary forces real shingle overlap (candidate pairs
+      // exist, some above and some below the threshold)
+      val docs = Seq.tabulate(80) { i =>
+        (i.toLong, Seq.fill(rnd.between(5, 25))(s"w${rnd.nextInt(12)}").mkString(" "))
+      }.toDF("doc_id", "text")
+      val found = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.4)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val exact = Dedup.jaccardPairsExact(docs, "doc_id", "text", threshold = 0.4)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      // every surfaced pair must be a true pair with the exact value
+      // (the refine guarantees precision 1; recall may be < 1)
+      assert(found.subsetOf(exact), s"seed=$seed false pairs: ${found -- exact}")
+      // and exact twins (jaccard == 1) are always recalled
+      val twins = exact.filter(_._3 == 1.0)
+      assert(twins.subsetOf(found), s"seed=$seed missed twins: ${twins -- found}")
+    }
+  }
 }
