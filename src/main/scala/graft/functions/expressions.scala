@@ -117,6 +117,55 @@ case class NGramsGenerator(text: Expression, n: Expression)
     copy(text = newChildren(0), n = newChildren(1))
 }
 
+/** Exact Jaccard similarity of two SORTED-DISTINCT int64 arrays via a
+  * single two-pointer merge — |∩| counted in one pass, |∪| derived as
+  * na + nb − |∩|.  The built-in composition
+  * (`array_intersect` + `array_union` + two `size`s) allocates two
+  * intermediate arrays and hashes both inputs per row; the refine step
+  * of MinHash dedup evaluates this once per candidate pair, which at
+  * 100 TB is the hot loop of the whole pipeline.
+  */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == ArrayType(LongType, containsNull = false) ||
+        left.dataType == ArrayType(LongType, containsNull = true))
+      if (right.dataType.isInstanceOf[ArrayType]) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("jaccard_sorted needs two array<bigint>")
+    else TypeCheckResult.TypeCheckFailure(
+      s"jaccard_sorted needs array<bigint>, got ${left.dataType.sql}")
+  private def compute(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""int gna = $a.numElements(), gnb = $b.numElements();
+         |int gi = 0, gj = 0, ginter = 0;
+         |while (gi < gna && gj < gnb) {
+         |  long gx = $a.getLong(gi); long gy = $b.getLong(gj);
+         |  if (gx == gy) { ginter++; gi++; gj++; }
+         |  else if (gx < gy) gi++; else gj++;
+         |}
+         |int gunion = gna + gnb - ginter;
+         |${ev.value} = (gunion == 0) ? 0.0 : ((double) ginter) / gunion;
+         |""".stripMargin)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Cosine similarity of two float vectors, computed in double precision
   * with a single fused pass (dot, |a|², |b|² in one loop).  The
   * higher-order-function composition (`aggregate(zip_with(...))`)

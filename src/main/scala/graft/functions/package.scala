@@ -18,6 +18,10 @@ package object functions {
   def rolling_hash64(c: Column): Column =
     toCol(RollingHash64(toExpr(c)))
 
+  /** Exact Jaccard of two sorted-distinct array<bigint> columns. */
+  def jaccard_sorted(a: Column, b: Column): Column =
+    toCol(JaccardSorted(toExpr(a), toExpr(b)))
+
   /** Cosine similarity of two array<float> columns (double result). */
   def cosine_sim(a: Column, b: Column): Column =
     toCol(CosineSimilarityF(toExpr(a), toExpr(b)))

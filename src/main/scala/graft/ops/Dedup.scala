@@ -77,12 +77,15 @@ object Dedup {
 
   /** (id, sh) shingle-set table for a document table — tokenizes in one
     * projection, shingles over the materialized array in the next.
+    * The set is SORTED (ascending) so the Jaccard refine can run the
+    * allocation-free two-pointer [[graft.functions.jaccard_sorted]]
+    * expression instead of array_intersect/array_union.
     */
   def shingleSets(df: DataFrame, idCol: String, textCol: String,
       w: Int = 3): DataFrame =
     df.select(col(idCol).as("id"),
         split(TextAnalysis.normalize(col(textCol)), " ").as("toks"))
-      .select(col("id"), shinglesFromTokens(col("toks"), w).as("sh"))
+      .select(col("id"), sort_array(shinglesFromTokens(col("toks"), w)).as("sh"))
 
   /** Word w-shingles of the normalized text, hashed to 64 bits.
     * Convenience form; prefer [[shingleSets]] in pipelines (see
@@ -169,10 +172,8 @@ object Dedup {
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
     val pairs = withSets
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard", round(when(col("uni") > 0, col("inter") / col("uni"))
-        .otherwise(lit(0.0)), 6))
+      .withColumn("jaccard",
+        round(graft.functions.jaccard_sorted(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     // pairs ≪ corpus: materialize them, release the corpus-sized caches
@@ -190,10 +191,8 @@ object Dedup {
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard", round(when(col("uni") > 0, col("inter") / col("uni"))
-        .otherwise(lit(0.0)), 6))
+      .withColumn("jaccard",
+        round(graft.functions.jaccard_sorted(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     CacheScope.releasing(pairs, sh)

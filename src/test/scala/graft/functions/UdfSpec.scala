@@ -81,4 +81,29 @@ class UdfSpec extends SparkSpec {
       .foldLeft(0L)((h, b) => h * 31L + (b & 0xffL))
     assert(viaSql == expected)
   }
+
+  test("jaccard_sorted == array_intersect/union composition on random sets") {
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.tabulate(200) { i =>
+      def set() = Seq.fill(rnd.between(1, 40))(rnd.between(0L, 60L))
+        .distinct.sorted
+      (i.toLong, set(), set())
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        graft.functions.jaccard_sorted(col("a"), col("b")).as("j"))
+      .as[(Long, Double)].collect().toMap
+    rows.foreach { case (id, a, b) =>
+      val inter = a.toSet.intersect(b.toSet).size.toDouble
+      val uni = a.toSet.union(b.toSet).size.toDouble
+      val expected = if (uni == 0) 0.0 else inter / uni
+      assert(math.abs(got(id) - expected) < 1e-12, s"row $id")
+    }
+    // identical sets → 1.0; disjoint → 0.0 (eval + codegen both paths)
+    val edge = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)), (Seq(1L), Seq(9L)))
+      .toDF("a", "b")
+      .select(graft.functions.jaccard_sorted(col("a"), col("b")).as("j"))
+      .as[Double].collect().toSeq
+    assert(edge == Seq(1.0, 0.0))
+  }
 }
