@@ -93,23 +93,29 @@ object Similarity {
     * you persist the assignment as a bucketed table and amortize it
     * across queries).
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
-    // Deterministic centroid pick by key arithmetic alone: ids
-    // {0, nCells, …, nCells*(nCells-1)} — a pushed-down filter, no
-    // limit-without-sort (whose row choice would depend on partitioning).
-    val centroids = c
+  /** Deterministic IVF coarse centroids: corpus vectors at ids
+    * {0, nCells, …, nCells·(nCells−1)} — key arithmetic, a pushed-down
+    * filter, no RNG, no limit-without-sort.
+    */
+  def ivfCentroids(corpus: DataFrame, nCells: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
       .filter(col("corpus_id") % nCells === 0 &&
         col("corpus_id") < lit(nCells.toLong * nCells))
       .select((col("corpus_id") / nCells).cast("long").as("cell_id"),
         col("cvec").as("centroid"))
-    // assign each corpus vector to its nearest centroid in ONE corpus
-    // pass: broadcast-expand by nCells, then max_by with map-side
-    // partial aggregation — the shuffle carries |corpus| rows, not
-    // |corpus|×nCells like a window/rank formulation would.
-    val assigned = c.crossJoin(broadcast(centroids))
+
+  /** IVF INDEX: every corpus vector assigned to its nearest centroid in
+    * ONE corpus pass — broadcast-expand by nCells, then max_by with
+    * map-side partial aggregation (the shuffle carries |corpus| rows,
+    * not |corpus|×nCells like a window/rank formulation would).
+    * At scale this is the persisted artifact: write it bucketed by
+    * cell_id once, amortize across every query batch.
+    */
+  def ivfIndex(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+      .crossJoin(broadcast(centroids))
       .select(col("corpus_id"), col("cvec"), col("cell_id"),
         cosine_sim(col("cvec"), col("centroid")).as("csim"))
       .groupBy(col("corpus_id"))
@@ -120,6 +126,11 @@ object Similarity {
         // every expanded row carries the same vector for this id
         first(col("cvec")).as("cvec"))
       .select(col("cell_id"), col("corpus_id"), col("cvec"))
+
+  /** IVF SEARCH over a prebuilt (cell_id, corpus_id, cvec) index. */
+  def ivfSearch(index: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
     // pick nProbe nearest cells per query
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val wProbe = Window.partitionBy(col("query_id"))
@@ -130,10 +141,22 @@ object Similarity {
       .filter(col("r") <= nProbe)
       .select(col("query_id"), col("qvec"), col("cell_id"))
     // search only the probed cells
-    rankTopK(assigned.join(broadcast(probes), Seq("cell_id"))
+    rankTopK(index.join(broadcast(probes), Seq("cell_id"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
         cosine_sim(col("qvec"), col("cvec")).as("cos")), k)
+  }
+
+  /** One-shot IVF ANN: build centroids + index, then search.  See
+    * [[ivfCentroids]]/[[ivfIndex]]/[[ivfSearch]] for the split form a
+    * production pipeline persists.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val centroids = ivfCentroids(corpus, nCells, idCol, vecCol)
+    val index = ivfIndex(corpus, centroids, idCol, vecCol)
+    ivfSearch(index, centroids, queries, k, nProbe, idCol, vecCol)
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold, found via

@@ -176,6 +176,21 @@ class OpsSpec extends SparkSpec {
     assert(ivf.size == brute.size)
   }
 
+  test("IVF split index/search == one-shot ivfTopK (persisted-index path)") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val oneShot = Similarity.ivfTopK(emb, queries, k = 5, nCells = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    // the production shape: centroids + index built once (round-tripped
+    // through parquet like a persisted artifact), searched separately
+    val centroids = Similarity.ivfCentroids(emb, nCells = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_").toString
+    Similarity.ivfIndex(emb, centroids).write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val split = Similarity.ivfSearch(index, centroids, queries, k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(split == oneShot)
+  }
+
   test("int8 quantization: reconstruction and cosine error are small") {
     val q = Quantize.withQuantized(emb, "embedding")
     // reconstruction error bounded by scale/2 per component
