@@ -160,12 +160,17 @@ object Approx {
     // lie between the exact percentiles at p ± 0.02 (2× the configured
     // rank error).  Exact percentiles hash against quantile_cont.
     "q_stat_quantile" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
+      // the GK sketch and the exact-percentile twin each scan the same
+      // single column — cache the 8-byte projection so the parquet
+      // decode runs once for both actions
+      val li = Tables.load(s, dir, "lineitem").select(col("l_extendedprice"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val qs = li.stat.approxQuantile("l_extendedprice",
         Array(0.1, 0.5, 0.9), 0.01)
       val ex = li.select(expr(
         "percentile(l_extendedprice, array(0.08,0.1,0.12, 0.48,0.5,0.52, 0.88,0.9,0.92))")
         .as("ep")).head().getSeq[Double](0)
+      li.unpersist()
       def inBand(est: Double, lo: Double, hi: Double) = est >= lo && est <= hi
       val s2 = s
       import s2.implicits._
