@@ -40,7 +40,8 @@ object SparkEntry {
     graft.queries.SubqueryCorners.queries ++
     graft.queries.GroupAnalytics.queries ++
     graft.queries.HiveQueries.queries ++
-    graft.queries.SqlGolden.queries
+    graft.queries.SqlGolden.queries ++
+    graft.queries.SketchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -71,5 +72,6 @@ object SparkEntry {
     graft.queries.SubqueryCorners.oracle ++
     graft.queries.GroupAnalytics.oracle ++
     graft.queries.HiveQueries.oracle ++
-    graft.queries.SqlGolden.oracle
+    graft.queries.SqlGolden.oracle ++
+    graft.queries.SketchQueries.oracle
 }
