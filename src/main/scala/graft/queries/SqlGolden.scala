@@ -70,6 +70,18 @@ object SqlGolden {
       """SELECT n_nationkey, n_name FROM nation
         |ORDER BY n_nationkey LIMIT 7 OFFSET 10""".stripMargin,
 
+    // linear-regression aggregates (same names in both dialects);
+    // slope/intercept rounded to 4 decimals — they are ratios of
+    // large FP sums, stable well past that precision.
+    "q_agg_regression" ->
+      """SELECT l_returnflag,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        |  round(regr_avgx(l_extendedprice, l_quantity), 4) AS ax,
+        |  round(regr_avgy(l_extendedprice, l_quantity), 4) AS ay
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     // predicate-functions.sql: LIKE with a custom ESCAPE char, BETWEEN,
     // IN, three-valued IN, IS DISTINCT FROM.
     "q_sql_predicates" ->
@@ -98,6 +110,25 @@ object SqlGolden {
         |      FROM nation)
         |ORDER BY n_nationkey""".stripMargin,
 
+    // listagg (SQL:2016 WITHIN GROUP), mode, any_value — the Spark 4
+    // ordered-set aggregate tail; mode's winner is unique per status in
+    // the test data, any_value is over a 1:1 group.
+    "q_agg_ordered_set" ->
+      """SELECT o_orderstatus,
+        |  listagg(DISTINCT o_orderpriority, ',')
+        |    WITHIN GROUP (ORDER BY o_orderpriority) AS prios,
+        |  mode(o_orderpriority) AS top_prio,
+        |  any_value(o_orderstatus) AS st2
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // percentile_cont / percentile_disc WITHIN GROUP (inverse
+    // distribution functions).
+    "q_agg_percentile_within" ->
+      """SELECT l_returnflag,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50,
+        |  round(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p25d
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     // operators.sql: integer division, modulo, pmod, bit ops, shifts.
     "q_sql_operators" ->
       """SELECT n_nationkey AS k,
@@ -116,6 +147,17 @@ object SqlGolden {
     (common ++ sparkOnly).map { case (n, t) => n -> run(t) }
 
   val oracle: Map[String, String] = common ++ Map(
+    "q_agg_ordered_set" ->
+      """SELECT o_orderstatus,
+        |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prios,
+        |  mode(o_orderpriority) AS top_prio,
+        |  o_orderstatus AS st2
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_agg_percentile_within" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_disc(l_extendedprice, 0.25), 4) AS p25d
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_sql_compat_fns" ->
       """SELECT n_nationkey,
         |  coalesce(v, -1) AS c1,
