@@ -50,7 +50,7 @@ object Joins {
       val supp = Tables.load(s, dir, "supplier")
       val cust = Tables.load(s, dir, "customer")
       val ord = Tables.load(s, dir, "orders")
-        .filter(col("o_orderdate") >= t("1994-01-01") && col("o_orderdate") < t("1995-01-01"))
+        .filter(col("o_orderdate") >= t("1996-01-01") && col("o_orderdate") < t("1997-01-01"))
       val li = Tables.load(s, dir, "lineitem")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
@@ -69,7 +69,7 @@ object Joins {
     "q10_returned_items" -> { (s, dir) =>
       val cust = Tables.load(s, dir, "customer")
       val ord = Tables.load(s, dir, "orders")
-        .filter(col("o_orderdate") >= t("1993-10-01") && col("o_orderdate") < t("1994-01-01"))
+        .filter(col("o_orderdate") >= t("1996-10-01") && col("o_orderdate") < t("1997-01-01"))
       val li = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
@@ -102,10 +102,12 @@ object Joins {
         .orderBy(col("c_custkey"))
     },
 
-    // LEFT ANTI: customers with no orders at all.
+    // LEFT ANTI: customers with no HIGH-VALUE order (every customer
+    // has some order in this data, so anti-joining all orders would be
+    // an empty -- and therefore toothless -- gate).
     "q_join_anti" -> { (s, dir) =>
       val cust = Tables.load(s, dir, "customer")
-      val ord = Tables.load(s, dir, "orders")
+      val ord = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 400000)
       cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_customers"))
@@ -196,8 +198,8 @@ object Joins {
         |  JOIN nation ON s_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
-        |  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-        |  AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
     "q10_returned_items" ->
@@ -205,8 +207,8 @@ object Joins {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |  JOIN lineitem ON l_orderkey = o_orderkey
-        |WHERE o_orderdate >= TIMESTAMP '1993-10-01 00:00:00'
-        |  AND o_orderdate < TIMESTAMP '1994-01-01 00:00:00'
+        |WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, c_acctbal, c_mktsegment
         |ORDER BY revenue DESC, c_custkey ASC
@@ -226,7 +228,8 @@ object Joins {
         |ORDER BY c_custkey""".stripMargin,
     "q_join_anti" ->
       """SELECT c_mktsegment, count(*) AS n_customers FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
     "q_join_full_outer" ->

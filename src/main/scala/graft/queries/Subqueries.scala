@@ -21,8 +21,8 @@ object Subqueries {
         |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_count,
         |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_count
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-        |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     // Q14 shape: conditional revenue ratio (promo share); ratio taken
@@ -63,7 +63,8 @@ object Subqueries {
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
         |FROM (SELECT c_custkey, (c_nationkey % 10) AS cntry, c_acctbal FROM customer) c
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT')
         |GROUP BY cntry ORDER BY cntry""".stripMargin,
 
     // Correlated NOT EXISTS with an inequality (non-equi correlation).

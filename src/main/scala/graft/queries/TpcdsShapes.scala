@@ -614,7 +614,7 @@ object TpcdsShapes {
     "qds_q37_price_band" ->
       """SELECT p_brand, count(DISTINCT p_partkey) AS n_parts, count(*) AS n_lines
         |FROM part JOIN lineitem ON l_partkey = p_partkey
-        |WHERE p_retailprice BETWEEN 500 AND 700
+        |WHERE p_retailprice BETWEEN 920 AND 960
         |  AND l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
         |                     AND TIMESTAMP '1997-03-31 00:00:00'
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
@@ -699,13 +699,74 @@ object TpcdsShapes {
         |  count(*) FILTER (WHERE lag_mo >= 3) AS m3plus
         |FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    // q46/q68 shape: attribute MISMATCH between two roles of the same
+    // dimension — customer's nation differs from supplier's nation on
+    // the same line (cross-role inequality as a join residual).
+    "qds_q46_attr_mismatch" ->
+      """SELECT n1.n_name AS cust_nation, count(*) AS n_cross,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem
+        |JOIN orders    ON l_orderkey = o_orderkey
+        |JOIN customer  ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN supplier  ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE n1.n_name <> n2.n_name
+        |GROUP BY n1.n_name ORDER BY cust_nation""".stripMargin,
+
+    // q59 shape: day-bucket revenue matrix per year, self-joined across
+    // two consecutive years at the bucket grain (the weekday-matrix
+    // period-over-period diff join, on a dialect-portable
+    // day-of-month%7 axis — Spark and DuckDB number weekdays
+    // differently).
+    "qds_q59_weekday_yoy" ->
+      """WITH wk AS (
+        |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+        |    CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) % 7 AS dbucket,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) IN (1999, 2000)
+        |  GROUP BY EXTRACT(YEAR FROM o_orderdate), CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) % 7)
+        |SELECT a.dbucket, a.cents AS cents_prev, b.cents AS cents_cur,
+        |  round(CAST(b.cents AS DOUBLE) / CAST(a.cents AS DOUBLE), 6) AS ratio
+        |FROM wk a JOIN wk b ON a.dbucket = b.dbucket
+        |WHERE a.yr = 1999 AND b.yr = 2000
+        |ORDER BY a.dbucket""".stripMargin,
+
+    // q24 shape: per-group HAVING against a scalar threshold derived
+    // from the WHOLE aggregate (sum > 5% of the global per-group mean).
+    "qds_q24_vs_global_scalar" ->
+      """WITH per AS (
+        |  SELECT c_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_custkey, cents FROM per
+        |WHERE CAST(cents AS DOUBLE) > 1.5 * (SELECT avg(CAST(cents AS DOUBLE)) FROM per)
+        |ORDER BY c_custkey""".stripMargin,
+
+    // q69 shape: present in one channel, ABSENT from two others —
+    // EXISTS plus a conjunction of NOT EXISTS over different slices.
+    "qds_q69_demographic_anti" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND EXTRACT(YEAR FROM o_orderdate) = 2000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT'
+        |                  AND EXTRACT(YEAR FROM o_orderdate) = 2000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  JOIN lineitem ON l_orderkey = o2.o_orderkey
+        |                  WHERE o2.o_custkey = c_custkey AND l_returnflag = 'R'
+        |                  AND EXTRACT(YEAR FROM o2.o_orderdate) = 2000)
+        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
+
     // q8 shape: substring-derived key matched against BOTH a literal
     // list and an IN-subquery INTERSECTION of the two sets.
     "qds_q8_substr_sets" ->
       """SELECT c_mktsegment AS segment, count(*) AS n,
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |WHERE substr(c_name, 10, 1) IN ('1', '3', '5', '7')
+        |WHERE substr(c_name, 18, 1) IN ('1', '3', '5', '7')
         |  AND c_custkey IN (
         |    SELECT c_custkey FROM customer WHERE c_acctbal > 0
         |    INTERSECT
