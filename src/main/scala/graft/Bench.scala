@@ -37,7 +37,9 @@ object Bench {
       "q_knn_brute", "q_knn_ivf", "q_contamination", "q_seq_packing",
       "q_skew_salted", "q_stream_tumbling", "q_stream_dedup",
       "q_stream_join", "q_setops", "q_orc_roundtrip", "q_topk_per_key",
-      "q_multimodal", "q_typed_mapgroups", "q_window_rank").contains(name)
+      "q_multimodal", "q_typed_mapgroups", "q_window_rank",
+      "q_hive_roundtrip", "qds_q72_nine_way_lag", "q_sketch_hll",
+      "q_dedup_minhash_recall").contains(name)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
