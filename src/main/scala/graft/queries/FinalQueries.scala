@@ -59,6 +59,42 @@ object FinalQueries {
         .orderBy(col("n_nationkey"))
     },
 
+    // Map CONSTRUCTION tail: map_concat / map_from_entries /
+    // map_from_arrays / str_to_map, serialized sorted (never raw maps).
+    "q_fn_map_build" -> { (s, dir) =>
+      def ser(m: org.apache.spark.sql.Column) =
+        concat_ws("|", transform(sort_array(map_entries(m)),
+          e => concat_ws("=", e.getField("key"), e.getField("value"))))
+      val n = col("n_nationkey").cast("long")
+      Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"),
+          ser(map_concat(map(lit("a"), n), map(lit("b"), n * 2))).as("mc"),
+          ser(map_from_entries(array(
+            struct(lit("x").as("k"), n.as("v")),
+            struct(lit("y").as("k"), (n + 1).as("v"))))).as("me"),
+          ser(map_from_arrays(array(lit("p"), lit("q")),
+            array(n, n * 3))).as("ma"),
+          ser(str_to_map(
+            concat(lit("u:"), n, lit(",v:"), n * 2), lit(","), lit(":"))).as("sm"))
+        .orderBy(col("n_nationkey"))
+    },
+
+    // OUTER generator: posexplode_outer via LATERAL VIEW OUTER — rows
+    // with an EMPTY array survive as a single null-padded row (plain
+    // explode would drop them); the DuckDB twin injects [NULL] for
+    // empty lists to mirror the outer semantics.
+    "q_gen_outer" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT n_nationkey, p, x FROM (
+          |  SELECT n_nationkey,
+          |    slice(sequence(CAST(1 AS BIGINT), CAST(3 AS BIGINT)), 1,
+          |          CAST(n_nationkey % 3 AS INT)) AS a
+          |  FROM nation) t
+          |LATERAL VIEW OUTER posexplode(a) v AS p, x
+          |ORDER BY n_nationkey, p""".stripMargin)
+    },
+
     // String-function tail + NaN handling.
     "q_fn_string_extra" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -122,6 +158,25 @@ object FinalQueries {
         |       ELSE 'b=' || (n_nationkey * 2) END AS mf,
         |  'a=' || n_nationkey || '|b=' || (n_nationkey * 2 + 10) || '|c=' || n_nationkey AS mz
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_fn_map_build" ->
+      """SELECT n_nationkey,
+        |  'a=' || n_nationkey || '|b=' || (n_nationkey * 2) AS mc,
+        |  'x=' || n_nationkey || '|y=' || (n_nationkey + 1) AS me,
+        |  'p=' || n_nationkey || '|q=' || (n_nationkey * 3) AS ma,
+        |  'u=' || n_nationkey || '|v=' || (n_nationkey * 2) AS sm
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_gen_outer" ->
+      """WITH t AS (
+        |  SELECT n_nationkey, ([1,2,3])[1:(n_nationkey % 3)] AS a FROM nation),
+        |s AS (SELECT n_nationkey,
+        |  CASE WHEN len(a) = 0
+        |    THEN [struct_pack(p := CAST(NULL AS INT), x := CAST(NULL AS BIGINT))]
+        |    ELSE list_transform(range(0, len(a)),
+        |           i -> struct_pack(p := CAST(i AS INT), x := CAST(a[i+1] AS BIGINT)))
+        |  END AS ps FROM t)
+        |SELECT n_nationkey, u['p'] AS p, u['x'] AS x
+        |FROM (SELECT n_nationkey, unnest(ps) AS u FROM s) q
+        |ORDER BY n_nationkey, p""".stripMargin,
     "q_fn_string_extra" ->
       """SELECT n_nationkey,
         |  levenshtein(n_name, 'FRANCE') AS lev,
