@@ -65,9 +65,68 @@ object SketchQueries {
         |u AS (SELECT approx_top_k_combine(st) AS st FROM halves)
         |SELECT t.kv.item AS o_orderpriority, CAST(t.kv.count AS BIGINT) AS n
         |FROM (SELECT explode(approx_top_k_estimate(st, 5)) AS kv FROM u) t
-        |ORDER BY o_orderpriority""".stripMargin))
+        |ORDER BY o_orderpriority""".stripMargin),
+
+    // bitmap aggregates are EXACT distinct counting (bucket bitmaps
+    // OR'd then popcounted) — full oracle equality, no envelope needed
+    "q_bitmap_distinct" -> run(
+      """SELECT l_returnflag, CAST(sum(cnt) AS BIGINT) AS n_distinct
+        |FROM (
+        |  SELECT l_returnflag,
+        |    bitmap_count(bitmap_construct_agg(bitmap_bit_position(l_partkey))) AS cnt
+        |  FROM lineitem
+        |  GROUP BY l_returnflag, bitmap_bucket_number(l_partkey))
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // Theta sketches support set ALGEBRA on sketches: union /
+    // intersection estimates vs the exact inclusion-exclusion answers
+    // (exact figures hash-checked; estimates enveloped)
+    "q_sketch_theta" -> run(
+      """WITH s AS (
+        |  SELECT
+        |    theta_sketch_agg(l_partkey) FILTER (WHERE l_returnflag = 'R') AS sr,
+        |    theta_sketch_agg(l_partkey) FILTER (WHERE l_returnflag = 'N') AS sn
+        |  FROM lineitem),
+        |e AS (SELECT
+        |  count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_partkey END) AS er,
+        |  count(DISTINCT CASE WHEN l_returnflag = 'N' THEN l_partkey END) AS en,
+        |  count(DISTINCT CASE WHEN l_returnflag IN ('R','N') THEN l_partkey END) AS eu
+        |  FROM lineitem)
+        |SELECT er, en, eu,
+        |  (abs(theta_sketch_estimate(theta_union(sr, sn)) - eu)
+        |     <= 0.05 * eu) AS union_ok,
+        |  (abs(theta_sketch_estimate(theta_intersection(sr, sn)) - (er + en - eu))
+        |     <= greatest(0.1 * (er + en - eu), 50.0)) AS inter_ok
+        |FROM s, e""".stripMargin),
+
+    // KLL quantile sketch: the estimate must land between the exact
+    // percentiles at p ± 0.02 (the sketch's rank-error contract),
+    // exact p50 hash-checked
+    "q_sketch_kll" -> run(
+      """WITH s AS (
+        |  SELECT kll_sketch_agg_double(l_extendedprice) AS sk,
+        |    percentile(l_extendedprice, array(0.48, 0.5, 0.52)) AS ep
+        |  FROM lineitem)
+        |SELECT round(ep[1], 4) AS p50_exact,
+        |  (kll_sketch_get_quantile_double(sk, 0.5)
+        |     BETWEEN ep[0] AND ep[2]) AS p50_ok
+        |FROM s""".stripMargin))
 
   val oracle: Map[String, String] = Map(
+    "q_bitmap_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_sketch_theta" ->
+      """SELECT
+        |  count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_partkey END) AS er,
+        |  count(DISTINCT CASE WHEN l_returnflag = 'N' THEN l_partkey END) AS en,
+        |  count(DISTINCT CASE WHEN l_returnflag IN ('R','N') THEN l_partkey END) AS eu,
+        |  true AS union_ok, true AS inter_ok
+        |FROM lineitem""".stripMargin,
+    "q_sketch_kll" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+        |  true AS p50_ok
+        |FROM lineitem""".stripMargin,
     "q_sketch_hll" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         |  true AS hll_ok

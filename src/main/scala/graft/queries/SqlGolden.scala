@@ -129,6 +129,34 @@ object SqlGolden {
         |  round(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p25d
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // datetime constructor/navigation tail: make_date, add_months
+    // (month-end clamped), last_day, unix_date, width_bucket; dates
+    // output as strings (never raw temporal columns).
+    "q_fn_datetime_extra" ->
+      """SELECT n_nationkey,
+        |  date_format(make_date(2000, 1 + n_nationkey % 12, 1 + n_nationkey % 28),
+        |              'yyyy-MM-dd') AS mk,
+        |  date_format(add_months(DATE '2000-01-31', n_nationkey % 5),
+        |              'yyyy-MM-dd') AS am,
+        |  date_format(last_day(make_date(2000, 1 + n_nationkey % 12, 3)),
+        |              'yyyy-MM-dd') AS ld,
+        |  unix_date(make_date(2000, 1 + n_nationkey % 12, 1)) AS ud,
+        |  width_bucket(n_nationkey, 0, 25, 5) AS wb
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // string manipulation tail: initcap, overlay, split_part,
+    // substring_index, rpad, chr, bit_length.
+    "q_fn_string_sweep" ->
+      """SELECT n_nationkey,
+        |  initcap(lower(n_name)) AS ic,
+        |  overlay(n_name PLACING 'XX' FROM 2 FOR 2) AS ov,
+        |  split_part(n_name, '_', 2) AS sp,
+        |  substring_index(n_name, '_', 1) AS si,
+        |  rpad(n_name, 12, '.') AS rp,
+        |  chr(65 + n_nationkey % 26) AS ch,
+        |  bit_length(n_name) AS bl
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
     // operators.sql: integer division, modulo, pmod, bit ops, shifts.
     "q_sql_operators" ->
       """SELECT n_nationkey AS k,
@@ -147,6 +175,26 @@ object SqlGolden {
     (common ++ sparkOnly).map { case (n, t) => n -> run(t) }
 
   val oracle: Map[String, String] = common ++ Map(
+    "q_fn_datetime_extra" ->
+      """SELECT n_nationkey,
+        |  strftime(make_date(2000, 1 + n_nationkey % 12, 1 + n_nationkey % 28),
+        |           '%Y-%m-%d') AS mk,
+        |  strftime(DATE '2000-01-31' + to_months(n_nationkey % 5), '%Y-%m-%d') AS am,
+        |  strftime(last_day(make_date(2000, 1 + n_nationkey % 12, 3)), '%Y-%m-%d') AS ld,
+        |  date_diff('day', DATE '1970-01-01',
+        |            make_date(2000, 1 + n_nationkey % 12, 1)) AS ud,
+        |  CAST((n_nationkey // 5) + 1 AS INT) AS wb
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_fn_string_sweep" ->
+      """SELECT n_nationkey,
+        |  upper(substr(lower(n_name), 1, 1)) || substr(lower(n_name), 2) AS ic,
+        |  substr(n_name, 1, 1) || 'XX' || substr(n_name, 4) AS ov,
+        |  split_part(n_name, '_', 2) AS sp,
+        |  split_part(n_name, '_', 1) AS si,
+        |  rpad(n_name, 12, '.') AS rp,
+        |  chr(65 + n_nationkey % 26) AS ch,
+        |  CAST(8 * strlen(n_name) AS INT) AS bl
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_agg_ordered_set" ->
       """SELECT o_orderstatus,
         |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prios,
