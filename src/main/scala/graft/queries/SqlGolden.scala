@@ -157,6 +157,30 @@ object SqlGolden {
         |  bit_length(n_name) AS bl
         |FROM nation ORDER BY n_nationkey""".stripMargin,
 
+    // CSV column functions: to_csv of a struct, from_csv back with an
+    // explicit schema, schema_of_csv on a literal.
+    "q_fn_csv" ->
+      """SELECT n_nationkey,
+        |  to_csv(named_struct('k', n_nationkey, 'nm', n_name)) AS cs,
+        |  from_csv(to_csv(named_struct('k', n_nationkey, 'nm', n_name)),
+        |           'k INT, nm STRING').k AS k2,
+        |  from_csv(to_csv(named_struct('k', n_nationkey, 'nm', n_name)),
+        |           'k INT, nm STRING').nm AS nm2,
+        |  schema_of_csv('1,a') AS sch
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // codec ROUND-TRIPS: decode(encode(x)) == x is exact SQL the oracle
+    // states as identity — aes (GCM key round-trip), base64, hex, url.
+    "q_fn_codecs" ->
+      """SELECT n_nationkey,
+        |  CAST(aes_decrypt(aes_encrypt(CAST(n_name AS BINARY), '0000111122223333'),
+        |       '0000111122223333') AS STRING) AS aes_rt,
+        |  CAST(unbase64(base64(CAST(n_name AS BINARY))) AS STRING) AS b64_rt,
+        |  decode(unhex(hex(encode(n_name, 'UTF-8'))), 'UTF-8') AS hex_rt,
+        |  url_decode(url_encode(concat(n_name, ' &x=1'))) AS url_rt,
+        |  hex(encode(substr(n_name, 1, 2), 'UTF-8')) AS hex2
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
     // operators.sql: integer division, modulo, pmod, bit ops, shifts.
     "q_sql_operators" ->
       """SELECT n_nationkey AS k,
@@ -175,6 +199,21 @@ object SqlGolden {
     (common ++ sparkOnly).map { case (n, t) => n -> run(t) }
 
   val oracle: Map[String, String] = common ++ Map(
+    "q_fn_csv" ->
+      """SELECT n_nationkey,
+        |  n_nationkey || ',' || n_name AS cs,
+        |  n_nationkey AS k2,
+        |  n_name AS nm2,
+        |  'STRUCT<_c0: INT, _c1: STRING>' AS sch
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_fn_codecs" ->
+      """SELECT n_nationkey,
+        |  n_name AS aes_rt,
+        |  n_name AS b64_rt,
+        |  n_name AS hex_rt,
+        |  n_name || ' &x=1' AS url_rt,
+        |  upper(to_hex(encode(substr(n_name, 1, 2)))) AS hex2
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_fn_datetime_extra" ->
       """SELECT n_nationkey,
         |  strftime(make_date(2000, 1 + n_nationkey % 12, 1 + n_nationkey % 28),
