@@ -213,9 +213,49 @@ object StreamingQueries {
       try q.processAllAvailable() finally q.stop()
       s.table(name).agg(count(lit(1)).as("n"),
         sum(col("id")).as("id_sum"), sum(col("sq")).as("sq_sum"))
+    },
+
+    // transformWithState gate (Spark-4 StatefulProcessor over the
+    // RocksDB state store): per-event-type running counts accumulate
+    // across 2 replayed micro-batches; with non-negative adds the
+    // running total is monotone, so max(total) per key is the final
+    // state — which must equal the batch GROUP BY count regardless of
+    // how the replay split rows across batches.
+    "q_stream_tws" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val s2 = s
+      import s2.implicits._
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val saved = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_type"), lit(1L).as("one"))
+        val stream = replay(s, ev, chunks = 2).as[(String, Long)]
+        val out = stream.groupByKey(_._1)
+          .transformWithState(new graft.streaming.RunningTotalProcessor,
+            TimeMode.None(), OutputMode.Update())
+        val name = s"tws_${runId.incrementAndGet()}"
+        withStatePartitions(s) {
+          val q = out.toDF("event_type", "add", "total")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("update").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table(name).groupBy(col("event_type"))
+          .agg(max(col("total")).as("n_events"))
+          .orderBy(col("event_type"))
+      } finally saved match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
     })
 
   val oracle: Map[String, String] = Map(
+    "q_stream_tws" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS h,
         |  event_type, count(*) AS n,

@@ -26,6 +26,33 @@ case class SessionOut(user_id: Long, session_start: Long, n_events: Int,
 
 case class SessionState(start: Long, last: Long, n: Int, total: Double)
 
+/** Per-key running total via the Spark-4 `transformWithState` API
+  * (StatefulProcessor + typed ValueState over the RocksDB state
+  * store) — the successor of flatMapGroupsWithState that the 2.4-era
+  * reference has no counterpart for.  Emits (key, batchAdd,
+  * runningTotal) per key per micro-batch; with non-negative adds the
+  * running total is monotone, so `max(total)` per key is the final
+  * state regardless of how rows were split across batches.
+  */
+class RunningTotalProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Long), (String, Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var total: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    total = getHandle.getValueState[Long]("total",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+      timerValues: TimerValues): Iterator[(String, Long, Long)] = {
+    val prev = if (total.exists()) total.get() else 0L
+    val add = rows.map(_._2).sum
+    total.update(prev + add)
+    Iterator((key, add, prev + add))
+  }
+}
+
 object Streaming {
 
   /** Watermarked tumbling-window aggregate (append mode compatible). */

@@ -1,31 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
 
 import graft.SparkSpec
 
-/** Per-key running total via the Spark-4 `transformWithState` API
-  * (StatefulProcessor + typed state variables over the RocksDB state
-  * store) — the successor of flatMapGroupsWithState that the 2.4-era
-  * reference has no counterpart for.
-  */
-class RunningTotalProcessor
-    extends StatefulProcessor[String, (String, Long), (String, Long, Long)] {
-  @transient private var total: ValueState[Long] = _
-
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    total = getHandle.getValueState[Long]("total", Encoders.scalaLong, TTLConfig.NONE)
-
-  override def handleInputRows(key: String, rows: Iterator[(String, Long)],
-      timerValues: TimerValues): Iterator[(String, Long, Long)] = {
-    val prev = if (total.exists()) total.get() else 0L
-    val add = rows.map(_._2).sum
-    total.update(prev + add)
-    Iterator((key, add, prev + add))
-  }
-}
+// the RunningTotalProcessor under test lives in graft.streaming (main),
+// where the q_stream_tws gate entry also drives it
 
 class TransformWithStateSpec extends SparkSpec {
   import spark.implicits._
