@@ -51,14 +51,17 @@ case class RollingHash64(child: Expression)
     while (i < bytes.length) { h = h * 31L + (bytes(i) & 0xffL); i += 1 }
     h
   }
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bytes = ctx.freshName("bytes")
+    val h = ctx.freshName("h"); val i = ctx.freshName("i")
     nullSafeCodeGen(ctx, ev, c =>
-      s"""byte[] gbytes = $c.getBytes();
-         |long gh = 0L;
-         |for (int gi = 0; gi < gbytes.length; gi++) {
-         |  gh = gh * 31L + (gbytes[gi] & 0xffL);
+      s"""byte[] $bytes = $c.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = $h * 31L + ($bytes[$i] & 0xffL);
          |}
-         |${ev.value} = gh;""".stripMargin)
+         |${ev.value} = $h;""".stripMargin)
+  }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -128,13 +131,17 @@ case class NGramsGenerator(text: Expression, n: Expression)
 case class JaccardSorted(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // both operands must be array<bigint> with no null slots — compute()
+  // and the codegen read raw long slots, so anything else must fail at
+  // analysis, not mid-job
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == ArrayType(LongType, containsNull = false) ||
-        left.dataType == ArrayType(LongType, containsNull = true))
-      if (right.dataType.isInstanceOf[ArrayType]) TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure("jaccard_sorted needs two array<bigint>")
-    else TypeCheckResult.TypeCheckFailure(
-      s"jaccard_sorted needs array<bigint>, got ${left.dataType.sql}")
+    if (left.dataType != ArrayType(LongType, containsNull = false))
+      TypeCheckResult.TypeCheckFailure(
+        s"jaccard_sorted needs array<bigint> (no null elements), got ${left.dataType.sql}")
+    else if (right.dataType != ArrayType(LongType, containsNull = false))
+      TypeCheckResult.TypeCheckFailure(
+        s"jaccard_sorted needs array<bigint> (no null elements), got ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
   private def compute(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var inter = 0
@@ -149,18 +156,27 @@ case class JaccardSorted(left: Expression, right: Expression)
   }
   override def nullSafeEval(a: Any, b: Any): Any =
     compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  // locals come from ctx.freshName: with non-nullable inputs
+  // nullSafeCodeGen inlines the fragment unbraced, so fixed names would
+  // collide when the expression appears twice in one codegen scope and
+  // janino would reject the whole stage
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+    val i = ctx.freshName("i"); val j = ctx.freshName("j")
+    val inter = ctx.freshName("inter"); val union = ctx.freshName("union")
+    val x = ctx.freshName("x"); val y = ctx.freshName("y")
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"""int gna = $a.numElements(), gnb = $b.numElements();
-         |int gi = 0, gj = 0, ginter = 0;
-         |while (gi < gna && gj < gnb) {
-         |  long gx = $a.getLong(gi); long gy = $b.getLong(gj);
-         |  if (gx == gy) { ginter++; gi++; gj++; }
-         |  else if (gx < gy) gi++; else gj++;
+      s"""int $na = $a.numElements(), $nb = $b.numElements();
+         |int $i = 0, $j = 0, $inter = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |  if ($x == $y) { $inter++; $i++; $j++; }
+         |  else if ($x < $y) $i++; else $j++;
          |}
-         |int gunion = gna + gnb - ginter;
-         |${ev.value} = (gunion == 0) ? 0.0 : ((double) ginter) / gunion;
+         |int $union = $na + $nb - $inter;
+         |${ev.value} = ($union == 0) ? 0.0 : ((double) $inter) / $union;
          |""".stripMargin)
+  }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -190,18 +206,23 @@ case class CosineSimilarityF(left: Expression, right: Expression)
   }
   override def nullSafeEval(a: Any, b: Any): Any =
     compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n = ctx.freshName("n"); val i = ctx.freshName("i")
+    val dot = ctx.freshName("dot")
+    val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+    val x = ctx.freshName("x"); val y = ctx.freshName("y")
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"""int gn = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double gdot = 0.0, gna = 0.0, gnb = 0.0;
-         |for (int gi = 0; gi < gn; gi++) {
-         |  double gx = (double) $a.getFloat(gi);
-         |  double gy = (double) $b.getFloat(gi);
-         |  gdot += gx * gy; gna += gx * gx; gnb += gy * gy;
+      s"""int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = (gna == 0.0 || gnb == 0.0)
-         |  ? 0.0 : gdot / (java.lang.Math.sqrt(gna) * java.lang.Math.sqrt(gnb));
+         |${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |""".stripMargin)
+  }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

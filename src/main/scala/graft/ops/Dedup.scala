@@ -26,16 +26,27 @@ object Dedup {
 
   // ---------------------------------------------------------------- exact
 
+  /** 128-bit key for exact-text grouping: a struct of two
+    * independently-seeded xxhash64 values over the normalized text.  A
+    * single 64-bit hash collides at the birthday bound around 2³² keys
+    * — real at the 100 TB design scale (10¹⁰–10¹¹ docs ⇒ many expected
+    * collisions), so "exact" dedup keyed on one hash would silently
+    * merge distinct documents.  Two independent 64-bit hashes push the
+    * collision probability below 10⁻¹⁶ even at 10¹¹ docs, while the
+    * shuffle key stays a fixed 16 bytes instead of the document itself.
+    */
+  private def exactKey(textCol: Column): Column = {
+    val nt = TextAnalysis.normalize(textCol)
+    struct(xxhash64(nt).as("h1"), xxhash64(lit("graft-dedup-2"), nt).as("h2"))
+  }
+
   /** Exact duplicates by normalized text: returns one row per duplicate
     * group with the member ids (smallest id is the keeper).  Groups on
-    * `xxhash64(normalized)` — an 8-byte shuffle key instead of the
-    * document itself (at 100 TB the group key IS the shuffle row; a
-    * 64-bit hash is injective at any realistic corpus size, the same
-    * argument as [[TextAnalysis.fingerprint]]).
+    * a 128-bit hash struct — a 16-byte shuffle key instead of the
+    * document itself (see [[exactKey]] for the collision math).
     */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
-        xxhash64(TextAnalysis.normalize(col(textCol))).as("nh"))
+    df.select(col(idCol).as("id"), exactKey(col(textCol)).as("nh"))
       .groupBy(col("nh"))
       .agg(count(lit(1)).as("n_members"),
         min(col("id")).as("keeper"),
@@ -45,12 +56,12 @@ object Dedup {
   /** Keep one row per distinct normalized text (smallest id wins).
     * Window-free formulation: min-id per key then semi-join, so the
     * heavy payload column is never shuffled through a sort; the group
-    * key is the 8-byte text hash, not the text (see [[exactGroups]]).
+    * key is the 16-byte text-hash struct, not the text (see
+    * [[exactKey]]).
     */
   def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keepers = df
-      .select(col(idCol).as("__id"),
-        xxhash64(TextAnalysis.normalize(col(textCol))).as("__nh"))
+      .select(col(idCol).as("__id"), exactKey(col(textCol)).as("__nh"))
       .groupBy(col("__nh")).agg(min(col("__id")).as("__keep"))
       .select(col("__keep"))
     df.join(keepers, col(idCol) === col("__keep"), "left_semi")

@@ -74,7 +74,12 @@ object HiveQueries {
                 |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
                 |FROM graft_hive_part WHERE n_regionkey IN (1, 3)
                 |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
-      } finally dyn.foreach(s.conf.set("hive.exec.dynamic.partition.mode", _))
+      } finally dyn match {
+        // restore OR unset — foreach alone would leak the 'nonstrict'
+        // override into the shared session when the key started unset
+        case Some(v) => s.conf.set("hive.exec.dynamic.partition.mode", v)
+        case None    => s.conf.unset("hive.exec.dynamic.partition.mode")
+      }
     },
 
     // Hive UDF bridge, both dispatch flavors: old-style reflection UDF
