@@ -31,6 +31,7 @@ object SparkEntry {
     graft.queries.PipelineQueries.queries ++
     graft.queries.GateQueries.queries ++
     graft.queries.ModernSql.queries ++
+    graft.queries.ModernSql4.queries ++
     graft.queries.VocabQueries.queries ++
     graft.queries.MergeQueries.queries ++
     graft.queries.FinalQueries.queries ++
@@ -63,6 +64,7 @@ object SparkEntry {
     graft.queries.PipelineQueries.oracle ++
     graft.queries.GateQueries.oracle ++
     graft.queries.ModernSql.oracle ++
+    graft.queries.ModernSql4.oracle ++
     graft.queries.VocabQueries.oracle ++
     graft.queries.MergeQueries.oracle ++
     graft.queries.FinalQueries.oracle ++
