@@ -36,6 +36,7 @@ object SparkEntry {
     graft.queries.MergeQueries.queries ++
     graft.queries.FinalQueries.queries ++
     graft.queries.TpcdsShapes.queries ++
+    graft.queries.TpcdsShapes2.queries ++
     graft.queries.CoercionQueries.queries ++
     graft.queries.SsbShapes.queries ++
     graft.queries.SubqueryCorners.queries ++
@@ -69,6 +70,7 @@ object SparkEntry {
     graft.queries.MergeQueries.oracle ++
     graft.queries.FinalQueries.oracle ++
     graft.queries.TpcdsShapes.oracle ++
+    graft.queries.TpcdsShapes2.oracle ++
     graft.queries.CoercionQueries.oracle ++
     graft.queries.SsbShapes.oracle ++
     graft.queries.SubqueryCorners.oracle ++
