@@ -43,7 +43,8 @@ object SparkEntry {
     graft.queries.GroupAnalytics.queries ++
     graft.queries.HiveQueries.queries ++
     graft.queries.SqlGolden.queries ++
-    graft.queries.SketchQueries.queries
+    graft.queries.SketchQueries.queries ++
+    graft.queries.SurfaceTail.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -77,5 +78,6 @@ object SparkEntry {
     graft.queries.GroupAnalytics.oracle ++
     graft.queries.HiveQueries.oracle ++
     graft.queries.SqlGolden.oracle ++
-    graft.queries.SketchQueries.oracle
+    graft.queries.SketchQueries.oracle ++
+    graft.queries.SurfaceTail.oracle
 }

@@ -105,4 +105,29 @@ class DdlSpec extends SparkSpec {
         .filter(org.apache.spark.sql.functions.col("n_regionkey") === 0).count() == 0)
     } finally spark.sql("DROP TABLE IF EXISTS ddl_part")
   }
+
+  test("CACHE TABLE AS SELECT scans the InMemoryRelation, UNCACHE releases it") {
+    graft.Tables.registerAll(spark, sf)
+    spark.sql("UNCACHE TABLE IF EXISTS ddl_cached")
+    spark.sql("DROP VIEW IF EXISTS ddl_cached")
+    try {
+      spark.sql(
+        """CACHE TABLE ddl_cached AS
+          |SELECT c_nationkey, count(*) AS n FROM customer GROUP BY c_nationkey""".stripMargin)
+      val q = spark.sql("SELECT sum(n) AS total FROM ddl_cached")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryRelation"),
+        s"cached table should read from the columnar cache:\n$plan")
+      assert(q.head().getLong(0) ==
+        graft.Tables.load(spark, sf, "customer").count())
+      spark.sql("UNCACHE TABLE ddl_cached")
+      val after = spark.sql("SELECT sum(n) FROM ddl_cached")
+        .queryExecution.executedPlan.toString
+      assert(!after.contains("InMemoryRelation"),
+        s"UNCACHE must drop the cached relation:\n$after")
+    } finally {
+      spark.sql("UNCACHE TABLE IF EXISTS ddl_cached")
+      spark.sql("DROP VIEW IF EXISTS ddl_cached")
+    }
+  }
 }
