@@ -250,9 +250,41 @@ object StreamingQueries {
         case Some(v) => s.conf.set(providerKey, v)
         case None => s.conf.unset(providerKey)
       }
+    },
+
+    // Stream-static join: the streaming fact micro-batches join to a
+    // STATIC dimension re-read per batch — stateless (no join state
+    // store), the streaming mirror of the broadcast-dim star.  The
+    // static side is a small aggregate of customer, so at scale each
+    // micro-batch plans a broadcast hash join; the memory-sink total
+    // equals the batch join oracle.
+    "q_stream_static_join" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("value").cast("decimal(12,2)").as("v"))
+      val dim = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val stream = replay(s, ev, chunks = 2)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+      val name = s"stream_static_${runId.incrementAndGet()}"
+      withStatePartitions(s) {
+        val q = stream.writeStream.format("memory").queryName(name)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(name)
+        .select(col("c_mktsegment"), col("n"),
+          col("total").cast("double").as("total"))
+        .orderBy(col("c_mktsegment"))
     })
 
   val oracle: Map[String, String] = Map(
+    "q_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_stream_tws" ->
       """SELECT event_type, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -396,4 +396,30 @@ class StreamingSpec extends SparkSpec {
       assert(counts.max == 3)
     } finally q.stop()
   }
+
+  test("stream-static join is stateless and broadcasts the static dim") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
+    val in = MemoryStream[Event]
+    val joined = in.toDS().toDF()
+      .join(broadcast(dim), col("user_id") === col("uid"))
+      .select(col("event_id"), col("tier"))
+    val q = runToMemory(joined, "ss_join")
+    try {
+      in.addData(ev(1, 1, user = 1), ev(2, 2, user = 3))
+      q.processAllAvailable()
+      in.addData(ev(3, 3, user = 2))
+      q.processAllAvailable()
+      // user 3 has no dim row (inner join drops it); 1 and 2 match
+      val rows = spark.table("ss_join").as[(Long, String)].collect().toSet
+      assert(rows == Set((1L, "gold"), (3L, "silver")))
+      // stateless: no state-store operator, and the dim side broadcast
+      val lastExec = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(lastExec.contains("BroadcastHashJoin"),
+        s"static dim should broadcast:\n$lastExec")
+      assert(!lastExec.contains("StateStore"),
+        s"stream-static join must hold no join state:\n$lastExec")
+    } finally q.stop()
+  }
 }
