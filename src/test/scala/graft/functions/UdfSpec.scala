@@ -106,4 +106,47 @@ class UdfSpec extends SparkSpec {
       .as[Double].collect().toSeq
     assert(edge == Seq(1.0, 0.0))
   }
+
+  test("repeated custom expressions share one whole-stage-codegen scope") {
+    // regression: the codegen fragments declare locals — with fixed
+    // names, TWO calls of the same expression in one projection emit
+    // duplicate declarations, janino rejects the stage, and execution
+    // silently falls back to the interpreted path.  freshName-generated
+    // locals must keep both calls inside WholeStageCodegen.
+    // inputs derive from a range SCAN (a literal local relation would
+    // constant-fold away before any codegen happens)
+    val df = spark.range(2)
+      .select(col("id"),
+        sequence(lit(1L), col("id") + 3L).as("a"),
+        sequence(lit(2L), col("id") + 4L).as("b"),
+        sequence(col("id") + 9L, col("id") + 9L).as("c"),
+        concat(lit("ab"), col("id").cast("string")).as("s1"),
+        concat(lit("xy"), col("id").cast("string")).as("s2"),
+        array(lit(1.0f), col("id").cast("float")).as("v1"),
+        array(col("id").cast("float"), lit(1.0f)).as("v2"))
+      .select(col("id"),
+        graft.functions.jaccard_sorted(col("a"), col("b")).as("j1"),
+        graft.functions.jaccard_sorted(col("a"), col("c")).as("j2"),
+        graft.functions.rolling_hash64(col("s1")).as("h1"),
+        graft.functions.rolling_hash64(col("s2")).as("h2"),
+        graft.functions.cosine_sim(col("v1"), col("v2")).as("c1"),
+        graft.functions.cosine_sim(col("v1"), col("v1")).as("c2"))
+    // with fallback off, a janino rejection (duplicate locals) throws
+    // instead of silently executing interpreted
+    val saved = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val row =
+      try df.where(col("id") === 0).head()
+      finally spark.conf.set("spark.sql.codegen.fallback", saved)
+    // id=0: a=[1,2,3], b=[2,3,4] → 2/4; c=[9] → 0; v1=[1,0] ⊥ v2=[0,1]
+    assert(math.abs(row.getDouble(1) - 0.5) < 1e-12)
+    assert(math.abs(row.getDouble(2)) < 1e-12)
+    assert(row.getLong(3) != row.getLong(4))
+    assert(math.abs(row.getDouble(5)) < 1e-12)
+    assert(math.abs(row.getDouble(6) - 1.0) < 1e-12)
+    // the projection planned INSIDE a whole-stage scope (the *(n) mark)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"),
+      s"custom expressions fell out of whole-stage codegen:\n$plan")
+  }
 }
