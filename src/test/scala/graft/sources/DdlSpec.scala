@@ -106,6 +106,59 @@ class DdlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ddl_part")
   }
 
+  test("column DEFAULT values apply on INSERT and ALTER") {
+    spark.sql("DROP TABLE IF EXISTS ddl_defaults")
+    try {
+      spark.sql(
+        """CREATE TABLE ddl_defaults (
+          |  k INT, status STRING DEFAULT 'new', score INT DEFAULT 10)
+          |USING parquet""".stripMargin)
+      spark.sql("INSERT INTO ddl_defaults (k) VALUES (1)")
+      spark.sql("INSERT INTO ddl_defaults VALUES (2, 'done', DEFAULT)")
+      spark.sql("ALTER TABLE ddl_defaults ALTER COLUMN score SET DEFAULT 99")
+      spark.sql("INSERT INTO ddl_defaults (k) VALUES (3)")
+      val rows = spark.table("ddl_defaults")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+      assert(rows == Set((1, "new", 10), (2, "done", 10), (3, "new", 99)),
+        s"defaults mis-applied: $rows")
+    } finally spark.sql("DROP TABLE IF EXISTS ddl_defaults")
+  }
+
+  test("INSERT OVERWRITE replaces table contents atomically") {
+    Tables.registerAll(spark, sf)
+    spark.sql("DROP TABLE IF EXISTS ddl_overwrite")
+    try {
+      spark.sql(
+        """CREATE TABLE ddl_overwrite USING parquet AS
+          |SELECT n_nationkey, n_name FROM nation""".stripMargin)
+      assert(spark.table("ddl_overwrite").count() == 25)
+      spark.sql(
+        """INSERT OVERWRITE TABLE ddl_overwrite
+          |SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 2""".stripMargin)
+      val rows = spark.table("ddl_overwrite").count()
+      assert(rows == 5, s"overwrite should leave only region-2 nations, got $rows")
+    } finally spark.sql("DROP TABLE IF EXISTS ddl_overwrite")
+  }
+
+  test("SHOW CREATE TABLE / SHOW FUNCTIONS / EXPLAIN surface metadata") {
+    Tables.registerAll(spark, sf)
+    spark.sql("DROP TABLE IF EXISTS ddl_show")
+    try {
+      spark.sql(
+        "CREATE TABLE ddl_show (a INT, b STRING) USING parquet")
+      val ddl = spark.sql("SHOW CREATE TABLE ddl_show").head().getString(0)
+      assert(ddl.contains("CREATE TABLE") && ddl.contains("ddl_show")
+        && ddl.contains("parquet"), s"unexpected DDL: $ddl")
+      val fns = spark.sql("SHOW FUNCTIONS LIKE 'xxhash*'")
+        .collect().map(_.getString(0))
+      assert(fns.contains("xxhash64"))
+      val explain = spark.sql("EXPLAIN FORMATTED SELECT count(*) FROM nation")
+        .head().getString(0)
+      assert(explain.contains("Physical Plan") && explain.contains("HashAggregate"),
+        s"EXPLAIN FORMATTED should dump the physical plan:\n$explain")
+    } finally spark.sql("DROP TABLE IF EXISTS ddl_show")
+  }
+
   test("CACHE TABLE AS SELECT scans the InMemoryRelation, UNCACHE releases it") {
     graft.Tables.registerAll(spark, sf)
     spark.sql("UNCACHE TABLE IF EXISTS ddl_cached")
