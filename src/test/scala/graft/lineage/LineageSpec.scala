@@ -155,4 +155,25 @@ class LineageSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(2))).toSet
     assert(edges == Set(("rate", "l_tax"), ("rate", "l_discount")))
   }
+
+  test("Spark-4 plan shapes (recursive CTE, pipe syntax) don't break the walk") {
+    // new logical nodes (UnionLoop / UnionLoopRef for WITH RECURSIVE)
+    // must flow through the generic fallback without throwing, and the
+    // non-recursive side's real sources must still be attributed
+    Tables.registerAll(spark, sf)
+    val rec = ColumnLineage.ofSql(spark,
+      """WITH RECURSIVE seq(n) AS (
+        |  SELECT 0 UNION ALL SELECT n + 1 FROM seq WHERE n < 5)
+        |SELECT s.n, count(c.c_custkey) AS n_cust
+        |FROM seq s LEFT JOIN customer c ON c.c_nationkey = s.n
+        |GROUP BY s.n""".stripMargin)
+    assert(rec("n_cust").exists(_.column == "c_custkey"),
+      s"customer side must survive the recursive union: ${rec.outputs}")
+    val piped = ColumnLineage.ofSql(spark,
+      """FROM lineitem
+        ||> WHERE l_quantity > 0
+        ||> AGGREGATE sum(l_extendedprice) AS rev GROUP BY l_returnflag""".stripMargin)
+    assert(piped("rev").exists(_.column == "l_extendedprice"))
+    assert(piped("l_returnflag").exists(_.column == "l_returnflag"))
+  }
 }
