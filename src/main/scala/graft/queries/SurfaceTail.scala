@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.Tables
 
@@ -64,6 +65,59 @@ object SurfaceTail {
           |ORDER BY c_nationkey""".stripMargin)
     },
 
+    // Dynamic partition pruning: the fact is laid out partitioned by
+    // the join key, the dim side filters to one region, and the fact
+    // scan prunes to the dim's surviving keys AT RUNTIME — at 100 TB
+    // this is the difference between scanning 25 partitions and 5.
+    // Plan-asserted in RuntimeFilterSpec; here values prove the pruned
+    // scan loses nothing vs the DuckDB full-scan join.
+    "q_dpp_join" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val out = graft.TmpCleanup.tempDir("graft_dpp_gate")
+      Tables.load(s, dir, "customer")
+        .write.mode("overwrite").partitionBy("c_nationkey").parquet(out)
+      s.read.parquet(out)
+        .join(Tables.load(s, dir, "nation")
+          .filter(col("n_regionkey") === 2), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("bal"))
+        .orderBy(col("n_name"))
+    },
+
+    // Runtime bloom-filter join: the selective dim side builds a bloom
+    // filter that pre-filters the fact BEFORE its shuffle (reference-era
+    // engines shuffle the full fact).  Production thresholds (10 MB /
+    // 10 GB) are lowered so gate-scale data takes the same plan the
+    // 100 TB join would; confs restored either way.
+    "q_runtime_bloom" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val keys = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val saved = keys.map(k => k -> s.conf.getOption(k))
+      s.conf.set(keys(0), "10MB")
+      s.conf.set(keys(1), "1KB")
+      s.conf.set(keys(2), "-1")
+      try {
+        val joined = Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "part").filter(col("p_size") === 1),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
+          .orderBy(col("p_brand"))
+        // materialize NOW, under the lowered thresholds
+        val rows = joined.collect()
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.toSeq.asJava, joined.schema)
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    },
+
     // percent_rank + cume_dist side by side over the same ordered
     // partition (the two normalized-rank definitions differ at the
     // edges: (rank-1)/(n-1) vs rank/n).
@@ -99,6 +153,18 @@ object SurfaceTail {
         |FROM customer GROUP BY c_nationkey
         |HAVING count(*) > 0
         |ORDER BY c_nationkey""".stripMargin,
+    "q_dpp_join" ->
+      """SELECT n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_regionkey = 2
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_runtime_bloom" ->
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 1
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_window_percent_rank" ->
       """SELECT s_suppkey, s_nationkey,
         |  CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS pr,
