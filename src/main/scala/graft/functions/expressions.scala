@@ -182,6 +182,57 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 2-D Morton (Z-order) code: interleaves the low 16 bits of two int
+  * columns — x in the even result bits, y in the odd — via the classic
+  * parallel bit-spread (4 shift-mask rounds per operand, no loop).
+  * Sorting or range-partitioning a table by this code co-locates rows
+  * that are close in BOTH dimensions, so multi-dimensional range
+  * predicates touch few contiguous file ranges — the data-layout trick
+  * behind Z-ordered lakehouse tables, expressed as an ordinary codegen
+  * expression over stock Spark writes.  Key property (asserted in
+  * LayoutSpec): any power-of-2-aligned tile is one CONTIGUOUS run of
+  * the sorted order.
+  */
+case class InterleaveBits16(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == IntegerType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"morton2 needs (int, int), got (${left.dataType.sql}, ${right.dataType.sql})")
+  private def spread(v: Long): Long = {
+    var s = v & 0xffffL
+    s = (s | (s << 8)) & 0x00ff00ffL
+    s = (s | (s << 4)) & 0x0f0f0f0fL
+    s = (s | (s << 2)) & 0x33333333L
+    s = (s | (s << 1)) & 0x55555555L
+    s
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    spread(a.asInstanceOf[Int].toLong) |
+      (spread(b.asInstanceOf[Int].toLong) << 1)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sx = ctx.freshName("sx"); val sy = ctx.freshName("sy")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""long $sx = ((long) $a) & 0xffffL;
+         |$sx = ($sx | ($sx << 8)) & 0x00ff00ffL;
+         |$sx = ($sx | ($sx << 4)) & 0x0f0f0f0fL;
+         |$sx = ($sx | ($sx << 2)) & 0x33333333L;
+         |$sx = ($sx | ($sx << 1)) & 0x55555555L;
+         |long $sy = ((long) $b) & 0xffffL;
+         |$sy = ($sy | ($sy << 8)) & 0x00ff00ffL;
+         |$sy = ($sy | ($sy << 4)) & 0x0f0f0f0fL;
+         |$sy = ($sy | ($sy << 2)) & 0x33333333L;
+         |$sy = ($sy | ($sy << 1)) & 0x55555555L;
+         |${ev.value} = $sx | ($sy << 1);
+         |""".stripMargin)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Cosine similarity of two float vectors, computed in double precision
   * with a single fused pass (dot, |a|², |b|² in one loop).  The
   * higher-order-function composition (`aggregate(zip_with(...))`)

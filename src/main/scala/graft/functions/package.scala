@@ -26,6 +26,10 @@ package object functions {
   def cosine_sim(a: Column, b: Column): Column =
     toCol(CosineSimilarityF(toExpr(a), toExpr(b)))
 
+  /** 2-D Morton (Z-order) code of two int columns' low 16 bits. */
+  def morton2(x: Column, y: Column): Column =
+    toCol(InterleaveBits16(toExpr(x), toExpr(y)))
+
   /** Generator: word n-grams of a text column as (pos, ngram) rows. */
   def ngrams(text: Column, n: Int): Column =
     toCol(NGramsGenerator(toExpr(text),

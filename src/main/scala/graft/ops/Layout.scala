@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.morton2
+
+/** Multi-dimensional data layout for write-time clustering.
+  *
+  * `zorder` range-partitions and locally sorts by the 2-D Morton code
+  * of two integer dimensions, so a downstream write produces files
+  * whose per-file (min, max) ranges are tight in BOTH dimensions —
+  * a 2-D range predicate then prunes most files from their footer
+  * stats alone.  At 100 TB this is write-side work that buys every
+  * future scan; the curve math itself stays in one codegen'd
+  * expression ([[graft.functions.InterleaveBits16]]), the movement is
+  * a single range exchange (one shuffle, same cost class as any
+  * repartition).
+  */
+object Layout {
+
+  /** Morton code of the two dimension columns (low 16 bits each). */
+  def zcode(x: Column, y: Column): Column = morton2(x, y)
+
+  /** Cluster `df` for writing: range-partition into `buckets` by the
+    * Morton code of (x, y), sorted within each partition.  The helper
+    * column is dropped — layout is a side effect of row order, not
+    * schema.
+    */
+  def zorder(df: DataFrame, x: Column, y: Column, buckets: Int): DataFrame =
+    df.withColumn("__z", zcode(x, y))
+      .repartitionByRange(buckets, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+}

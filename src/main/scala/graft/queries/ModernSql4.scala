@@ -129,6 +129,41 @@ object ModernSql4 {
         |     GROUP BY l_returnflag, l_linestatus
         ||> ORDER BY l_returnflag, l_linestatus""".stripMargin),
 
+    // SQL scripting: a BEGIN...END block with local variables, a WHILE
+    // loop and an IF branch — compound statements the 2.4-era reference
+    // could only express driver-side.  The loop accumulates the first 5
+    // region keys (0+1+2+3+4 = 10) and the IF picks the real branch;
+    // the final SELECT is ordinary distributed SQL over customer.
+    "q_sql_scripting" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val key = "spark.sql.scripting.enabled"
+      val saved = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try s.sql(
+        """BEGIN
+          |  DECLARE i INT DEFAULT 0;
+          |  DECLARE key_acc BIGINT DEFAULT 0;
+          |  DECLARE cut DOUBLE;
+          |  WHILE i < 5 DO
+          |    SET key_acc = key_acc + i;
+          |    SET i = i + 1;
+          |  END WHILE;
+          |  SET cut = (SELECT avg(c_acctbal) FROM customer);
+          |  IF cut > 0 THEN
+          |    SELECT c_mktsegment, count(*) AS n_above, key_acc AS loop_sum
+          |    FROM customer WHERE c_acctbal > cut
+          |    GROUP BY c_mktsegment ORDER BY c_mktsegment;
+          |  ELSE
+          |    SELECT 'none' AS c_mktsegment, CAST(0 AS BIGINT) AS n_above,
+          |      key_acc AS loop_sum;
+          |  END IF;
+          |END""".stripMargin)
+      finally saved match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    },
+
     // IDENTIFIER(): table name arrives as a bound string parameter —
     // the injection-safe form of dynamic table dispatch.
     "q_identifier" -> { (s, dir) =>
@@ -214,6 +249,11 @@ object ModernSql4 {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_sql_scripting" ->
+      """SELECT c_mktsegment, count(*) AS n_above, CAST(10 AS BIGINT) AS loop_sum
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_identifier" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q_tablesample" ->

@@ -118,6 +118,21 @@ object SurfaceTail {
       }
     },
 
+    // Z-order (Morton) codes: the custom codegen expression against a
+    // bit-exact DuckDB oracle (the same interleave unrolled into 32
+    // shift-mask terms).  The layout operator built on it is
+    // plan/locality-asserted in LayoutSpec.
+    "q_zorder_code" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 1024).cast("int").as("zx"),
+          (col("l_suppkey") % 1024).cast("int").as("zy"))
+        .withColumn("z", graft.functions.morton2(col("zx"), col("zy")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
     // percent_rank + cume_dist side by side over the same ordered
     // partition (the two normalized-rank definitions differ at the
     // edges: (rank-1)/(n-1) vs rank/n).
@@ -132,7 +147,24 @@ object SurfaceTail {
           |ORDER BY s_nationkey, s_suppkey""".stripMargin)
     })
 
+  /** DuckDB twin of [[graft.functions.InterleaveBits16]]: the same
+    * interleave unrolled to per-bit shift-mask terms (bit-exact, no
+    * floating point anywhere).
+    */
+  private def mortonSql(x: String, y: String): String = {
+    val tx = (0 until 16).map(i => s"((($x >> $i) & 1) << ${2 * i})").mkString(" + ")
+    val ty = (0 until 16).map(i => s"((($y >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+    s"CAST(($tx) + ($ty) AS BIGINT)"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_zorder_code" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(l_partkey % 1024 AS INT) AS zx,
+         |  CAST(l_suppkey % 1024 AS INT) AS zy,
+         |  ${mortonSql("(l_partkey % 1024)", "(l_suppkey % 1024)")} AS z
+         |FROM lineitem WHERE l_orderkey <= 100
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_fn_regex_tail" ->
       """SELECT p_partkey,
         |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
