@@ -252,6 +252,48 @@ object StreamingQueries {
       }
     },
 
+    // foreachBatch upsert sink: the streaming aggregation runs in
+    // UPDATE mode (each batch emits the refreshed CUMULATIVE per-key
+    // row from the state store), and foreachBatch applies it to a keyed
+    // parquet table with graft.ops.Upsert — the standard "maintain a
+    // merge table from a stream" pattern when the sink has no native
+    // MERGE.  Because update-mode rows are cumulative, last-writer-wins
+    // upsert converges to the batch GROUP BY exactly, independent of
+    // how rows split across batches.
+    "q_stream_foreachbatch_merge" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("value").cast("decimal(12,2)").as("v"))
+      val stream = replay(s, ev, chunks = 3)
+      val state = graft.TmpCleanup.tempDir("graft_febatch_state")
+      val merged = stream.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), max(col("v")).as("vmax"))
+      withStatePartitions(s) {
+        val q = merged.writeStream
+          .outputMode("update")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // read-modify-write on the small keyed aggregate (never the
+            // fact); the swap stands in for a table format's commit
+            val cur =
+              try s.read.parquet(state)
+              catch { case _: Exception => batch.limit(0) }
+            graft.ops.Upsert(cur, batch, Seq("user_id"))
+              .coalesce(1)
+              .write.mode("overwrite").parquet(state + "_next")
+            val fs = org.apache.hadoop.fs.FileSystem.get(
+              s.sparkContext.hadoopConfiguration)
+            val dst = new org.apache.hadoop.fs.Path(state)
+            fs.delete(dst, true)
+            fs.rename(new org.apache.hadoop.fs.Path(state + "_next"), dst)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.read.parquet(state)
+        .select(col("user_id"), col("n"), col("vmax").cast("double").as("vmax"))
+        .orderBy(col("user_id"))
+    },
+
     // Stream-static join: the streaming fact micro-batches join to a
     // STATIC dimension re-read per batch — stateless (no join state
     // store), the streaming mirror of the broadcast-dim star.  The
@@ -280,6 +322,10 @@ object StreamingQueries {
     })
 
   val oracle: Map[String, String] = Map(
+    "q_stream_foreachbatch_merge" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(max(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS vmax
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_stream_static_join" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
