@@ -208,4 +208,51 @@ class SourcesSpec extends SparkSpec {
     // column pruning: ReadSchema carries only the 3 needed columns
     assert(scanStr.contains("l_orderkey") && !scanStr.contains("l_extendedprice"))
   }
+
+  test("parquet schema evolution: mergeSchema unifies widened file schemas") {
+    import spark.implicits._
+    val dir = graft.TmpCleanup.tempDir("graft_merge_schema")
+    // v1 files carry (k, a); later v2 files add column b
+    Seq((1L, "x")).toDF("k", "a").write.parquet(dir + "/p=1")
+    Seq((2L, "y", 9.5)).toDF("k", "a", "b").write.parquet(dir + "/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.toSet == Set("k", "a", "b", "p"))
+    val rows = merged.select("k", "b").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toSet
+    // old files read the new column as null — no rewrite needed
+    assert(rows == Set((1L, None), (2L, Some(9.5))))
+  }
+
+  test("malformed-record modes: PERMISSIVE captures, DROPMALFORMED drops, FAILFAST throws") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = graft.TmpCleanup.tempDir("graft_malformed")
+    Seq("1,alpha", "2,beta", "not-a-number,gamma", "4,delta")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("name", StringType),
+      StructField("_corrupt", StringType)))
+    // PERMISSIVE (default): bad row surfaces with its raw text captured
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(dir).cache()
+    assert(permissive.count() == 4)
+    val bad = permissive.filter(col("_corrupt").isNotNull).collect()
+    assert(bad.length == 1 && bad.head.getString(2) == "not-a-number,gamma")
+    permissive.unpersist()
+    // DROPMALFORMED: bad row silently dropped
+    val dropped = spark.read
+      .schema(StructType(schema.dropRight(1)))
+      .option("mode", "DROPMALFORMED").csv(dir)
+    assert(dropped.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 4))
+    // FAILFAST: the bad row aborts the scan
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.schema(StructType(schema.dropRight(1)))
+        .option("mode", "FAILFAST").csv(dir).collect()
+    }
+    assert(ex.getMessage.contains("Malformed") ||
+      Option(ex.getCause).exists(_.getMessage.contains("Malformed")))
+  }
 }
