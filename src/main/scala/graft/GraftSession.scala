@@ -28,6 +28,9 @@ object GraftSession {
     b.config("spark.sql.warehouse.dir", s"$base/warehouse")
       .config("spark.hadoop.javax.jdo.option.ConnectionURL",
         s"jdbc:derby:;databaseName=$base/metastore;create=true")
+      // the library's whole extension surface (optimizer rule, planner
+      // strategy, SQL function names) rides one config line
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .enableHiveSupport()
   }
 }

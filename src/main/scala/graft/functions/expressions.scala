@@ -131,27 +131,35 @@ case class NGramsGenerator(text: Expression, n: Expression)
 case class JaccardSorted(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  // both operands must be array<bigint> with no null slots — compute()
-  // and the codegen read raw long slots, so anything else must fail at
-  // analysis, not mid-job
+  // both operands must be array<bigint> — anything else fails at
+  // analysis, not as a mid-job ClassCastException.  Null SLOTS are
+  // tolerated (a nullable source column makes Spark mark derived
+  // arrays containsNull even when no null can occur) and are ignored
+  // by the merge: a sorted-distinct SET has no null member.
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType != ArrayType(LongType, containsNull = false))
-      TypeCheckResult.TypeCheckFailure(
-        s"jaccard_sorted needs array<bigint> (no null elements), got ${left.dataType.sql}")
-    else if (right.dataType != ArrayType(LongType, containsNull = false))
-      TypeCheckResult.TypeCheckFailure(
-        s"jaccard_sorted needs array<bigint> (no null elements), got ${right.dataType.sql}")
-    else TypeCheckResult.TypeCheckSuccess
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"jaccard_sorted needs two array<bigint>, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+    }
   private def compute(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements(); val nb = b.numElements()
-    var i = 0; var j = 0; var inter = 0
+    var i = 0; var j = 0; var inter = 0; var ca = 0; var cb = 0
     while (i < na && j < nb) {
-      val x = a.getLong(i); val y = b.getLong(j)
-      if (x == y) { inter += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { inter += 1; ca += 1; cb += 1; i += 1; j += 1 }
+        else if (x < y) { ca += 1; i += 1 }
+        else { cb += 1; j += 1 }
+      }
     }
-    val union = na + nb - inter
+    while (i < na) { if (!a.isNullAt(i)) ca += 1; i += 1 }
+    while (j < nb) { if (!b.isNullAt(j)) cb += 1; j += 1 }
+    val union = ca + cb - inter
     if (union == 0) 0.0 else inter.toDouble / union
   }
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -164,16 +172,21 @@ case class JaccardSorted(left: Expression, right: Expression)
     val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
     val i = ctx.freshName("i"); val j = ctx.freshName("j")
     val inter = ctx.freshName("inter"); val union = ctx.freshName("union")
+    val ca = ctx.freshName("ca"); val cb = ctx.freshName("cb")
     val x = ctx.freshName("x"); val y = ctx.freshName("y")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""int $na = $a.numElements(), $nb = $b.numElements();
-         |int $i = 0, $j = 0, $inter = 0;
+         |int $i = 0, $j = 0, $inter = 0, $ca = 0, $cb = 0;
          |while ($i < $na && $j < $nb) {
+         |  if ($a.isNullAt($i)) { $i++; continue; }
+         |  if ($b.isNullAt($j)) { $j++; continue; }
          |  long $x = $a.getLong($i); long $y = $b.getLong($j);
-         |  if ($x == $y) { $inter++; $i++; $j++; }
-         |  else if ($x < $y) $i++; else $j++;
+         |  if ($x == $y) { $inter++; $ca++; $cb++; $i++; $j++; }
+         |  else if ($x < $y) { $ca++; $i++; } else { $cb++; $j++; }
          |}
-         |int $union = $na + $nb - $inter;
+         |while ($i < $na) { if (!$a.isNullAt($i)) $ca++; $i++; }
+         |while ($j < $nb) { if (!$b.isNullAt($j)) $cb++; $j++; }
+         |int $union = $ca + $cb - $inter;
          |${ev.value} = ($union == 0) ? 0.0 : ((double) $inter) / $union;
          |""".stripMargin)
   }

@@ -41,14 +41,49 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
     }
 }
 
-/** Session extension bundle for graft's optimizer/planner additions —
+/** Session extension bundle for graft's additions —
   * `spark.sql.extensions=graft.plans.GraftExtensions` wires the
-  * approx-distinct rewrite (flag-gated, off by default) without
-  * touching any Spark source.
+  * approx-distinct rewrite (flag-gated, off by default), the TopKPerKey
+  * planner strategy, AND the library's SQL function surface without
+  * touching any Spark source: one config line and `SELECT
+  * graft_hamming64(...)` parses in any SQL client (the unforked
+  * equivalent of the reference registering into
+  * `FunctionRegistry.scala`'s built-in list).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+  import graft.functions._
+
+  private def fn(name: String, usage: String, arity: Int,
+      build: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft", name, usage),
+      (args: Seq[Expression]) => {
+        require(args.length == arity, s"$name expects $arity arguments")
+        build(args)
+      })
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    ext.injectFunction(fn("graft_hamming64",
+      "popcount(a ^ b) of two int64 signatures", 2,
+      a => HammingDistance64(a(0), a(1))))
+    ext.injectFunction(fn("graft_rolling_hash64",
+      "64-bit polynomial rolling hash of a string", 1,
+      a => RollingHash64(a(0))))
+    ext.injectFunction(fn("graft_jaccard_sorted",
+      "exact Jaccard of two sorted-distinct array<bigint>", 2,
+      a => JaccardSorted(a(0), a(1))))
+    ext.injectFunction(fn("graft_cosine_sim",
+      "fused cosine similarity of two array<float>", 2,
+      a => CosineSimilarityF(a(0), a(1))))
+    ext.injectFunction(fn("graft_morton2",
+      "2-D Morton (Z-order) code of two ints' low 16 bits", 2,
+      a => InterleaveBits16(a(0), a(1))))
+    ext.injectFunction(fn("graft_ngrams",
+      "generator: word n-grams of a text column as (pos, ngram)", 2,
+      a => NGramsGenerator(a(0), a(1))))
   }
 }

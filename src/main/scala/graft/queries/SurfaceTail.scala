@@ -118,6 +118,25 @@ object SurfaceTail {
       }
     },
 
+    // Extension-registered SQL functions: graft_* names resolve through
+    // spark.sql.extensions (GraftExtensions.injectFunction) — no
+    // per-session registration code anywhere; the SQL text just parses.
+    // Values check bit-exact against DuckDB equivalents.
+    "q_ext_functions" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT n_nationkey,
+          |  CAST(graft_hamming64(CAST(n_nationkey AS BIGINT),
+          |                       CAST(n_regionkey AS BIGINT)) AS BIGINT) AS hd,
+          |  graft_morton2(CAST(n_nationkey AS INT), CAST(n_regionkey AS INT)) AS z,
+          |  CAST(round(graft_jaccard_sorted(
+          |    sort_array(array_distinct(array(CAST(n_nationkey % 3 AS BIGINT),
+          |      CAST(n_nationkey % 5 AS BIGINT), CAST(n_nationkey % 7 AS BIGINT)))),
+          |    sort_array(array_distinct(array(CAST(n_nationkey % 4 AS BIGINT),
+          |      CAST(n_nationkey % 5 AS BIGINT), CAST(n_nationkey % 6 AS BIGINT))))), 6) AS DOUBLE) AS jac
+          |FROM nation ORDER BY n_nationkey""".stripMargin)
+    },
+
     // Z-order (Morton) codes: the custom codegen expression against a
     // bit-exact DuckDB oracle (the same interleave unrolled into 32
     // shift-mask terms).  The layout operator built on it is
@@ -158,6 +177,18 @@ object SurfaceTail {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_ext_functions" ->
+      s"""SELECT n_nationkey,
+         |  CAST(bit_count(xor(CAST(n_nationkey AS BIGINT),
+         |                     CAST(n_regionkey AS BIGINT))) AS BIGINT) AS hd,
+         |  ${mortonSql("n_nationkey", "n_regionkey")} AS z,
+         |  CAST(round(
+         |    CAST(len(list_intersect(
+         |      list_distinct([n_nationkey % 3, n_nationkey % 5, n_nationkey % 7]),
+         |      list_distinct([n_nationkey % 4, n_nationkey % 5, n_nationkey % 6]))) AS DOUBLE)
+         |    / len(list_distinct([n_nationkey % 3, n_nationkey % 5, n_nationkey % 7]
+         |        || [n_nationkey % 4, n_nationkey % 5, n_nationkey % 6])), 6) AS DOUBLE) AS jac
+         |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_zorder_code" ->
       s"""SELECT l_orderkey, l_linenumber,
          |  CAST(l_partkey % 1024 AS INT) AS zx,

@@ -1,0 +1,40 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** The one-config-line activation story: every runtime session loads
+  * `spark.sql.extensions=graft.plans.GraftExtensions`, which must make
+  * the library's SQL function names resolve with NO per-session
+  * registration code — the unforked equivalent of the reference adding
+  * rows to `FunctionRegistry.scala`'s built-in table.
+  */
+class ExtensionSpec extends SparkSpec {
+
+  test("graft_* SQL functions resolve through the session extension") {
+    // no registerFunction / temp-function calls anywhere in this test
+    val r = spark.sql(
+      """SELECT graft_hamming64(CAST(12 AS BIGINT), CAST(10 AS BIGINT)) AS hd,
+        |       graft_morton2(CAST(3 AS INT), CAST(5 AS INT)) AS z,
+        |       graft_rolling_hash64('abc') AS rh""".stripMargin).head()
+    assert(r.getInt(0) == 2)          // 12^10 = 0b0110
+    assert(r.getLong(1) == 39L)       // interleave(3=0b11, 5=0b101) = 0b100111
+    val expected = "abc".getBytes("UTF-8")
+      .foldLeft(0L)((h, b) => h * 31L + (b & 0xffL))
+    assert(r.getLong(2) == expected)
+  }
+
+  test("DESCRIBE FUNCTION surfaces the injected usage text") {
+    val desc = spark.sql("DESCRIBE FUNCTION graft_morton2")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("graft_morton2") && desc.toLowerCase.contains("morton"),
+      s"unexpected description:\n$desc")
+  }
+
+  test("bad arity fails at analysis with the function's own message") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_hamming64(1)").collect()
+    }
+    assert(e.getMessage.contains("graft_hamming64"),
+      s"expected arity failure naming the function, got: ${e.getMessage}")
+  }
+}
