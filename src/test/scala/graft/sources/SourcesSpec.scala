@@ -209,6 +209,34 @@ class SourcesSpec extends SparkSpec {
     assert(scanStr.contains("l_orderkey") && !scanStr.contains("l_extendedprice"))
   }
 
+  test("binaryFile source reads opaque blobs with path/length/content") {
+    // the ingestion entry point for multimodal corpora: files land as
+    // (path, modificationTime, length, content) rows, opaque bytes in
+    // `content` — downstream decode is mapPartitions (ops.Multimodal)
+    val dir = graft.TmpCleanup.tempDir("graft_binfiles")
+    val payloads = Map("a.img" -> Array[Byte](1, 2, 3, 4),
+      "b.img" -> Array[Byte](9, 8), "skip.txt" -> Array[Byte](0))
+    payloads.foreach { case (name, bytes) =>
+      Files.write(java.nio.file.Paths.get(dir, name), bytes)
+    }
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.img").load(dir)
+    assert(df.schema.fieldNames.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    val rows = df.collect().map(r => (
+      r.getString(0).split('/').last,
+      r.getLong(2),
+      r.getAs[Array[Byte]]("content").toSeq)).toSet
+    // glob filter keeps only the .img blobs, bytes round-trip exactly
+    assert(rows == Set(("a.img", 4L, Seq[Byte](1, 2, 3, 4)),
+      ("b.img", 2L, Seq[Byte](9, 8))))
+    // predicate pushdown on file metadata: length filter prunes files
+    val big = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.img").load(dir)
+      .filter(col("length") > 2)
+    assert(big.count() == 1)
+  }
+
   test("parquet schema evolution: mergeSchema unifies widened file schemas") {
     import spark.implicits._
     val dir = graft.TmpCleanup.tempDir("graft_merge_schema")
