@@ -184,6 +184,17 @@ object ModernSql4 {
           |FROM orders TABLESAMPLE (10 PERCENT) REPEATABLE (42)""".stripMargin)
     },
 
+    // SQL hint surface: /*+ BROADCAST(...) */ forces the dim broadcast
+    // and /*+ REPARTITION(n) */ pins the pre-agg layout.  DuckDB parses
+    // the hint as an ordinary comment, so the IDENTICAL text is the
+    // oracle; the plan effect is asserted in ModernSql4Spec.
+    "q_sql_hints" -> sql(
+      """SELECT /*+ BROADCAST(nation), REPARTITION(8) */
+        |  n_name, count(*) AS n_supp,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
+
     // DISTRIBUTE BY + SORT BY (and the CLUSTER BY contraction): the
     // partition-layout clauses must not change query results — the
     // aggregate over the redistributed relation matches the plain
@@ -258,6 +269,12 @@ object ModernSql4 {
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q_tablesample" ->
       """SELECT (SELECT count(*) FROM orders) AS n_total, TRUE AS n_in_bounds""".stripMargin,
+    "q_sql_hints" ->
+      """SELECT /*+ BROADCAST(nation), REPARTITION(8) */
+        |  n_name, count(*) AS n_supp,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_distribute_by" ->
       """SELECT l_suppkey, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty

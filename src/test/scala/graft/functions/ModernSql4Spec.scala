@@ -44,6 +44,24 @@ class ModernSql4Spec extends SparkSpec {
     assert(piped.toSeq == nested.toSeq)
   }
 
+  test("SQL hints force broadcast and pin repartitioning") {
+    val df = ModernSql4.queries("q_sql_hints")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"BROADCAST hint should force BHJ:\n$plan")
+    // a hint the session would reject logs + ignores, never fails: the
+    // same query under a disabled broadcast threshold STILL broadcasts
+    // because the hint overrides the config
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val forced = ModernSql4.queries("q_sql_hints")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(forced.contains("BroadcastHashJoin"),
+        s"hint must override autoBroadcastJoinThreshold=-1:\n$forced")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("DISTRIBUTE BY adds a hash exchange on the named key") {
     graft.Tables.registerAll(spark, sf)
     val plan = spark.sql(

@@ -5,7 +5,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
 
-import graft.functions.{CosineSimilarityF, HammingDistance64, RollingHash64}
+import graft.functions.{CosineSimilarityF, HammingDistance64, InterleaveBits16, JaccardSorted, RollingHash64}
 
 /** ScalaCheck properties for the pure kernels: the custom expressions'
   * eval semantics and the binned-range-join correctness lemma.  These
@@ -71,6 +71,46 @@ object GraftProps extends Properties("graft") {
     * lands in one of the interval's exploded bins, and in EXACTLY one
     * of its own — so the equi-join meets every qualifying pair once.
     */
+  property("morton2 round-trips: de-interleaving recovers both inputs") =
+    forAll(Gen.chooseNum(0, 0xffff), Gen.chooseNum(0, 0xffff)) { (x, y) =>
+      val z = InterleaveBits16(lit(x), lit(y)).eval(null).asInstanceOf[Long]
+      def compact(v: Long): Int = {
+        var s = v & 0x55555555L
+        s = (s | (s >> 1)) & 0x33333333L
+        s = (s | (s >> 2)) & 0x0f0f0f0fL
+        s = (s | (s >> 4)) & 0x00ff00ffL
+        s = (s | (s >> 8)) & 0x0000ffffL
+        s.toInt
+      }
+      compact(z) == x && compact(z >> 1) == y
+    }
+
+  property("morton2 masks to the low 16 bits (negative ints safe)") =
+    forAll { (x: Int, y: Int) =>
+      val z = InterleaveBits16(lit(x), lit(y)).eval(null).asInstanceOf[Long]
+      val zm = InterleaveBits16(lit(x & 0xffff), lit(y & 0xffff))
+        .eval(null).asInstanceOf[Long]
+      z == zm && z >= 0L && z <= 0xffffffffL
+    }
+
+  private val sortedSet: Gen[Array[Long]] =
+    Gen.listOf(Gen.chooseNum(-100L, 100L)).map(_.distinct.sorted.toArray)
+
+  property("jaccard_sorted == set-algebra Jaccard") =
+    forAll(sortedSet, sortedSet) { (a, b) =>
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      val got = JaccardSorted(
+        Literal(ArrayData.toArrayData(a),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+        Literal(ArrayData.toArrayData(b),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
+        .eval(null).asInstanceOf[Double]
+      val inter = a.toSet.intersect(b.toSet).size
+      val union = a.toSet.union(b.toSet).size
+      val want = if (union == 0) 0.0 else inter.toDouble / union
+      math.abs(got - want) < 1e-12
+    }
+
   property("range-join binning lemma: containment => bin membership") =
     forAll(Gen.chooseNum(-100000L, 100000L), Gen.chooseNum(0L, 5000L),
         Gen.chooseNum(0L, 5000L), Gen.chooseNum(1L, 1000L)) { (s, off, len, w) =>
