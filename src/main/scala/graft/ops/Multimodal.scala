@@ -76,4 +76,53 @@ object Multimodal {
       it.map(decodeStub)
     }
   }
+
+  /** One sampled frame: fixed-size byte window of the payload.  Only
+    * the digest and length leave the executor — frames never ship as
+    * raw bytes past the operator that consumes them.
+    */
+  case class Frame(media_id: Long, frame_idx: Int, n_frame_bytes: Int,
+      frame_digest: String)
+
+  /** Frame sampling STUB: a real video codec would seek keyframes; the
+    * fake emits consecutive `frameBytes`-sized windows (every payload
+    * gets >= 1 frame, a zero-length one when empty).  Structurally this
+    * is the generator shape — one media row fans out to k frame rows
+    * with no intermediate array materialized per record.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 64): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { rec =>
+      val n = rec.content.length
+      val k = math.max(1, (n + frameBytes - 1) / frameBytes)
+      (0 until k).iterator.map { i =>
+        val from = i * frameBytes
+        val until = math.min(n, from + frameBytes)
+        val slice = java.util.Arrays.copyOfRange(rec.content, from, until)
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(slice).map("%02x".format(_)).mkString
+        Frame(rec.media_id, i, until - from, digest)
+      }
+    }
+  }
+
+  /** Resize STUB: a real implementation re-encodes pixels; the fake
+    * keeps every stride-th byte so the payload shrinks proportionally
+    * and deterministically.  Metadata (width/height) updates to the
+    * target box; all other columns pass through.
+    */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].map { rec =>
+      val stride = math.max(1,
+        math.ceil(rec.width.toDouble / math.max(1, targetW)).toInt)
+      val resized = rec.content.indices.collect {
+        case i if i % stride == 0 => rec.content(i)
+      }.toArray
+      rec.copy(content = resized,
+        width = math.min(rec.width, targetW), height = math.min(rec.height, targetH))
+    }.toDF()
+  }
 }

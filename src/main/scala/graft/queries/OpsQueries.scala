@@ -336,6 +336,23 @@ object OpsQueries {
           countDistinct(col("digest")).as("n_distinct_digests"),
           sum(col("frames_sampled")).as("total_frames"))
         .orderBy(col("kind"))
+    },
+
+    // Frame sampling over the binary payload: one media row fans out to
+    // k fixed-window frames; only digests leave the operator.  DuckDB
+    // mirrors the byte windows with char substrings (the corpus is
+    // ASCII, so char == byte — the oracle itself would catch drift).
+    "q_multimodal_frames" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val frames = Multimodal.sampleFrames(Multimodal.asMedia(docs))
+      frames.toDF()
+        .join(Multimodal.asMedia(docs).select(col("media_id"), col("kind")),
+          Seq("media_id"))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("n_frame_bytes")).cast("long").as("total_bytes"),
+          countDistinct(col("frame_digest")).as("n_distinct_frames"))
+        .orderBy(col("kind"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -451,7 +468,25 @@ object OpsQueries {
         |  count(DISTINCT md5(text)) AS n_distinct_digests,
         |  CAST(sum(1 + strlen(text) // 1024) AS BIGINT) AS total_frames
         |FROM documents
-        |GROUP BY 1 ORDER BY kind""".stripMargin)
+        |GROUP BY 1 ORDER BY kind""".stripMargin,
+    "q_multimodal_frames" ->
+      """WITH fr AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    unnest(generate_series(0,
+        |      CAST(greatest(0, (strlen(text) - 1) // 64) AS BIGINT))) AS i,
+        |    text
+        |  FROM documents),
+        |fx AS (
+        |  SELECT kind,
+        |    md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS d,
+        |    strlen(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS nb
+        |  FROM fr)
+        |SELECT kind, count(*) AS n_frames,
+        |  CAST(sum(nb) AS BIGINT) AS total_bytes,
+        |  count(DISTINCT d) AS n_distinct_frames
+        |FROM fx GROUP BY kind ORDER BY kind""".stripMargin)
 
   /** DuckDB twin of TextAnalysis.normalize. */
   private def normSql: String =

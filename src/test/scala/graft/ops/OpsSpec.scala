@@ -243,6 +243,36 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("frame sampling: windows tile the payload, empty payload gets one frame") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "video", ("ab" * 100).getBytes("UTF-8"), 10, 10, 0),   // 200 B
+      (2L, "video", Array.emptyByteArray, 10, 10, 0))
+      .toDF("media_id", "kind", "content", "width", "height", "sample_rate")
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64).collect()
+    val f1 = frames.filter(_.media_id == 1L).sortBy(_.frame_idx)
+    assert(f1.map(_.n_frame_bytes).toSeq == Seq(64, 64, 64, 8),
+      "200 bytes at 64/frame -> 64+64+64+8")
+    assert(f1.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3))
+    // all-identical windows share a digest; the tail differs
+    assert(f1.take(3).map(_.frame_digest).distinct.length == 1)
+    assert(f1(3).frame_digest != f1(0).frame_digest)
+    val f2 = frames.filter(_.media_id == 2L)
+    assert(f2.length == 1 && f2.head.n_frame_bytes == 0)
+  }
+
+  test("resize stub shrinks payload by stride and clamps metadata") {
+    import spark.implicits._
+    val media = Seq((1L, "image", (0 until 100).map(_.toByte).toArray, 640, 480, 0))
+      .toDF("media_id", "kind", "content", "width", "height", "sample_rate")
+    val out = Multimodal.resizeStub(media, targetW = 160, targetH = 120)
+      .collect().head
+    // stride = ceil(640/160) = 4: every 4th byte survives
+    assert(out.getAs[Array[Byte]]("content").toSeq ==
+      (0 until 100 by 4).map(_.toByte).toSeq)
+    assert(out.getAs[Int]("width") == 160 && out.getAs[Int]("height") == 120)
+  }
+
   test("operator-internal caches are released (CacheScope)") {
     // ops that persist intermediates must leave the CacheManager as
     // they found it: CacheScope materializes the small result and
