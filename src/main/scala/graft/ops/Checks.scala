@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraints, evaluated in ONE pass.
+  *
+  * Each constraint compiles to a conditional aggregate over the same
+  * scan; `run` folds the whole suite into a single `agg(...)` so a
+  * 100 TB validation costs exactly one read + one partial-aggregation
+  * tree regardless of how many constraints are attached (the deequ
+  * architecture, reduced to its Spark-native core).  Results come back
+  * as one row per constraint with the measured metric and pass flag —
+  * join-free, collect-free, and exactly reproducible (all metrics are
+  * count ratios of exact longs).
+  */
+object Checks {
+
+  /** One constraint: name + metric expression (a ratio in [0,1] built
+    * from conditional counts) + predicate on the metric.
+    */
+  case class Check(name: String, metric: Column, passes: Column => Column)
+
+  /** metric: fraction of rows where `c` is non-null. */
+  def completeness(c: String): Check =
+    Check(s"completeness($c)",
+      sum(when(col(c).isNotNull, 1L).otherwise(0L)) / count(lit(1L)),
+      m => m === 1.0)
+
+  /** metric: distinct count of the key == row count (exact uniqueness).
+    * Ratio of two exact longs, so 1.0 is attainable exactly.
+    */
+  def uniqueness(cols: Seq[String]): Check =
+    Check(s"uniqueness(${cols.mkString(",")})",
+      count_distinct(struct(cols.map(col): _*)) / count(lit(1L)),
+      m => m === 1.0)
+
+  /** metric: fraction of rows whose value is in the accepted set. */
+  def acceptedValues(c: String, values: Seq[String]): Check =
+    Check(s"accepted($c)",
+      sum(when(col(c).isin(values: _*), 1L).otherwise(0L)) / count(lit(1L)),
+      m => m === 1.0)
+
+  /** metric: fraction of rows inside [lo, hi]. */
+  def inRange(c: String, lo: Double, hi: Double, minFraction: Double = 1.0): Check =
+    Check(s"range($c)",
+      sum(when(col(c) >= lo && col(c) <= hi, 1L).otherwise(0L)) / count(lit(1L)),
+      m => m >= minFraction)
+
+  /** metric: fraction of non-negative values. */
+  def nonNegative(c: String): Check = inRange(c, 0.0, Double.MaxValue)
+
+  /** Evaluate the suite in one aggregation pass; returns
+    * (check, metric, passed) rows ordered by check name.
+    */
+  def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "empty check suite")
+    val aggs = checks.map(c => round(c.metric, 6).as(c.name))
+    val oneRow = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single metrics row into (check, metric, passed)
+    val rows = checks.map { c =>
+      struct(lit(c.name).as("check"), col(c.name).as("metric"),
+        c.passes(col(c.name)).as("passed"))
+    }
+    oneRow.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.check"), col("r.metric"), col("r.passed"))
+      .orderBy(col("check"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, DupClusters, Multimodal, Quantize, Similarity, TextAnalysis}
+import graft.ops.{Checks, Dedup, DupClusters, Multimodal, Quantize, Similarity, TextAnalysis}
 
 /** Query entries for the LLM-pipeline operators (dedup, similarity,
   * text analysis, multimodal) — the north-star additions beyond the
@@ -338,6 +338,20 @@ object OpsQueries {
         .orderBy(col("kind"))
     },
 
+    // Data-quality constraint suite in ONE aggregation pass: five
+    // checks over lineitem compile into a single agg tree — at 100 TB
+    // the whole validation is one scan.  Metrics are exact-count
+    // ratios, so DuckDB reproduces them bit-for-bit.
+    "q_quality_checks" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      Checks.run(li, Seq(
+        Checks.completeness("l_orderkey"),
+        Checks.uniqueness(Seq("l_orderkey", "l_linenumber")),
+        Checks.acceptedValues("l_returnflag", Seq("A", "N", "R")),
+        Checks.inRange("l_discount", 0.0, 0.1, minFraction = 0.5),
+        Checks.nonNegative("l_extendedprice")))
+    },
+
     // Frame sampling over the binary payload: one media row fans out to
     // k fixed-window frames; only digests leave the operator.  DuckDB
     // mirrors the byte windows with char substrings (the corpus is
@@ -469,6 +483,31 @@ object OpsQueries {
         |  CAST(sum(1 + strlen(text) // 1024) AS BIGINT) AS total_frames
         |FROM documents
         |GROUP BY 1 ORDER BY kind""".stripMargin,
+    "q_quality_checks" ->
+      """SELECT "check", metric,
+        |  CASE WHEN "check" = 'range(l_discount)' THEN metric >= 0.5
+        |       ELSE metric = 1.0 END AS passed
+        |FROM (
+        |  SELECT 'completeness(l_orderkey)' AS "check",
+        |    round(sum(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+        |      / count(*), 6) AS metric FROM lineitem
+        |  UNION ALL
+        |  SELECT 'uniqueness(l_orderkey,l_linenumber)',
+        |    round(count(DISTINCT (l_orderkey, l_linenumber)) * 1.0
+        |      / count(*), 6) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'accepted(l_returnflag)',
+        |    round(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 1 ELSE 0 END) * 1.0
+        |      / count(*), 6) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'range(l_discount)',
+        |    round(sum(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.1 THEN 1 ELSE 0 END) * 1.0
+        |      / count(*), 6) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'range(l_extendedprice)',
+        |    round(sum(CASE WHEN l_extendedprice >= 0.0 THEN 1 ELSE 0 END) * 1.0
+        |      / count(*), 6) FROM lineitem)
+        |ORDER BY "check"""".stripMargin,
     "q_multimodal_frames" ->
       """WITH fr AS (
         |  SELECT doc_id,

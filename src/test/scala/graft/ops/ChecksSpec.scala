@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Data-quality constraint suite: one scan no matter how many checks,
+  * exact metrics, and failure detection.
+  */
+class ChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a five-check suite compiles to ONE scan of the input") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val out = Checks.run(li, Seq(
+      Checks.completeness("l_orderkey"),
+      Checks.uniqueness(Seq("l_orderkey", "l_linenumber")),
+      Checks.acceptedValues("l_returnflag", Seq("A", "N", "R")),
+      Checks.inRange("l_discount", 0.0, 0.1, minFraction = 0.5),
+      Checks.nonNegative("l_extendedprice")))
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"the whole suite must share one table scan:\n$plan")
+    val rows = out.collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(rows.size == 5)
+    assert(rows("completeness(l_orderkey)"))
+    assert(rows("accepted(l_returnflag)"))
+    // the synthetic lineitem repeats (orderkey, linenumber) pairs — the
+    // check must REPORT that honestly rather than pass
+    assert(!rows("uniqueness(l_orderkey,l_linenumber)"))
+    val uniq = Checks.run(Tables.load(spark, sf, "orders"),
+      Seq(Checks.uniqueness(Seq("o_orderkey")))).head()
+    assert(uniq.getDouble(1) == 1.0 && uniq.getBoolean(2),
+      "o_orderkey is the primary key and must measure exactly 1.0")
+  }
+
+  test("violations are detected with the measured metric") {
+    val df = Seq(
+      (Some(1), "A"), (Some(2), "A"), (None, "B"), (Some(2), "X"))
+      .toDF("k", "flag")
+    val out = Checks.run(df, Seq(
+      Checks.completeness("k"),
+      Checks.uniqueness(Seq("k")),
+      Checks.acceptedValues("flag", Seq("A", "B"))))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+      .toList
+    val byName = out.map(t => t._1 -> t).toMap
+    assert(byName("completeness(k)")._2 == 0.75 && !byName("completeness(k)")._3)
+    // 3 distinct key values (1, 2, null) over 4 rows
+    assert(byName("uniqueness(k)")._2 == 0.75 && !byName("uniqueness(k)")._3)
+    assert(byName("accepted(flag)")._2 == 0.75 && !byName("accepted(flag)")._3)
+  }
+}
