@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift measurement between two snapshots of a corpus —
+  * the monitoring step that catches a data feed going bad between
+  * training runs.
+  *
+  * Population Stability Index over FIXED bin edges: each side
+  * aggregates to exact per-bin counts (one scan + one partial-agg tree
+  * per side, shuffling only #bins rows), the tiny bin tables full-outer
+  * join, and the per-bin contribution `(p_a - p_b) * ln(p_a / p_b)`
+  * is pure scalar math over exact ratios.  Empty bins clamp to
+  * `floorP` (the standard PSI convention) so the logarithm stays
+  * finite.  Everything after the two scans is constant-size work —
+  * 100 TB drift costs two reads.
+  */
+object Drift {
+
+  /** Bin label for a value given ascending interior edges: bin i holds
+    * values in [edge(i-1), edge(i)), bin 0 is (-inf, edge(0)), the last
+    * bin is [edge(last), inf).  Built as a nested CASE so the identical
+    * arithmetic is expressible in any SQL engine.
+    */
+  def binOf(c: Column, edges: Seq[Double]): Column =
+    edges.zipWithIndex.foldRight(lit(edges.size)) { case ((e, i), rest) =>
+      when(c < e, lit(i)).otherwise(rest)
+    }
+
+  /** Exact per-bin counts of `valueCol`, with every bin present (zero
+    * counts included) so both sides of a drift compare align by bin.
+    */
+  def histogram(df: DataFrame, valueCol: String, edges: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bins = (0 to edges.size).toDF("bin")
+    val counts = df.select(binOf(col(valueCol), edges).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    bins.join(counts, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Per-bin PSI contributions between two snapshots.  Returns
+    * (bin, n_a, n_b, psi_contrib) with the contribution rounded to 6
+    * decimals; the suite-level PSI is the sum of the column.
+    */
+  def psi(a: DataFrame, b: DataFrame, valueCol: String,
+      edges: Seq[Double], floorP: Double = 1e-6): DataFrame = {
+    val ha = histogram(a, valueCol, edges).withColumnRenamed("n", "n_a")
+    val hb = histogram(b, valueCol, edges).withColumnRenamed("n", "n_b")
+    val joined = ha.join(hb, Seq("bin"))
+      .crossJoin(a.agg(count(lit(1)).as("tot_a")))
+      .crossJoin(b.agg(count(lit(1)).as("tot_b")))
+    val pa = greatest(col("n_a") / col("tot_a"), lit(floorP))
+    val pb = greatest(col("n_b") / col("tot_b"), lit(floorP))
+    joined.select(col("bin"), col("n_a"), col("n_b"),
+        round((pa - pb) * log(pa / pb), 6).as("psi_contrib"))
+      .orderBy(col("bin"))
+  }
+}

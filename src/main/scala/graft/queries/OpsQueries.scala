@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Checks, Dedup, DupClusters, Multimodal, Quantize, Similarity, TextAnalysis}
+import graft.ops.{Checks, Dedup, Drift, DupClusters, Multimodal, Quantize, Similarity, TextAnalysis}
 
 /** Query entries for the LLM-pipeline operators (dedup, similarity,
   * text analysis, multimodal) — the north-star additions beyond the
@@ -338,6 +338,19 @@ object OpsQueries {
         .orderBy(col("kind"))
     },
 
+    // Distribution drift (PSI) between two shipping periods: each side
+    // reduces to exact bin counts before anything joins, so the
+    // compare costs two scans and constant-size math.  Per-bin
+    // contributions are deterministic scalar arithmetic over exact
+    // ratios — DuckDB reproduces them to the rounded precision.
+    "q_drift_psi" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val early = li.filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val late = li.filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+      Drift.psi(early, late, "l_extendedprice",
+        edges = Seq(1000.0, 2000.0, 4000.0, 8000.0, 16000.0, 32000.0, 64000.0))
+    },
+
     // Data-quality constraint suite in ONE aggregation pass: five
     // checks over lineitem compile into a single agg tree — at 100 TB
     // the whole validation is one scan.  Metrics are exact-count
@@ -483,6 +496,40 @@ object OpsQueries {
         |  CAST(sum(1 + strlen(text) // 1024) AS BIGINT) AS total_frames
         |FROM documents
         |GROUP BY 1 ORDER BY kind""".stripMargin,
+    "q_drift_psi" ->
+      """WITH bins AS (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS bin),
+        |a AS (SELECT CASE WHEN l_extendedprice < 1000 THEN 0
+        |                  WHEN l_extendedprice < 2000 THEN 1
+        |                  WHEN l_extendedprice < 4000 THEN 2
+        |                  WHEN l_extendedprice < 8000 THEN 3
+        |                  WHEN l_extendedprice < 16000 THEN 4
+        |                  WHEN l_extendedprice < 32000 THEN 5
+        |                  WHEN l_extendedprice < 64000 THEN 6
+        |                  ELSE 7 END AS bin
+        |      FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01 00:00:00'),
+        |b AS (SELECT CASE WHEN l_extendedprice < 1000 THEN 0
+        |                  WHEN l_extendedprice < 2000 THEN 1
+        |                  WHEN l_extendedprice < 4000 THEN 2
+        |                  WHEN l_extendedprice < 8000 THEN 3
+        |                  WHEN l_extendedprice < 16000 THEN 4
+        |                  WHEN l_extendedprice < 32000 THEN 5
+        |                  WHEN l_extendedprice < 64000 THEN 6
+        |                  ELSE 7 END AS bin
+        |      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'),
+        |ca AS (SELECT bin, count(*) AS n FROM a GROUP BY bin),
+        |cb AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
+        |ta AS (SELECT count(*) AS t FROM a),
+        |tb AS (SELECT count(*) AS t FROM b)
+        |SELECT bins.bin,
+        |  COALESCE(ca.n, 0) AS n_a, COALESCE(cb.n, 0) AS n_b,
+        |  round((greatest(COALESCE(ca.n, 0) * 1.0 / ta.t, 1e-6)
+        |         - greatest(COALESCE(cb.n, 0) * 1.0 / tb.t, 1e-6))
+        |    * ln(greatest(COALESCE(ca.n, 0) * 1.0 / ta.t, 1e-6)
+        |         / greatest(COALESCE(cb.n, 0) * 1.0 / tb.t, 1e-6)), 6) AS psi_contrib
+        |FROM bins
+        |LEFT JOIN ca ON bins.bin = ca.bin
+        |LEFT JOIN cb ON bins.bin = cb.bin, ta, tb
+        |ORDER BY bins.bin""".stripMargin,
     "q_quality_checks" ->
       """SELECT "check", metric,
         |  CASE WHEN "check" = 'range(l_discount)' THEN metric >= 0.5
