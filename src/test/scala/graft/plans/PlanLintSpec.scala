@@ -1,0 +1,75 @@
+package graft.plans
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Battery-wide plan lint: every gate entry's physical plan is checked
+  * for the two anti-patterns that kill 100 TB jobs — cartesian products
+  * (quadratic work) and unpartitioned windows (all rows to one task).
+  * Entries that use them INTENTIONALLY are whitelisted with the reason;
+  * anything new that trips the lint must either fix its plan or argue
+  * its way onto the list.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  /** Entries whose cartesian/BNLJ is the documented point. */
+  private val cartesianOk: Set[String] = Set(
+    "q_join_cross",          // the cartesian-join coverage entry itself
+    "q_join_theta",          // theta join == BroadcastNestedLoop by definition
+    "q_dedup_minhash",       // brute-force exact-Jaccard oracle twin (capped subset)
+    "q_dedup_jaccard",       // same brute twin, capped
+    "q_embed_neardup",       // exact-pair refine over a capped bucket
+    "q_knn_brute",           // brute-force ANN baseline (broadcast query side)
+    "q_knn_lsh", "q_knn_ivf", "q_knn_quantized", // recall twins embed the brute baseline
+    "q_kmeans",              // broadcast-centroid distance: scalar-sized right side
+    "q_contamination",       // benchmark side is a broadcast scalar set
+    "q_dup_clusters",        // injected-clique envelope uses a capped clone cross
+    "q_dedup_minhash_recall",
+    "q_dedup_simhash",
+    "q_lineage_edges",       // lineage demo query, nation-sized
+    "q_sketch_theta", "q_sketch_hll_union", // sketch-to-scalar comparisons
+    "q_stat_freqitems",      // support-envelope crossJoin of two scalar aggregates
+    "q_sample_seeded",       // scalar × scalar envelope
+    "q_tablesample",         // scalar subquery envelope
+    "q_stat_quantile", "q_approx_percentile", "q_approx_distinct",
+    "q_stat_sampleby", "q_stat_cms", "q_stat_bloom", // envelope scalar joins
+    "qds_q28_six_bands",     // six scalar aggregates cross-joined into one row
+    "qds_q61_promo_ratio", "qds_q83_tri_slices", "qds_q90_am_pm", // scalar ratios
+    "qds_q88_time_bands", "qds_q9_case_scalar_bands", // multi-scalar shapes
+    "q_curation_funnel", "q_mixture_sample", "q_train_split", // scalar-threshold joins
+    "q_repetition", "q_seq_packing", "q_weighted_sample",
+    "q_multimodal", "q_quality_checks", "q_drift_psi", // scalar totals cross-joined
+    "q_setops")              // five 1-row set-op counts folded into one plan
+
+  /** Entries whose unpartitioned window is over an already-aggregated
+    * (small) frame, or is the documented global-order requirement.
+    */
+  private val globalWindowOk: Set[String] = Set(
+    "q_window_rank",          // global rank demo over supplier (dim-sized)
+    "q_topk",                 // global TakeOrdered comparison frame
+    "q_seq_packing",          // running totals over capped doc subset
+    "q_doc_chunks",           // per-doc running index, capped subset
+    "qds_q51_cumulative", "qds_q67_rollup_rank", "qds_q44_best_worst",
+    "qds_q49_return_rank",    // rank over aggregated (group-count-sized) rows
+    "q_mixture_sample", "q_train_split")
+
+  test("no gate entry plans an unexpected cartesian product") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if cartesianOk(name) => None
+      case (name, q) if name.startsWith("q_stream") || name.startsWith("q_dsv2") ||
+          name.startsWith("q_hive") || name.startsWith("q_transform") ||
+          name.startsWith("q_jdbc") || name.startsWith("q_cache") ||
+          name.startsWith("q_ctas") || name.contains("roundtrip") ||
+          name.startsWith("q_partitioned") || name.startsWith("q_dpp") ||
+          name.startsWith("q_ext") || name == "q_sql_scripting" => None // side-effecting; planned in their own gates
+      case (name, q) =>
+        val plan =
+          try q(spark, sf).queryExecution.executedPlan.toString
+          catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+        if (plan.contains("CartesianProduct") ||
+            plan.contains("BroadcastNestedLoopJoin")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected cartesian/BNLJ in: ${offenders.mkString(", ")} — " +
+        "fix the join keys or whitelist with a reason")
+  }
+}
