@@ -52,6 +52,35 @@ class PlanLintSpec extends SparkSpec {
     "qds_q49_return_rank",    // rank over aggregated (group-count-sized) rows
     "q_mixture_sample", "q_train_split")
 
+  test("unpartitioned windows only run over aggregated (small) frames") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if globalWindowOk(name) || cartesianOk(name) => None
+      case (name, q) if name.startsWith("q_stream") || name.startsWith("q_dsv2") ||
+          name.startsWith("q_hive") || name.startsWith("q_transform") ||
+          name.startsWith("q_jdbc") || name.startsWith("q_cache") ||
+          name.startsWith("q_ctas") || name.contains("roundtrip") ||
+          name.startsWith("q_partitioned") || name.startsWith("q_dpp") ||
+          name.startsWith("q_ext") || name == "q_sql_scripting" => None
+      case (name, q) =>
+        val plan = q(spark, sf).queryExecution.executedPlan
+        val globalWindows = plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        // a global window is fine when its input is an aggregate
+        // (group-count-sized), fatal when it's a raw fact scan
+        val overRawScan = globalWindows.exists { w =>
+          w.child.collectFirst {
+            case a if a.nodeName.contains("Aggregate") => a
+          }.isEmpty
+        }
+        if (overRawScan) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"global window directly over a scan in: ${offenders.mkString(", ")} — " +
+        "partition the window or whitelist with a reason")
+  }
+
   test("no gate entry plans an unexpected cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if cartesianOk(name) => None
