@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Checks, Dedup, Drift, DupClusters, Multimodal, Quantize, Similarity, TextAnalysis}
+import graft.ops.{Checks, Dedup, Drift, DupClusters, Multimodal, Quantize, Similarity, TableDiff, TextAnalysis}
 
 /** Query entries for the LLM-pipeline operators (dedup, similarity,
   * text analysis, multimodal) — the north-star additions beyond the
@@ -338,6 +338,27 @@ object OpsQueries {
         .orderBy(col("kind"))
     },
 
+    // Keyed snapshot diff: the corpus-promotion regression gate.  The
+    // "new" snapshot drops 1-in-97 keys, rewrites balances for 1-in-13
+    // and names for 1-in-17, and adds 1-in-101 under offset ids; the
+    // diff must classify every key exactly (added/removed/changed with
+    // the changed column list) — output size tracks the CHANGE volume.
+    "q_table_diff" -> { (s, dir) =>
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val nu = base.filter(col("c_custkey") % 97 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 17 === 0, concat(col("c_name"), lit("_v2")))
+            .otherwise(col("c_name")).as("c_name"),
+          when(col("c_custkey") % 13 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+        .union(base.filter(col("c_custkey") % 101 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("c_name"), col("c_acctbal")))
+      TableDiff.diff(base, nu, Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    },
+
     // Distribution drift (PSI) between two shipping periods: each side
     // reduces to exact bin counts before anything joins, so the
     // compare costs two scans and constant-size math.  Per-bin
@@ -496,6 +517,30 @@ object OpsQueries {
         |  CAST(sum(1 + strlen(text) // 1024) AS BIGINT) AS total_frames
         |FROM documents
         |GROUP BY 1 ORDER BY kind""".stripMargin,
+    "q_table_diff" ->
+      """WITH oldt AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |newt AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 17 = 0 THEN c_name || '_v2' ELSE c_name END AS c_name,
+        |    CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_acctbal
+        |  FROM customer WHERE c_custkey % 101 = 0)
+        |SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+        |  CASE WHEN o.c_custkey IS NULL THEN 'added'
+        |       WHEN n.c_custkey IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status,
+        |  CASE WHEN o.c_custkey IS NULL OR n.c_custkey IS NULL THEN ''
+        |       ELSE array_to_string(list_sort(list_filter(
+        |         [CASE WHEN o.c_name IS DISTINCT FROM n.c_name THEN 'c_name' END,
+        |          CASE WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'c_acctbal' END],
+        |         x -> x IS NOT NULL)), ',') END AS changed_cols
+        |FROM oldt o FULL OUTER JOIN newt n ON o.c_custkey = n.c_custkey
+        |WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+        |   OR o.c_name IS DISTINCT FROM n.c_name
+        |   OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+        |ORDER BY c_custkey""".stripMargin,
     "q_drift_psi" ->
       """WITH bins AS (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS bin),
         |a AS (SELECT CASE WHEN l_extendedprice < 1000 THEN 0

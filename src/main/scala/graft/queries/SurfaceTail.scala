@@ -118,6 +118,33 @@ object SurfaceTail {
       }
     },
 
+    // Ordered funnel: signup → later click → later purchase per user,
+    // counted per stage.  Each stage is an aggregate-then-join on the
+    // user key (never a per-event self-join), so at 100 TB the funnel
+    // costs one shuffle per stage over per-user minima.  Identical
+    // text runs on DuckDB.
+    "q_funnel" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH u AS (
+          |  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+          |  FROM events GROUP BY user_id),
+          |c AS (
+          |  SELECT e.user_id, min(e.ts) AS t_click
+          |  FROM events e JOIN u ON e.user_id = u.user_id
+          |  WHERE e.event_type = 'click' AND e.ts > u.t_signup
+          |  GROUP BY e.user_id),
+          |p AS (
+          |  SELECT e.user_id, min(e.ts) AS t_buy
+          |  FROM events e JOIN c ON e.user_id = c.user_id
+          |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          |  GROUP BY e.user_id)
+          |SELECT
+          |  (SELECT count(*) FROM u WHERE t_signup IS NOT NULL) AS n_signup,
+          |  (SELECT count(*) FROM c) AS n_click_after,
+          |  (SELECT count(*) FROM p) AS n_purchase_after""".stripMargin)
+    },
+
     // Extension-registered SQL functions: graft_* names resolve through
     // spark.sql.extensions (GraftExtensions.injectFunction) — no
     // per-session registration code anywhere; the SQL text just parses.
@@ -177,6 +204,24 @@ object SurfaceTail {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH u AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN u ON e.user_id = u.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > u.t_signup
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_buy
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |  GROUP BY e.user_id)
+        |SELECT
+        |  (SELECT count(*) FROM u WHERE t_signup IS NOT NULL) AS n_signup,
+        |  (SELECT count(*) FROM c) AS n_click_after,
+        |  (SELECT count(*) FROM p) AS n_purchase_after""".stripMargin,
     "q_ext_functions" ->
       s"""SELECT n_nationkey,
          |  CAST(bit_count(xor(CAST(n_nationkey AS BIGINT),
