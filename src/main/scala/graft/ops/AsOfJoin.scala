@@ -25,7 +25,20 @@ object AsOfJoin {
     *                  right row is at-or-before the left row's time)
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String,
-      timeCol: String, rightVals: Seq[String]): DataFrame = {
+      timeCol: String, rightVals: Seq[String]): DataFrame =
+    asOfImpl(left, right, keyCol, timeCol, rightVals, forward = false)
+
+  /** Forward variant: for each left row, attach the EARLIEST right row
+    * with right.time >= left.time (the "next reading after the event"
+    * direction).  Same single-shuffle window formulation, scanned in
+    * reverse time order.
+    */
+  def asOfForward(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, rightVals: Seq[String]): DataFrame =
+    asOfImpl(left, right, keyCol, timeCol, rightVals, forward = true)
+
+  private def asOfImpl(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, rightVals: Seq[String], forward: Boolean): DataFrame = {
     // side flag orders right rows before left rows at identical times,
     // so an exact-time match IS visible to the left row (<=, not <)
     val l = left.withColumn("__side", lit(1))
@@ -46,8 +59,11 @@ object AsOfJoin {
         (Seq(col(keyCol).as("__k"), col(timeCol).as("__t"), col("__side"), col("__rid")) ++
           rightVals.map(c => col(s"__rv_$c"))): _*),
         allowMissingColumns = true)
+    // forward scans time DESCENDING, so "last non-null right value so
+    // far" becomes "earliest right row at-or-after" — same window shape
+    val timeOrder = if (forward) col("__t").desc else col("__t").asc
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(timeOrder, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rightVals.foldLeft(unioned)((df, c) =>
       df.withColumn(s"__rv_$c", last(col(s"__rv_$c"), ignoreNulls = true).over(w)))

@@ -118,6 +118,21 @@ object SurfaceTail {
       }
     },
 
+    // Cohort retention: users bucketed by first-activity week, then a
+    // (cohort_week, weeks_since) distinct-user matrix — two aggregates
+    // on the user key and nothing fact-sized past them.
+    "q_cohort_retention" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          floor(unix_timestamp(col("ts")) / 604800L).cast("long").as("wk"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+      ev.join(cohort, Seq("user_id"))
+        .groupBy(col("cw"), (col("wk") - col("cw")).as("weeks_since"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cw"), col("weeks_since"))
+    },
+
     // Ordered funnel: signup → later click → later purchase per user,
     // counted per stage.  Each stage is an aggregate-then-join on the
     // user key (never a per-event self-join), so at 100 TB the funnel
@@ -204,6 +219,17 @@ object SurfaceTail {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 604800) AS BIGINT) AS wk
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cw FROM ev GROUP BY user_id)
+        |SELECT c.cw, e.wk - c.cw AS weeks_since,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM ev e JOIN cohort c ON e.user_id = c.user_id
+        |GROUP BY c.cw, e.wk - c.cw
+        |ORDER BY cw, weeks_since""".stripMargin,
     "q_funnel" ->
       """WITH u AS (
         |  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
