@@ -209,6 +209,27 @@ class SourcesSpec extends SparkSpec {
     assert(scanStr.contains("l_orderkey") && !scanStr.contains("l_extendedprice"))
   }
 
+  test("_metadata hidden column exposes file provenance per row") {
+    val dir = tmp()
+    nation.repartition(3).write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select(col("n_nationkey"),
+        col("_metadata.file_name").as("f"),
+        col("_metadata.row_index").as("ri"))
+    val rows = df.collect()
+    assert(rows.length == 25)
+    val byFile = rows.groupBy(_.getString(1))
+    assert(byFile.size == 3, s"3 written files, got ${byFile.keySet}")
+    // row_index restarts per file and is dense within it
+    byFile.values.foreach { rs =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (0L until rs.length))
+    }
+    // provenance prunes like any column: filter on file_name reads 1 file
+    val one = byFile.keys.head
+    assert(spark.read.parquet(dir)
+      .filter(col("_metadata.file_name") === one).count() == byFile(one).length)
+  }
+
   test("binaryFile source reads opaque blobs with path/length/content") {
     // the ingestion entry point for multimodal corpora: files land as
     // (path, modificationTime, length, content) rows, opaque bytes in
