@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Checks, Dedup, Drift, DupClusters, Multimodal, Quantize, Similarity, TableDiff, TextAnalysis}
+import graft.ops.{Checks, Dedup, Drift, DupClusters, Multimodal, Profile, Quantize, Similarity, TableDiff, TextAnalysis}
 
 /** Query entries for the LLM-pipeline operators (dedup, similarity,
   * text analysis, multimodal) — the north-star additions beyond the
@@ -338,6 +338,16 @@ object OpsQueries {
         .orderBy(col("kind"))
     },
 
+    // One-pass column profile: nulls, exact distincts, typed min/max
+    // for four lineitem columns from a single aggregation tree — the
+    // snapshot a pipeline takes around every transformation.
+    "q_profile" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      Profile.profile(li,
+        numCols = Seq("l_quantity", "l_discount"),
+        strCols = Seq("l_returnflag", "l_linestatus"))
+    },
+
     // Keyed snapshot diff: the corpus-promotion regression gate.  The
     // "new" snapshot drops 1-in-97 keys, rewrites balances for 1-in-13
     // and names for 1-in-17, and adds 1-in-101 under offset ids; the
@@ -517,6 +527,37 @@ object OpsQueries {
         |  CAST(sum(1 + strlen(text) // 1024) AS BIGINT) AS total_frames
         |FROM documents
         |GROUP BY 1 ORDER BY kind""".stripMargin,
+    "q_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'l_quantity' AS "column",
+        |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    count(DISTINCT l_quantity) AS n_distinct,
+        |    CAST(min(l_quantity) AS DOUBLE) AS min_num,
+        |    CAST(max(l_quantity) AS DOUBLE) AS max_num,
+        |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount',
+        |    CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT l_discount),
+        |    CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag',
+        |    CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT l_returnflag),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |    min(l_returnflag), max(l_returnflag)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linestatus',
+        |    CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT l_linestatus),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |    min(l_linestatus), max(l_linestatus)
+        |  FROM lineitem)
+        |ORDER BY "column"""".stripMargin,
     "q_table_diff" ->
       """WITH oldt AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
         |newt AS (
