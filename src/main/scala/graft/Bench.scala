@@ -39,7 +39,10 @@ object Bench {
       "q_stream_join", "q_setops", "q_orc_roundtrip", "q_topk_per_key",
       "q_multimodal", "q_typed_mapgroups", "q_window_rank",
       "q_hive_roundtrip", "qds_q72_nine_way_lag", "q_sketch_hll",
-      "q_dedup_minhash_recall").contains(name)
+      "q_dedup_minhash_recall", "q_dpp_join", "q_runtime_bloom",
+      "q_zorder_code", "q_recursive_cte", "q_sql_scripting",
+      "q_quality_checks", "q_drift_psi", "q_table_diff",
+      "q_stream_foreachbatch_merge").contains(name)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

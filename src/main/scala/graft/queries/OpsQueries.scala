@@ -18,14 +18,16 @@ object OpsQueries {
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: duplicate-group stats per language.  The distinct
-    // key is xxhash64(normalized text) — an 8-byte shuffle row instead
-    // of the document (injective at gate scale; the DuckDB oracle
-    // counts distinct normalized TEXTS, so any collision would break
-    // the hash match).
+    // key is a 128-bit struct of two independently-seeded xxhash64
+    // values over the normalized text — a 16-byte shuffle row instead
+    // of the document, collision-safe past 1e10 docs (same key as
+    // graft.ops.Dedup; the DuckDB oracle counts distinct normalized
+    // TEXTS, so any collision would break the hash match).
     "q_dedup_exact" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
+      val nt = TextAnalysis.normalize(col("text"))
       docs.select(col("lang"), col("doc_id"),
-          xxhash64(TextAnalysis.normalize(col("text"))).as("nh"))
+          struct(xxhash64(nt), xxhash64(lit("graft-dedup-2"), nt)).as("nh"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("nh")).as("n_distinct"),
