@@ -30,6 +30,29 @@ class ExtensionSpec extends SparkSpec {
       s"unexpected description:\n$desc")
   }
 
+  test("TopKPerKey plans through the injected strategy alone") {
+    import org.apache.spark.sql.functions.col
+    // clear the experimental fallback the DataFrame helper installs, so
+    // planning can ONLY succeed via GraftExtensions.injectPlannerStrategy
+    val saved = spark.experimental.extraStrategies
+    spark.experimental.extraStrategies = Nil
+    try {
+      val df = graft.plans.TopK.perKey(
+        graft.Tables.load(spark, sf, "supplier"),
+        keys = Seq(col("s_nationkey")),
+        order = Seq(col("s_acctbal").desc, col("s_suppkey").asc), k = 2)
+      // perKey re-installs into experimental; strip again to be sure the
+      // injected path is what plans
+      spark.experimental.extraStrategies = Nil
+      val plan = df.queryExecution.executedPlan.toString
+      // physical nodeName strips the Exec suffix; reaching a physical
+      // plan AT ALL proves the injected strategy matched the node
+      assert(plan.contains("TopKPerKey ["),
+        s"extension-injected strategy should plan the custom node:\n$plan")
+      assert(df.count() > 0)
+    } finally spark.experimental.extraStrategies = saved
+  }
+
   test("bad arity fails at analysis with the function's own message") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_hamming64(1)").collect()
