@@ -118,6 +118,25 @@ object SurfaceTail {
       }
     },
 
+    // ANSI interval types: typed YEAR TO MONTH / DAY TO SECOND interval
+    // literals, interval arithmetic on timestamps, and interval
+    // division — the 2.4-era engine had only CalendarInterval.  Dates
+    // render as strings (tz-naive compare rule); the month count is an
+    // exact integer.
+    "q_ansi_intervals" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderkey,
+          |  date_format(o_orderdate + INTERVAL '1-6' YEAR TO MONTH,
+          |    'yyyy-MM-dd') AS plus_18m,
+          |  date_format(o_orderdate - INTERVAL '10 12:30:00' DAY TO SECOND,
+          |    'yyyy-MM-dd HH:mm:ss') AS minus_10d,
+          |  date_format(o_orderdate + (INTERVAL '3-0' YEAR TO MONTH) / 4,
+          |    'yyyy-MM-dd') AS plus_quarter_span
+          |FROM orders WHERE o_orderkey <= 100
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
     // Cohort retention: users bucketed by first-activity week, then a
     // (cohort_week, weeks_since) distinct-user matrix — two aggregates
     // on the user key and nothing fact-sized past them.
@@ -219,6 +238,14 @@ object SurfaceTail {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_ansi_intervals" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate + INTERVAL '1 year 6 months', '%Y-%m-%d') AS plus_18m,
+        |  strftime(o_orderdate - INTERVAL '10 days 12 hours 30 minutes',
+        |    '%Y-%m-%d %H:%M:%S') AS minus_10d,
+        |  strftime(o_orderdate + INTERVAL '9 months', '%Y-%m-%d') AS plus_quarter_span
+        |FROM orders WHERE o_orderkey <= 100
+        |ORDER BY o_orderkey""".stripMargin,
     "q_cohort_retention" ->
       """WITH ev AS (
         |  SELECT user_id,
