@@ -37,6 +37,7 @@ object SparkEntry {
     graft.queries.FinalQueries.queries ++
     graft.queries.TpcdsShapes.queries ++
     graft.queries.TpcdsShapes2.queries ++
+    graft.queries.TpcdsShapes3.queries ++
     graft.queries.CoercionQueries.queries ++
     graft.queries.SsbShapes.queries ++
     graft.queries.SubqueryCorners.queries ++
@@ -72,6 +73,7 @@ object SparkEntry {
     graft.queries.FinalQueries.oracle ++
     graft.queries.TpcdsShapes.oracle ++
     graft.queries.TpcdsShapes2.oracle ++
+    graft.queries.TpcdsShapes3.oracle ++
     graft.queries.CoercionQueries.oracle ++
     graft.queries.SsbShapes.oracle ++
     graft.queries.SubqueryCorners.oracle ++
