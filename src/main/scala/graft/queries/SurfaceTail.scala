@@ -213,6 +213,28 @@ object SurfaceTail {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // Z-order write path end-to-end: cluster lineitem by the Morton
+    // code of (partkey, suppkey) buckets, write parquet, read back and
+    // run a 2-D box query — the layout buys file skipping at scale and
+    // must change NOTHING about results (the oracle reads the original
+    // table).
+    "q_zorder_layout" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_quantity"),
+          (col("l_partkey") % 1024).cast("int").as("zx"),
+          (col("l_suppkey") % 1024).cast("int").as("zy"))
+      val out = graft.TmpCleanup.tempDir("graft_zorder_gate")
+      graft.ops.Layout.zorder(li, col("zx"), col("zy"), buckets = 8)
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("zx").between(100, 400) && col("zy").between(200, 500))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("qty"))
+    },
+
     // percent_rank + cume_dist side by side over the same ordered
     // partition (the two normalized-rank definitions differ at the
     // edges: (rank-1)/(n-1) vs rank/n).
@@ -287,6 +309,13 @@ object SurfaceTail {
          |    / len(list_distinct([n_nationkey % 3, n_nationkey % 5, n_nationkey % 7]
          |        || [n_nationkey % 4, n_nationkey % 5, n_nationkey % 6])), 6) AS DOUBLE) AS jac
          |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_zorder_layout" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE (l_partkey % 1024) BETWEEN 100 AND 400
+        |  AND (l_suppkey % 1024) BETWEEN 200 AND 500""".stripMargin,
     "q_zorder_code" ->
       s"""SELECT l_orderkey, l_linenumber,
          |  CAST(l_partkey % 1024 AS INT) AS zx,
