@@ -23,6 +23,17 @@ object SqlGolden {
 
   /** Same text on both engines. */
   private val common: Map[String, String] = Map(
+    // having.sql: HAVING without GROUP BY turns the SELECT into an
+    // implicit global aggregate with a post-aggregation filter — both
+    // engines agree on this corner of the standard.
+    "q_sql_having_global" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key
+        |FROM orders
+        |WHERE o_orderstatus = 'F'
+        |HAVING count(*) > 10 AND max(o_orderkey) > min(o_orderkey)""".stripMargin,
+
     // group-by-ordinal.sql / order-by-ordinal.sql: positional refs.
     "q_sql_ordinals" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
