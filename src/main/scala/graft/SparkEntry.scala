@@ -38,6 +38,7 @@ object SparkEntry {
     graft.queries.TpcdsShapes.queries ++
     graft.queries.TpcdsShapes2.queries ++
     graft.queries.TpcdsShapes3.queries ++
+    graft.queries.TpcdsShapes4.queries ++
     graft.queries.CoercionQueries.queries ++
     graft.queries.SsbShapes.queries ++
     graft.queries.SubqueryCorners.queries ++
@@ -74,6 +75,7 @@ object SparkEntry {
     graft.queries.TpcdsShapes.oracle ++
     graft.queries.TpcdsShapes2.oracle ++
     graft.queries.TpcdsShapes3.oracle ++
+    graft.queries.TpcdsShapes4.oracle ++
     graft.queries.CoercionQueries.oracle ++
     graft.queries.SsbShapes.oracle ++
     graft.queries.SubqueryCorners.oracle ++
