@@ -46,7 +46,8 @@ object SparkEntry {
     graft.queries.HiveQueries.queries ++
     graft.queries.SqlGolden.queries ++
     graft.queries.SketchQueries.queries ++
-    graft.queries.SurfaceTail.queries
+    graft.queries.SurfaceTail.queries ++
+    graft.queries.CorpusQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -83,5 +84,6 @@ object SparkEntry {
     graft.queries.HiveQueries.oracle ++
     graft.queries.SqlGolden.oracle ++
     graft.queries.SketchQueries.oracle ++
-    graft.queries.SurfaceTail.oracle
+    graft.queries.SurfaceTail.oracle ++
+    graft.queries.CorpusQueries.oracle
 }

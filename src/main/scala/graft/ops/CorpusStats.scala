@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistical operators for LLM training-data pipelines:
+  * unigram language-model scoring (the CCNet-style "how typical is this
+  * document of the corpus" quality signal), skip-gram co-occurrence
+  * counting (word2vec / PPMI training-pair generation), and the
+  * deterministic source-interleaved shuffle used to fix a training
+  * order.
+  *
+  * Scale design: every operator is one fact shuffle plus broadcast-sized
+  * side tables.  The unigram vocabulary is Zipf-bounded (cap it with
+  * `topK` and the tail collapses to a floor probability), so the
+  * frequency join broadcasts at any corpus size; co-occurrence joins are
+  * equi on the document key with a bounded position-window residual, so
+  * output is `window × corpus_tokens`, never quadratic.
+  */
+object CorpusStats {
+
+  /** Per-document unigram log-probability score.
+    *
+    * Pass 1 builds corpus token frequencies (one shuffle, vocab-sized
+    * result); pass 2 re-tokenizes and broadcast-joins each token to its
+    * frequency, summing `ln(cnt/total)` per document.  Each term is
+    * rounded to integer MICRO-NATS before summing — integer addition is
+    * associative, so the result is bit-identical under any partitioning
+    * or aggregation order (a raw double sum would drift with partial-agg
+    * order).  Returns (idCol, n_tokens, logprob_micro); mean log-prob is
+    * `logprob_micro / 1e6 / n_tokens`, one deterministic division away.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum("cnt").cast("long").as("total"))
+    toks.join(broadcast(freq), "tok")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        round(log(col("cnt").cast("double") / col("total").cast("double"))
+          * lit(1000000d), 0).cast("long").as("micro"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("micro").cast("long").as("logprob_micro"))
+  }
+
+  /** Skip-gram co-occurrence pair counts: for every token, each token
+    * following it within `window` positions (same document) forms an
+    * ordered pair.  One self-join equi on the document key with the
+    * position band as a residual filter — per-document cost is
+    * `window × n_tokens`, linear in corpus size.
+    */
+  def skipGramPairs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("did"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col("did"), (col("pos") + 1).as("pos"), col("tok"))
+    val a = toks.select(col("did"), col("pos").as("pa"), col("tok").as("w1"))
+    val b = toks.select(col("did").as("did_b"), col("pos").as("pb"),
+      col("tok").as("w2"))
+    a.join(b, col("did") === col("did_b") &&
+        (col("pb") - col("pa")).between(1, window))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Deterministic source-interleaved training order: documents are
+    * ranked within their source by a multiplicative hash of the id, so
+    * reading in (rank, hash) order round-robins across sources — no
+    * source-clumping — while staying reproducible run-to-run (no RNG).
+    * The window partitions by source; at scale the final order is a
+    * range-partitioned sort on (rank, hash), never a single-task window.
+    */
+  def interleavedOrder(docs: DataFrame, idCol: String,
+      sourceCol: String): DataFrame = {
+    val hkey = pmod(col(idCol) * lit(2654435761L), lit(4294967296L)).as("hkey")
+    docs.select(col(idCol), col(sourceCol), hkey)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(sourceCol).orderBy(col("hkey"), col(idCol))))
+  }
+}

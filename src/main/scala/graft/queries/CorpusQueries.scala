@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.CorpusStats
+
+/** Corpus-statistics gate battery — the training-data operators in
+  * [[graft.ops.CorpusStats]] plus two shared-text layout shapes:
+  *
+  *  - unigram LM quality scoring (micro-nat exact)      q_lm_score
+  *  - skip-gram co-occurrence pair counts               q_cooccurrence
+  *  - deterministic source-interleaved shuffle order    q_interleaved_shuffle
+  *  - padding-efficiency length bucketing               q_length_buckets
+  *
+  * DuckDB mirrors the tokenizer with `regexp_extract_all` + zipped
+  * `unnest`; log terms are rounded to integer micro-nats BEFORE summing
+  * so both engines aggregate exact integers (FP addition is not
+  * associative; integer addition is).
+  */
+object CorpusQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val toksSql = "regexp_extract_all(lower(text), '[a-z0-9'']+')"
+
+  val queries: Map[String, Q] = Map(
+    "q_lm_score" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      CorpusStats.unigramLogProb(docs, "doc_id", "text")
+        .orderBy(col("doc_id")).limit(200)
+    },
+
+    "q_cooccurrence" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      CorpusStats.skipGramPairs(docs, "doc_id", "text", window = 3)
+        .filter(col("n_pairs") >= 80)
+        .orderBy(col("n_pairs").desc, col("w1"), col("w2")).limit(50)
+    },
+
+    "q_interleaved_shuffle" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      CorpusStats.interleavedOrder(docs, "doc_id", "source")
+        .orderBy(col("rn"), col("hkey"), col("doc_id")).limit(200)
+    },
+
+    "q_length_buckets" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(lengthBucketsSql)
+    })
+
+  /** Shared text (runs verbatim on both engines). */
+  private val lengthBucketsSql =
+    """WITH b AS (
+      |  SELECT CASE WHEN n_chars < 64 THEN 64 WHEN n_chars < 128 THEN 128
+      |              WHEN n_chars < 256 THEN 256 WHEN n_chars < 512 THEN 512
+      |              ELSE 1024 END AS bucket,
+      |    n_chars
+      |  FROM documents)
+      |SELECT bucket, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(bucket - n_chars) AS BIGINT) AS padding_waste
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_lm_score" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+        |    * 1000000, 0) AS BIGINT)) AS BIGINT) AS logprob_micro
+        |FROM toks JOIN freq USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "q_cooccurrence" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS tok,
+        |    unnest(range(1, len($toksSql) + 1)) AS pos
+        |  FROM documents)
+        |SELECT a.tok AS w1, b.tok AS w2, count(*) AS n_pairs
+        |FROM toks a JOIN toks b
+        |  ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
+        |GROUP BY 1, 2 HAVING count(*) >= 80
+        |ORDER BY n_pairs DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "q_interleaved_shuffle" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, source, (doc_id * 2654435761) % 4294967296 AS hkey
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, source, hkey,
+        |    row_number() OVER (PARTITION BY source ORDER BY hkey, doc_id) AS rn
+        |  FROM keyed)
+        |SELECT doc_id, source, hkey, rn
+        |FROM ranked ORDER BY rn, hkey, doc_id LIMIT 200""".stripMargin,
+
+    "q_length_buckets" -> lengthBucketsSql)
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Golden-semantics tests for [[CorpusStats]] on crafted corpora where
+  * every expected value is hand-computable.
+  */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unigramLogProb: uniform corpus scores ln(1/V) per token, exactly") {
+    // 4 docs, each one distinct token — every token has p = 1/4
+    val docs = Seq((1L, "aa"), (2L, "bb"), (3L, "cc"), (4L, "dd"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.unigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val expected = math.round(math.log(0.25) * 1e6) // -1386294
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.getLong(1) == 1L)
+      assert(r.getLong(2) == expected, s"got ${r.getLong(2)}")
+    }
+  }
+
+  test("unigramLogProb: rarer tokens score lower than common ones") {
+    // 'common' appears 9 times, 'rare' once
+    val docs = ((1 to 9).map(i => (i.toLong, "common")) :+ (10L, "rare"))
+      .toDF("doc_id", "text")
+    val byId = CorpusStats.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byId(10L) < byId(1L),
+      s"rare doc must score below common doc: ${byId(10L)} vs ${byId(1L)}")
+    assert(byId(1L) == math.round(math.log(0.9) * 1e6))
+    assert(byId(10L) == math.round(math.log(0.1) * 1e6))
+  }
+
+  test("skipGramPairs: window semantics are exact on a known sentence") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val pairs = CorpusStats.skipGramPairs(docs, "doc_id", "text", window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // window 2 over [a b c d]: (a,b) (a,c) (b,c) (b,d) (c,d)
+    assert(pairs == Map(("a", "b") -> 1L, ("a", "c") -> 1L, ("b", "c") -> 1L,
+      ("b", "d") -> 1L, ("c", "d") -> 1L))
+  }
+
+  test("skipGramPairs: pairs never cross document boundaries") {
+    val docs = Seq((1L, "x y"), (2L, "y z")).toDF("doc_id", "text")
+    val pairs = CorpusStats.skipGramPairs(docs, "doc_id", "text", window = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("x", "y"), ("y", "z")), s"got $pairs")
+  }
+
+  test("interleavedOrder round-robins sources: any rank-k prefix is balanced") {
+    // 3 sources × 10 docs: within every rank the three sources appear once,
+    // so a prefix cut at a full rank has equal per-source counts
+    val docs = (0L until 30L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    val ordered = CorpusStats.interleavedOrder(docs, "doc_id", "source")
+      .orderBy("rn", "hkey", "doc_id").collect()
+    val prefix = ordered.take(12) // 4 full ranks × 3 sources
+    val bySource = prefix.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(bySource.values.toSet == Set(4), s"unbalanced prefix: $bySource")
+    // determinism: a second run yields the identical order
+    val again = CorpusStats.interleavedOrder(docs, "doc_id", "source")
+      .orderBy("rn", "hkey", "doc_id").collect()
+    assert(ordered.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
+
+  test("unigramLogProb is partitioning-invariant (integer micro-nat sums)") {
+    val docs = (1L to 40L).map(i => (i, s"tok${i % 7} tok${i % 3} filler"))
+      .toDF("doc_id", "text")
+    val one = CorpusStats.unigramLogProb(docs.repartition(1), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val many = CorpusStats.unigramLogProb(docs.repartition(13), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(one.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ==
+      many.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+  }
+}

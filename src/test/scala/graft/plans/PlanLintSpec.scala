@@ -39,7 +39,8 @@ class PlanLintSpec extends SparkSpec {
     "q_repetition", "q_seq_packing", "q_weighted_sample",
     "q_multimodal", "q_quality_checks", "q_drift_psi", // scalar totals cross-joined
     "q_setops",              // five 1-row set-op counts folded into one plan
-    "qds_q84_income_band")   // non-equi band join against a 3-row VALUES table: broadcast NL is the right plan at any scale
+    "qds_q84_income_band",   // non-equi band join against a 3-row VALUES table: broadcast NL is the right plan at any scale
+    "q_lm_score")            // corpus-total scalar cross-joined into the scoring projection
 
   /** Entries whose unpartitioned window is over an already-aggregated
     * (small) frame, or is the documented global-order requirement.
