@@ -47,7 +47,8 @@ object SparkEntry {
     graft.queries.SqlGolden.queries ++
     graft.queries.SketchQueries.queries ++
     graft.queries.SurfaceTail.queries ++
-    graft.queries.CorpusQueries.queries
+    graft.queries.CorpusQueries.queries ++
+    graft.queries.AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -85,5 +86,6 @@ object SparkEntry {
     graft.queries.SqlGolden.oracle ++
     graft.queries.SketchQueries.oracle ++
     graft.queries.SurfaceTail.oracle ++
-    graft.queries.CorpusQueries.oracle
+    graft.queries.CorpusQueries.oracle ++
+    graft.queries.AnalyticsQueries.oracle
 }

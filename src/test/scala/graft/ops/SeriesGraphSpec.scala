@@ -1,0 +1,83 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Golden-semantics tests for [[TimeSeries.gapFillDaily]] and
+  * [[GraphOps.pageRank]] on crafted inputs with hand-computed answers.
+  */
+class SeriesGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: String): Timestamp = Timestamp.valueOf(s"$day 12:00:00")
+
+  test("gapFillDaily carries the last observation forward, 0 before first") {
+    val ev = Seq(
+      (1L, ts("2024-01-02"), 1.50),   // day 2: 150 cents
+      (1L, ts("2024-01-02"), 2.00),   //        +200 = 350
+      (1L, ts("2024-01-04"), 5.00))   // day 4: 500
+      .toDF("k", "ts", "v")
+    val out = TimeSeries.gapFillDaily(ev, "k", "ts", "v",
+        "2024-01-01", "2024-01-05")
+      .orderBy("day").collect()
+    val cents = out.map(_.getLong(2)).toSeq
+    val observed = out.map(_.getBoolean(3)).toSeq
+    assert(cents == Seq(0L, 350L, 350L, 500L, 500L), s"got $cents")
+    assert(observed == Seq(false, true, false, true, false))
+  }
+
+  test("gapFillDaily fills independently per key") {
+    val ev = Seq(
+      (1L, ts("2024-01-01"), 1.00),
+      (2L, ts("2024-01-03"), 9.00))
+      .toDF("k", "ts", "v")
+    val out = TimeSeries.gapFillDaily(ev, "k", "ts", "v",
+        "2024-01-01", "2024-01-03")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    assert(out((1L, "2024-01-03")) == 100L) // key 1 carries its own value
+    assert(out((2L, "2024-01-01")) == 0L)   // key 2 has nothing yet
+    assert(out((2L, "2024-01-03")) == 900L)
+  }
+
+  test("pageRank: two-node cycle stays symmetric; star center accumulates") {
+    // cycle a<->b: ranks stay equal by symmetry
+    val cycle = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val cr = GraphOps.pageRank(cycle, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cr(1L) == cr(2L), s"cycle must stay symmetric: $cr")
+
+    // star 1,2,3 -> 4 (center), center dangles: center must outrank leaves
+    val star = Seq((1L, 4L, 1L), (2L, 4L, 1L), (3L, 4L, 1L)).toDF("src", "dst", "w")
+    val sr = GraphOps.pageRank(star, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sr(4L) > sr(1L), s"center must accumulate rank: $sr")
+    // leaves receive nothing: exactly the damping base after iteration 1+
+    assert(sr(1L) == 150000L && sr(2L) == 150000L && sr(3L) == 150000L)
+    // center after i1: 150000 + floor(3e6 * 85/100) = 2700000; leaves at
+    // 150000 from i1 on, so i2: 150000 + floor(3*150000*85/100) = 532500;
+    // i3 repeats i2's input → fixed point
+    assert(sr(4L) == 532500L, s"hand-computed center rank: $sr")
+  }
+
+  test("pageRank splits contribution by edge weight") {
+    // node 1 sends 3/4 of its rank to 2, 1/4 to 3
+    val g = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val r = GraphOps.pageRank(g, 1).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(2L) == 150000L + math.floorDiv(750000L * 85L, 100L))
+    assert(r(3L) == 150000L + math.floorDiv(250000L * 85L, 100L))
+  }
+
+  test("pageRank is partitioning-invariant (integer arithmetic)") {
+    val g = (1L to 20L).flatMap(i => Seq((i, (i % 20) + 1, 1L + i % 3)))
+      .toDF("src", "dst", "w")
+    val a = GraphOps.pageRank(g.repartition(1), 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = GraphOps.pageRank(g.repartition(7), 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b)
+  }
+}
