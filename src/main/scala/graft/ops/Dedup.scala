@@ -67,6 +67,46 @@ object Dedup {
     df.join(keepers, col(idCol) === col("__keep"), "left_semi")
   }
 
+  /** Dedup a NEW batch against a historical corpus without ever
+    * shuffling the history — the daily-ingest shape: history is ~the
+    * whole corpus, the batch is a sliver, so an anti-join that shuffles
+    * both sides is the wrong plan at 100 TB.
+    *
+    * Phase 1 folds history's 64-bit text hash into a Bloom filter as a
+    * distributed aggregate (partial sketches OR-merge map-side — one
+    * pass, no shuffle of rows).  Phase 2 probes the batch inside
+    * codegen: misses are DEFINITELY new (no false negatives) and pass
+    * through join-free; only the candidate sliver (true dups + the
+    * configured false-positive rate) reaches the exact verify, an
+    * anti-join on the 16-byte 128-bit key (see [[exactKey]] for why not
+    * 64-bit).  The result is EXACTLY `newDocs` minus rows whose
+    * normalized text appears in `history` — the bloom is a pure
+    * pruning layer, never a correctness layer.
+    *
+    * `expectedHistoryRows` sizes the filter at ~9.6 bits/key (1% fpp).
+    */
+  def incrementalDedup(newDocs: DataFrame, history: DataFrame,
+      textCol: String, expectedHistoryRows: Long): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val histKeys = history.select(exactKey(col(textCol)).as("nh"))
+    val bf = histKeys.agg(ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expression(col("nh.h1")),
+      Literal(expectedHistoryRows),
+      Literal(math.max(64L, expectedHistoryRows * 10))).toAggregateExpression())
+      .as("bf"))
+    val keyed = newDocs.withColumn("__nh", exactKey(col(textCol)))
+    val probe = ColumnBridge.column(BloomFilterMightContain(
+      ColumnBridge.expression(bf.scalar()),
+      ColumnBridge.expression(col("__nh.h1"))))
+    val clean = keyed.filter(!probe)
+    val candidates = keyed.filter(probe)
+    val verified = candidates.join(histKeys.distinct(),
+      candidates("__nh") === histKeys("nh"), "left_anti")
+    clean.unionByName(verified).drop("__nh")
+  }
+
   // -------------------------------------------------------------- MinHash
 
   /** Word w-shingles over an already-materialized token-array COLUMN.

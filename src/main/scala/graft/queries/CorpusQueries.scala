@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.CorpusStats
+import graft.ops.{CorpusStats, Dedup}
 
 /** Corpus-statistics gate battery — the training-data operators in
   * [[graft.ops.CorpusStats]] plus two shared-text layout shapes:
@@ -47,6 +47,23 @@ object CorpusQueries {
     "q_length_buckets" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql(lengthBucketsSql)
+    },
+
+    // Daily-ingest dedup: a "re-crawl" batch (100 genuinely new docs +
+    // 50 exact copies of historical ones under new ids) deduped against
+    // a 400-doc history via Bloom prefilter + 128-bit exact verify.
+    // The result must equal the plain anti-join — the bloom only prunes.
+    "q_incremental_dedup" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val history = docs.filter(col("doc_id") < 400)
+      val batch = docs.filter(col("doc_id") >= 400)
+        .unionByName(docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      Dedup.incrementalDedup(batch, history, "text", expectedHistoryRows = 400)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy(col("source"))
     })
 
   /** Shared text (runs verbatim on both engines). */
@@ -96,5 +113,24 @@ object CorpusQueries {
         |SELECT doc_id, source, hkey, rn
         |FROM ranked ORDER BY rn, hkey, doc_id LIMIT 200""".stripMargin,
 
-    "q_length_buckets" -> lengthBucketsSql)
+    "q_length_buckets" -> lengthBucketsSql,
+
+    "q_incremental_dedup" ->
+      s"""WITH hist AS (
+        |  SELECT $normSql AS nt FROM documents WHERE doc_id < 400),
+        |batch AS (
+        |  SELECT doc_id, source, text FROM documents WHERE doc_id >= 400
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, source, text FROM documents
+        |  WHERE doc_id < 50),
+        |kept AS (
+        |  SELECT b.doc_id, b.source FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.nt = $normSql))
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin)
+
+  /** DuckDB twin of TextAnalysis.normalize (same as OpsQueries'). */
+  private def normSql: String =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
 }

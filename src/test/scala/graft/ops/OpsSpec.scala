@@ -273,6 +273,24 @@ class OpsSpec extends SparkSpec {
     assert(out.getAs[Int]("width") == 160 && out.getAs[Int]("height") == 120)
   }
 
+  test("incrementalDedup equals the plain anti-join, bloom only prunes") {
+    import spark.implicits._
+    // history of 200 texts; batch = 30 new + 20 exact re-crawls (new
+    // ids, same text) + 5 near-misses (one char changed → must be kept)
+    val hist = (0 until 200).map(i => (i.toLong, s"history doc body $i"))
+      .toDF("doc_id", "text")
+    val batch = (
+      (1000 until 1030).map(i => (i.toLong, s"fresh doc body $i")) ++
+      (2000 until 2020).map(i => (i.toLong, s"history doc body ${i - 2000}")) ++
+      (3000 until 3005).map(i => (i.toLong, s"history doc body ${i - 3000}x")))
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(batch, hist, "text", 200L)
+      .select("doc_id").as[Long].collect().sorted
+    val expected = ((1000L until 1030L) ++ (3000L until 3005L)).toArray
+    assert(kept.toSeq == expected.toSeq,
+      s"must equal the exact anti-join: got ${kept.length} rows")
+  }
+
   test("operator-internal caches are released (CacheScope)") {
     // ops that persist intermediates must leave the CacheManager as
     // they found it: CacheScope materializes the small result and
