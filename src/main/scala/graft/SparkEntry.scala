@@ -48,7 +48,8 @@ object SparkEntry {
     graft.queries.SketchQueries.queries ++
     graft.queries.SurfaceTail.queries ++
     graft.queries.CorpusQueries.queries ++
-    graft.queries.AnalyticsQueries.queries
+    graft.queries.AnalyticsQueries.queries ++
+    graft.queries.WarehouseQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -87,5 +88,6 @@ object SparkEntry {
     graft.queries.SketchQueries.oracle ++
     graft.queries.SurfaceTail.oracle ++
     graft.queries.CorpusQueries.oracle ++
-    graft.queries.AnalyticsQueries.oracle
+    graft.queries.AnalyticsQueries.oracle ++
+    graft.queries.WarehouseQueries.oracle
 }
