@@ -108,6 +108,29 @@ object SqlGolden {
 
   /** Spark text whose oracle needs DuckDB-dialect rewrites. */
   private val sparkOnly: Map[String, String] = Map(
+    // string-functions.sql tail: soundex / luhn_check / crc32 /
+    // format_number / to_char / to_number / to_binary / char_length /
+    // flatten / sentences.  DuckDB lacks most of these, so the oracle
+    // is a literal golden table verified out-of-band against
+    // independent implementations (zlib crc32, textbook soundex/luhn).
+    "q_fn_misc_tail" ->
+      """SELECT id,
+        |  soundex(elt(CAST(id+1 AS INT), 'Robert', 'Rupert', 'Ashcraft',
+        |              'Tymczak', 'Pfister')) AS sx,
+        |  luhn_check(elt(CAST(id+1 AS INT), '79927398713', '79927398714',
+        |              '4111111111111111', '123', '0')) AS luhn,
+        |  format_number(12345.6789 * (id+1), 2) AS fmt,
+        |  to_char(1234.56 * (id+1), '99999.99') AS tch,
+        |  CAST(to_number('1,234.56', '9,999.99') * (id+1) AS DOUBLE) AS tnum,
+        |  crc32(encode(concat('payload', CAST(id AS STRING)), 'utf-8')) AS crc,
+        |  char_length(repeat('ab', CAST(id+1 AS INT))) AS clen,
+        |  upper(hex(to_binary(lpad(CAST(id AS STRING), 2, '0'), 'hex'))) AS bin_rt,
+        |  concat_ws('|', flatten(array(array(id), array(id+1), array(id*2)))) AS flat,
+        |  concat_ws('/', transform(
+        |    sentences(concat('Hello world number ', CAST(id AS STRING),
+        |              '. Bye now.')),
+        |    a -> concat_ws(' ', a))) AS sents
+        |FROM range(5) ORDER BY id""".stripMargin,
     // sql-compatibility-functions.sql: nvl / nvl2 / ifnull / nullif / if.
     "q_sql_compat_fns" ->
       """SELECT n_nationkey,
@@ -210,6 +233,22 @@ object SqlGolden {
     (common ++ sparkOnly).map { case (n, t) => n -> run(t) }
 
   val oracle: Map[String, String] = common ++ Map(
+    // literal golden table — each value verified out-of-band against an
+    // independent implementation (textbook soundex/luhn, zlib crc32,
+    // java.text-compatible grouping for format_number)
+    "q_fn_misc_tail" ->
+      """SELECT CAST(id AS BIGINT) AS id, sx, luhn, fmt, tch,
+        |  CAST(tnum AS DOUBLE) AS tnum, CAST(crc AS BIGINT) AS crc,
+        |  CAST(clen AS INT) AS clen, bin_rt, flat, sents
+        |FROM (VALUES
+        |  (0, 'R163', true,  '12,345.68', ' 1234.56', 1234.56, 2571376544, 2,  '00', '0|1|0', 'Hello world number 0/Bye now'),
+        |  (1, 'R163', false, '24,691.36', ' 2469.12', 2469.12, 3997378358, 4,  '01', '1|2|2', 'Hello world number 1/Bye now'),
+        |  (2, 'A261', true,  '37,037.04', ' 3703.68', 3703.68, 2001368716, 6,  '02', '2|3|4', 'Hello world number 2/Bye now'),
+        |  (3, 'T522', false, '49,382.72', ' 4938.24', 4938.24, 5064218,    8,  '03', '3|4|6', 'Hello world number 3/Bye now'),
+        |  (4, 'P236', true,  '61,728.39', ' 6172.80', 6172.80, 2653541305, 10, '04', '4|5|8', 'Hello world number 4/Bye now'))
+        |  AS v(id, sx, luhn, fmt, tch, tnum, crc, clen, bin_rt, flat, sents)
+        |ORDER BY id""".stripMargin,
+
     "q_fn_csv" ->
       """SELECT n_nationkey,
         |  n_nationkey || ',' || n_name AS cs,
