@@ -65,6 +65,27 @@ object CorpusStats {
       .groupBy("w1", "w2").agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Positive pointwise mutual information over the skip-gram pair
+    * table — the classic word-association score used to build count-
+    * based embeddings.  Marginals come from the pair table itself
+    * (`p(a,b) = n_ab/N`, `p(a·) = n_a·/N`), so
+    * `PMI = ln(n_ab · N / (n_a· · n_·b))`, clamped at 0 and expressed in
+    * integer micro-nats (one ln per output row, no FP accumulation).
+    * Marginals are vocabulary-sized → broadcast joins; N is a scalar.
+    */
+  def ppmi(pairs: DataFrame): DataFrame = {
+    val la = pairs.groupBy("w1").agg(sum("n_pairs").cast("long").as("n_left"))
+    val rb = pairs.groupBy("w2").agg(sum("n_pairs").cast("long").as("n_right"))
+    val n = pairs.agg(sum("n_pairs").cast("long").as("n_total"))
+    pairs.join(broadcast(la), "w1").join(broadcast(rb), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("n_pairs"),
+        greatest(lit(0L),
+          round(log((col("n_pairs") * col("n_total")).cast("double") /
+            (col("n_left") * col("n_right")).cast("double")) * lit(1000000d), 0)
+            .cast("long")).as("ppmi_micro"))
+  }
+
   /** Deterministic source-interleaved training order: documents are
     * ranked within their source by a multiplicative hash of the id, so
     * reading in (rank, hash) order round-robins across sources — no

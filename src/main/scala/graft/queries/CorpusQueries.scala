@@ -49,6 +49,31 @@ object CorpusQueries {
       s.sql(lengthBucketsSql)
     },
 
+    // PPMI word association over the window-3 skip-gram table: strong
+    // collocations rank first.  One ln per output row in integer
+    // micro-nats — bit-exact vs the DuckDB twin.
+    "q_ppmi" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = CorpusStats.skipGramPairs(docs, "doc_id", "text", window = 3)
+        .filter(col("n_pairs") >= 40)
+      CorpusStats.ppmi(pairs)
+        .orderBy(col("ppmi_micro").desc, col("w1"), col("w2")).limit(50)
+    },
+
+    // Stratified exact-N sampling: 5 docs per (lang, source) stratum,
+    // chosen by deterministic hash rank — reproducible, single shuffle.
+    "q_stratified_sample" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(stratifiedSql)
+    },
+
+    // Top-p (nucleus) source selection: smallest prefix of sources,
+    // by descending doc count, covering ≥90% of the corpus.
+    "q_source_topp" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(toppSql)
+    },
+
     // Daily-ingest dedup: a "re-crawl" batch (100 genuinely new docs +
     // 50 exact copies of historical ones under new ids) deduped against
     // a 400-doc history via Bloom prefilter + 128-bit exact verify.
@@ -65,6 +90,34 @@ object CorpusQueries {
           sum(col("doc_id")).cast("long").as("id_sum"))
         .orderBy(col("source"))
     })
+
+  /** Shared text (runs verbatim on both engines). */
+  private val stratifiedSql =
+    """WITH ranked AS (
+      |  SELECT doc_id, lang, source,
+      |    row_number() OVER (PARTITION BY lang, source
+      |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+      |  FROM documents)
+      |SELECT lang, source, count(*) AS n,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM ranked WHERE rk <= 5
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  /** Shared text; the 90% threshold is exact integer cross-
+    * multiplication (10·cum_before < 9·total), no FP compare.
+    */
+  private val toppSql =
+    """WITH counts AS (
+      |  SELECT source, count(*) AS n FROM documents GROUP BY source),
+      |ranked AS (
+      |  SELECT source, n,
+      |    sum(n) OVER (ORDER BY n DESC, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM counts)
+      |SELECT source, CAST(n AS BIGINT) AS n, CAST(cum AS BIGINT) AS cum
+      |FROM ranked
+      |WHERE 10 * (cum - n) < 9 * (SELECT CAST(sum(n) AS BIGINT) FROM counts)
+      |ORDER BY n DESC, source""".stripMargin
 
   /** Shared text (runs verbatim on both engines). */
   private val lengthBucketsSql =
@@ -114,6 +167,27 @@ object CorpusQueries {
         |FROM ranked ORDER BY rn, hkey, doc_id LIMIT 200""".stripMargin,
 
     "q_length_buckets" -> lengthBucketsSql,
+    "q_stratified_sample" -> stratifiedSql,
+    "q_source_topp" -> toppSql,
+
+    "q_ppmi" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS tok,
+        |    unnest(range(1, len($toksSql) + 1)) AS pos
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.tok AS w1, b.tok AS w2, count(*) AS n_pairs
+        |  FROM toks a JOIN toks b
+        |    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
+        |  GROUP BY 1, 2 HAVING count(*) >= 40),
+        |la AS (SELECT w1, CAST(sum(n_pairs) AS BIGINT) AS n_left FROM pairs GROUP BY w1),
+        |rb AS (SELECT w2, CAST(sum(n_pairs) AS BIGINT) AS n_right FROM pairs GROUP BY w2),
+        |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n_total FROM pairs)
+        |SELECT w1, w2, n_pairs,
+        |  greatest(0, CAST(round(ln(CAST(n_pairs * n_total AS DOUBLE)
+        |    / CAST(n_left * n_right AS DOUBLE)) * 1000000, 0) AS BIGINT)) AS ppmi_micro
+        |FROM pairs JOIN la USING (w1) JOIN rb USING (w2) CROSS JOIN tot
+        |ORDER BY ppmi_micro DESC, w1, w2 LIMIT 50""".stripMargin,
 
     "q_incremental_dedup" ->
       s"""WITH hist AS (

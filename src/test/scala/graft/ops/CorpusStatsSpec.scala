@@ -68,6 +68,24 @@ class CorpusStatsSpec extends SparkSpec {
     assert(ordered.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
   }
 
+  test("ppmi: perfect collocation scores ln(N/n) exactly, clamps at 0") {
+    // pairs: (a,b)=4 of N=8 total; marginals n_a·=4, n_·b=4
+    // PMI(a,b) = ln(4·8 / (4·4)) = ln 2; the uniform filler pairs have
+    // PMI = ln(8·1/(2·2)) = ln 2 as well, so craft an anti-correlated
+    // pair: (x,y)=1 with n_x·=3 → check exact values instead
+    val pairs = Seq(("a", "b", 4L), ("x", "b", 1L), ("x", "y", 3L))
+      .toDF("w1", "w2", "n_pairs")
+    val out = CorpusStats.ppmi(pairs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    val n = 8.0
+    def pmi(ab: Long, a: Long, b: Long): Long =
+      math.max(0L, math.round(math.log(ab * n / (a.toDouble * b)) * 1e6))
+    assert(out(("a", "b")) == pmi(4, 4, 5))
+    assert(out(("x", "b")) == pmi(1, 4, 5)) // ln(8/20) < 0 → clamped to 0
+    assert(out(("x", "b")) == 0L)
+    assert(out(("x", "y")) == pmi(3, 4, 3))
+  }
+
   test("unigramLogProb is partitioning-invariant (integer micro-nat sums)") {
     val docs = (1L to 40L).map(i => (i, s"tok${i % 7} tok${i % 3} filler"))
       .toDF("doc_id", "text")
