@@ -67,10 +67,13 @@ object Dedup {
     df.join(keepers, col(idCol) === col("__keep"), "left_semi")
   }
 
-  /** Dedup a NEW batch against a historical corpus without ever
-    * shuffling the history — the daily-ingest shape: history is ~the
-    * whole corpus, the batch is a sliver, so an anti-join that shuffles
-    * both sides is the wrong plan at 100 TB.
+  /** Dedup a NEW batch against a historical corpus without shuffling
+    * history PAYLOADS — the daily-ingest shape: history is ~the whole
+    * corpus, the batch is a sliver, so an anti-join that shuffles full
+    * history rows is the wrong plan at 100 TB.  What does move: the
+    * Bloom build sends only partial SKETCHES (map-side OR-merge), and
+    * the exact verify shuffles 16-byte history keys — never document
+    * bytes.
     *
     * Phase 1 folds history's 64-bit text hash into a Bloom filter as a
     * distributed aggregate (partial sketches OR-merge map-side — one

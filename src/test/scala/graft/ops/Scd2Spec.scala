@@ -36,6 +36,33 @@ class Scd2Spec extends SparkSpec {
       (9L, "fresh", 2L, None)))     // brand-new key opened at v2
   }
 
+  test("invariants hold under a randomized batch sequence") {
+    // seeded pseudo-random mutation stream; after every application:
+    // ≤1 open row per key, and version intervals never overlap
+    val attrs = Vector("a", "b", "c")
+    var d = dim((1L, "a", 1L, None))
+    for (v <- 2L to 5L) {
+      val batch = (0 until 12).map { i =>
+        val k = (i * 2654435761L + v) % 7
+        (k, attrs(((k + v + i) % 3).toInt))
+      }.distinct.groupBy(_._1).map(_._2.head).toSeq // one update per key
+        .toDF("key", "attr")
+      d = Scd2.apply(d, batch, v)
+      val rows = d.collect().map(r => (r.getLong(0), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+      val openPerKey = rows.filter(_._3.isEmpty).groupBy(_._1)
+      assert(openPerKey.values.forall(_.length == 1),
+        s"v$v: multiple open rows for a key")
+      rows.groupBy(_._1).values.foreach { hist =>
+        val spans = hist.map { case (_, f, t) => (f, t.getOrElse(Long.MaxValue)) }
+          .sortBy(_._1).toList
+        spans.zip(spans.drop(1)).foreach { case ((_, t1), (f2, _)) =>
+          assert(t1 <= f2, s"v$v: overlap")
+        }
+      }
+    }
+  }
+
   test("applying the same batch twice is idempotent") {
     val d = dim((1L, "red", 1L, None), (2L, "green", 1L, None))
     val u = Seq((1L, "blue")).toDF("key", "attr")
