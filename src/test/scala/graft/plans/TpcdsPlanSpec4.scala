@@ -18,6 +18,11 @@ class TpcdsPlanSpec4 extends SparkSpec {
     assert(p.contains("HashAggregate"), s"year_total must aggregate first:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"all six instances equi-join on the customer key:\n$p")
+    // pushdown SPECIALIZES each CTE instance to its (channel, year)
+    // slice: all six lineitem scans must carry the pushed returnflag
+    // filter — six disjoint slice scans, not six full-corpus scans
+    assert("PushedFilters: \\[[^\\]]*l_returnflag".r.findAllIn(p).size == 6,
+      s"each year_total instance must push its channel filter to the scan:\n$p")
   }
 
   test("q10 EXISTS AND (EXISTS OR EXISTS) plans as semi/existence joins") {
