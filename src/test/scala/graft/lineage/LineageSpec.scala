@@ -149,6 +149,22 @@ class LineageSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_lin_spec_t")
   }
 
+  test("operator-library output traces end-to-end (SCD2 over customer)") {
+    // lineage must walk plans BUILT BY the op layer, not just hand-made
+    // ones: Scd2 composes filter/join/union/case — attr must trace to
+    // both the dimension attr column and the update attr column
+    val c = Tables.load(spark, sf, "customer")
+    val cTable = ColumnLineage.of(c).outputs.head.sources.head.table
+    val dim = c.select(col("c_custkey").as("key"),
+      col("c_mktsegment").as("attr"),
+      lit(1L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+    val upd = c.select(col("c_custkey").as("key"),
+      upper(col("c_name")).as("attr"))
+    val g = ColumnLineage.of(graft.ops.Scd2.apply(dim, upd, 2L))
+    assert(g("key") == Set(src(cTable, "c_custkey")))
+    assert(g("attr") == Set(src(cTable, "c_mktsegment"), src(cTable, "c_name")))
+  }
+
   test("toDF edge list is stable and complete") {
     val df = li.select((col("l_tax") + col("l_discount")).as("rate"))
     val edges = ColumnLineage.of(df).toDF(spark).collect()
