@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{CorpusStats, Dedup}
+import graft.ops.{Bpe, CorpusStats, Dedup}
 
 /** Corpus-statistics gate battery — the training-data operators in
   * [[graft.ops.CorpusStats]] plus two shared-text layout shapes:
@@ -72,6 +72,15 @@ object CorpusQueries {
     "q_source_topp" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql(toppSql)
+    },
+
+    // Distributed BPE vocabulary learning: 3 merge rounds over the
+    // corpus word table.  The DuckDB twin unrolls the same 3 rounds
+    // with list_reduce folds — merge rules and weighted pair counts
+    // must agree exactly.
+    "q_bpe_merges" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Bpe.learnMerges(docs, "text", k = 3).orderBy(col("iter"))
     },
 
     // Daily-ingest dedup: a "re-crawl" batch (100 genuinely new docs +
@@ -169,6 +178,53 @@ object CorpusQueries {
     "q_length_buckets" -> lengthBucketsSql,
     "q_stratified_sample" -> stratifiedSql,
     "q_source_topp" -> toppSql,
+
+    "q_bpe_merges" ->
+      s"""WITH toks AS (
+        |  SELECT unnest($toksSql) AS word FROM documents),
+        |words AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY word),
+        |w0 AS (SELECT freq, regexp_extract_all(word, '.') AS syms FROM words),
+        |p1 AS (
+        |  SELECT z.l AS l, z.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, unnest(list_transform(
+        |          list_zip(syms[1:length(syms)-1], syms[2:length(syms)]),
+        |          s -> {'l': s[1], 'r': s[2]})) AS z
+        |        FROM w0 WHERE length(syms) >= 2) t
+        |  GROUP BY 1, 2),
+        |m1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+        |w1 AS (SELECT freq,
+        |        list_reduce(list_transform(syms, x -> [x]),
+        |          (acc, x) -> CASE WHEN acc[-1] = m1.l AND x[1] = m1.r
+        |                      THEN acc[1:length(acc)-1] || [m1.l || m1.r]
+        |                      ELSE acc || x END) AS syms
+        |       FROM w0 CROSS JOIN m1),
+        |p2 AS (
+        |  SELECT z.l AS l, z.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, unnest(list_transform(
+        |          list_zip(syms[1:length(syms)-1], syms[2:length(syms)]),
+        |          s -> {'l': s[1], 'r': s[2]})) AS z
+        |        FROM w1 WHERE length(syms) >= 2) t
+        |  GROUP BY 1, 2),
+        |m2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |w2 AS (SELECT freq,
+        |        list_reduce(list_transform(syms, x -> [x]),
+        |          (acc, x) -> CASE WHEN acc[-1] = m2.l AND x[1] = m2.r
+        |                      THEN acc[1:length(acc)-1] || [m2.l || m2.r]
+        |                      ELSE acc || x END) AS syms
+        |       FROM w1 CROSS JOIN m2),
+        |p3 AS (
+        |  SELECT z.l AS l, z.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, unnest(list_transform(
+        |          list_zip(syms[1:length(syms)-1], syms[2:length(syms)]),
+        |          s -> {'l': s[1], 'r': s[2]})) AS z
+        |        FROM w2 WHERE length(syms) >= 2) t
+        |  GROUP BY 1, 2),
+        |m3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1)
+        |SELECT iter, l AS merge_left, r AS merge_right, cnt AS pair_count
+        |FROM (SELECT 1 AS iter, l, r, cnt FROM m1
+        |      UNION ALL SELECT 2, l, r, cnt FROM m2
+        |      UNION ALL SELECT 3, l, r, cnt FROM m3) u
+        |ORDER BY iter""".stripMargin,
 
     "q_ppmi" ->
       s"""WITH toks AS (

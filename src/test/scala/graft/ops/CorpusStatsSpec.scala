@@ -86,6 +86,29 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(("x", "y")) == pmi(3, 4, 3))
   }
 
+  test("BPE merges match the textbook example, hand-computed") {
+    // word freqs: low×5, lower×2, newest×6, widest×3
+    // iter1 pair counts: (e,s)=9 (s,t)=9 → lexicographic tie-break (e,s)
+    // iter2: (es,t)=9;  iter3: (l,o)=7 (o,w)=7 → (l,o)
+    val docs = Seq((1L,
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+       Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val rules = Bpe.learnMerges(docs, "text", k = 3).orderBy("iter")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(rules == Seq((1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "l", "o", 7L)), s"got $rules")
+  }
+
+  test("applyMerges folds rules in order: 'lowest' → [lo, w, est]") {
+    val df = Seq((1L, "lowest")).toDF("id", "text")
+    val toks = Bpe.applyMerges(df, "text",
+        Seq(("e", "s"), ("es", "t"), ("l", "o")))
+      .select("bpe_tokens").collect()(0).getSeq[String](0)
+    assert(toks == Seq("lo", "w", "est"), s"got $toks")
+  }
+
   test("unigramLogProb is partitioning-invariant (integer micro-nat sums)") {
     val docs = (1L to 40L).map(i => (i, s"tok${i % 7} tok${i % 3} filler"))
       .toDF("doc_id", "text")
