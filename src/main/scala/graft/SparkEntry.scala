@@ -49,7 +49,8 @@ object SparkEntry {
     graft.queries.SurfaceTail.queries ++
     graft.queries.CorpusQueries.queries ++
     graft.queries.AnalyticsQueries.queries ++
-    graft.queries.WarehouseQueries.queries
+    graft.queries.WarehouseQueries.queries ++
+    graft.queries.FuzzQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -89,5 +90,6 @@ object SparkEntry {
     graft.queries.SurfaceTail.oracle ++
     graft.queries.CorpusQueries.oracle ++
     graft.queries.AnalyticsQueries.oracle ++
-    graft.queries.WarehouseQueries.oracle
+    graft.queries.WarehouseQueries.oracle ++
+    graft.queries.FuzzQueries.oracle
 }
