@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
 object Scd2 {
 
   /** Apply `updates` (key, attr) at batch `version` to a dimension
-    * `dim` (key, attr, valid_from, valid_to).
+    * `dim` (key, attr, valid_from, valid_to).  `updates` must carry at
+    * most one row per key (dedupe upstream — e.g. keep-latest — before
+    * applying; a multi-valued key would open conflicting versions).
     *
     * - key present with a DIFFERENT attr → close the open row
     *   (`valid_to = version`) and open a new one.
