@@ -81,15 +81,57 @@ object FuzzQueries {
        |ORDER BY g""".stripMargin
   }
 
+  /** Joinable table pairs: (left table, left cols, right table, right
+    * cols, left key = right key equi condition).
+    */
+  private val joinPairs = Seq(
+    ("nation", Seq("n_nationkey", "n_regionkey"), "region", Seq("r_regionkey"),
+      "n_regionkey = r_regionkey"),
+    ("supplier", Seq("s_suppkey", "s_nationkey"), "nation",
+      Seq("n_nationkey", "n_regionkey"), "s_nationkey = n_nationkey"),
+    ("customer", Seq("c_custkey", "c_nationkey"), "nation",
+      Seq("n_nationkey", "n_regionkey"), "c_nationkey = n_nationkey"))
+
+  /** Two-table join query: INNER or LEFT OUTER with a generated filter
+    * (left-side columns only, so LEFT keeps outer semantics), grouped
+    * aggregation over mixed-side expressions, and a right-side
+    * `count(col)` to exercise null-skipping under outer joins.  NULLS
+    * FIRST is pinned — the engines' default null order differs.
+    */
+  private def genJoinQuery(seed: Long): String = {
+    val r = new Rng(seed)
+    val (t1, cols1, t2, cols2, on) = r.pick(joinPairs)
+    val joinType = r.pick(Seq("JOIN", "LEFT JOIN"))
+    val all = cols1 ++ cols2
+    val groupExpr = s"(${r.pick(all)} % ${r.next(4) + 2})"
+    val a1 = genArith(r, all, 2)
+    val a2 = genArith(r, cols1, 2)
+    val pred = genPred(r, cols1, 2)
+    val rcol = r.pick(cols2)
+    s"""SELECT $groupExpr AS g,
+       |  CAST(sum($a1) AS BIGINT) AS s1,
+       |  CAST(min($a2) AS BIGINT) AS m1,
+       |  count($rcol) AS nr,
+       |  count(*) AS n
+       |FROM $t1 $joinType $t2 ON $on
+       |WHERE $pred
+       |GROUP BY $groupExpr
+       |ORDER BY g NULLS FIRST""".stripMargin
+  }
+
   /** Frozen seed per slot; a slot's seed is bumped (never reused) when
     * its query returns zero rows at the gate SF — empty==empty proves
     * nothing, so every entry must select data.
     */
   private val seeds: Seq[Long] = Seq(1L, 2L, 3L, 24L, 5L, 6L, 17L, 8L, 9L, 10L)
+  private val joinSeeds: Seq[Long] = Seq(31L, 32L, 33L, 34L, 45L)
 
   private val sql: Map[String, String] =
     seeds.zipWithIndex.map { case (s, i) =>
       f"q_fuzz_${i + 1}%02d" -> genQuery(0xD1FF00D5L * s)
+    }.toMap ++
+    joinSeeds.zipWithIndex.map { case (s, i) =>
+      f"q_fuzzj_${i + 1}%02d" -> genJoinQuery(0xD1FF00D5L * s)
     }.toMap
 
   val queries: Map[String, Q] = sql.map { case (name, text) =>
