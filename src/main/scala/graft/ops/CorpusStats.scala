@@ -65,6 +65,44 @@ object CorpusStats {
       .groupBy("w1", "w2").agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** DSIR-style importance score: per-document log-likelihood ratio of
+    * a TARGET-domain unigram model vs the full-corpus model —
+    * `Σ ln((t_cnt+1)/(t_total+V)) − Σ ln(c_cnt/c_total)` (add-one
+    * smoothing on the target side, since target vocabulary is a
+    * subset).  Documents that "read like" the target domain score
+    * high; selecting the top fraction is importance resampling for
+    * domain-targeted pretraining mixes.
+    *
+    * Same determinism discipline as [[unigramLogProb]]: each ln term
+    * is rounded to integer micro-nats before the per-document sum, so
+    * the score is exact under any partitioning.  Both frequency tables
+    * are vocabulary-sized → broadcast; the corpus is scanned twice
+    * (once per model build) and once for scoring.
+    */
+  def importanceScores(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: org.apache.spark.sql.Column): DataFrame = {
+    val toks = docs.select(col(idCol), isTarget.as("is_target"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val corpusFreq = toks.groupBy("tok").agg(count(lit(1)).as("c_cnt"))
+    val targetFreq = toks.filter(col("is_target"))
+      .groupBy(col("tok").as("t_tok")).agg(count(lit(1)).as("t_cnt"))
+    val totals = corpusFreq.agg(
+      sum("c_cnt").cast("long").as("c_total"),
+      count(lit(1)).cast("long").as("vocab"))
+    val tTotal = targetFreq.agg(sum("t_cnt").cast("long").as("t_total"))
+    toks.join(broadcast(corpusFreq), "tok")
+      .join(broadcast(targetFreq), col("tok") === col("t_tok"), "left")
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(tTotal))
+      .select(col(idCol),
+        (round(log((coalesce(col("t_cnt"), lit(0L)) + 1).cast("double") /
+            (col("t_total") + col("vocab")).cast("double")) * lit(1000000d), 0)
+          - round(log(col("c_cnt").cast("double") / col("c_total").cast("double"))
+            * lit(1000000d), 0)).cast("long").as("micro"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("micro").cast("long").as("dsir_micro"))
+  }
+
   /** Positive pointwise mutual information over the skip-gram pair
     * table — the classic word-association score used to build count-
     * based embeddings.  Marginals come from the pair table itself

@@ -74,6 +74,16 @@ object CorpusQueries {
       s.sql(toppSql)
     },
 
+    // DSIR importance selection: score every document by how much the
+    // src0-domain unigram model likes it vs the corpus model; keep the
+    // top 50.  src0's own docs should dominate — and do.
+    "q_dsir_select" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      CorpusStats.importanceScores(docs, "doc_id", "text",
+          col("source") === "src0")
+        .orderBy(col("dsir_micro").desc, col("doc_id")).limit(50)
+    },
+
     // Distributed BPE vocabulary learning: 3 merge rounds over the
     // corpus word table.  The DuckDB twin unrolls the same 3 rounds
     // with list_reduce folds — merge rules and weighted pair counts
@@ -178,6 +188,28 @@ object CorpusQueries {
     "q_length_buckets" -> lengthBucketsSql,
     "q_stratified_sample" -> stratifiedSql,
     "q_source_topp" -> toppSql,
+
+    "q_dsir_select" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, source = 'src0' AS is_target, unnest($toksSql) AS tok
+        |  FROM documents),
+        |cf AS (SELECT tok, count(*) AS c_cnt FROM toks GROUP BY tok),
+        |tf AS (SELECT tok AS t_tok, count(*) AS t_cnt FROM toks WHERE is_target GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c_cnt) AS BIGINT) AS c_total,
+        |               CAST(count(*) AS BIGINT) AS vocab FROM cf),
+        |tt AS (SELECT CAST(sum(t_cnt) AS BIGINT) AS t_total FROM tf)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(
+        |    CAST(round(ln(CAST(coalesce(t_cnt, 0) + 1 AS DOUBLE)
+        |      / CAST(t_total + vocab AS DOUBLE)) * 1000000, 0) AS BIGINT)
+        |    - CAST(round(ln(CAST(c_cnt AS DOUBLE) / CAST(c_total AS DOUBLE))
+        |      * 1000000, 0) AS BIGINT)) AS BIGINT) AS dsir_micro
+        |FROM toks
+        |JOIN cf USING (tok)
+        |LEFT JOIN tf ON tok = t_tok
+        |CROSS JOIN tot CROSS JOIN tt
+        |GROUP BY doc_id
+        |ORDER BY dsir_micro DESC, doc_id LIMIT 50""".stripMargin,
 
     "q_bpe_merges" ->
       s"""WITH toks AS (

@@ -86,6 +86,22 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(("x", "y")) == pmi(3, 4, 3))
   }
 
+  test("importanceScores: target-like docs outrank, exact hand values") {
+    // target = doc 1 ("aa aa"); corpus adds doc 2 ("bb bb")
+    // target model: {aa:2}, t_total=2, V=2; corpus: {aa:2,bb:2}, c_total=4
+    val docs = Seq((1L, "aa aa", true), (2L, "bb bb", false))
+      .toDF("doc_id", "text", "tgt")
+    val out = CorpusStats.importanceScores(docs, "doc_id", "text",
+        org.apache.spark.sql.functions.col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def term(tc: Long, cc: Long): Long =
+      math.round(math.log((tc + 1) / 4.0) * 1e6) -
+        math.round(math.log(cc / 4.0) * 1e6)
+    assert(out(1L) == 2 * term(2, 2), s"got $out")
+    assert(out(2L) == 2 * term(0, 2), s"got $out")
+    assert(out(1L) > out(2L))
+  }
+
   test("BPE merges match the textbook example, hand-computed") {
     // word freqs: low×5, lower×2, newest×6, widest×3
     // iter1 pair counts: (e,s)=9 (s,t)=9 → lexicographic tie-break (e,s)

@@ -42,7 +42,8 @@ class PlanLintSpec extends SparkSpec {
     "qds_q84_income_band",   // non-equi band join against a 3-row VALUES table: broadcast NL is the right plan at any scale
     "q_lm_score",            // corpus-total scalar cross-joined into the scoring projection
     "q_gap_fill",            // dense-grid cross of two GENERATED tiny inputs (keys × days), never fact rows
-    "q_ppmi")                // pair-total scalar cross-joined into the scoring projection
+    "q_ppmi",                // pair-total scalar cross-joined into the scoring projection
+    "q_dsir_select")         // model-total scalars cross-joined into the scoring projection
 
   /** Entries whose unpartitioned window is over an already-aggregated
     * (small) frame, or is the documented global-order requirement.
