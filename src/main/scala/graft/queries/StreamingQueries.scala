@@ -294,6 +294,50 @@ object StreamingQueries {
         .orderBy(col("user_id"))
     },
 
+    // Streaming SCD2: three ordered mutation batches (version = batchId
+    // + 2) fold into a parquet dimension state via foreachBatch +
+    // ops.Scd2 — the streaming dimension-maintenance pattern.  The
+    // chunk contents are deterministic (key-disjoint change sets per
+    // modulus), so the final version history has a CLOSED FORM the
+    // DuckDB oracle derives directly: %5 keys change at v2 (SEG_A) and
+    // revert at v4; %7 keys change at v3 (SEG_B); %35 keys do all three.
+    "q_stream_scd2" -> { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val state = graft.TmpCleanup.tempDir("graft_scd2_state")
+      c.select(col("c_custkey").as("key"), col("c_mktsegment").as("attr"),
+          lit(1L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+        .coalesce(1).write.mode("overwrite").parquet(state)
+      val ch0 = c.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").as("key"), lit("SEG_A").as("attr"))
+      val ch1 = c.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("key"), lit("SEG_B").as("attr"))
+      val ch2 = c.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").as("key"), col("c_mktsegment").as("attr"))
+      val stream = orderedReplay(s, Seq(ch0, ch1, ch2))
+      withStatePartitions(s) {
+        val q = stream.writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val cur = s.read.parquet(state)
+            graft.ops.Scd2.apply(cur, batch, batchId + 2)
+              .coalesce(1)
+              .write.mode("overwrite").parquet(state + "_next")
+            val fs = org.apache.hadoop.fs.FileSystem.get(
+              s.sparkContext.hadoopConfiguration)
+            val dst = new org.apache.hadoop.fs.Path(state)
+            fs.delete(dst, true)
+            fs.rename(new org.apache.hadoop.fs.Path(state + "_next"), dst)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.read.parquet(state)
+        .groupBy(col("valid_from"), col("valid_to").isNull.as("open"))
+        .agg(count(lit(1)).as("n"), sum(col("key")).cast("long").as("key_sum"))
+        .orderBy(col("valid_from"), col("open"))
+    },
+
     // Stream-static join: the streaming fact micro-batches join to a
     // STATIC dimension re-read per batch — stateless (no join state
     // store), the streaming mirror of the broadcast-dim star.  The
@@ -322,6 +366,28 @@ object StreamingQueries {
     })
 
   val oracle: Map[String, String] = Map(
+    // closed-form version history of the three deterministic batches
+    "q_stream_scd2" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS key, c_mktsegment AS seg,
+        |    c_custkey % 5 = 0 AS m5, c_custkey % 7 = 0 AS m7
+        |  FROM customer),
+        |hist AS (
+        |  SELECT key, seg AS attr, CAST(1 AS BIGINT) AS vf,
+        |    CAST(CASE WHEN m5 THEN 2 WHEN m7 THEN 3 END AS BIGINT) AS vt FROM c
+        |  UNION ALL
+        |  SELECT key, 'SEG_A', CAST(2 AS BIGINT),
+        |    CAST(CASE WHEN m7 THEN 3 ELSE 4 END AS BIGINT) FROM c WHERE m5
+        |  UNION ALL
+        |  SELECT key, 'SEG_B', CAST(3 AS BIGINT),
+        |    CAST(CASE WHEN m5 THEN 4 END AS BIGINT) FROM c WHERE m7
+        |  UNION ALL
+        |  SELECT key, seg, CAST(4 AS BIGINT), CAST(NULL AS BIGINT) FROM c WHERE m5)
+        |SELECT vf AS valid_from, vt IS NULL AS open, count(*) AS n,
+        |  CAST(sum(key) AS BIGINT) AS key_sum
+        |FROM hist GROUP BY vf, vt IS NULL
+        |ORDER BY valid_from, open""".stripMargin,
+
     "q_stream_foreachbatch_merge" ->
       """SELECT user_id, count(*) AS n,
         |  CAST(max(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS vmax
