@@ -100,9 +100,11 @@ object Dedup {
       Literal(math.max(64L, expectedHistoryRows * 10))).toAggregateExpression())
       .as("bf"))
     val keyed = newDocs.withColumn("__nh", exactKey(col(textCol)))
-    val probe = ColumnBridge.column(BloomFilterMightContain(
+    // empty history → the aggregate yields a NULL filter → null probe;
+    // coalesce to false so a bootstrap batch passes through untouched
+    val probe = coalesce(ColumnBridge.column(BloomFilterMightContain(
       ColumnBridge.expression(bf.scalar()),
-      ColumnBridge.expression(col("__nh.h1"))))
+      ColumnBridge.expression(col("__nh.h1")))), lit(false))
     val clean = keyed.filter(!probe)
     val candidates = keyed.filter(probe)
     val verified = candidates.join(histKeys.distinct(),

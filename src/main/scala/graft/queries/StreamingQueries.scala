@@ -338,6 +338,50 @@ object StreamingQueries {
         .orderBy(col("valid_from"), col("open"))
     },
 
+    // Streaming incremental dedup — the crawl-ingestion pattern: each
+    // micro-batch is deduped against the ACCUMULATED history (bloom
+    // prefilter + exact verify, ops.Dedup.incrementalDedup) and its
+    // survivors append to the history.  Batches 2 and 3 carry re-crawl
+    // copies of earlier docs under new ids; every copy must be dropped,
+    // so the final history is exactly the 500 originals — the oracle is
+    // the plain documents table, which makes any false-positive drop or
+    // false-negative keep a hash mismatch.
+    "q_stream_incremental_dedup" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val state = graft.TmpCleanup.tempDir("graft_incdedup_state")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(state), true)
+      val ch0 = docs.filter(col("doc_id") < 200)
+      val ch1 = docs.filter(col("doc_id").between(200, 349))
+        .unionByName(docs.filter(col("doc_id") < 100)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      val ch2 = docs.filter(col("doc_id") >= 350)
+        .unionByName(docs.filter(col("doc_id").between(200, 249))
+          .withColumn("doc_id", col("doc_id") + 20000))
+      val stream = orderedReplay(s, Seq(ch0, ch1, ch2))
+      withStatePartitions(s) {
+        val q = stream.writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val hist =
+              try s.read.parquet(state)
+              catch { case _: Exception => batch.limit(0) }
+            graft.ops.Dedup.incrementalDedup(batch, hist, "text", 600L)
+              .coalesce(1).write.mode("append").parquet(state)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.read.parquet(state)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy(col("source"))
+    },
+
     // Stream-static join: the streaming fact micro-batches join to a
     // STATIC dimension re-read per batch — stateless (no join state
     // store), the streaming mirror of the broadcast-dim star.  The
@@ -387,6 +431,12 @@ object StreamingQueries {
         |  CAST(sum(key) AS BIGINT) AS key_sum
         |FROM hist GROUP BY vf, vt IS NULL
         |ORDER BY valid_from, open""".stripMargin,
+
+    // survivors of the streamed re-crawl are exactly the originals
+    "q_stream_incremental_dedup" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_stream_foreachbatch_merge" ->
       """SELECT user_id, count(*) AS n,

@@ -291,6 +291,13 @@ class OpsSpec extends SparkSpec {
       s"must equal the exact anti-join: got ${kept.length} rows")
   }
 
+  test("incrementalDedup bootstrap: empty history keeps the whole batch") {
+    import spark.implicits._
+    val batch = (1 to 20).map(i => (i.toLong, s"doc body $i")).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(batch, batch.limit(0), "text", 100L)
+    assert(kept.count() == 20, "a NULL bloom from zero history rows must pass everything")
+  }
+
   test("operator-internal caches are released (CacheScope)") {
     // ops that persist intermediates must leave the CacheManager as
     // they found it: CacheScope materializes the small result and
