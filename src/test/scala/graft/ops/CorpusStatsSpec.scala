@@ -125,6 +125,28 @@ class CorpusStatsSpec extends SparkSpec {
     assert(toks == Seq("lo", "w", "est"), s"got $toks")
   }
 
+  test("BPE tokenization is lossless: tokens concat back to the input") {
+    // invariant for ANY merge list — merging only ever fuses adjacent
+    // symbols, so concat(tokens) must reproduce the text exactly
+    val words = Seq("low", "lowest", "aaa", "aaaa", "xyzzy", "a", "lo")
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "text")
+    val merges = Seq(("a", "a"), ("aa", "a"), ("l", "o"), ("lo", "w"),
+      ("e", "s"), ("es", "t"))
+    val out = Bpe.applyMerges(docs, "text", merges)
+      .collect().map(r => r.getString(1) -> r.getSeq[String](2)).toMap
+    words.foreach { w =>
+      assert(out(w).mkString == w, s"'$w' → ${out(w)} does not reassemble")
+    }
+    // and the greedy fold actually fused: rule (a,a) applies everywhere
+    // BEFORE rule (aa,a) sees the word, so "aaaa" → [aa, aa] and the
+    // later (aa,a) rule finds no bare 'a' to fuse — classic sequential
+    // merge-list semantics
+    assert(out("aaaa") == Seq("aa", "aa"), s"got ${out("aaaa")}")
+    assert(out("aaa") == Seq("aa", "a"), s"got ${out("aaa")}")
+    assert(out("lowest") == Seq("low", "est"), s"got ${out("lowest")}")
+  }
+
   test("unigramLogProb is partitioning-invariant (integer micro-nat sums)") {
     val docs = (1L to 40L).map(i => (i, s"tok${i % 7} tok${i % 3} filler"))
       .toDF("doc_id", "text")
