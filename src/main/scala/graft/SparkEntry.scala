@@ -50,7 +50,8 @@ object SparkEntry {
     graft.queries.CorpusQueries.queries ++
     graft.queries.AnalyticsQueries.queries ++
     graft.queries.WarehouseQueries.queries ++
-    graft.queries.FuzzQueries.queries
+    graft.queries.FuzzQueries.queries ++
+    graft.queries.GoldenTail.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -91,5 +92,6 @@ object SparkEntry {
     graft.queries.CorpusQueries.oracle ++
     graft.queries.AnalyticsQueries.oracle ++
     graft.queries.WarehouseQueries.oracle ++
-    graft.queries.FuzzQueries.oracle
+    graft.queries.FuzzQueries.oracle ++
+    graft.queries.GoldenTail.oracle
 }

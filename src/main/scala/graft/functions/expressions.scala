@@ -26,6 +26,14 @@ import org.apache.spark.unsafe.types.UTF8String
 case class HammingDistance64(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
+  // signatures are 64-bit longs by contract; an int or string sneaking
+  // in must be an ANALYSIS error, not a runtime ClassCastException
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hamming64 requires (BIGINT, BIGINT), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
   override def nullSafeEval(a: Any, b: Any): Any =
     java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -256,6 +264,19 @@ case class InterleaveBits16(left: Expression, right: Expression)
 case class CosineSimilarityF(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // the kernel reads raw float slots; feeding it array<double> (an easy
+  // slip — Quantize and k-means cast to double arrays) would silently
+  // reinterpret doubles as garbage floats, so reject it at analysis
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires (ARRAY<FLOAT>, ARRAY<FLOAT>), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+  }
   private def compute(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0

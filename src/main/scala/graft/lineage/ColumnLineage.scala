@@ -81,6 +81,13 @@ object ColumnLineage {
       })
     case dsv2: DataSourceV2Relation => dsv2.table.name()
     case lcr: LocalRelation => "local"
+    // streaming leaves (the reference's lineage silently no-ops on
+    // streaming plans): name them by their source so a readStream →
+    // transform plan traces exactly like its batch twin
+    case sr: org.apache.spark.sql.execution.streaming.runtime.StreamingRelation =>
+      sr.sourceName
+    case srv2: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2 =>
+      srv2.sourceName
     case other => other.nodeName
   }
 

@@ -55,12 +55,18 @@ object Checks {
     */
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "empty check suite")
-    val aggs = checks.map(c => round(c.metric, 6).as(c.name))
+    // pass/fail is decided on the EXACT metric; the rounded twin exists
+    // only for display/oracle parity — rounding before the predicate
+    // would let a one-in-2M violation round 0.9999999 up to a "passing"
+    // 1.0, which defeats strict ==1.0 checks at scale
+    val aggs = checks.zipWithIndex.flatMap { case (c, i) =>
+      Seq(c.metric.as(s"__raw_$i"), round(c.metric, 6).as(c.name))
+    }
     val oneRow = df.agg(aggs.head, aggs.tail: _*)
     // unpivot the single metrics row into (check, metric, passed)
-    val rows = checks.map { c =>
+    val rows = checks.zipWithIndex.map { case (c, i) =>
       struct(lit(c.name).as("check"), col(c.name).as("metric"),
-        c.passes(col(c.name)).as("passed"))
+        c.passes(col(s"__raw_$i")).as("passed"))
     }
     oneRow.select(explode(array(rows: _*)).as("r"))
       .select(col("r.check"), col("r.metric"), col("r.passed"))

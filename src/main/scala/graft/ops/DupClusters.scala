@@ -8,78 +8,90 @@ import org.apache.spark.sql.functions._
   * corpus can keep exactly one representative per duplicate cluster
   * (pairs alone under-remove: a~b, b~c must collapse a,b,c together).
   *
-  * Algorithm: iterative min-label propagation (each vertex adopts the
-  * smallest label among itself and its neighbors) until fixpoint.
-  * Every iteration is one shuffle on vertex id; convergence needs at
-  * most the graph diameter in rounds — near-dup graphs are unions of
-  * small cliques, so 2-3 rounds in practice.  No driver-side graph,
-  * no collect: scales to any pair count Spark can shuffle.
+  * Algorithm: alternating large-star / small-star contraction (Kiveris
+  * et al., "Connected Components in MapReduce and Beyond", SoCC'14).
+  * Unlike plain min-label propagation — whose round count is the graph
+  * DIAMETER, so a 10k-long chain of templated near-dups silently
+  * exhausts any fixed iteration budget — star contraction halves tree
+  * heights every round and provably converges in O(log n) rounds on ANY
+  * topology.  Each round is two shuffles on vertex id; no driver-side
+  * graph, no collect: scales to any pair count Spark can shuffle.
   *
   * Scale mechanics: the (possibly expensive) upstream pair-generation
   * plan is cut off with an eager `localCheckpoint` before the loop, so
-  * iterations never re-evaluate it; each iteration's labels are
+  * iterations never re-evaluate it; each round's edge set is
   * checkpointed too, keeping the plan O(1) instead of O(iterations).
-  * Convergence is detected without a labels⋈labels diff join: labels
-  * only ever decrease under min-propagation, so the fixpoint is reached
-  * exactly when sum(label) stops decreasing — a single cheap aggregate
-  * over the already-materialized labels.
+  * Convergence = the edge set reaches the star fixpoint (no edge
+  * rewrites in a round); if the budget is somehow exhausted first the
+  * operator THROWS rather than return partial labels.
   */
 object DupClusters {
 
   /** @param pairs DataFrame with two long columns (id_a, id_b)
     * @return (id, cluster) — cluster = min id reachable from id
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // Bidirectional edge list, materialized ONCE; localCheckpoint is
-    // eager and truncates lineage, so the fixpoint loop below never
-    // touches the candidate-generation pipeline again.
-    val edgesRaw = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // All vertex ids (for labeling isolated/self-paired nodes at the end)
+    val nodes = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
       .distinct()
       .localCheckpoint()
-    // Size the iteration to the GRAPH, not the corpus: near-dup pair
-    // graphs are orders of magnitude smaller than their corpus, and a
-    // fixpoint loop at corpus parallelism pays per-iteration scheduling
-    // for empty partitions.  ~100k edges per partition keeps tasks busy.
-    val nEdges = edgesRaw.count()
-    val parts = math.max(1, math.min(
-      pairs.sparkSession.sparkContext.defaultParallelism,
-      (nEdges / 100000L).toInt))
-    val edges = edgesRaw.repartition(parts, col("dst")).localCheckpoint()
-
-    def labelSum(df: DataFrame): BigDecimal = {
-      val row = df.agg(sum(col("cluster").cast("decimal(38,0)"))).head()
-      if (row.isNullAt(0)) BigDecimal(0) else BigDecimal(row.getDecimal(0))
-    }
-
-    var labels = edges.select(col("src").as("id"))
+    // Canonical proper edges (u > v), materialized ONCE; localCheckpoint
+    // is eager and truncates lineage, so the contraction loop below
+    // never touches the candidate-generation pipeline again.
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
       .distinct()
-      .withColumn("cluster", col("id"))
       .localCheckpoint()
-    var prevSum = labelSum(labels)
-    var converged = false
+
+    var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
-      // neighbor labels: for each edge src->dst, dst's current label;
-      // a vertex keeps the least of its own and its neighbors' labels.
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("cluster")).as("nmin"))
-      val updated = labels.join(neighborMin, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
-      // Labels decrease monotonically, so an unchanged sum IS the
-      // fixpoint — no diff join, and the aggregate runs over the
-      // partitions the checkpoint just materialized.
-      val newSum = labelSum(updated)
-      converged = newSum == prevSum
-      prevSum = newSum
-      labels = updated
+      // LARGE-STAR: for every vertex x, link each strictly-LARGER
+      // neighbor to the minimum of x's closed neighborhood.  Operates on
+      // the symmetric view; emitted edges keep u > v ≥ min, so they stay
+      // proper.
+      val sym = edges.select(col("u").as("x"), col("v").as("n"))
+        .union(edges.select(col("v").as("x"), col("u").as("n")))
+      val lsMin = sym.groupBy("x").agg(min(col("n")).as("mn"))
+        .select(col("x"), least(col("mn"), col("x")).as("m"))
+      val afterLarge = sym.join(lsMin, "x")
+        .filter(col("n") > col("x"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // SMALL-STAR: every vertex links its smaller-or-equal neighbors
+      // (and itself) to the minimum of its closed neighborhood.  Input
+      // edges are proper (u > v), so grouping by u sees exactly the
+      // smaller neighbors; min neighbor IS the neighborhood min.
+      val ssMin = afterLarge.groupBy(col("u").as("x"))
+        .agg(min(col("v")).as("m"))
+      val relink = afterLarge
+        .join(ssMin, afterLarge("u") === ssMin("x"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+      val selfLink = ssMin.select(col("x").as("u"), col("m").as("v"))
+      val next = relink.union(selfLink).distinct().localCheckpoint()
+      // Fixpoint: a round that rewrites nothing.  Both sides are small
+      // materialized edge sets, so the two anti-joins are cheap relative
+      // to the round itself.
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
       iter += 1
     }
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "raise maxIter (rounds needed is O(log n), so this indicates " +
+          "a pathological input, not a deep graph)")
+    // At the fixpoint every component is a star rooted at its minimum:
+    // edges are exactly (member, root).  Root and isolated vertices
+    // label themselves.
+    nodes.join(edges, nodes("id") === edges("u"), "left_outer")
+      .select(col("id"), coalesce(col("v"), col("id")).as("cluster"))
   }
 
   /** Cluster summary: size + member list per duplicate cluster. */

@@ -41,6 +41,10 @@ object GraphOps {
         .select(col("node"),
           (lit(150000L) + floor(coalesce(col("in_micro"), lit(0L)) * 85 / 100)
             .cast("long")).as("rank_micro"))
+        // cut lineage each round: without this the plan chains k joins,
+        // analysis cost grows per iteration and any action recomputes
+        // every earlier round (same reason Bpe.learnMerges checkpoints)
+        .localCheckpoint()
     }
     ranks
   }

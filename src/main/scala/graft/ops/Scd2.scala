@@ -34,18 +34,21 @@ object Scd2 {
     val open = dim.filter(col("valid_to").isNull)
     val u = updates.select(col("key").as("u_key"), col("attr").as("u_attr"))
     val joined = open.join(u, col("key") === col("u_key"), "left")
-    // open rows: close only when the batch carries a real change
+    // open rows: close only when the batch carries a real change.
+    // attr comparisons MUST be null-safe (<=>): with ===, a NULL attr on
+    // either side makes both filters NULL→false and the open row would
+    // silently vanish from the output (same reason TableDiff uses <=>)
     val stillOpen = joined
-      .filter(col("u_key").isNull || col("attr") === col("u_attr"))
+      .filter(col("u_key").isNull || (col("attr") <=> col("u_attr")))
       .select(col("key"), col("attr"), col("valid_from"), col("valid_to"))
     val nowClosed = joined
-      .filter(col("u_key").isNotNull && col("attr") =!= col("u_attr"))
+      .filter(col("u_key").isNotNull && !(col("attr") <=> col("u_attr")))
       .select(col("key"), col("attr"), col("valid_from"),
         lit(version).as("valid_to"))
     // new versions: changed keys + keys never seen before
     val openKeys = open.select(col("key").as("k"), col("attr").as("a"))
     val newVersions = u.join(openKeys, col("u_key") === col("k"), "left")
-      .filter(col("k").isNull || col("a") =!= col("u_attr"))
+      .filter(col("k").isNull || !(col("a") <=> col("u_attr")))
       .select(col("u_key").as("key"), col("u_attr").as("attr"),
         lit(version).as("valid_from"),
         lit(null).cast("long").as("valid_to"))

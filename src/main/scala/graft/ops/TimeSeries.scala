@@ -25,7 +25,10 @@ object TimeSeries {
     val spark = events.sparkSession
     val daily = events
       .select(col(keyCol), to_date(col(tsCol)).as("day"),
-        floor(col(valueCol) * 100).cast("long").as("v"))
+        // round, not floor: on a DOUBLE input 8.35*100 is 834.999…, and
+        // floor would drop a cent; round recovers the exact cents for
+        // any value that IS an exact cent amount
+        round(col(valueCol) * 100).cast("long").as("v"))
       .filter(col("day").between(lit(from).cast("date"), lit(to).cast("date")))
       .groupBy(col(keyCol), col("day"))
       .agg(sum("v").as("day_cents"))

@@ -52,7 +52,7 @@ object AnalyticsQueries {
     "q_gap_fill" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,
-        |    CAST(floor(value * 100) AS BIGINT) AS v
+        |    CAST(round(value * 100) AS BIGINT) AS v
         |  FROM events WHERE event_type = 'purchase' AND user_id < 12),
         |daily AS (
         |  SELECT user_id, day, CAST(sum(v) AS BIGINT) AS day_cents

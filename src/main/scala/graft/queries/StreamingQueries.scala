@@ -215,6 +215,44 @@ object StreamingQueries {
         sum(col("id")).as("id_sum"), sum(col("sq")).as("sq_sum"))
     },
 
+    // CONTINUOUS-mode gate (the reference's EpochCoordinator RPC path,
+    // `continuous/ContinuousExecution.scala`): rate source → stateless
+    // map/filter → memory sink under Trigger.Continuous, drained at a
+    // row-count barrier.  Continuous epochs are at-least-once into the
+    // sink, so the result is aggregated over DISTINCT values below the
+    // barrier — which must equal the closed-form range oracle exactly;
+    // a lost epoch breaks the count, a corrupted map breaks the sums.
+    "q_stream_continuous" -> { (s, _) =>
+      val name = s"cont_gate_${runId.incrementAndGet()}"
+      val ckpt = graft.TmpCleanup.tempDir("graft_cont_gate")
+      val barrier = 400L
+      val q = s.readStream.format("rate")
+        .option("rowsPerSecond", 1000).option("numPartitions", 1).load()
+        .filter(col("value") % 2 === 0)
+        .select(col("value"), (col("value") * 7 + 1).as("mapped"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Continuous("1 second"))
+        .start()
+      try {
+        val deadline = System.currentTimeMillis() + 90000
+        def have: Long = s.table(name).filter(col("value") < barrier)
+          .agg(count_distinct(col("value"))).head().getLong(0)
+        while (have < barrier / 2 && System.currentTimeMillis() < deadline) {
+          Thread.sleep(250)
+        }
+        require(q.exception.isEmpty, s"continuous query failed: ${q.exception}")
+        require(have == barrier / 2,
+          s"continuous stream did not reach the $barrier barrier in 90s")
+      } finally q.stop()
+      s.table(name).filter(col("value") < barrier)
+        .select(col("value"), col("mapped")).distinct()
+        .agg(count(lit(1)).as("n"),
+          sum(col("value")).as("value_sum"),
+          sum(col("mapped")).as("mapped_sum"))
+    },
+
     // transformWithState gate (Spark-4 StatefulProcessor over the
     // RocksDB state store): per-event-type running counts accumulate
     // across 2 replayed micro-batches; with non-negative adds the
@@ -472,6 +510,11 @@ object StreamingQueries {
       """SELECT count(*) AS n, CAST(sum(r.range) AS BIGINT) AS id_sum,
         |  CAST(sum(r.range * r.range) AS BIGINT) AS sq_sum
         |FROM range(0, 500) r""".stripMargin,
+    "q_stream_continuous" ->
+      """SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS value_sum,
+        |  CAST(sum(7 * v + 1) AS BIGINT) AS mapped_sum
+        |FROM (SELECT r.range AS v FROM range(0, 400) r) t
+        |WHERE v % 2 = 0""".stripMargin,
     "q_stream_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, ts, event_id FROM events WHERE user_id % 5 = 0),

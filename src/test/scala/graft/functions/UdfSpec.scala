@@ -107,6 +107,23 @@ class UdfSpec extends SparkSpec {
     assert(edge == Seq(1.0, 0.0))
   }
 
+  test("wrong input types are ANALYSIS errors, not runtime garbage") {
+    // cosine_sim reads raw float slots — array<double> must be rejected
+    // at analysis (not silently misread), same for hamming64 on non-longs
+    val doubles = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      doubles.select(graft.functions.cosine_sim(col("a"), col("b"))).collect()
+    }
+    val ints = Seq((1, 2)).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(graft.functions.hamming64(col("a"), col("b"))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("x", 1L)).toDF("a", "b")
+        .select(graft.functions.hamming64(col("a"), col("b"))).collect()
+    }
+  }
+
   test("repeated custom expressions share one whole-stage-codegen scope") {
     // regression: the codegen fragments declare locals — with fixed
     // names, TWO calls of the same expression in one projection emit

@@ -165,6 +165,36 @@ class LineageSpec extends SparkSpec {
     assert(g("attr") == Set(src(cTable, "c_mktsegment"), src(cTable, "c_name")))
   }
 
+  test("streaming plan: StreamingRelation → windowed agg traces to source") {
+    // the reference's lineage no-ops on streaming plans; here the same
+    // walk handles the analyzed streaming plan: file StreamingRelation
+    // leaf, TimeWindowing-rewritten window() struct, stateful Aggregate
+    val stream = spark.readStream
+      .schema(Tables.load(spark, sf, "events").schema)
+      .parquet(s"$sf/events.parquet")
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(sum(col("value")).as("v_sum"), count(lit(1)).as("n"))
+    assert(agg.isStreaming, "precondition: this is a streaming plan")
+    val g = ColumnLineage.ofPlan(agg.queryExecution.analyzed)
+    val srcTable = g("event_type").head.table
+    assert(srcTable.startsWith("FileSource"), s"got table '$srcTable'")
+    assert(g("event_type") == Set(src(srcTable, "event_type")))
+    assert(g("v_sum") == Set(src(srcTable, "value")))
+    assert(g("window") == Set(src(srcTable, "ts")),
+      "the window struct must trace to the event-time column")
+    assert(g("n").isEmpty, "count(1) has no source columns")
+  }
+
+  test("streaming plan: v2 rate source names the lineage leaf") {
+    val df = spark.readStream.format("rate").load()
+      .select((col("value") * 2).as("doubled"), col("timestamp"))
+    val g = ColumnLineage.ofPlan(df.queryExecution.analyzed)
+    assert(g("doubled") == Set(src("rate", "value")))
+    assert(g("timestamp") == Set(src("rate", "timestamp")))
+  }
+
   test("toDF edge list is stable and complete") {
     val df = li.select((col("l_tax") + col("l_discount")).as("rate"))
     val edges = ColumnLineage.of(df).toDF(spark).collect()

@@ -50,4 +50,15 @@ class ChecksSpec extends SparkSpec {
     assert(byName("uniqueness(k)")._2 == 0.75 && !byName("uniqueness(k)")._3)
     assert(byName("accepted(flag)")._2 == 0.75 && !byName("accepted(flag)")._3)
   }
+
+  test("sub-rounding violations still fail: pass is decided pre-rounding") {
+    // one null in 4M rows: fraction 0.99999975 rounds to 1.0 at 6
+    // decimals — the displayed metric may read 1.0 but the strict ==1.0
+    // check must FAIL because it sees the exact ratio
+    val df = spark.range(4000000)
+      .select(when(col("id") === 0, lit(null)).otherwise(col("id")).as("v"))
+    val row = Checks.run(df, Seq(Checks.completeness("v"))).head()
+    assert(row.getDouble(1) == 1.0, "rounded display metric reads 1.0")
+    assert(!row.getBoolean(2), "but the exact check must still fail")
+  }
 }

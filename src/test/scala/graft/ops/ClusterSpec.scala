@@ -50,6 +50,34 @@ class ClusterSpec extends SparkSpec {
         (20L, Seq(20L, 21L, 22L, 23L))))
   }
 
+  test("a path graph far longer than the round budget still converges") {
+    // 200-node chain: diameter 199, so min-label propagation would need
+    // 199 rounds and silently return unmerged labels at any realistic
+    // budget; star contraction must close it in O(log n) rounds.
+    // Shuffled pair order so convergence can't ride on a lucky layout.
+    val n = 200L
+    val chain = new scala.util.Random(42)
+      .shuffle((1L until n).map(i => (i, i + 1)).toVector)
+    val cc = DupClusters.connectedComponents(chain.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size == n)
+    assert(cc.values.forall(_ == 1L), "every chain node must label to 1")
+  }
+
+  test("non-convergence is loud, never a silent partial labeling") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      DupClusters.connectedComponents(pairs, maxIter = 0).collect()
+    }
+  }
+
+  test("self-pairs and isolated duplicates label themselves") {
+    val pairs = Seq((5L, 5L), (7L, 7L)).toDF("id_a", "id_b")
+    val cc = DupClusters.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(5L -> 5L, 7L -> 7L))
+  }
+
   test("end-to-end: minhash pairs -> clusters keep one rep per clique") {
     val docs = Tables.load(spark, sf, "documents")
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.999)

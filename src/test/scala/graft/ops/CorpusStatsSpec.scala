@@ -140,10 +140,11 @@ class CorpusStatsSpec extends SparkSpec {
     }
     // and the greedy fold actually fused: rule (a,a) applies everywhere
     // BEFORE rule (aa,a) sees the word, so "aaaa" → [aa, aa] and the
-    // later (aa,a) rule finds no bare 'a' to fuse — classic sequential
-    // merge-list semantics
+    // later (aa,a) rule finds no bare 'a' to fuse — but "aaa" → [aa, a]
+    // after rule (a,a), and rule (aa,a) DOES see that adjacent pair, so
+    // sequential merge-list semantics fuse it to [aaa]
     assert(out("aaaa") == Seq("aa", "aa"), s"got ${out("aaaa")}")
-    assert(out("aaa") == Seq("aa", "a"), s"got ${out("aaa")}")
+    assert(out("aaa") == Seq("aaa"), s"got ${out("aaa")}")
     assert(out("lowest") == Seq("low", "est"), s"got ${out("lowest")}")
   }
 

@@ -63,6 +63,28 @@ class Scd2Spec extends SparkSpec {
     }
   }
 
+  test("NULL attrs are versioned null-safely, never dropped") {
+    // dim open row has NULL attr; update sets a value → close + open.
+    // update carries NULL for a non-null row → close + open NULL version.
+    // NULL == NULL → no-op. With === instead of <=> all three rows would
+    // silently vanish (both filters evaluate to NULL).
+    val d = Seq(
+      (1L, null.asInstanceOf[String], 1L),  // null → "x": real change
+      (2L, "y", 1L),                        // "y" → null: real change
+      (3L, null.asInstanceOf[String], 1L))  // null → null: no-op
+      .toDF("key", "attr", "valid_from")
+      .selectExpr("key", "attr", "valid_from", "CAST(NULL AS BIGINT) AS valid_to")
+    val u = Seq((1L, "x"), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String])).toDF("key", "attr")
+    val out = Scd2.apply(d, u, 2L)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+    assert(out == Set(
+      (1L, None, 1L, Some(2L)), (1L, Some("x"), 2L, None),
+      (2L, Some("y"), 1L, Some(2L)), (2L, None, 2L, None),
+      (3L, None, 1L, None)), s"got $out")
+  }
+
   test("applying the same batch twice is idempotent") {
     val d = dim((1L, "red", 1L, None), (2L, "green", 1L, None))
     val u = Seq((1L, "blue")).toDF("key", "attr")

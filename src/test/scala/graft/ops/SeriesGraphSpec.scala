@@ -29,6 +29,15 @@ class SeriesGraphSpec extends SparkSpec {
     assert(observed == Seq(false, true, false, true, false))
   }
 
+  test("gapFillDaily recovers exact cents from doubles (8.35 → 835)") {
+    // 8.35 * 100 = 834.999… in binary; floor would lose a cent
+    val ev = Seq((1L, ts("2024-01-01"), 8.35), (1L, ts("2024-01-01"), 0.07))
+      .toDF("k", "ts", "v")
+    val out = TimeSeries.gapFillDaily(ev, "k", "ts", "v",
+        "2024-01-01", "2024-01-01").collect()
+    assert(out.head.getLong(2) == 842L, s"got ${out.head.getLong(2)}")
+  }
+
   test("gapFillDaily fills independently per key") {
     val ev = Seq(
       (1L, ts("2024-01-01"), 1.00),

@@ -9,6 +9,25 @@ import graft.SparkSpec
 import graft.streaming.Streaming._
 import graft.streaming.{Event, SessionOut}
 
+/** Static collector for the continuous-recovery foreach sink: local
+  * mode shares one JVM, so the writer (executor thread) and the spec
+  * (driver thread) see the same object.
+  */
+object ContRecCollector {
+  private val buckets =
+    new java.util.concurrent.ConcurrentHashMap[Int,
+      java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+  def add(run: Int, v: Long): Unit =
+    buckets.computeIfAbsent(run,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]()).add(v)
+  def values(run: Int): Seq[Long] = {
+    val q = buckets.get(run)
+    if (q == null) Seq.empty
+    else { val it = q.iterator(); val b = Seq.newBuilder[Long]
+      while (it.hasNext) b += it.next(); b.result() }
+  }
+}
+
 /** Streaming semantics specs (§2.11): drive each operator with a
   * MemoryStream through deterministic micro-batches, asserting window
   * results, dedup, late-data drop past the watermark, session state,
@@ -369,6 +388,65 @@ class StreamingSpec extends SparkSpec {
       assert(epochsCommitted >= 2, s"only $epochsCommitted epochs committed")
       assert(q.exception.isEmpty)
     } finally q.stop()
+  }
+
+  test("continuous mode recovers from its checkpoint after a kill") {
+    // failure injection: the first query is stopped WITHOUT a graceful
+    // drain (stop() mid-epoch is how a crashed driver looks to the WAL);
+    // a new query on the SAME checkpoint must resume from committed
+    // epoch offsets — observable as the restarted stream continuing at
+    // a value beyond what the first run committed, never replaying from
+    // offset 0 and never erroring on the existing WAL.  The sink is
+    // foreach (memory refuses recovery by design — not fault-tolerant);
+    // each run collects into its own static bucket.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cont_rec").toString
+    def launch(run: Int) = spark.readStream.format("rate")
+      .option("rowsPerSecond", 500).option("numPartitions", 1).load()
+      .select($"value")
+      .writeStream
+      .foreach(new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+        override def open(partitionId: Long, epochId: Long): Boolean = true
+        override def process(r: org.apache.spark.sql.Row): Unit =
+          ContRecCollector.add(run, r.getLong(0))
+        override def close(errorOrNull: Throwable): Unit = ()
+      })
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Continuous("1 second"))
+      .start()
+    def epochsCommitted: Int = {
+      val d = new java.io.File(ckpt, "commits")
+      if (d.exists()) d.list().count(!_.startsWith(".")) else 0
+    }
+    val q1 = launch(1)
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while ((epochsCommitted < 2 || ContRecCollector.values(1).isEmpty) &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+      }
+      assert(epochsCommitted >= 2, "first run never committed an epoch")
+      assert(q1.exception.isEmpty)
+    } finally q1.stop()
+    val committedBefore = epochsCommitted
+    assert(ContRecCollector.values(1).nonEmpty, "first run delivered nothing")
+    val q2 = launch(2)
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while ((ContRecCollector.values(2).isEmpty ||
+          epochsCommitted <= committedBefore) &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+      }
+      assert(q2.exception.isEmpty,
+        s"restart from existing WAL failed: ${q2.exception}")
+      assert(epochsCommitted > committedBefore,
+        "restarted query never committed a new epoch")
+      val run2 = ContRecCollector.values(2)
+      assert(run2.nonEmpty && run2.min > 0,
+        s"restart must resume from committed offsets, not value 0 " +
+          s"(got min ${run2.min})")
+    } finally q2.stop()
   }
 
   test("console sink runs a micro-batch without error") {
