@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Checks, Dedup, Drift, DupClusters, Multimodal, Profile, Quantize, Similarity, TableDiff, TextAnalysis}
+import graft.ops.{Checks, Dedup, Drift, DupClusters, Multimodal, Profile, Quantize, SemDedup, Similarity, TableDiff, TextAnalysis}
 
 /** Query entries for the LLM-pipeline operators (dedup, similarity,
   * text analysis, multimodal) — the north-star additions beyond the
@@ -262,6 +262,26 @@ object OpsQueries {
     // and scores cosine 1.0, and the corpus's natural max pairwise
     // cosine is ~0.6 (verified over the test tables), so the output is
     // EXACTLY the injected clone pairs.
+    // SemDeDup ENVELOPE (oracle-checked, exact): clones of every 25th
+    // vector are injected; an identical vector lands in the same
+    // k-means cell (identical distances, deterministic tie-break) and
+    // scores cosine 1.0, while the corpus's natural max pairwise cosine
+    // is ~0.6 < tau — so the drop set is EXACTLY the injected clones:
+    // counts and the dropped-id checksum are closed-form in SQL.
+    "q_semdedup" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val corpus = emb.union(emb.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding")))
+      SemDedup.semanticDedup(corpus, "vec_id", "embedding",
+          k = 8, tau = 0.95, iters = 1)
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(!col("keep"), col("vec_id")).otherwise(0L))
+            .as("dropped_id_sum"))
+    },
+
     "q_embed_neardup" -> { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
@@ -497,6 +517,13 @@ object OpsQueries {
     "q_dup_clusters" ->
       """SELECT count(*) AS n_cliques, CAST(count(*) AS BIGINT) AS n_cliques_intact
         |FROM documents WHERE doc_id % 50 = 0""".stripMargin,
+    "q_semdedup" ->
+      """WITH clones AS (SELECT vec_id FROM embeddings WHERE vec_id % 25 = 0)
+        |SELECT (SELECT count(*) FROM embeddings) + (SELECT count(*) FROM clones) AS n_total,
+        |  (SELECT count(*) FROM embeddings) AS n_kept,
+        |  (SELECT count(*) FROM clones) AS n_dropped,
+        |  (SELECT CAST(coalesce(sum(vec_id + 1000000), 0) AS BIGINT)
+        |   FROM clones) AS dropped_id_sum""".stripMargin,
     "q_embed_neardup" ->
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS cos
         |FROM embeddings WHERE vec_id % 25 = 0 ORDER BY id_a, id_b""".stripMargin,
