@@ -51,7 +51,8 @@ object SparkEntry {
     graft.queries.AnalyticsQueries.queries ++
     graft.queries.WarehouseQueries.queries ++
     graft.queries.FuzzQueries.queries ++
-    graft.queries.GoldenTail.queries
+    graft.queries.GoldenTail.queries ++
+    graft.queries.CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -93,5 +94,6 @@ object SparkEntry {
     graft.queries.AnalyticsQueries.oracle ++
     graft.queries.WarehouseQueries.oracle ++
     graft.queries.FuzzQueries.oracle ++
-    graft.queries.GoldenTail.oracle
+    graft.queries.GoldenTail.oracle ++
+    graft.queries.CurationQueries.oracle
 }

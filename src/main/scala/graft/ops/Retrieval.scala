@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.TopK
+
+/** Distributed lexical retrieval: a BM25 inverted index and top-k
+  * search over a document corpus (Robertson/Lucene BM25 — the idf is
+  * `ln((N - df + 0.5)/(df + 0.5) + 1)`, always positive).
+  *
+  * Scale design: the index build is two hash aggregations over the
+  * exploded token stream (map-side combine collapses each partition's
+  * token stream first, so the shuffle carries (doc, token) partials —
+  * posting-list-sized, not corpus-sized).  Scoring joins the QUERY
+  * term table — tiny, explicitly broadcast — to the postings, so the
+  * corpus-side shuffle is only the per-(query, doc) partial-sum
+  * aggregation of matching postings.  The document-frequency and
+  * corpus-stats side tables are vocabulary-sized / single-row and
+  * broadcast.  Nothing is ever quadratic in the corpus and the final
+  * top-k uses the bounded-heap [[graft.plans.TopKPerKey]] operator
+  * (no global sort).
+  *
+  * Determinism: idf is rounded to integer micro-nats and each
+  * per-term score to an integer micro-unit BEFORE the per-document
+  * sum — integer addition is associative, so results are bit-identical
+  * under any partitioning (the [[CorpusStats]] micro-nat recipe).
+  */
+object Retrieval {
+
+  /** Score `queries` (idCol `qid`, text col `qtext`) against the corpus
+    * and keep the top `k` docs per query.
+    *
+    * Repeated query terms are collapsed (standard BM25 with query-term
+    * frequency 1).  Returns (qid, docId, score_micro, n_terms_hit);
+    * score_micro is the BM25 score in integer micro-units.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("__doc"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy("__doc", "tok").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("__doc").agg(count(lit(1)).as("dl"))
+    // single-row corpus stats: doc count and average doc length (an
+    // exact integer ratio evaluated once, identically on any engine)
+    val stats = toks.agg(count(lit(1)).as("n_toks"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .select(col("n_docs"),
+        (col("n_toks").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = df.crossJoin(broadcast(stats))
+      .select(col("tok"), col("n_docs"), col("avgdl"),
+        round(log((col("n_docs").cast("double") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)) + lit(1.0)) * lit(1000000d), 0)
+          .cast("long").as("idf_micro"))
+    val qt = queries.select(col("qid"),
+        explode(TextAnalysis.tokens(col("qtext"))).as("tok"))
+      .distinct()
+    val scored = tf.join(dl, "__doc")
+      .join(idf, "tok")
+      .join(broadcast(qt), "tok")
+      .select(col("qid"), col("__doc"),
+        round(col("idf_micro")
+            * (col("tf") * (lit(k1) + lit(1.0)))
+            / (col("tf") + lit(k1)
+              * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))), 0)
+          .cast("long").as("term_micro"))
+      .groupBy("qid", "__doc")
+      .agg(sum("term_micro").cast("long").as("score_micro"),
+        count(lit(1)).as("n_terms_hit"))
+    TopK.perKey(scored, Seq(col("qid")),
+        Seq(col("score_micro").desc, col("__doc").asc), k)
+      .select(col("qid"), col("__doc").as(idCol), col("score_micro"),
+        col("n_terms_hit"))
+  }
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Linkage, Retrieval, SpanDedup}
+
+/** Round-6 corpus-curation operators: BM25 retrieval, blocked fuzzy
+  * record linkage, repeated-span (exact-substring) dedup — each
+  * oracle-checked against a DuckDB twin computing the identical
+  * integer-exact contract.
+  */
+object CurationQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // BM25 top-k retrieval over the documents table. The index is two
+    // hash aggs over the exploded token stream; queries are a 3-row
+    // broadcast; the final top-k is the bounded-heap TopKPerKey
+    // operator. Scores are integer micro-units (idf rounded to
+    // micro-nats, each term score rounded before the per-doc sum), so
+    // the result is bit-identical under any partitioning and exactly
+    // reproducible by the DuckDB twin. Query 3 carries an
+    // out-of-vocabulary term ('zzzunseen') that must contribute
+    // nothing.
+    "q_bm25_topk" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val queries = s.createDataFrame(Seq(
+          (1, "spark table join"),
+          (2, "customer order stream"),
+          (3, "fast hash scan zzzunseen")))
+        .toDF("qid", "qtext")
+      Retrieval.bm25TopK(docs, "doc_id", "text", queries, k = 5)
+        .orderBy(col("qid"), desc("score_micro"), col("doc_id"))
+    },
+
+    // Blocked fuzzy record linkage: a synthetic "dirty" feed derived
+    // from part names (even keys: one char appended, dist 1; odd keys:
+    // first char replaced AND one appended, dist 2) is resolved back
+    // against the clean part table.  Blocking on chars 3-6 — untouched
+    // by both corruptions — keeps the comparison inside blocks; the
+    // best match is the (distance, id)-lexicographic minimum, so ties
+    // among identically-named parts resolve deterministically.
+    "q_record_linkage" -> { (s, dir) =>
+      val part = Tables.load(s, dir, "part")
+      val clean = part.select(col("p_partkey").as("pid"), col("p_name").as("name"))
+      val dirty = part.select(col("p_partkey").as("pid"),
+        when(col("p_partkey") % 2 === 0, concat(col("p_name"), lit("q")))
+          .otherwise(concat(lit("z"), substring(col("p_name"), 2, 1000), lit("q")))
+          .as("name"))
+      Linkage.resolve(dirty, "pid", "name", clean, "pid", "name",
+          nm => substring(nm, 3, 4), maxDist = 2)
+        .orderBy(col("dirty_id"))
+    },
+
+    // Repeated-span (exact-substring) duplication profile: per-doc
+    // count of 8-token spans that occur >= 2 times corpus-wide.  Span
+    // building is a per-document window; corpus-wide counting and the
+    // join back shuffle only 64-bit span hashes.  The DuckDB twin
+    // counts raw span STRINGS, so equality also certifies the hashed
+    // pipeline collision-free on this corpus.
+    "q_span_dedup" -> { (s, dir) =>
+      SpanDedup.spanStats(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS d,
+        |         unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT d, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT d, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |                 CAST((SELECT count(*) FROM toks) AS DOUBLE)
+        |                   / (SELECT count(*) FROM documents) AS avgdl),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |idf AS (SELECT tok,
+        |          CAST(round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+        |            * 1000000) AS BIGINT) AS idf_micro
+        |        FROM dfq, stats),
+        |q(qid, qtext) AS (VALUES (1, 'spark table join'),
+        |                         (2, 'customer order stream'),
+        |                         (3, 'fast hash scan zzzunseen')),
+        |qt AS (SELECT DISTINCT * FROM (
+        |  SELECT qid, unnest(regexp_extract_all(lower(qtext), '[a-z0-9'']+')) AS tok
+        |  FROM q)),
+        |scored AS (
+        |  SELECT qt.qid, tf.d,
+        |    CAST(round(idf.idf_micro * (tf.tf * (1.2 + 1.0))
+        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS BIGINT)
+        |      AS term_micro
+        |  FROM tf
+        |  JOIN dl ON tf.d = dl.d
+        |  JOIN idf ON tf.tok = idf.tok
+        |  JOIN qt ON tf.tok = qt.tok, stats),
+        |agg AS (SELECT qid, d, CAST(sum(term_micro) AS BIGINT) AS score_micro,
+        |               count(*) AS n_terms_hit
+        |        FROM scored GROUP BY 1, 2),
+        |top AS (SELECT qid, d AS doc_id, score_micro, n_terms_hit,
+        |               row_number() OVER (PARTITION BY qid
+        |                 ORDER BY score_micro DESC, d) AS rn
+        |        FROM agg)
+        |SELECT qid, doc_id, score_micro, n_terms_hit FROM top WHERE rn <= 5
+        |ORDER BY qid, score_micro DESC, doc_id""".stripMargin,
+
+    "q_record_linkage" ->
+      """WITH clean AS (SELECT p_partkey AS pid, p_name AS name FROM part),
+        |dirty AS (SELECT p_partkey AS pid,
+        |    CASE WHEN p_partkey % 2 = 0 THEN p_name || 'q'
+        |         ELSE 'z' || substring(p_name, 2, 1000) || 'q' END AS name
+        |  FROM part),
+        |pairs AS (
+        |  SELECT d.pid AS did, c.pid AS cid,
+        |         CAST(levenshtein(d.name, c.name) AS BIGINT) AS dist
+        |  FROM dirty d JOIN clean c
+        |    ON substring(d.name, 3, 4) = substring(c.name, 3, 4)
+        |  WHERE levenshtein(d.name, c.name) <= 2),
+        |ranked AS (
+        |  SELECT did, cid, dist,
+        |         count(*) OVER (PARTITION BY did) AS n_candidates,
+        |         row_number() OVER (PARTITION BY did ORDER BY dist, cid) AS rn
+        |  FROM pairs)
+        |SELECT did AS dirty_id, n_candidates, dist AS best_dist, cid AS best_match
+        |FROM ranked WHERE rn = 1 ORDER BY dirty_id""".stripMargin,
+
+    "q_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS arr
+        |  FROM documents),
+        |idx AS (SELECT doc_id, arr, unnest(range(1, len(arr) - 6)) AS i FROM toks),
+        |spans AS (SELECT doc_id, array_to_string(arr[i:i+7], ' ') AS span FROM idx),
+        |dup AS (SELECT span FROM spans GROUP BY span HAVING count(*) >= 2),
+        |st AS (SELECT s.doc_id, count(*) AS n_spans,
+        |         CAST(sum(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_dup_spans
+        |       FROM spans s LEFT JOIN dup d USING (span) GROUP BY 1)
+        |SELECT doc_id, CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+        |       CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans
+        |FROM documents LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Crafted-record goldens for [[Linkage.resolve]] and
+  * [[SpanDedup.spanStats]].
+  */
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("linkage resolves within blocks only, picks the closest match") {
+    val clean = Seq((1L, "acme corp"), (2L, "acme corps"), (3L, "zenith ltd"))
+      .toDF("id", "name")
+    val dirty = Seq((10L, "acme corpx"), (20L, "zenith ltdx"), (30L, "bcme corp"))
+      .toDF("id", "name")
+    val out = Linkage.resolve(dirty, "id", "name", clean, "id", "name",
+        nm => substring(nm, 1, 1), maxDist = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // 10 matches both acme variants (dist 1 each — 'acme corpx' is one
+    // edit from either); best is the lower id
+    assert(out(10L) == ((2L, 1L, 1L)), s"got $out")
+    assert(out(20L) == ((1L, 1L, 3L)), "single in-block candidate")
+    // 30 starts with 'b': no clean record in its block despite dist 1
+    // to 'acme corp' — blocking must prune it
+    assert(!out.contains(30L), "cross-block pairs are never compared")
+  }
+
+  test("best match ties break on the lower clean id") {
+    val clean = Seq((5L, "same name"), (4L, "same name")).toDF("id", "name")
+    val dirty = Seq((1L, "same namex")).toDF("id", "name")
+    val out = Linkage.resolve(dirty, "id", "name", clean, "id", "name",
+        nm => substring(nm, 1, 4), maxDist = 1).collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      == Seq((2L, 1L, 4L)))
+  }
+
+  test("span stats count corpus-wide and within-doc span repeats") {
+    // n=3 spans; docs 1 and 2 share "a b c d" => shared spans "a b c"
+    // and "b c d"; doc 3 repeats "x y z" internally twice
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d q"),
+      (3L, "x y z w x y z"),
+      (4L, "p q"))
+      .toDF("doc_id", "text")
+    val out = SpanDedup.spanStats(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((3L, 2L)), s"doc1: 3 spans, 2 shared; got $out")
+    assert(out(2L) == ((3L, 2L)), s"doc2 mirrors doc1; got $out")
+    // doc3 spans: xyz yzw zwx wxy xyz — "x y z" occurs twice => both
+    // occurrences counted as duplicated
+    assert(out(3L) == ((5L, 2L)), s"within-doc repeat counts; got $out")
+    assert(out(4L) == ((0L, 0L)), "short docs yield zero spans, not absence")
+  }
+}

@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Hand-computed BM25 semantics for [[Retrieval.bm25TopK]]. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "apple banana"),
+    (2L, "apple apple cherry"),
+    (3L, "banana banana banana durian"))
+    .toDF("doc_id", "text")
+
+  test("term frequency beats shorter doc at equal idf") {
+    // query 'apple': doc2 (tf=2, dl=3) must outrank doc1 (tf=1, dl=2).
+    // By hand: N=3, avgdl=3, df(apple)=2, idf=ln(1.5/2.5+1)=ln(1.6);
+    // doc2 ratio 4.4/(2+1.2*1.0)=1.375 > doc1 4.4/2... = 2.2/2.02.
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq((1, "apple")).toDF("qid", "qtext"), k = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out.keySet == Set(1L, 2L), "only docs containing the term score")
+    assert(out(2L) > out(1L), s"tf=2 in dl=3 must beat tf=1 in dl=2: $out")
+    val idf = math.round(math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0) * 1e6)
+    val d2 = math.round(idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3 / 3.0)))
+    assert(out(2L) == d2, s"doc2 score must match the closed form: $out vs $d2")
+  }
+
+  test("rare terms dominate common ones; OOV terms contribute nothing") {
+    // 'durian' (df=1) outweighs 'banana' (df=2) for doc3; a query term
+    // absent from the corpus must not shift any score.
+    val q = Seq((1, "durian"), (2, "banana"), (3, "durian zzz")).toDF("qid", "qtext")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", q, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1, 3L)) > out((2, 3L)), "df=1 idf must exceed df=2 idf")
+    assert(out((3, 3L)) == out((1, 3L)), "OOV term must change nothing")
+  }
+
+  test("top-k truncates per query with deterministic tiebreak") {
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq((1, "banana apple")).toDF("qid", "qtext"), k = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(out.size == 2, s"k=2 must keep exactly two docs, got $out")
+  }
+}
