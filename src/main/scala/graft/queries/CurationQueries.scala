@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Linkage, Retrieval, SpanDedup}
+import graft.ops.{Linkage, Retrieval, SpanDedup, Whitening}
 
 /** Round-6 corpus-curation operators: BM25 retrieval, blocked fuzzy
   * record linkage, repeated-span (exact-substring) dedup — each
@@ -64,6 +64,21 @@ object CurationQueries {
       SpanDedup.spanStats(Tables.load(s, dir, "documents"),
           "doc_id", "text", n = 8)
         .orderBy(col("doc_id"))
+    },
+
+    // Exact fixed-point embedding covariance (the whitening-prep
+    // moment table): micro-quantized coordinates, per-row generated
+    // pair products, DECIMAL(38,0) partial sums — the shuffle carries
+    // at most d(d+1)/2 rows per partition at any corpus size, and the
+    // integer moments are bit-exact vs the DuckDB HUGEINT twin (the
+    // covariance column is one deterministic division away).
+    "q_embed_cov" -> { (s, dir) =>
+      Whitening.momentsMicro(Tables.load(s, dir, "embeddings"),
+          "embedding", d = 64)
+        .select(col("i"), col("j"), col("n"),
+          col("si").cast("double").as("s_i"),
+          col("sij").cast("double").as("s_ij"), col("cov"))
+        .orderBy(col("i"), col("j"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -140,5 +155,24 @@ object CurationQueries {
         |       FROM spans s LEFT JOIN dup d USING (span) GROUP BY 1)
         |SELECT doc_id, CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
         |       CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans
-        |FROM documents LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin)
+        |FROM documents LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_embed_cov" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |pr AS (SELECT i, j
+        |       FROM (SELECT unnest(range(0, 64)) AS i),
+        |            (SELECT unnest(range(0, 64)) AS j)
+        |       WHERE j >= i),
+        |prod AS (SELECT pr.i, pr.j, qv[pr.i + 1] AS vi, qv[pr.j + 1] AS vj
+        |         FROM q, pr),
+        |agg AS (SELECT i, j, count(*) AS n, sum(vi) AS si, sum(vj) AS sj,
+        |               sum(vi * vj) AS sij
+        |        FROM prod GROUP BY 1, 2)
+        |SELECT i, j, n, CAST(si AS DOUBLE) AS s_i, CAST(sij AS DOUBLE) AS s_ij,
+        |       CAST(n * sij - si * sj AS DOUBLE)
+        |         / (CAST(n AS DOUBLE) * n * 1e12) AS cov
+        |FROM agg ORDER BY i, j""".stripMargin)
 }
