@@ -312,3 +312,33 @@ case class CosineSimilarityF(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Unicode normalization (NFC / NFD / NFKC / NFKD) of a string column —
+  * the first step of any text-cleaning pipeline (the reference's fork
+  * surfaces only Hive's lower/upper family; combining-mark and
+  * compatibility folding have no Spark builtin at all).  Delegates to
+  * `java.text.Normalizer` inside codegen; the form is a constructor
+  * constant so the enum lookup is resolved once at plan time, not per
+  * row.
+  */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+  require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
+    s"unsupported normalization form: $form")
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"unicode_normalize requires STRING, got ${child.dataType.sql}")
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      v.asInstanceOf[UTF8String].toString,
+      java.text.Normalizer.Form.valueOf(form)))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($s.toString(),
+         |    java.text.Normalizer.Form.$form));""".stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -34,4 +34,8 @@ package object functions {
   def ngrams(text: Column, n: Int): Column =
     toCol(NGramsGenerator(toExpr(text),
       org.apache.spark.sql.catalyst.expressions.Literal(n)))
+
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) of a string column. */
+  def unicode_normalize(c: Column, form: String): Column =
+    toCol(UnicodeNormalize(toExpr(c), form))
 }

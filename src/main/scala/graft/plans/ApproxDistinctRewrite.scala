@@ -85,5 +85,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_ngrams",
       "generator: word n-grams of a text column as (pos, ngram)", 2,
       a => NGramsGenerator(a(0), a(1))))
+    ext.injectFunction(fn("graft_unicode_normalize",
+      "Unicode-normalize a string; form is 'NFC'|'NFD'|'NFKC'|'NFKD'", 2,
+      a => UnicodeNormalize(a(0), a(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(
+            s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"normalization form must be a string literal, got $other")
+      })))
   }
 }

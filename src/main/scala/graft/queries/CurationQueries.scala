@@ -66,6 +66,24 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Unicode NFC normalization parity: dirty text is constructed
+    // in-query (combining acute, a compatibility ligature), normalized
+    // with the codegen'd UnicodeNormalize expression, and compared
+    // bit-exactly against DuckDB's nfc_normalize — codepoint counts
+    // before/after prove the composition actually happened (NFKC/NFD
+    // forms are golden-tested in UdfSpec; DuckDB only ships NFC).
+    "q_unicode_norm" -> { (s, dir) =>
+      import graft.functions.unicode_normalize
+      val dirty = concat(substring(col("text"), 1, 20),
+        lit("café ﬁn"))
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 25)
+        .select(col("doc_id"), unicode_normalize(dirty, "NFC").as("norm"),
+          length(dirty).cast("long").as("n_chars_dirty"),
+          length(unicode_normalize(dirty, "NFC")).cast("long").as("n_chars_nfc"))
+        .orderBy(col("doc_id"))
+    },
+
     // Exact fixed-point embedding covariance (the whitening-prep
     // moment table): micro-quantized coordinates, per-row generated
     // pair products, DECIMAL(38,0) partial sums — the shuffle carries
@@ -156,6 +174,17 @@ object CurationQueries {
         |SELECT doc_id, CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
         |       CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans
         |FROM documents LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_unicode_norm" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         substring(text, 1, 20) || 'cafe' || chr(769) || ' '
+        |           || chr(64257) || 'n' AS dirty
+        |  FROM documents WHERE doc_id < 25)
+        |SELECT doc_id, nfc_normalize(dirty) AS norm,
+        |       length(dirty) AS n_chars_dirty,
+        |       length(nfc_normalize(dirty)) AS n_chars_nfc
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_embed_cov" ->
       """WITH q AS (

@@ -166,4 +166,26 @@ class UdfSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"),
       s"custom expressions fell out of whole-stage codegen:\n$plan")
   }
+
+  test("unicode_normalize: NFC composes, NFKC folds compatibility, nulls pass") {
+    import graft.functions.unicode_normalize
+    // derive from a range scan so codegen actually runs (a local
+    // relation constant-folds before codegen)
+    val df = spark.range(1).select(
+      unicode_normalize(lit("cafe\u0301"), "NFC").as("nfc"),
+      unicode_normalize(lit("\uFB01n \uFF11\uFF12"), "NFKC").as("nfkc"),
+      unicode_normalize(lit("caf\u00e9"), "NFD").as("nfd"),
+      unicode_normalize(lit(null).cast("string"), "NFC").as("nul"))
+    val r = df.collect()(0)
+    assert(r.getString(0) == "caf\u00e9", "combining acute must compose")
+    assert(r.getString(1) == "fin 12", "ligature + full-width digits must fold")
+    assert(r.getString(2) == "cafe\u0301", "NFD decomposes the precomposed char")
+    assert(r.isNullAt(3), "null in, null out")
+    intercept[IllegalArgumentException] {
+      unicode_normalize(lit("x"), "NFX")
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(1).select(unicode_normalize(col("id"), "NFC")).collect()
+    }
+  }
 }

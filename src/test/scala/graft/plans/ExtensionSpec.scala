@@ -23,6 +23,17 @@ class ExtensionSpec extends SparkSpec {
     assert(r.getLong(2) == expected)
   }
 
+  test("graft_unicode_normalize resolves with a literal form; non-literal rejected") {
+    // NB Spark's char(769) wraps mod 256 (DuckDB's chr does not) — build
+    // the combining mark with a scala-side escape instead
+    val r = spark.sql(
+      "SELECT graft_unicode_normalize(concat('cafe', '́'), 'NFC') AS s").head()
+    assert(r.getString(0) == "café")
+    intercept[Exception] {
+      spark.sql("SELECT graft_unicode_normalize('x', concat('NF', 'C'))").collect()
+    }
+  }
+
   test("DESCRIBE FUNCTION surfaces the injected usage text") {
     val desc = spark.sql("DESCRIBE FUNCTION graft_morton2")
       .collect().map(_.getString(0)).mkString("\n")
