@@ -72,4 +72,37 @@ object Checks {
       .select(col("r.check"), col("r.metric"), col("r.passed"))
       .orderBy(col("check"))
   }
+
+  /** Robust per-group outlier profile: median / MAD (median absolute
+    * deviation) per key, and the count of rows whose absolute deviation
+    * exceeds `cutoff × MAD` (cutoff ≈ 4.4478 is the classic 3σ under
+    * normality, 3 × 1.4826).  Unlike mean/stddev screens, a batch of
+    * corrupt values cannot drag the threshold toward itself.
+    *
+    * Scale design: two grouped exact-percentile aggregations plus one
+    * broadcast join of the group-stats tables (group-cardinality-sized,
+    * tiny) back onto the fact scan — the fact table shuffles only for
+    * the per-key aggregations themselves.  Exact interpolating
+    * percentile keeps the result deterministic (a sampled or sketched
+    * quantile would not be).
+    *
+    * @return (keyCol, n, n_outliers, med, mad) — med/mad rounded to 6
+    *         for display; the outlier predicate uses the exact values
+    */
+  def madOutliers(df: DataFrame, keyCol: String, valCol: String,
+      cutoff: Double = 4.4478): DataFrame = {
+    val med = df.groupBy(col(keyCol))
+      .agg(expr(s"percentile($valCol, 0.5)").as("__med"))
+    val dev = df.join(broadcast(med), Seq(keyCol))
+      .withColumn("__ad", abs(col(valCol) - col("__med")))
+    val mad = dev.groupBy(col(keyCol))
+      .agg(expr("percentile(__ad, 0.5)").as("__mad"))
+    dev.join(broadcast(mad), Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__ad") > lit(cutoff) * col("__mad"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        round(first(col("__med")), 6).as("med"),
+        round(first(col("__mad")), 6).as("mad"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Linkage, Retrieval, SpanDedup, Whitening}
+import graft.ops.{Checks, Linkage, Retrieval, SpanDedup, Whitening}
 
 /** Round-6 corpus-curation operators: BM25 retrieval, blocked fuzzy
   * record linkage, repeated-span (exact-substring) dedup — each
@@ -64,6 +64,14 @@ object CurationQueries {
       SpanDedup.spanStats(Tables.load(s, dir, "documents"),
           "doc_id", "text", n = 8)
         .orderBy(col("doc_id"))
+    },
+
+    // Robust per-group outlier screen: median/MAD per event type, rows
+    // beyond cutoff×MAD flagged.  Exact interpolating percentiles keep
+    // both engines bit-identical; the group-stats joins broadcast.
+    "q_outlier_mad" -> { (s, dir) =>
+      Checks.madOutliers(Tables.load(s, dir, "events"), "event_type", "value")
+        .orderBy(col("event_type"))
     },
 
     // Unicode NFC normalization parity: dirty text is constructed
@@ -174,6 +182,23 @@ object CurationQueries {
         |SELECT doc_id, CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
         |       CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans
         |FROM documents LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_outlier_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, abs(e.value - m.med) AS ad, m.med
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        |        FROM dev GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN d.ad > 4.4478 * m2.mad THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_outliers,
+        |       round(any_value(d.med), 6) AS med,
+        |       round(any_value(m2.mad), 6) AS mad
+        |FROM dev d JOIN mad m2 USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
     "q_unicode_norm" ->
       """WITH d AS (

@@ -61,4 +61,20 @@ class ChecksSpec extends SparkSpec {
     assert(row.getDouble(1) == 1.0, "rounded display metric reads 1.0")
     assert(!row.getBoolean(2), "but the exact check must still fail")
   }
+
+  test("madOutliers: hand-computed median/MAD, robust to the outlier itself") {
+    import spark.implicits._
+    // group a: 1..9 plus a gross outlier — median 5.5, deviations
+    // sorted (.5 .5 1.5 1.5 2.5 2.5 3.5 3.5 4.5 994.5) => MAD 2.5;
+    // only 1000 exceeds 4.4478*2.5 ≈ 11.12.  group b: constant => MAD 0
+    val rows = ((1 to 9).map(i => ("a", i.toDouble)) :+ ("a", 1000.0)) ++
+      Seq(("b", 7.0), ("b", 7.0), ("b", 7.0))
+    val out = Checks.madOutliers(rows.toDF("k", "v"), "k", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("a") == ((10L, 1L, 5.5, 2.5)), s"got $out")
+    // a mean/stddev screen would be dragged by the 1000; MAD is not —
+    // and a zero-MAD constant group flags nothing (strict >)
+    assert(out("b") == ((3L, 0L, 7.0, 0.0)), s"got $out")
+  }
 }
