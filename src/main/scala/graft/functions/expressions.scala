@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -339,6 +339,112 @@ case class UnicodeNormalize(child: Expression, form: String)
       s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
          |  java.text.Normalizer.normalize($s.toString(),
          |    java.text.Normalizer.Form.$form));""".stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused MinHash-LSH band buckets: from a document's 64-bit shingle
+  * array, compute `bands` bucket keys directly — the k seeded minimum
+  * hashes and the per-band bucket hash in ONE allocation-light pass,
+  * bit-identical to the relational formulation
+  * `min(xxhash64(lit(i), shingle))` + `xxhash64(lit(b), h_br ... )`
+  * (same XXH64 seed chain, seed 42).
+  *
+  * Why an Expression: the explode + k-way min-aggregate formulation
+  * shuffles and hash-aggregates tokens×k intermediate rows per
+  * partition; this computes the same k mins in registers and emits
+  * only the `bands` bucket longs per document — the LSH self-join's
+  * input shrinks from k to `bands` values per doc and the
+  * aggregation stage disappears entirely.  Per-seed initial states are
+  * precomputed at plan time (they depend only on the seed index).
+  * Empty shingle arrays yield NULL (the doc has no signature — same
+  * contract as the aggregate formulation, where the group never
+  * forms).  Shingle arrays must not contain null elements (they are
+  * hashes by construction).
+  */
+case class MinHashBuckets(child: Expression, k: Int, bands: Int, rows: Int)
+    extends UnaryExpression {
+  require(k >= 1 && bands >= 1 && rows >= 1 && bands * rows <= k,
+    s"need bands*rows <= k, got k=$k bands=$bands rows=$rows")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_buckets requires ARRAY<BIGINT>, got ${other.sql}")
+  }
+  // xxhash64(lit(i), x) = XXH64.hashLong(x, XXH64.hashInt(i, 42)) —
+  // the int-literal prefix collapses to a per-index initial state
+  private lazy val seedInit: Array[Long] =
+    Array.tabulate(k)(i => XXH64.hashInt(i, 42L))
+  private lazy val bandInit: Array[Long] =
+    Array.tabulate(bands)(b => XXH64.hashInt(b, 42L))
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(k)(Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      val x = arr.getLong(t)
+      var i = 0
+      while (i < k) {
+        val h = XXH64.hashLong(x, seedInit(i))
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      t += 1
+    }
+    val buckets = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = bandInit(b)
+      var r = 0
+      while (r < rows) { h = XXH64.hashLong(mins(b * rows + r), h); r += 1 }
+      buckets(b) = h
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = classOf[XXH64].getName
+    val seeds = ctx.addReferenceObj("minhashSeeds", seedInit, "long[]")
+    val bseeds = ctx.addReferenceObj("minhashBandSeeds", bandInit, "long[]")
+    val n = ctx.freshName("n"); val mins = ctx.freshName("mins")
+    val t = ctx.freshName("t"); val i = ctx.freshName("i")
+    val x = ctx.freshName("x"); val h = ctx.freshName("h")
+    val bks = ctx.freshName("buckets"); val b = ctx.freshName("b")
+    val r = ctx.freshName("r"); val hb = ctx.freshName("hb")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $mins = new long[$k];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $t = 0; $t < $n; $t++) {
+         |    long $x = $a.getLong($t);
+         |    for (int $i = 0; $i < $k; $i++) {
+         |      long $h = $xxh.hashLong($x, $seeds[$i]);
+         |      if ($h < $mins[$i]) $mins[$i] = $h;
+         |    }
+         |  }
+         |  long[] $bks = new long[$bands];
+         |  for (int $b = 0; $b < $bands; $b++) {
+         |    long $hb = $bseeds[$b];
+         |    for (int $r = 0; $r < $rows; $r++)
+         |      $hb = $xxh.hashLong($mins[$b * $rows + $r], $hb);
+         |    $bks[$b] = $hb;
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($bks);
+         |}
+         |""".stripMargin)
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

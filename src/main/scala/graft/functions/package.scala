@@ -38,4 +38,8 @@ package object functions {
   /** Unicode normalization (NFC/NFD/NFKC/NFKD) of a string column. */
   def unicode_normalize(c: Column, form: String): Column =
     toCol(UnicodeNormalize(toExpr(c), form))
+
+  /** Fused MinHash-LSH band buckets of a shingle array<bigint>. */
+  def minhash_buckets(sh: Column, k: Int, bands: Int, rows: Int): Column =
+    toCol(MinHashBuckets(toExpr(sh), k, bands, rows))
 }

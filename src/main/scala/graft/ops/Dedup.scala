@@ -210,14 +210,16 @@ object Dedup {
     // three full tokenization passes instead.
     val sh = shingleSets(df, idCol, textCol, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Both sides of the bucket self-join derive from the signature
-    // tower; cache it so the k-way min aggregation runs once, not twice
-    // (k longs per doc — tiny relative to the corpus).
-    val flat = minhashSignatures(sh, k)
+    // Band buckets come from the fused MinHashBuckets expression — the
+    // k seeded mins and per-band hashes in one codegen pass per doc
+    // (bit-identical to the explode + k-way min-aggregate formulation,
+    // pinned by MinHashSpec).  The aggregation stage disappears and
+    // each doc contributes `bands` longs instead of k; both sides of
+    // the bucket self-join derive from this table, so cache it.
+    val banded = sh.select(col("id"),
+        posexplode(graft.functions.minhash_buckets(col("sh"), k, bands, rows))
+          .as(Seq("band", "bucket")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = flat.select(col("id"), posexplode(array((0 until bands).map { b =>
-      xxhash64((lit(b) +: (0 until rows).map(r => col(s"h${b * rows + r}"))): _*)
-    }: _*)).as(Seq("band", "bucket")))
     val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val cands = l.join(r, Seq("band", "bucket"))
@@ -233,7 +235,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     // pairs ≪ corpus: materialize them, release the corpus-sized caches
-    CacheScope.releasing(pairs, sh, flat)
+    CacheScope.releasing(pairs, sh, banded)
   }
 
   /** Exact n-gram Jaccard similarity for ALL pairs above a threshold —
