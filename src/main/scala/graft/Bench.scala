@@ -119,7 +119,10 @@ object Bench {
       val e = errs.get(n).map(jq).getOrElse("null")
       s"${jq(n)}: {\"median\":${med(n)},\"runs\":$rs,\"err\":$e}"
     }.mkString("{\n", ",\n", "\n}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), detail)
+    // isolated subset runs (BENCH_ONLY) must not clobber the full-run
+    // medians the regression guard diffs against
+    val detailPath = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail)
 
     // compact summary line (bounded size: headline medians only)
     val qs = names.filter(isHeadline).map(n => s"${jq(n)}:${med(n)}")
@@ -128,7 +131,7 @@ object Bench {
     val errCount = errs.size
     val regr = regressions.take(10)
       .map { case (n, p, c) => s"[${jq(n)},$p,$c]" }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"median","entries":${names.size},"errs":$errCount,"regressions":$regr,"slowest":$slow,"queries":$qs,"detail":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"median","entries":${names.size},"errs":$errCount,"regressions":$regr,"slowest":$slow,"queries":$qs,"detail":"$detailPath"}""")
     if (errCount > 0)
       System.err.println(s"[bench] $errCount entries failed: " +
         errs.map { case (k, v) => s"$k: $v" }.mkString("; "))
