@@ -238,6 +238,55 @@ object Dedup {
     CacheScope.releasing(pairs, sh, banded)
   }
 
+  /** One ingest round of NEAR-duplicate dedup against a persisted LSH
+    * index — the streaming/batch-incremental counterpart of
+    * [[minhashPairs]]: the history never re-shingles and never ships
+    * documents, only its (id, band, bucket) index rows and (id, sh)
+    * shingle sets.
+    *
+    * The batch is shingled once, banded with the fused
+    * [[graft.functions.MinHashBuckets]] expression, and candidates come
+    * from the (band, bucket) equi-join against the index; only the
+    * candidate sliver joins shingle sets for the exact-Jaccard refine.
+    * Batch-INTERNAL duplicates are out of contract (run
+    * [[dropExactDuplicates]] / [[minhashPairs]] within the batch first
+    * if ingest batches can self-duplicate).
+    *
+    * @return (survivors, survivorIdx, survivorSets): the batch minus
+    *         near-dups of history, plus the index and shingle-set rows
+    *         to APPEND to the persisted history for the next round
+    */
+  def nearDupAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
+      histIdx: DataFrame, histSets: DataFrame, threshold: Double,
+      w: Int = 3, k: Int = 64, bands: Int = 16, rows: Int = 4)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val bsh = shingleSets(batch, idCol, textCol, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bidx = bsh.select(col("id"),
+      posexplode(graft.functions.minhash_buckets(col("sh"), k, bands, rows))
+        .as(Seq("band", "bucket")))
+    val cand = bidx
+      .join(histIdx.select(col("id").as("__old"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("id"), col("__old")).distinct()
+    // pin the duplicate-id set eagerly: the caller appends the returned
+    // index rows to the SAME storage histIdx/histSets were read from,
+    // and a lazy dup would re-read the augmented index during those
+    // writes (every batch doc would then match itself and be dropped)
+    val dup = cand
+      .join(bsh.select(col("id"), col("sh").as("__sha")), Seq("id"))
+      .join(histSets.select(col("id").as("__old"), col("sh").as("__shb")),
+        Seq("__old"))
+      .filter(graft.functions.jaccard_sorted(col("__sha"), col("__shb"))
+        >= threshold)
+      .select(col("id")).distinct()
+      .localCheckpoint()
+    val survivors = batch.join(dup, batch(idCol) === dup("id"), "left_anti")
+    val keepIdx = bidx.join(dup, Seq("id"), "left_anti")
+    val keepSets = bsh.join(dup, Seq("id"), "left_anti")
+    (survivors, keepIdx, keepSets)
+  }
+
   /** Exact n-gram Jaccard similarity for ALL pairs above a threshold —
     * the brute-force oracle twin of minhashPairs (quadratic; use only
     * for validation or small partitions).

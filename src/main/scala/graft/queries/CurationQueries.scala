@@ -35,22 +35,29 @@ object CurationQueries {
         .orderBy(col("qid"), desc("score_micro"), col("doc_id"))
     },
 
-    // Blocked fuzzy record linkage: a synthetic "dirty" feed derived
-    // from part names (even keys: one char appended, dist 1; odd keys:
-    // first char replaced AND one appended, dist 2) is resolved back
-    // against the clean part table.  Blocking on chars 3-6 — untouched
-    // by both corruptions — keeps the comparison inside blocks; the
-    // best match is the (distance, id)-lexicographic minimum, so ties
-    // among identically-named parts resolve deterministically.
+    // Blocked fuzzy record linkage: a synthetic "dirty" customer feed
+    // (even keys: digit 4 corrupted, dist 1; odd keys: digits 4-5
+    // corrupted, dist 2) resolved against the clean customer table.
+    // The blocking key is the LAST FOUR digits — untouched by both
+    // corruptions and nearly unique — so blocks hold 1-2 records and
+    // the refine cost is Σ|block|² ≈ n, not n²/blocks (part names
+    // would be a degenerate fixture: ~100 distinct values make
+    // identical-name blocks quadratic by construction).  Where custkey
+    // and custkey+10000 share a block, both land within maxDist and
+    // the (distance, id)-lexicographic argmin resolves the tie
+    // deterministically.
     "q_record_linkage" -> { (s, dir) =>
-      val part = Tables.load(s, dir, "part")
-      val clean = part.select(col("p_partkey").as("pid"), col("p_name").as("name"))
-      val dirty = part.select(col("p_partkey").as("pid"),
-        when(col("p_partkey") % 2 === 0, concat(col("p_name"), lit("q")))
-          .otherwise(concat(lit("z"), substring(col("p_name"), 2, 1000), lit("q")))
+      val cust = Tables.load(s, dir, "customer")
+      val clean = cust.select(col("c_custkey").as("cid"), col("c_name").as("name"))
+      val dirty = cust.select(col("c_custkey").as("cid"),
+        when(col("c_custkey") % 2 === 0,
+          concat(substring(col("c_name"), 1, 12), lit("x"),
+            substring(col("c_name"), 14, 5)))
+          .otherwise(concat(substring(col("c_name"), 1, 12), lit("xy"),
+            substring(col("c_name"), 15, 4)))
           .as("name"))
-      Linkage.resolve(dirty, "pid", "name", clean, "pid", "name",
-          nm => substring(nm, 3, 4), maxDist = 2)
+      Linkage.resolve(dirty, "cid", "name", clean, "cid", "name",
+          nm => substring(nm, 15, 4), maxDist = 2)
         .orderBy(col("dirty_id"))
     },
 
@@ -99,8 +106,11 @@ object CurationQueries {
     // integer moments are bit-exact vs the DuckDB HUGEINT twin (the
     // covariance column is one deterministic division away).
     "q_embed_cov" -> { (s, dir) =>
+      // gate at d=16 (136 pairs): the op is d-generic and the bench
+      // cost of the gate scales with n·d²/2 exploded partials — d=64
+      // proved the same numbers at 15× the price
       Whitening.momentsMicro(Tables.load(s, dir, "embeddings"),
-          "embedding", d = 64)
+          "embedding", d = 16)
         .select(col("i"), col("j"), col("n"),
           col("si").cast("double").as("s_i"),
           col("sij").cast("double").as("s_ij"), col("cov"))
@@ -149,16 +159,18 @@ object CurationQueries {
         |ORDER BY qid, score_micro DESC, doc_id""".stripMargin,
 
     "q_record_linkage" ->
-      """WITH clean AS (SELECT p_partkey AS pid, p_name AS name FROM part),
-        |dirty AS (SELECT p_partkey AS pid,
-        |    CASE WHEN p_partkey % 2 = 0 THEN p_name || 'q'
-        |         ELSE 'z' || substring(p_name, 2, 1000) || 'q' END AS name
-        |  FROM part),
+      """WITH clean AS (SELECT c_custkey AS pid, c_name AS name FROM customer),
+        |dirty AS (SELECT c_custkey AS pid,
+        |    CASE WHEN c_custkey % 2 = 0
+        |         THEN substring(c_name, 1, 12) || 'x' || substring(c_name, 14, 5)
+        |         ELSE substring(c_name, 1, 12) || 'xy' || substring(c_name, 15, 4)
+        |    END AS name
+        |  FROM customer),
         |pairs AS (
         |  SELECT d.pid AS did, c.pid AS cid,
         |         CAST(levenshtein(d.name, c.name) AS BIGINT) AS dist
         |  FROM dirty d JOIN clean c
-        |    ON substring(d.name, 3, 4) = substring(c.name, 3, 4)
+        |    ON substring(d.name, 15, 4) = substring(c.name, 15, 4)
         |  WHERE levenshtein(d.name, c.name) <= 2),
         |ranked AS (
         |  SELECT did, cid, dist,
@@ -217,8 +229,8 @@ object CurationQueries {
         |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
         |  FROM embeddings),
         |pr AS (SELECT i, j
-        |       FROM (SELECT unnest(range(0, 64)) AS i),
-        |            (SELECT unnest(range(0, 64)) AS j)
+        |       FROM (SELECT unnest(range(0, 16)) AS i),
+        |            (SELECT unnest(range(0, 16)) AS j)
         |       WHERE j >= i),
         |prod AS (SELECT pr.i, pr.j, qv[pr.i + 1] AS vi, qv[pr.j + 1] AS vj
         |         FROM q, pr),

@@ -420,6 +420,64 @@ object StreamingQueries {
         .orderBy(col("source"))
     },
 
+    // Streaming NEAR-dup dedup against a persisted LSH index: each
+    // micro-batch is shingled once, banded with the fused
+    // MinHashBuckets expression, candidate-joined against the
+    // history's (band, bucket) index, and exact-Jaccard-refined at
+    // 0.995 — injected re-crawl clones score exactly 1.0 while the
+    // corpus's highest NATURAL cross-doc Jaccard is 0.9891 (measured),
+    // so the drop set is exactly the clones and the survivor history
+    // is the original corpus.  History never re-shingles: only its
+    // index rows and shingle sets persist between batches.  The op
+    // pins its duplicate-id set BEFORE the caller appends to the
+    // index dirs, so the appends cannot leak into a lazy re-read.
+    "q_stream_neardup" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val outDir = graft.TmpCleanup.tempDir("graft_neardup_out")
+      val idxDir = graft.TmpCleanup.tempDir("graft_neardup_idx")
+      val setsDir = graft.TmpCleanup.tempDir("graft_neardup_sets")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      Seq(outDir, idxDir, setsDir).foreach(d =>
+        fs.delete(new org.apache.hadoop.fs.Path(d), true))
+      val ch0 = docs.filter(col("doc_id") < 200)
+      val ch1 = docs.filter(col("doc_id").between(200, 349))
+        .unionByName(docs.filter(col("doc_id") < 100)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      val ch2 = docs.filter(col("doc_id") >= 350)
+        .unionByName(docs.filter(col("doc_id").between(200, 249))
+          .withColumn("doc_id", col("doc_id") + 20000))
+      val stream = orderedReplay(s, Seq(ch0, ch1, ch2))
+      withStatePartitions(s) {
+        val q = stream.writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val (hIdx, hSets) =
+              try (s.read.parquet(idxDir), s.read.parquet(setsDir))
+              catch { case _: Exception =>
+                val e = graft.ops.Dedup.shingleSets(
+                  batch.limit(0), "doc_id", "text")
+                (e.select(col("id"), lit(0).cast("int").as("band"),
+                  lit(0L).as("bucket")), e)
+              }
+            val (surv, kIdx, kSets) = graft.ops.Dedup.nearDupAgainstIndex(
+              batch, "doc_id", "text", hIdx, hSets, threshold = 0.995)
+            surv.coalesce(1).write.mode("append").parquet(outDir)
+            kIdx.coalesce(1).write.mode("append").parquet(idxDir)
+            kSets.coalesce(1).write.mode("append").parquet(setsDir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.read.parquet(outDir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy(col("source"))
+    },
+
     // Stream-static join: the streaming fact micro-batches join to a
     // STATIC dimension re-read per batch — stateless (no join state
     // store), the streaming mirror of the broadcast-dim star.  The
@@ -472,6 +530,13 @@ object StreamingQueries {
 
     // survivors of the streamed re-crawl are exactly the originals
     "q_stream_incremental_dedup" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // near-dup drop set == exactly the injected clones (J=1.0 vs a
+    // measured natural ceiling of 0.9891 < the 0.995 threshold)
+    "q_stream_neardup" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,

@@ -311,4 +311,35 @@ class OpsSpec extends SparkSpec {
     assert(!wasEmpty || spark.sharedState.cacheManager.isEmpty,
       "an operator left a persisted intermediate behind")
   }
+
+  test("nearDupAgainstIndex: clones of history drop, near-misses and new docs survive") {
+    import spark.implicits._
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val empty = Dedup.shingleSets(b1.limit(0), "doc_id", "text")
+    val emptyIdx = empty.select(col("id"),
+      lit(0).cast("int").as("band"), lit(0L).as("bucket"))
+    // bootstrap: empty history keeps everything
+    val (s1, i1, set1) = Dedup.nearDupAgainstIndex(
+      b1, "doc_id", "text", emptyIdx, empty, threshold = 0.995)
+    assert(s1.count() == 2 && set1.count() == 2 && i1.count() == 32,
+      "bootstrap batch survives whole; 16 bands per doc indexed")
+    val hIdx = i1.localCheckpoint(); val hSets = set1.localCheckpoint()
+    // round 2: a verbatim clone of doc 1 (J=1.0), a one-token
+    // extension of doc 2 (J = 4/5 = 0.8 < 0.995), and a fresh doc
+    val b2 = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "one two three four five six seven"),
+      (12L, "completely different words here now")).toDF("doc_id", "text")
+    val (s2, _, _) = Dedup.nearDupAgainstIndex(
+      b2, "doc_id", "text", hIdx, hSets, threshold = 0.995)
+    assert(s2.select("doc_id").as[Long].collect().toSet == Set(11L, 12L),
+      "exact clone must drop; sub-threshold near-miss and new doc survive")
+    // with a looser threshold the near-miss is a duplicate too
+    val (s3, _, _) = Dedup.nearDupAgainstIndex(
+      b2, "doc_id", "text", hIdx, hSets, threshold = 0.7)
+    assert(s3.select("doc_id").as[Long].collect().toSet == Set(12L),
+      "threshold governs the near-dup boundary")
+  }
 }
