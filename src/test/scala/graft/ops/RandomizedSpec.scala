@@ -84,4 +84,89 @@ class RandomizedSpec extends SparkSpec {
       assert(twins.subsetOf(found), s"seed=$seed missed twins: ${twins -- found}")
     }
   }
+
+  test("bm25TopK == local reference implementation on random corpora (2 seeds)") {
+    for (seed <- Seq(3, 23)) {
+      val rnd = new Random(seed)
+      val docs = Seq.tabulate(60) { i =>
+        (i.toLong, Seq.fill(rnd.between(3, 40))(s"w${rnd.nextInt(15)}").mkString(" "))
+      }
+      val queries = Seq((1, "w0 w7"), (2, "w3 w3 w14 zz"))
+      val got = Retrieval.bm25TopK(docs.toDF("doc_id", "text"), "doc_id", "text",
+          queries.toDF("qid", "qtext"), k = 1000)
+        .select("qid", "doc_id", "score_micro")
+        .as[(Int, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      // local BM25 with the same micro-unit rounding contract
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val n = docs.size.toDouble
+      val avgdl = toks.values.map(_.size).sum.toDouble / n
+      val df = toks.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size)
+      val expected = for {
+        (qid, qt) <- queries
+        term <- qt.split(" ").distinct.toSeq if df.contains(term)
+        (id, ts) <- toks if ts.contains(term)
+      } yield {
+        val idf = math.round(math.log((n - df(term) + 0.5) / (df(term) + 0.5) + 1.0) * 1e6)
+        val tf = ts.count(_ == term).toDouble
+        (qid, id) -> math.round(
+          idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * ts.size / avgdl)))
+      }
+      val want = expected.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      assert(got == want, s"seed=$seed diff: ${(got.toSet -- want.toSet).take(3)}" +
+        s" / ${(want.toSet -- got.toSet).take(3)}")
+    }
+  }
+
+  test("spanStats == brute span counting on random corpora (2 seeds)") {
+    for (seed <- Seq(9, 31)) {
+      val rnd = new Random(seed)
+      val nSpan = 3
+      val docs = Seq.tabulate(80) { i =>
+        (i.toLong, Seq.fill(rnd.between(0, 12))(s"w${rnd.nextInt(6)}").mkString(" "))
+      }
+      val got = SpanDedup.spanStats(docs.toDF("doc_id", "text"), "doc_id", "text", nSpan)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val allSpans = docs.flatMap { case (id, t) =>
+        val ts = t.split(" ").filter(_.nonEmpty)
+        ts.sliding(nSpan).filter(_.size == nSpan).map(s => id -> s.mkString(" "))
+      }
+      val freq = allSpans.groupBy(_._2).view.mapValues(_.size)
+      docs.foreach { case (id, _) =>
+        val mine = allSpans.filter(_._1 == id)
+        val want = (mine.size.toLong, mine.count(s => freq(s._2) >= 2).toLong)
+        assert(got(id) == want, s"seed=$seed doc=$id got ${got(id)} want $want")
+      }
+    }
+  }
+
+  test("Linkage.resolve == brute blocked argmin on random names (2 seeds)") {
+    for (seed <- Seq(13, 41)) {
+      val rnd = new Random(seed)
+      def name() = Seq.fill(rnd.between(4, 9))(('a' + rnd.nextInt(4)).toChar).mkString
+      val clean = Seq.tabulate(60)(i => (i.toLong, name())).toDF("id", "name")
+      val dirty = Seq.tabulate(60)(i => (i.toLong, name())).toDF("id", "name")
+      val got = Linkage.resolve(dirty, "id", "name", clean, "id", "name",
+          nm => substring(nm, 1, 2), maxDist = 2)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val cl = clean.as[(Long, String)].collect()
+      val dl = dirty.as[(Long, String)].collect()
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val want = dl.flatMap { case (did, dn) =>
+        val cands = cl.filter { case (_, cn) =>
+          cn.take(2) == dn.take(2) && lev(dn, cn) <= 2 }
+          .map { case (cid, cn) => (lev(dn, cn).toLong, cid) }
+        if (cands.isEmpty) None
+        else Some(did -> ((cands.length.toLong, cands.min._1, cands.min._2)))
+      }.toMap
+      assert(got == want, s"seed=$seed got-size=${got.size} want-size=${want.size}")
+    }
+  }
 }

@@ -48,6 +48,18 @@ class CurationPlanSpec extends SparkSpec {
       s"no quadratic span comparison:\n$p")
   }
 
+  test("semanticDedup: pair generation is an equi-join on the cell key") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val p = graft.ops.SemDedup.semanticDedup(emb, "vec_id", "embedding",
+        k = 4, tau = 0.95, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"within-cell pairing must be an equi-join on cell:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no all-pairs comparison outside cells:\n$p")
+  }
+
   test("momentsMicro: pair partials hash-aggregate below the exchange") {
     val emb = Tables.load(spark, sf, "embeddings")
     val plan = Whitening.momentsMicro(emb, "embedding", d = 64)
