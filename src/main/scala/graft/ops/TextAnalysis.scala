@@ -143,6 +143,30 @@ object TextAnalysis {
       regexp_count(text, lit(pat)).as(s"n_$label")
     }: _*)
 
+  /** Writing-system ranges for script profiling — plain codepoint
+    * classes (not \p{Script=} properties) so the same pattern text
+    * means the same thing to Java regex AND RE2-family engines.
+    */
+  val scriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "cyrillic" -> "[Ѐ-ӿ]",
+    "greek" -> "[Ͱ-Ͽ]",
+    "cjk" -> "[一-鿿]",
+    "arabic" -> "[؀-ۿ]",
+    "hangul" -> "[가-힯]",
+    "devanagari" -> "[ऀ-ॿ]")
+
+  /** Per-script character counts (struct of n_<script> ints) — the
+    * mixed-script / wrong-script screen that runs BEFORE language ID
+    * in a multilingual curation pipeline (lang-ID n-gram profiles are
+    * meaningless on text whose dominant script contradicts them).
+    * Pure counting expressions; one codegen projection, no shuffle.
+    */
+  def scriptMix(text: Column): Column =
+    struct(scriptRanges.map { case (label, pat) =>
+      regexp_count(text, lit(pat)).as(s"n_$label")
+    }: _*)
+
   /** Attach all text-analysis columns at once (single projection). */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

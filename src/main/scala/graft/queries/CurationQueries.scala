@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Checks, Linkage, Retrieval, SpanDedup, Whitening}
+import graft.ops.{Checks, Linkage, Retrieval, SpanDedup, TextAnalysis, Whitening}
 
 /** Round-6 corpus-curation operators: BM25 retrieval, blocked fuzzy
   * record linkage, repeated-span (exact-substring) dedup — each
@@ -70,6 +70,27 @@ object CurationQueries {
     "q_span_dedup" -> { (s, dir) =>
       SpanDedup.spanStats(Tables.load(s, dir, "documents"),
           "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))
+    },
+
+    // Script-mix profile: per-writing-system character counts over
+    // deterministically mixed text (Cyrillic/CJK/Greek suffixes keyed
+    // by doc_id) — the wrong-script screen that precedes language ID.
+    // Plain codepoint-range classes mean the identical pattern text
+    // counts identically in Java regex and DuckDB's RE2.
+    "q_script_mix" -> { (s, dir) =>
+      val mixed = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" привет мир"))
+          .when(col("doc_id") % 3 === 1, lit(" 你好世界"))
+          .otherwise(lit(" γεια")))
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 30)
+        .select(col("doc_id"), TextAnalysis.scriptMix(mixed).as("sm"))
+        .select(col("doc_id"),
+          col("sm.n_latin").cast("long").as("n_latin"),
+          col("sm.n_cyrillic").cast("long").as("n_cyrillic"),
+          col("sm.n_cjk").cast("long").as("n_cjk"),
+          col("sm.n_greek").cast("long").as("n_greek"))
         .orderBy(col("doc_id"))
     },
 
@@ -194,6 +215,20 @@ object CurationQueries {
         |SELECT doc_id, CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
         |       CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans
         |FROM documents LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_script_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' привет мир'
+        |         WHEN doc_id % 3 = 1 THEN ' 你好世界'
+        |         ELSE ' γεια' END AS t
+        |  FROM documents WHERE doc_id < 30)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z]')) AS BIGINT) AS n_latin,
+        |  CAST(len(regexp_extract_all(t, '[Ѐ-ӿ]')) AS BIGINT) AS n_cyrillic,
+        |  CAST(len(regexp_extract_all(t, '[一-鿿]')) AS BIGINT) AS n_cjk,
+        |  CAST(len(regexp_extract_all(t, '[Ͱ-Ͽ]')) AS BIGINT) AS n_greek
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_outlier_mad" ->
       """WITH med AS (

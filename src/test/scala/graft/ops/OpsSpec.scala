@@ -312,6 +312,19 @@ class OpsSpec extends SparkSpec {
       "an operator left a persisted intermediate behind")
   }
 
+  test("scriptMix counts each writing system independently") {
+    import spark.implicits._
+    val r = Seq(Tuple1("abc привет 你好 γ δ ع 한 ह 123!"))
+      .toDF("t")
+      .select(TextAnalysis.scriptMix(org.apache.spark.sql.functions.col("t")).as("s"))
+      .select("s.*").head()
+    val got = TextAnalysis.scriptRanges.map(_._1).zipWithIndex
+      .map { case (n, i) => n -> r.getInt(i) }.toMap
+    assert(got == Map("latin" -> 3, "cyrillic" -> 6, "greek" -> 2,
+      "cjk" -> 2, "arabic" -> 1, "hangul" -> 1, "devanagari" -> 1),
+      s"got $got")
+  }
+
   test("nearDupAgainstIndex: clones of history drop, near-misses and new docs survive") {
     import spark.implicits._
     val b1 = Seq(
