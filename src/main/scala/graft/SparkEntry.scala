@@ -52,7 +52,8 @@ object SparkEntry {
     graft.queries.WarehouseQueries.queries ++
     graft.queries.FuzzQueries.queries ++
     graft.queries.GoldenTail.queries ++
-    graft.queries.CurationQueries.queries
+    graft.queries.CurationQueries.queries ++
+    graft.queries.QualityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -95,5 +96,6 @@ object SparkEntry {
     graft.queries.WarehouseQueries.oracle ++
     graft.queries.FuzzQueries.oracle ++
     graft.queries.GoldenTail.oracle ++
-    graft.queries.CurationQueries.oracle
+    graft.queries.CurationQueries.oracle ++
+    graft.queries.QualityQueries.oracle
 }

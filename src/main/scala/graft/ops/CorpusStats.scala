@@ -45,6 +45,46 @@ object CorpusStats {
         sum("micro").cast("long").as("logprob_micro"))
   }
 
+  /** Per-document bigram log-probability score with add-one smoothing —
+    * the next step up from [[unigramLogProb]] in the CCNet-style quality
+    * ladder: `Σ ln((cnt(w1,w2)+1) / (cnt(w1·)+V))` over a document's
+    * adjacent token pairs, where `cnt(w1·)` is w1's left-marginal over
+    * the corpus bigram table and `V` the unigram vocabulary size.
+    *
+    * Bigrams are formed with an in-row `arrays_zip` of the token array
+    * against its own tail — no positional self-join, one corpus scan.
+    * The bigram count table can exceed broadcast size at corpus scale,
+    * so the scoring join is a shuffle equi-join on (w1,w2); the
+    * w1-marginal is vocabulary-sized and broadcasts.  Micro-nat
+    * rounding per term (see [[unigramLogProb]]) keeps the per-document
+    * sum bit-exact under any partitioning.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withToks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+    val bigrams = withToks
+      .filter(size(col("toks")) >= 2)
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("bg_cnt"))
+    val leftMarg = bgCounts.groupBy(col("w1").as("lm_w1"))
+      .agg(sum("bg_cnt").cast("long").as("left_cnt"))
+    val vocab = withToks.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocab"))
+    bigrams
+      .join(bgCounts, Seq("w1", "w2"))
+      .join(broadcast(leftMarg), col("w1") === col("lm_w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        round(log((col("bg_cnt") + 1).cast("double") /
+          (col("left_cnt") + col("vocab")).cast("double")) * lit(1000000d), 0)
+          .cast("long").as("micro"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("micro").cast("long").as("bigram_micro"))
+  }
+
   /** Skip-gram co-occurrence pair counts: for every token, each token
     * following it within `window` positions (same document) forms an
     * ordered pair.  One self-join equi on the document key with the

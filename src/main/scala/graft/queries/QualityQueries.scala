@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Classifier, CorpusStats}
+
+/** Document-quality model gates — the round-6 additions to the corpus
+  * battery:
+  *
+  *  - bigram LM scoring (add-one smoothed, micro-nat exact)  q_bigram_lm
+  *  - hashed linear classifier scoring (fastText-style)      q_linear_classifier
+  *
+  * Both DuckDB twins replay the identical integer pipeline — char-fold
+  * hashes and micro-nat rounding happen per term BEFORE any sum, so the
+  * comparison is bit-exact (integer addition is associative; double
+  * accumulation is not).
+  */
+object QualityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val toksSql = "regexp_extract_all(lower(text), '[a-z0-9'']+')"
+
+  val queries: Map[String, Q] = Map(
+    "q_bigram_lm" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      CorpusStats.bigramLogProb(docs, "doc_id", "text")
+        .orderBy(col("doc_id")).limit(200)
+    },
+
+    "q_linear_classifier" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Classifier.linearScore(docs, "doc_id", "text", buckets = 4096)
+        .orderBy(col("doc_id")).limit(200)
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q_bigram_lm" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, $toksSql AS t FROM documents),
+        |bgn AS (
+        |  SELECT doc_id, z.l AS w1, z.r AS w2
+        |  FROM (SELECT doc_id, unnest(list_transform(
+        |          list_zip(t[1:length(t)-1], t[2:length(t)]),
+        |          s -> {'l': s[1], 'r': s[2]})) AS z
+        |        FROM toks WHERE length(t) >= 2) u),
+        |cnts AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS bg_cnt
+        |         FROM bgn GROUP BY 1, 2),
+        |lm AS (SELECT w1, CAST(sum(bg_cnt) AS BIGINT) AS left_cnt
+        |       FROM cnts GROUP BY 1),
+        |voc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+        |        FROM (SELECT unnest(t) AS tok FROM toks) v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CAST(round(ln(CAST(bg_cnt + 1 AS DOUBLE)
+        |    / CAST(left_cnt + vocab AS DOUBLE)) * 1000000, 0) AS BIGINT))
+        |    AS BIGINT) AS bigram_micro
+        |FROM bgn JOIN cnts USING (w1, w2) JOIN lm USING (w1) CROSS JOIN voc
+        |GROUP BY doc_id ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "q_linear_classifier" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_reduce(
+        |    [CAST(0 AS BIGINT)] || list_transform(
+        |      regexp_extract_all(tok, '.'), c -> CAST(ord(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000003) AS hh
+        |  FROM toks),
+        |w AS (
+        |  SELECT doc_id,
+        |    ((hh % 4096) * 2654435761) % 4294967296 % 2000001 - 1000000 AS wt
+        |  FROM h),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(wt) AS BIGINT) AS score_micro
+        |  FROM w GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_tokens, 0) AS n_tokens,
+        |  coalesce(a.score_micro, 0) AS score_micro,
+        |  coalesce(a.score_micro, 0) > 0 AS keep
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id LIMIT 200""".stripMargin)
+}

@@ -158,4 +158,36 @@ class CorpusStatsSpec extends SparkSpec {
     assert(one.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ==
       many.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
   }
+
+  test("bigramLogProb: hand-computed add-one smoothed values") {
+    // corpus: doc1 "a b", doc2 "a b", doc3 "a c"
+    // bigram counts: (a,b)=2, (a,c)=1; left marginal a=3; vocab {a,b,c}=3
+    // doc1/doc2 score = round(ln(3/6)*1e6); doc3 = round(ln(2/6)*1e6)
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = CorpusStats.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ab = math.round(math.log(3.0 / 6.0) * 1e6)
+    val ac = math.round(math.log(2.0 / 6.0) * 1e6)
+    assert(out(1L) == ((1L, ab)), s"got ${out(1L)}")
+    assert(out(2L) == ((1L, ab)))
+    assert(out(3L) == ((1L, ac)), s"got ${out(3L)}")
+  }
+
+  test("bigramLogProb: single-token and empty docs drop (no bigrams)") {
+    val docs = Seq((1L, "solo"), (2L, ""), (3L, "x y")).toDF("doc_id", "text")
+    val ids = CorpusStats.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(3L))
+  }
+
+  test("bigramLogProb is partitioning-invariant") {
+    val docs = (1L to 30L).map(i => (i, s"w${i % 5} w${i % 3} w${i % 7} end"))
+      .toDF("doc_id", "text")
+    val one = CorpusStats.bigramLogProb(docs.repartition(1), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val many = CorpusStats.bigramLogProb(docs.repartition(11), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(one.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ==
+      many.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+  }
 }

@@ -44,7 +44,8 @@ class PlanLintSpec extends SparkSpec {
     "q_gap_fill",            // dense-grid cross of two GENERATED tiny inputs (keys × days), never fact rows
     "q_ppmi",                // pair-total scalar cross-joined into the scoring projection
     "q_dsir_select",         // model-total scalars cross-joined into the scoring projection
-    "q_bm25_topk")           // corpus-stats 1-row broadcast cross-joined into the idf table
+    "q_bm25_topk",           // corpus-stats 1-row broadcast cross-joined into the idf table
+    "q_bigram_lm")           // vocab-size 1-row broadcast cross-joined into the scoring projection
 
   /** Entries whose unpartitioned window is over an already-aggregated
     * (small) frame, or is the documented global-order requirement.
