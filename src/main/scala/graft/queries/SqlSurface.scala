@@ -73,6 +73,20 @@ object SqlSurface {
         .orderBy(col("tag"))
     },
 
+    // DSv2 AGGREGATE PUSHDOWN (§2.1): the source answers the GROUP BY
+    // from closed-form statistics — the executed plan has NO Aggregate
+    // node (asserted in GroupStatsV2Spec); DuckDB recomputes the same
+    // stats from the raw generated relation.
+    "q_dsv2_agg_pushdown" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      s.read.format("graft.sources.GroupStatsV2")
+        .option("n", 801).option("groups", 8).load()
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_rows"), min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"), sum(col("v")).as("sum_v"))
+        .orderBy(col("grp"))
+    },
+
     // inline generator: explode an array of structs into columns
     // (reference `generators.scala:400`).
     "q_inline" -> { (s, dir) =>
@@ -157,6 +171,12 @@ object SqlSurface {
         |  count(*) AS n, CAST(sum(i * i) AS BIGINT) AS sum_sq
         |FROM (SELECT unnest(generate_series(0, 999)) AS i)
         |WHERE i % 7 = 0 GROUP BY 1 ORDER BY tag""".stripMargin,
+    "q_dsv2_agg_pushdown" ->
+      """SELECT 'g' || (i % 8) AS grp, count(*) AS n_rows,
+        |  CAST(min(i) AS BIGINT) AS min_v, CAST(max(i) AS BIGINT) AS max_v,
+        |  CAST(sum(i) AS BIGINT) AS sum_v
+        |FROM (SELECT unnest(generate_series(0, 800)) AS i)
+        |GROUP BY 1 ORDER BY grp""".stripMargin,
     "q_inline" ->
       """SELECT n_regionkey, tag, key2 FROM (
         |  SELECT n_regionkey, n_name AS tag, n_nationkey AS key2 FROM nation
