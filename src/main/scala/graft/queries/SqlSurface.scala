@@ -87,6 +87,24 @@ object SqlSurface {
         .orderBy(col("grp"))
     },
 
+    // STORAGE-PARTITIONED JOIN (§2.3): two co-partitioned DSv2 scans
+    // (KeyGroupedPartitioning on identity(k)) join with zero Exchange
+    // nodes (asserted in BucketedKvV2Spec); harmless no-op for every
+    // other entry's plan since only KeyGrouped scans consult the conf.
+    "q_spj_join" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      def t(rowsPer: Int, mult: Int) =
+        s.read.format("graft.sources.BucketedKvV2")
+          .option("parts", 8).option("rowsPer", rowsPer).option("mult", mult).load()
+      val a = t(50, 3).as("a")
+      val b = t(30, 7).as("b")
+      a.join(b, "k").groupBy("k")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("a.v") + col("b.v")).as("sum_vv"))
+        .orderBy("k")
+    },
+
     // inline generator: explode an array of structs into columns
     // (reference `generators.scala:400`).
     "q_inline" -> { (s, dir) =>
@@ -177,6 +195,15 @@ object SqlSurface {
         |  CAST(sum(i) AS BIGINT) AS sum_v
         |FROM (SELECT unnest(generate_series(0, 800)) AS i)
         |GROUP BY 1 ORDER BY grp""".stripMargin,
+    "q_spj_join" ->
+      """WITH ks AS (SELECT unnest(generate_series(0, 7)) AS k),
+        |a AS (SELECT k, 3 * i + k AS v
+        |      FROM ks CROSS JOIN (SELECT unnest(generate_series(0, 49)) AS i)),
+        |b AS (SELECT k, 7 * j + k AS v
+        |      FROM ks CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS j))
+        |SELECT k, count(*) AS n_pairs,
+        |  CAST(sum(a.v + b.v) AS BIGINT) AS sum_vv
+        |FROM a JOIN b USING (k) GROUP BY k ORDER BY k""".stripMargin,
     "q_inline" ->
       """SELECT n_regionkey, tag, key2 FROM (
         |  SELECT n_regionkey, n_name AS tag, n_nationkey AS key2 FROM nation
