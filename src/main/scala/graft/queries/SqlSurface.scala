@@ -87,6 +87,20 @@ object SqlSurface {
         .orderBy(col("grp"))
     },
 
+    // DSv2 TOP-N PUSHDOWN (§2.6): ORDER BY id DESC LIMIT k absorbed
+    // into the generator bounds — 5 rows of source work against a
+    // nominal 10^9-row table, no Sort/Limit node in the plan (asserted
+    // in SourcesSpec); DuckDB recomputes the top-N from the raw 2M-row
+    // filtered range.
+    "q_dsv2_topn" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      s.read.format("graft.sources.SquaresV2")
+        .option("n", 1000000000L).option("slices", 8).load()
+        .filter(col("id") >= 100 && col("id") < 2000000)
+        .orderBy(col("id").desc).limit(5)
+        .select(col("id"), col("sq"), col("tag"))
+    },
+
     // STORAGE-PARTITIONED JOIN (§2.3): two co-partitioned DSv2 scans
     // (KeyGroupedPartitioning on identity(k)) join with zero Exchange
     // nodes (asserted in BucketedKvV2Spec); harmless no-op for every
@@ -195,6 +209,11 @@ object SqlSurface {
         |  CAST(sum(i) AS BIGINT) AS sum_v
         |FROM (SELECT unnest(generate_series(0, 800)) AS i)
         |GROUP BY 1 ORDER BY grp""".stripMargin,
+    "q_dsv2_topn" ->
+      """SELECT i AS id, i * i AS sq,
+        |  CASE WHEN i % 2 = 0 THEN 'even' ELSE 'odd' END AS tag
+        |FROM (SELECT unnest(generate_series(100, 1999999)) AS i)
+        |ORDER BY id DESC LIMIT 5""".stripMargin,
     "q_spj_join" ->
       """WITH ks AS (SELECT unnest(generate_series(0, 7)) AS k),
         |a AS (SELECT k, 3 * i + k AS v

@@ -4,8 +4,8 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -22,7 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    plans 100 rows of work, not 10^9 scanned-then-filtered — the
   *    same contract parquet row-group pruning gives a file scan;
   *  - `SupportsPushDownRequiredColumns`: the reader materializes only
-  *    the projected columns (column pruning at the source).
+  *    the projected columns (column pruning at the source);
+  *  - `SupportsPushDownLimit` / `SupportsPushDownTopN`: LIMIT and
+  *    ORDER BY id [DESC] LIMIT k are absorbed into the generator
+  *    bounds (COMPLETE pushdown — the plan keeps no Limit/Sort node),
+  *    the contract JDBC sources use to turn a global top-k over 10^12
+  *    rows into k rows of source work.
   *
   * Usage: `spark.read.format("graft.sources.SquaresV2")
   *   .option("n", 1000).option("slices", 8).load()`
@@ -59,11 +64,14 @@ private class SquaresTable(n: Long, slices: Int) extends Table with SupportsRead
   * prunes the output schema to the required columns.
   */
 private class SquaresScanBuilder(n: Long, slices: Int) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var required: StructType = SquaresV2.schema
   private var pushed: Array[Filter] = Array.empty
   private var lo: Long = 0L
   private var hi: Long = n // exclusive
+  private var desc: Boolean = false
+  private var pushedTopN: Option[String] = None
 
   private def long(v: Any): Option[Long] = v match {
     case x: Long => Some(x)
@@ -99,42 +107,86 @@ private class SquaresScanBuilder(n: Long, slices: Int) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** LIMIT k over the ordered generator keeps the first k remaining
+    * ids: `hi = lo + k`.  The scan emits exactly k rows in total, so
+    * the pushdown is COMPLETE and Spark drops its Limit node.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, math.max(lo, 0L) + limit)
+    pushedTopN = pushedTopN.orElse(Some(s"LIMIT $limit"))
+    true
+  }
+
+  /** ORDER BY id [ASC|DESC] LIMIT k: ASC keeps `[lo, lo+k)` emitted
+    * ascending (the scan's natural order); DESC keeps `[hi-k, hi)` and
+    * flips the scan to emit descending — partitions reversed, readers
+    * iterating downward — so the global output order IS the requested
+    * order and Spark drops both the Sort and the Limit.
+    */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    val onId = orders.length == 1 && (orders.head.expression() match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("id"))
+      case _ => false
+    })
+    if (!onId) return false
+    if (orders.head.direction() == SortDirection.DESCENDING) {
+      desc = true
+      lo = math.max(lo, math.max(hi, lo) - limit)
+    } else {
+      hi = math.min(hi, math.max(lo, 0L) + limit)
+    }
+    pushedTopN = Some(s"TOPN id ${orders.head.direction()} $limit")
+    true
+  }
+
+  /** Both limit and top-N are absorbed exactly — never partial. */
+  override def isPartiallyPushed(): Boolean = false
+
   override def build(): Scan =
     new SquaresScan(math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), slices,
-      required, pushed)
+      required, pushed, desc, pushedTopN)
 }
 
 private class SquaresScan(lo: Long, hi: Long, slices: Int,
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+    required: StructType, pushed: Array[Filter], desc: Boolean = false,
+    pushedTopN: Option[String] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"SquaresScan range=[$lo,$hi) PushedFilters: [${pushed.mkString(", ")}], " +
-      s"ReadSchema: ${required.simpleString}"
+    s"SquaresScan range=[$lo,$hi) PushedFilters: [${pushed.mkString(", ")}]" +
+      pushedTopN.fold("")(t => s", Pushed$t") +
+      s", ReadSchema: ${required.simpleString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(0L, hi - lo)
     if (n == 0) return Array.empty
     val per = math.max(1L, (n + slices - 1) / slices)
-    (lo until hi by per)
-      .map(start => SquaresPartition(start, math.min(start + per, hi)))
-      .toArray
+    val ranges = (lo until hi by per)
+      .map(start => SquaresPartition(start, math.min(start + per, hi), desc))
+    // descending top-N: global output order = requested order, so the
+    // highest range must be partition 0 and readers run downward
+    (if (desc) ranges.reverse else ranges).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SquaresReaderFactory(required)
 }
 
-private case class SquaresPartition(start: Long, end: Long) extends InputPartition
+private case class SquaresPartition(start: Long, end: Long,
+    desc: Boolean = false) extends InputPartition
 
-/** Emits only the pruned columns, in the required order. */
+/** Emits only the pruned columns, in the required order; iterates
+  * downward when the partition carries the descending top-N flag.
+  */
 private class SquaresReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SquaresPartition]
     val fields = required.fieldNames
     new PartitionReader[InternalRow] {
-      private var cur = p.start - 1
-      override def next(): Boolean = { cur += 1; cur < p.end }
+      private var cur = if (p.desc) p.end else p.start - 1
+      override def next(): Boolean =
+        if (p.desc) { cur -= 1; cur >= p.start }
+        else { cur += 1; cur < p.end }
       override def get(): InternalRow = {
         val values: Array[Any] = fields.map {
           case "id" => cur

@@ -149,6 +149,44 @@ class SourcesSpec extends SparkSpec {
       (10L until 20L).map(i => i * i).sorted.toSeq)
   }
 
+  test("custom DSv2 source: complete LIMIT pushdown drops the Limit node") {
+    val df = spark.read.format("graft.sources.SquaresV2")
+      .option("n", 1000000000L).option("slices", 8).load()
+      .limit(7)
+    val out = df.collect()
+    assert(out.length == 7)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("PushedLIMIT") || plan.contains("PushedTOPN"),
+      s"limit missing from scan description:\n$plan")
+    assert(!plan.contains("GlobalLimit") && !plan.contains("CollectLimit"),
+      s"fully-pushed limit must remove Spark's Limit node:\n$plan")
+    assert(out.map(_.getLong(0)).toSet == (0L until 7L).toSet)
+  }
+
+  test("custom DSv2 source: complete top-N pushdown, both directions") {
+    def topN(descending: Boolean) = {
+      val base = spark.read.format("graft.sources.SquaresV2")
+        .option("n", 1000000000L).option("slices", 8).load()
+        .filter(col("id") >= 100 && col("id") < 2000000)
+      val sorted = if (descending) base.orderBy(col("id").desc) else base.orderBy(col("id"))
+      sorted.limit(5).select(col("id"), col("sq"))
+    }
+    val asc = topN(descending = false)
+    assert(asc.collect().map(_.getLong(0)).toSeq == (100L to 104L))
+    val desc = topN(descending = true)
+    val out = desc.collect()
+    // global order must BE the requested order: Sort was eliminated
+    assert(out.map(_.getLong(0)).toSeq == (1999999L to 1999995L by -1))
+    assert(out.map(_.getLong(1)).toSeq == (1999999L to 1999995L by -1).map(i => i * i))
+    val plan = desc.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("PushedTOPN id DESC 5"),
+      s"top-N missing from scan description:\n$plan")
+    assert(!plan.contains("TakeOrderedAndProject") && !plan.contains("Sort "),
+      s"fully-pushed top-N must remove Spark's Sort/Limit:\n$plan")
+  }
+
   test("custom DSv2 streaming source: micro-batches cover the bounded counter") {
     val name = "counter_v2_sink"
     val q = spark.readStream.format("graft.sources.CounterStreamV2")
