@@ -101,6 +101,24 @@ object SqlSurface {
         .select(col("id"), col("sq"), col("tag"))
     },
 
+    // DSv2 RUNTIME FILTERING (§2.3): dynamic partition pruning through
+    // SupportsRuntimeFiltering — the dim side's observed join keys
+    // reach the v2 scan at execution time and whole fact partitions
+    // are skipped (3 of 64 planned, asserted in PartKvV2Spec).  The
+    // dim is range-based because a LocalRelation filter constant-folds
+    // away and DPP then never fires.
+    "q_dsv2_runtime_filter" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val fact = s.read.format("graft.sources.PartKvV2")
+        .option("parts", 64).option("rowsPer", 1000).load()
+      val dim = s.range(0, 64).select(col("id").as("k"))
+        .filter(col("k") % 29 === 3)
+      fact.join(broadcast(dim), col("part") === col("k"))
+        .groupBy("part")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+        .orderBy("part")
+    },
+
     // STORAGE-PARTITIONED JOIN (§2.3): two co-partitioned DSv2 scans
     // (KeyGroupedPartitioning on identity(k)) join with zero Exchange
     // nodes (asserted in BucketedKvV2Spec); harmless no-op for every
@@ -214,6 +232,16 @@ object SqlSurface {
         |  CASE WHEN i % 2 = 0 THEN 'even' ELSE 'odd' END AS tag
         |FROM (SELECT unnest(generate_series(100, 1999999)) AS i)
         |ORDER BY id DESC LIMIT 5""".stripMargin,
+    "q_dsv2_runtime_filter" ->
+      """WITH fact AS (
+        |  SELECT p AS part, p * 1000 + i AS v
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS p)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 999)) AS i)),
+        |dim AS (SELECT k FROM (SELECT unnest(generate_series(0, 63)) AS k)
+        |        WHERE k % 29 = 3)
+        |SELECT part, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM fact JOIN dim ON part = k
+        |GROUP BY part ORDER BY part""".stripMargin,
     "q_spj_join" ->
       """WITH ks AS (SELECT unnest(generate_series(0, 7)) AS k),
         |a AS (SELECT k, 3 * i + k AS v
