@@ -53,7 +53,8 @@ object SparkEntry {
     graft.queries.FuzzQueries.queries ++
     graft.queries.GoldenTail.queries ++
     graft.queries.CurationQueries.queries ++
-    graft.queries.QualityQueries.queries
+    graft.queries.QualityQueries.queries ++
+    graft.queries.CatalogQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -97,5 +98,6 @@ object SparkEntry {
     graft.queries.FuzzQueries.oracle ++
     graft.queries.GoldenTail.oracle ++
     graft.queries.CurationQueries.oracle ++
-    graft.queries.QualityQueries.oracle
+    graft.queries.QualityQueries.oracle ++
+    graft.queries.CatalogQueries.oracle
 }
