@@ -22,17 +22,26 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries a nanosecond-precision parquet timestamp,
-    * which Spark's TimestampType (µs) cannot hold ([PARQUET_TYPE_ILLEGAL]).
-    * Read it as a long and truncate ns → µs with integer division (the
-    * value ~1.7e18 exceeds 2^53, so float division would corrupt it).
-    * DuckDB's `CAST(ts AS TIMESTAMP)` truncates identically.
+  /** The events table's `ts` column has shipped in two physical forms
+    * across test-data generations: nanosecond-precision parquet timestamps
+    * (which Spark's µs TimestampType cannot hold — read as long via
+    * nanosAsLong, then truncate ns → µs with integer division; ~1.7e18
+    * exceeds 2^53 so float division would corrupt it) and plain
+    * timestamp[us] (pass through unchanged). Adapt to whichever schema the
+    * file actually has instead of assuming one, so a data regeneration
+    * can't poison every events-touching query at analysis time.
+    * DuckDB's `CAST(ts AS TIMESTAMP)` is identical under both forms.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampType => raw
+      case _                => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Register every table as a temp view so `spark.sql` works too.
@@ -41,7 +50,15 @@ object Tables {
     */
   def registerAll(spark: SparkSession, dir: String): Unit = synchronized {
     if (!registered.contains((spark, dir))) {
-      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      // Register each table independently: one table with an unexpected
+      // schema must not poison the other nine views (a single failed
+      // registerAll would otherwise take down every query in a battery).
+      names.foreach { n =>
+        try load(spark, dir, n).createOrReplaceTempView(n)
+        catch { case e: Throwable =>
+          System.err.println(s"[tables] failed to register '$n': ${e.getMessage}")
+        }
+      }
       registered += ((spark, dir))
     }
   }
