@@ -54,7 +54,8 @@ object SparkEntry {
     graft.queries.GoldenTail.queries ++
     graft.queries.CurationQueries.queries ++
     graft.queries.QualityQueries.queries ++
-    graft.queries.CatalogQueries.queries
+    graft.queries.CatalogQueries.queries ++
+    graft.queries.TfIdfQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -99,5 +100,6 @@ object SparkEntry {
     graft.queries.GoldenTail.oracle ++
     graft.queries.CurationQueries.oracle ++
     graft.queries.QualityQueries.oracle ++
-    graft.queries.CatalogQueries.oracle
+    graft.queries.CatalogQueries.oracle ++
+    graft.queries.TfIdfQueries.oracle
 }

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{CorpusStats, TfIdf, Triangles}
+
+/** TF-IDF / vocabulary-coverage / graph-density gate battery —
+  * [[graft.ops.TfIdf]] and [[graft.ops.Triangles]] over the documents
+  * corpus:
+  *
+  *  - per-(doc, term) TF-IDF ranking (micro-nat exact)   q_tfidf
+  *  - per-doc OOV rate vs the top-V vocabulary           q_oov_rate
+  *  - per-token triangle counts on the co-occurrence
+  *    graph (degree-ordered orientation)                 q_triangles
+  *
+  * The DuckDB twins mirror the tokenizer and round idf/ln terms to
+  * integer micro-nats before any product or sum, so every compared
+  * value is exact integer arithmetic.  The triangle edge threshold is
+  * RELATIVE (n_pairs·100 ≥ max·80) so the fixture keeps a non-complete
+  * graph shape at any scale factor instead of baking in an absolute
+  * count that saturates as the corpus grows.
+  */
+object TfIdfQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val toksSql = "regexp_extract_all(lower(text), '[a-z0-9'']+')"
+
+  val queries: Map[String, Q] = Map(
+    "q_tfidf" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      TfIdf.tfIdf(docs, "doc_id", "text")
+        .orderBy(col("tfidf_micro").desc, col("doc_id"), col("tok"))
+        .limit(100)
+    },
+
+    "q_oov_rate" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      TfIdf.oovRate(docs, "doc_id", "text", vocabSize = 25)
+        .orderBy(col("oov_permille").desc, col("doc_id"))
+        .limit(200)
+    },
+
+    "q_triangles" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = CorpusStats.skipGramPairs(docs, "doc_id", "text", window = 3)
+      val mx = pairs.agg(max("n_pairs").as("mx"))
+      val edges = pairs.crossJoin(broadcast(mx))
+        .filter(col("n_pairs") * 100 >= col("mx") * 80)
+        .select(col("w1").as("src"), col("w2").as("dst"))
+      Triangles.perNode(edges)
+        .orderBy(col("n_triangles").desc, col("node"))
+        .limit(50)
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q_tfidf" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT doc_id, tok, tf,
+        |  CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+        |    * 1000000, 0) AS BIGINT) AS idf_micro,
+        |  CAST(tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+        |    * 1000000, 0) AS BIGINT) AS BIGINT) AS tfidf_micro
+        |FROM tf JOIN dfq USING (tok) CROSS JOIN n
+        |ORDER BY tfidf_micro DESC, doc_id, tok LIMIT 100""".stripMargin,
+
+    "q_oov_rate" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS n FROM toks GROUP BY tok
+        |    ORDER BY n DESC, tok ASC LIMIT 25)),
+        |flagged AS (
+        |  SELECT t.doc_id, v.tok AS v_tok
+        |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(CASE WHEN v_tok IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+        |  CAST((count(CASE WHEN v_tok IS NULL THEN 1 END) * 1000)
+        |    // count(*) AS BIGINT) AS oov_permille
+        |FROM flagged GROUP BY doc_id
+        |ORDER BY oov_permille DESC, doc_id LIMIT 200""".stripMargin,
+
+    "q_triangles" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS tok,
+        |    unnest(range(1, len($toksSql) + 1)) AS pos
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.tok AS w1, b.tok AS w2, count(*) AS n_pairs
+        |  FROM toks a JOIN toks b
+        |    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
+        |  GROUP BY 1, 2),
+        |m AS (SELECT max(n_pairs) AS mx FROM pairs),
+        |e AS (SELECT DISTINCT least(w1, w2) AS u, greatest(w1, w2) AS v
+        |      FROM pairs, m WHERE n_pairs * 100 >= mx * 80 AND w1 <> w2),
+        |tris AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (
+        |  SELECT a AS node FROM tris
+        |  UNION ALL SELECT b FROM tris
+        |  UNION ALL SELECT c FROM tris)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM corners GROUP BY node
+        |ORDER BY n_triangles DESC, node LIMIT 50""".stripMargin)
+}
