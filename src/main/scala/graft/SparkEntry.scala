@@ -55,7 +55,8 @@ object SparkEntry {
     graft.queries.CurationQueries.queries ++
     graft.queries.QualityQueries.queries ++
     graft.queries.CatalogQueries.queries ++
-    graft.queries.TfIdfQueries.queries
+    graft.queries.TfIdfQueries.queries ++
+    graft.queries.StateStoreQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -101,5 +102,6 @@ object SparkEntry {
     graft.queries.CurationQueries.oracle ++
     graft.queries.QualityQueries.oracle ++
     graft.queries.CatalogQueries.oracle ++
-    graft.queries.TfIdfQueries.oracle
+    graft.queries.TfIdfQueries.oracle ++
+    graft.queries.StateStoreQueries.oracle
 }
