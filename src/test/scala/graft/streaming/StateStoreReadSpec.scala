@@ -67,4 +67,32 @@ class StateStoreReadSpec extends SparkSpec {
     // re-read is stable (snapshot semantics, no state mutation on read)
     assert(stateAt(maxBatch) == fin)
   }
+
+  test("statestore reads stream-stream join state per side via joinSide") {
+    val inL = graft.TmpCleanup.tempDir("graft_ssspec_jl")
+    val inR = graft.TmpCleanup.tempDir("graft_ssspec_jr")
+    (1L to 6L).map(i => (i, s"l$i")).toDF("k", "lv")
+      .coalesce(1).write.mode("overwrite").parquet(inL)
+    (4L to 9L).map(i => (i, s"r$i")).toDF("k", "rv")
+      .coalesce(1).write.mode("overwrite").parquet(inR)
+    val ckpt = graft.TmpCleanup.tempDir("graft_ssspec_jckpt")
+    val l = spark.readStream
+      .schema(new StructType().add("k", "long").add("lv", "string")).parquet(inL)
+    val r = spark.readStream
+      .schema(new StructType().add("k", "long").add("rv", "string")).parquet(inR)
+    val q = l.join(r, "k")
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def sideKeys(side: String): Set[Long] =
+      spark.read.format("statestore")
+        .option("joinSide", side).load(ckpt)
+        .select(col("key.field0")).collect().map(_.getLong(0)).toSet
+    // join state buffers EVERY input row per side (inner join, no
+    // watermark eviction): the full key range of each input, not just
+    // the matched intersection
+    assert(sideKeys("left") == (1L to 6L).toSet)
+    assert(sideKeys("right") == (4L to 9L).toSet)
+  }
 }
