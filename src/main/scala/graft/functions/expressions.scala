@@ -448,3 +448,90 @@ case class MinHashBuckets(child: Expression, k: Int, bands: Int, rows: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Fused 64-bit SimHash of a token array: xxhash64 each token (seed 42,
+  * byte-identical to the built-in `xxhash64`), vote +1/−1 per bit, set
+  * bit b in the result when its vote sum is positive — all in one pass
+  * per row.  Replaces an explode → 64-column groupBy-sum pipeline: the
+  * shuffle drops from 64 longs per document to the 8-byte signature,
+  * and the token stream never leaves the scan stage.  NULL for a NULL
+  * or empty token array (an empty document has no signature — same
+  * contract as the aggregation formulation, where such docs vanish at
+  * the explode); NULL array ELEMENTS are skipped.
+  *
+  * Reference behavior: near-dup signatures as one scan-side pass; cf.
+  * the reference's hash expression library
+  * (`sql/catalyst/.../expressions/hash.scala` XxHash64).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires ARRAY<STRING>, got ${other.sql}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val s = arr.getUTF8String(t)
+        val h = XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = classOf[XXH64].getName
+    val n = ctx.freshName("n"); val votes = ctx.freshName("votes")
+    val t = ctx.freshName("t"); val b = ctx.freshName("b")
+    val s = ctx.freshName("s"); val h = ctx.freshName("h")
+    val sig = ctx.freshName("sig")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $votes = new int[64];
+         |  for (int $t = 0; $t < $n; $t++) {
+         |    if (!$a.isNullAt($t)) {
+         |      UTF8String $s = $a.getUTF8String($t);
+         |      long $h = $xxh.hashUnsafeBytes(
+         |        $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |      for (int $b = 0; $b < 64; $b++) {
+         |        if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |      }
+         |    }
+         |  }
+         |  long $sig = 0L;
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ($votes[$b] > 0) $sig |= (1L << $b);
+         |  }
+         |  ${ev.value} = $sig;
+         |}
+         |""".stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

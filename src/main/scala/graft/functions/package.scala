@@ -42,4 +42,8 @@ package object functions {
   /** Fused MinHash-LSH band buckets of a shingle array<bigint>. */
   def minhash_buckets(sh: Column, k: Int, bands: Int, rows: Int): Column =
     toCol(MinHashBuckets(toExpr(sh), k, bands, rows))
+
+  /** Fused 64-bit SimHash of a token array<string>. */
+  def simhash64(toks: Column): Column =
+    toCol(SimHash64(toExpr(toks)))
 }

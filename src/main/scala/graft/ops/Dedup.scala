@@ -307,24 +307,19 @@ object Dedup {
 
   // -------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash of the token multiset: per-bit weighted vote of
-    * token hashes, folded into one long with bitwise ops.  Built from
-    * explode + groupBy-sum (partial aggregation keeps the shuffle at 64
-    * longs per doc regardless of doc length).
+  /** 64-bit SimHash of the token multiset, computed by the fused
+    * [[graft.functions.SimHash64]] codegen expression: one pass over
+    * each document's token array at the SCAN stage — no explode, no
+    * 64-column vote aggregation, no shuffle beyond the 8-byte
+    * signature itself.  Bit-identical to the explode + groupBy-sum
+    * formulation it replaced (the spec pins this); documents with no
+    * tokens produce no signature row, same as vanishing at the explode.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map { b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
-    }
-    val agg = tok.groupBy(col("id")).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64).map { b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("id"), sig.as("simhash"))
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.simhash64(TextAnalysis.tokens(col(textCol)))
+          .as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** SimHash near-dup pairs with hamming distance <= maxDist, using
     * 4×16-bit chunk banding (pigeonhole sound for maxDist <= 3) and the

@@ -85,6 +85,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_ngrams",
       "generator: word n-grams of a text column as (pos, ngram)", 2,
       a => NGramsGenerator(a(0), a(1))))
+    ext.injectFunction(fn("graft_simhash64",
+      "fused 64-bit SimHash of a token array<string>", 1,
+      a => SimHash64(a(0))))
     ext.injectFunction(fn("graft_unicode_normalize",
       "Unicode-normalize a string; form is 'NFC'|'NFD'|'NFKC'|'NFKD'", 2,
       a => UnicodeNormalize(a(0), a(1) match {
