@@ -45,7 +45,9 @@ class PlanLintSpec extends SparkSpec {
     "q_ppmi",                // pair-total scalar cross-joined into the scoring projection
     "q_dsir_select",         // model-total scalars cross-joined into the scoring projection
     "q_bm25_topk",           // corpus-stats 1-row broadcast cross-joined into the idf table
-    "q_bigram_lm")           // vocab-size 1-row broadcast cross-joined into the scoring projection
+    "q_bigram_lm",           // vocab-size 1-row broadcast cross-joined into the scoring projection
+    "q_tfidf",               // corpus-count 1-row broadcast cross-joined into the idf projection
+    "q_triangles")           // max-pair-count 1-row broadcast cross-joined into the edge threshold
 
   /** Entries whose unpartitioned window is over an already-aggregated
     * (small) frame, or is the documented global-order requirement.
@@ -68,7 +70,8 @@ class PlanLintSpec extends SparkSpec {
           name.startsWith("q_jdbc") || name.startsWith("q_cache") ||
           name.startsWith("q_ctas") || name.contains("roundtrip") ||
           name.startsWith("q_partitioned") || name.startsWith("q_dpp") ||
-          name.startsWith("q_ext") || name == "q_sql_scripting" => None
+          name.startsWith("q_ext") || name.startsWith("q_statestore") ||
+          name == "q_sql_scripting" => None
       case (name, q) =>
         val plan = q(spark, sf).queryExecution.executedPlan
         val globalWindows = plan.collect {
@@ -96,7 +99,8 @@ class PlanLintSpec extends SparkSpec {
           name.startsWith("q_jdbc") || name.startsWith("q_cache") ||
           name.startsWith("q_ctas") || name.contains("roundtrip") ||
           name.startsWith("q_partitioned") || name.startsWith("q_dpp") ||
-          name.startsWith("q_ext") || name == "q_sql_scripting" => None // side-effecting; planned in their own gates
+          name.startsWith("q_ext") || name.startsWith("q_statestore") ||
+          name == "q_sql_scripting" => None // side-effecting; planned in their own gates
       case (name, q) =>
         val plan =
           try q(spark, sf).queryExecution.executedPlan.toString
