@@ -87,21 +87,30 @@ object CorpusStats {
 
   /** Skip-gram co-occurrence pair counts: for every token, each token
     * following it within `window` positions (same document) forms an
-    * ordered pair.  One self-join equi on the document key with the
-    * position band as a residual filter — per-document cost is
-    * `window × n_tokens`, linear in corpus size.
+    * ordered pair.  Pairs are built IN-ROW — the token array is zipped
+    * against its own d-shifted tail for each offset d ≤ window (the
+    * [[bigramLogProb]] technique, generalized) — so the whole operator
+    * is one scan + one explode + one hash aggregation.  The previous
+    * positional self-join sorted the corpus token stream twice for the
+    * merge join; this shape shuffles only the vocabulary-sized pair
+    * counts after map-side partial aggregation.  Per-document cost is
+    * still `window × n_tokens`.  The token array materializes in its
+    * own projection and is referenced multiple times, so CollapseProject
+    * will not re-inline the tokenizer into the zips.
     */
   def skipGramPairs(docs: DataFrame, idCol: String, textCol: String,
       window: Int): DataFrame = {
-    val toks = docs
-      .select(col(idCol).as("did"),
-        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
-      .select(col("did"), (col("pos") + 1).as("pos"), col("tok"))
-    val a = toks.select(col("did"), col("pos").as("pa"), col("tok").as("w1"))
-    val b = toks.select(col("did").as("did_b"), col("pos").as("pb"),
-      col("tok").as("w2"))
-    a.join(b, col("did") === col("did_b") &&
-        (col("pb") - col("pa")).between(1, window))
+    val withToks = docs.select(TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val pairArrays = (1 to window).map { d =>
+      when(size(col("toks")) > d,
+        arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - d).as("w1"),
+          slice(col("toks"), lit(d + 1), size(col("toks")) - d).as("w2")))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    }
+    withToks.select(explode(concat(pairArrays: _*)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("n_pairs"))
   }
 
