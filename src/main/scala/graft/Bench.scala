@@ -131,7 +131,13 @@ object Bench {
     val errCount = errs.size
     val regr = regressions.take(10)
       .map { case (n, p, c) => s"[${jq(n)},$p,$c]" }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"median","entries":${names.size},"errs":$errCount,"regressions":$regr,"slowest":$slow,"queries":$qs,"detail":"$detailPath"}""")
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"median","entries":${names.size},"errs":$errCount,"regressions":$regr,"slowest":$slow,"queries":$qs,"detail":"$detailPath"}"""
+    println(summary)
+    // sbt prefixes stdout with "[info] ", which has tripped stdout-line
+    // parsers before (r6 driver artifact recorded parsed:null) — also
+    // persist the summary where a file read needs no log scraping
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SUMMARY.json"), summary)
     if (errCount > 0)
       System.err.println(s"[bench] $errCount entries failed: " +
         errs.map { case (k, v) => s"$k: $v" }.mkString("; "))
