@@ -52,6 +52,19 @@ object TfIdfQueries {
       Triangles.perNode(edges)
         .orderBy(col("n_triangles").desc, col("node"))
         .limit(50)
+    },
+
+    // Keyword extraction: top-3 terms per document by tf-idf, through
+    // the custom TopKPerKey bounded-heap operator — no per-document
+    // sort, the shuffle carries at most k rows per (partition, doc).
+    "q_keyword_topk" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val scored = TfIdf.tfIdf(docs, "doc_id", "text")
+        .filter(col("doc_id") < 100)
+      graft.plans.TopK.perKey(scored, Seq(col("doc_id")),
+          Seq(col("tfidf_micro").desc, col("tok").asc), k = 3)
+        .select(col("doc_id"), col("tok"), col("tfidf_micro"))
+        .orderBy(col("doc_id"), col("tfidf_micro").desc, col("tok"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -86,6 +99,27 @@ object TfIdfQueries {
         |    // count(*) AS BIGINT) AS oov_permille
         |FROM flagged GROUP BY doc_id
         |ORDER BY oov_permille DESC, doc_id LIMIT 200""".stripMargin,
+
+    "q_keyword_topk" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tok,
+        |    CAST(tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+        |      * 1000000, 0) AS BIGINT) AS BIGINT) AS tfidf_micro
+        |  FROM tf JOIN dfq USING (tok) CROSS JOIN n
+        |  WHERE doc_id < 100)
+        |SELECT doc_id, tok, tfidf_micro FROM (
+        |  SELECT doc_id, tok, tfidf_micro,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf_micro DESC, tok ASC) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3
+        |ORDER BY doc_id, tfidf_micro DESC, tok""".stripMargin,
 
     "q_triangles" ->
       s"""WITH toks AS (

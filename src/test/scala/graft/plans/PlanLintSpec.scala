@@ -47,6 +47,7 @@ class PlanLintSpec extends SparkSpec {
     "q_bm25_topk",           // corpus-stats 1-row broadcast cross-joined into the idf table
     "q_bigram_lm",           // vocab-size 1-row broadcast cross-joined into the scoring projection
     "q_tfidf",               // corpus-count 1-row broadcast cross-joined into the idf projection
+    "q_keyword_topk",        // same tf-idf scoring subtree under TopKPerKey
     "q_triangles")           // max-pair-count 1-row broadcast cross-joined into the edge threshold
 
   /** Entries whose unpartitioned window is over an already-aggregated
