@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Checks, Dedup, Drift, DupClusters, Multimodal, Profile, Quantize, SemDedup, Similarity, TableDiff, TextAnalysis}
+import graft.ops.{Checks, Dedup, Drift, DupClusters, Multimodal, Pq, Profile, Quantize, SemDedup, Similarity, TableDiff, TextAnalysis}
 
 /** Query entries for the LLM-pipeline operators (dedup, similarity,
   * text analysis, multimodal) — the north-star additions beyond the
@@ -226,6 +226,33 @@ object OpsQueries {
         .filter(col("rank") === 1)
         .select(col("query_id"), col("corpus_id").as("p1_corpus_id"),
           col("cos").as("p1_cos"))
+        .orderBy(col("query_id"))
+    },
+
+    // Product-quantization recall ENVELOPE (oracle-checked): PQ codes
+    // (m=32 subspaces × 32 centroids = 32 bytes/vector, 8× compression;
+    // 4-bit packing would halve it) score by asymmetric reconstructed
+    // cosine; recall@10 against the exact brute-force twin must clear
+    // the floor for every query.  Lossy-compression search cannot be
+    // pinned to exact ranks — the recall floor (measured min 5-6/10,
+    // avg ~7/10 across SFs; enforced 4/10) is the contract, same
+    // envelope style as q_dedup_minhash_recall.
+    "q_knn_pq" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 8)
+      val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+        .select(col("query_id"), col("corpus_id"))
+      val pq = Pq.topK(emb, queries, k = 10)
+        .select(col("query_id").as("pq_qid"), col("corpus_id").as("pq_cid"))
+      val common = brute.join(pq,
+          col("query_id") === col("pq_qid") &&
+            col("corpus_id") === col("pq_cid"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(common, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("n_common"), lit(0L)) >= 4).as("recall_ok"))
         .orderBy(col("query_id"))
     },
 
@@ -514,6 +541,9 @@ object OpsQueries {
     "q_dedup_simhash" ->
       """SELECT count(*) AS n_twin_pairs, count(*) AS n_twins_found
         |FROM documents WHERE doc_id % 50 = 0""".stripMargin,
+    "q_knn_pq" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
     "q_dup_clusters" ->
       """SELECT count(*) AS n_cliques, CAST(count(*) AS BIGINT) AS n_cliques_intact
         |FROM documents WHERE doc_id % 50 = 0""".stripMargin,

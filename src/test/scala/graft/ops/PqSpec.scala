@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Golden-semantics and recall tests for [[Pq]] product quantization. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical vectors encode to identical codes; codes index codebooks") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1f, 1f, 0f)), (4L, Array(0f, 1f, 1f, 0f)),
+      (5L, Array(1f, 1f, 0f, 1f))).toDF("vec_id", "embedding")
+    val books = Pq.train(vecs, "vec_id", "embedding", m = 2, k = 2, iters = 2)
+    assert(books.size == 2 && books.forall(_.forall(_.length == 2)))
+    val coded = vecs.select(col("vec_id"),
+        Pq.encode(col("embedding"), books).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(coded(1L) == coded(2L) && coded(3L) == coded(4L))
+    assert(coded.values.forall(cs =>
+      cs.length == 2 && cs.forall(c => c >= 0 && c < 2)))
+  }
+
+  test("reconstruction of a centroid-aligned vector is near-exact") {
+    // 8 copies of two distinct vectors: Lloyd centroids converge onto
+    // the two points, so reconstruction error must be ~0
+    val vecs = ((1L to 8L).map(i => (i, Array(2f, 3f, -1f, 0f))) ++
+      (9L to 16L).map(i => (i, Array(-2f, 1f, 4f, 2f))))
+      .toDF("vec_id", "embedding")
+    val books = Pq.train(vecs, "vec_id", "embedding", m = 2, k = 2, iters = 3)
+    val err = vecs.select(
+        aggregate(zip_with(col("embedding").cast("array<double>"),
+            Pq.reconstruct(Pq.encode(col("embedding"), books), books)
+              .cast("array<double>"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x).as("e"))
+      .agg(max("e")).head().getDouble(0)
+    assert(err < 1e-10, s"max reconstruction error $err")
+  }
+
+  test("recall@10 vs brute force clears the gate floor on the real corpus") {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select(col("query_id"), col("corpus_id"))
+    val pq = Pq.topK(emb, queries, k = 10)
+      .select(col("query_id").as("qb"), col("corpus_id").as("cb"))
+    val common = brute.join(pq,
+        col("query_id") === col("qb") && col("corpus_id") === col("cb"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // measured min is 5-6/10 across SFs; the enforced contract is 4/10
+    // (margin for test-data regeneration between rounds)
+    assert(common.size == 8 && common.values.forall(_ >= 4),
+      s"recall@10 floor of 4/10 violated: $common")
+  }
+}

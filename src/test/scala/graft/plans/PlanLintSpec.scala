@@ -19,7 +19,7 @@ class PlanLintSpec extends SparkSpec {
     "q_dedup_jaccard",       // same brute twin, capped
     "q_embed_neardup",       // exact-pair refine over a capped bucket
     "q_knn_brute",           // brute-force ANN baseline (broadcast query side)
-    "q_knn_lsh", "q_knn_ivf", "q_knn_quantized", // recall twins embed the brute baseline
+    "q_knn_lsh", "q_knn_ivf", "q_knn_quantized", "q_knn_pq", // recall twins embed the brute baseline
     "q_kmeans",              // broadcast-centroid distance: scalar-sized right side
     "q_contamination",       // benchmark side is a broadcast scalar set
     "q_dup_clusters",        // injected-clique envelope uses a capped clone cross
