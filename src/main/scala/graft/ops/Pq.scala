@@ -121,22 +121,39 @@ object Pq {
     transform(concat(parts: _*), x => x.cast("float"))
   }
 
-  /** Approximate cosine top-k: queries stay exact (asymmetric), the
-    * corpus side is PQ-reconstructed.  Funnels through the same
-    * deterministic [[Similarity.rankTopK]] as every other ANN variant.
+  /** The persisted-index half: (corpus_id, codes) — 32 ints per vector
+    * instead of the embedding; write this once, search it for every
+    * query batch (the same split contract as [[Similarity.ivfIndex]] /
+    * [[Similarity.ivfSearch]]).
     */
-  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
-      m: Int = 32, kCents: Int = 32, iters: Int = 3,
+  def encodeTable(corpus: DataFrame, books: Seq[Array[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("corpus_id"),
+      encode(col(vecCol), books).as("codes"))
+
+  /** Search a code table built by [[encodeTable]]: queries stay exact
+    * (asymmetric), the corpus side is PQ-reconstructed.  Funnels
+    * through the same deterministic [[Similarity.rankTopK]] as every
+    * other ANN variant.
+    */
+  def searchEncoded(coded: DataFrame, books: Seq[Array[Array[Double]]],
+      queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val books = train(corpus, idCol, vecCol, m, kCents, iters)
-    val coded = corpus.select(col(idCol).as("corpus_id"),
-      encode(col(vecCol), books).as("__codes"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val scored = coded.crossJoin(broadcast(q))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
         graft.functions.cosine_sim(col("qvec"),
-          reconstruct(col("__codes"), books)).as("cos"))
+          reconstruct(col("codes"), books)).as("cos"))
     Similarity.rankTopK(scored, k)
+  }
+
+  /** One-shot convenience: train + encode + search. */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 32, kCents: Int = 32, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val books = train(corpus, idCol, vecCol, m, kCents, iters)
+    searchEncoded(encodeTable(corpus, books, idCol, vecCol), books,
+      queries, k, idCol, vecCol)
   }
 }

@@ -56,4 +56,21 @@ class PqSpec extends SparkSpec {
     assert(common.size == 8 && common.values.forall(_ >= 4),
       s"recall@10 floor of 4/10 violated: $common")
   }
+
+  test("persisted code-table search equals the one-shot path") {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 4)
+    val books = Pq.train(emb, "vec_id", "embedding", m = 16, k = 16, iters = 2)
+    // round-trip the index through parquet: codes are plain ints, the
+    // codebooks are the (tiny) model state a real deployment persists
+    // alongside — search must be identical after the round trip
+    val dir = graft.TmpCleanup.tempDir("graft_pq_idx")
+    Pq.encodeTable(emb, books).write.mode("overwrite").parquet(dir)
+    val split = Pq.searchEncoded(spark.read.parquet(dir), books, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val oneShot = Pq.topK(emb, queries, k = 5, m = 16, kCents = 16, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(split == oneShot && split.nonEmpty, s"split=$split one=$oneShot")
+  }
 }
