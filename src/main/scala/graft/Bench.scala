@@ -112,8 +112,37 @@ object Bench {
         .map(p => (n, p, med(n)))
     }.sortBy { case (_, p, c) => -(c / p) }
 
-    // full per-entry record
+    // baseline-history guard: refreshing BENCH_FULL.json must not
+    // launder slow drift (a regression vs round N-3 hides if every
+    // round re-baselines on round N-1).  BENCH_BASELINE_HISTORY.json
+    // keeps the BEST-KNOWN median per entry across every full run;
+    // `baseline_deltas` surfaces entries whose fresh median is >1.5×
+    // (and >0.2s over) that best — machine-visible drift even when the
+    // round-over-round `regressions` field is clean.
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val histPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_BASELINE_HISTORY.json"))
+    val hist: Map[String, Double] =
+      if (java.nio.file.Files.exists(histPath)) {
+        val txt = java.nio.file.Files.readString(histPath)
+        val re = """"([^"]+)":\s*(-?[0-9.eE+]+)""".r
+        re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    val baselineDeltas = ok.flatMap { n =>
+      hist.get(n).filter(b => b > 0 && med(n) > b * 1.5 && med(n) - b > 0.2)
+        .map(b => (n, b, med(n)))
+    }.sortBy { case (_, b, c) => -(c / b) }
+    if (only.isEmpty) {
+      // subset runs never update history: an isolated re-measurement is
+      // a DIAGNOSTIC of the recorded number, not a replacement for it
+      val merged = (hist.keySet ++ ok).toSeq.sorted.map { n =>
+        val best = (hist.get(n).toSeq ++ (if (med.getOrElse(n, -1.0) > 0)
+          Seq(med(n)) else Nil)).min
+        s"${jq(n)}: $best"
+      }
+      java.nio.file.Files.writeString(histPath,
+        merged.mkString("{\n", ",\n", "\n}"))
+    }
     val detail = names.map { n =>
       val rs = samples.getOrElse(n, Nil).map(r3).mkString("[", ",", "]")
       val e = errs.get(n).map(jq).getOrElse("null")
@@ -131,7 +160,9 @@ object Bench {
     val errCount = errs.size
     val regr = regressions.take(10)
       .map { case (n, p, c) => s"[${jq(n)},$p,$c]" }.mkString("[", ",", "]")
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"median","entries":${names.size},"errs":$errCount,"regressions":$regr,"slowest":$slow,"queries":$qs,"detail":"$detailPath"}"""
+    val deltas = baselineDeltas.take(10)
+      .map { case (n, b, c) => s"[${jq(n)},$b,$c]" }.mkString("[", ",", "]")
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"median","entries":${names.size},"errs":$errCount,"regressions":$regr,"baseline_deltas":$deltas,"slowest":$slow,"queries":$qs,"detail":"$detailPath"}"""
     println(summary)
     // sbt prefixes stdout with "[info] ", which has tripped stdout-line
     // parsers before (r6 driver artifact recorded parsed:null) — also

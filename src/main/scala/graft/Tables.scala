@@ -47,19 +47,24 @@ object Tables {
   /** Register every table as a temp view so `spark.sql` works too.
     * Idempotent per (session, dir): repeated calls from a query battery
     * skip the 10 view re-registrations (and their parquet footer reads).
+    * A table that fails to register is retried on the next call — the
+    * (session, dir) pair is only marked done once ALL tables succeed,
+    * so a transient load failure can't wedge the session into
+    * TABLE_OR_VIEW_NOT_FOUND for the rest of the battery.
     */
   def registerAll(spark: SparkSession, dir: String): Unit = synchronized {
     if (!registered.contains((spark, dir))) {
       // Register each table independently: one table with an unexpected
       // schema must not poison the other nine views (a single failed
       // registerAll would otherwise take down every query in a battery).
-      names.foreach { n =>
-        try load(spark, dir, n).createOrReplaceTempView(n)
+      val ok = names.map { n =>
+        try { load(spark, dir, n).createOrReplaceTempView(n); true }
         catch { case e: Throwable =>
           System.err.println(s"[tables] failed to register '$n': ${e.getMessage}")
+          false
         }
       }
-      registered += ((spark, dir))
+      if (ok.forall(identity)) registered += ((spark, dir))
     }
   }
   private val registered = scala.collection.mutable.Set.empty[(SparkSession, String)]

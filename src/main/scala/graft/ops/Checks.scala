@@ -79,10 +79,12 @@ object Checks {
     * normality, 3 × 1.4826).  Unlike mean/stddev screens, a batch of
     * corrupt values cannot drag the threshold toward itself.
     *
-    * Scale design: two grouped exact-percentile aggregations plus one
-    * broadcast join of the group-stats tables (group-cardinality-sized,
-    * tiny) back onto the fact scan — the fact table shuffles only for
-    * the per-key aggregations themselves.  Exact interpolating
+    * Scale design: two grouped exact-percentile aggregations plus
+    * equi-joins of the group-stats tables back onto the fact scan —
+    * the stats tables are GROUP-cardinality-sized (unbounded for a
+    * high-cardinality key), so they carry no broadcast hint; the fact
+    * side is already shuffled on the key and AQE broadcasts a stats
+    * side that measures small.  Exact interpolating
     * percentile keeps the result deterministic (a sampled or sketched
     * quantile would not be).
     *
@@ -93,11 +95,11 @@ object Checks {
       cutoff: Double = 4.4478): DataFrame = {
     val med = df.groupBy(col(keyCol))
       .agg(expr(s"percentile($valCol, 0.5)").as("__med"))
-    val dev = df.join(broadcast(med), Seq(keyCol))
+    val dev = df.join(med, Seq(keyCol))
       .withColumn("__ad", abs(col(valCol) - col("__med")))
     val mad = dev.groupBy(col(keyCol))
       .agg(expr("percentile(__ad, 0.5)").as("__mad"))
-    dev.join(broadcast(mad), Seq(keyCol))
+    dev.join(mad, Seq(keyCol))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"),
         sum(when(col("__ad") > lit(cutoff) * col("__mad"), 1L).otherwise(0L))

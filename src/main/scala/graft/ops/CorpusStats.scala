@@ -10,20 +10,25 @@ import org.apache.spark.sql.functions._
   * deterministic source-interleaved shuffle used to fix a training
   * order.
   *
-  * Scale design: every operator is one fact shuffle plus broadcast-sized
-  * side tables.  The unigram vocabulary is Zipf-bounded (cap it with
-  * `topK` and the tail collapses to a floor probability), so the
-  * frequency join broadcasts at any corpus size; co-occurrence joins are
-  * equi on the document key with a bounded position-window residual, so
-  * output is `window × corpus_tokens`, never quadratic.
+  * Scale design: every operator is one fact shuffle plus equi-joined
+  * side tables.  Frequency/marginal tables are VOCABULARY-sized —
+  * unbounded on web text (billions of noise tokens) — so they are never
+  * broadcast-hinted: the scoring joins are plain equi-joins on the token
+  * key (already the shuffle key out of the counting aggregation), and
+  * AQE broadcasts a side automatically when it actually is small.  Only
+  * provably 1-row scalars (corpus totals) carry broadcast hints.
+  * Co-occurrence pairs are built in-row, so output is
+  * `window × corpus_tokens`, never quadratic.
   */
 object CorpusStats {
 
   /** Per-document unigram log-probability score.
     *
     * Pass 1 builds corpus token frequencies (one shuffle, vocab-sized
-    * result); pass 2 re-tokenizes and broadcast-joins each token to its
-    * frequency, summing `ln(cnt/total)` per document.  Each term is
+    * result); pass 2 re-tokenizes and equi-joins each token to its
+    * frequency (no broadcast hint — the vocabulary is unbounded at
+    * corpus scale; AQE broadcasts when small), summing `ln(cnt/total)`
+    * per document.  Each term is
     * rounded to integer MICRO-NATS before summing — integer addition is
     * associative, so the result is bit-identical under any partitioning
     * or aggregation order (a raw double sum would drift with partial-agg
@@ -35,7 +40,7 @@ object CorpusStats {
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val total = freq.agg(sum("cnt").cast("long").as("total"))
-    toks.join(broadcast(freq), "tok")
+    toks.join(freq, "tok")
       .crossJoin(broadcast(total))
       .select(col(idCol),
         round(log(col("cnt").cast("double") / col("total").cast("double"))
@@ -53,9 +58,11 @@ object CorpusStats {
     *
     * Bigrams are formed with an in-row `arrays_zip` of the token array
     * against its own tail — no positional self-join, one corpus scan.
-    * The bigram count table can exceed broadcast size at corpus scale,
-    * so the scoring join is a shuffle equi-join on (w1,w2); the
-    * w1-marginal is vocabulary-sized and broadcasts.  Micro-nat
+    * Both side tables can exceed broadcast size at corpus scale — the
+    * bigram counts are vocab²-bounded, the w1-marginal vocabulary-sized
+    * — so both scoring joins are plain equi-joins (AQE broadcasts a
+    * side only when it measures small); only the 1-row vocabulary count
+    * is force-broadcast.  Micro-nat
     * rounding per term (see [[unigramLogProb]]) keeps the per-document
     * sum bit-exact under any partitioning.
     */
@@ -74,7 +81,7 @@ object CorpusStats {
       .agg(countDistinct(col("tok")).as("vocab"))
     bigrams
       .join(bgCounts, Seq("w1", "w2"))
-      .join(broadcast(leftMarg), col("w1") === col("lm_w1"))
+      .join(leftMarg, col("w1") === col("lm_w1"))
       .crossJoin(broadcast(vocab))
       .select(col(idCol),
         round(log((col("bg_cnt") + 1).cast("double") /
@@ -125,8 +132,10 @@ object CorpusStats {
     * Same determinism discipline as [[unigramLogProb]]: each ln term
     * is rounded to integer micro-nats before the per-document sum, so
     * the score is exact under any partitioning.  Both frequency tables
-    * are vocabulary-sized → broadcast; the corpus is scanned twice
-    * (once per model build) and once for scoring.
+    * are vocabulary-sized — unbounded, so no broadcast hints; the token
+    * key is already the shuffle key and AQE broadcasts when small.  The
+    * corpus is scanned twice (once per model build) and once for
+    * scoring.
     */
   def importanceScores(docs: DataFrame, idCol: String, textCol: String,
       isTarget: org.apache.spark.sql.Column): DataFrame = {
@@ -139,8 +148,8 @@ object CorpusStats {
       sum("c_cnt").cast("long").as("c_total"),
       count(lit(1)).cast("long").as("vocab"))
     val tTotal = targetFreq.agg(sum("t_cnt").cast("long").as("t_total"))
-    toks.join(broadcast(corpusFreq), "tok")
-      .join(broadcast(targetFreq), col("tok") === col("t_tok"), "left")
+    toks.join(corpusFreq, "tok")
+      .join(targetFreq, col("tok") === col("t_tok"), "left")
       .crossJoin(broadcast(totals)).crossJoin(broadcast(tTotal))
       .select(col(idCol),
         (round(log((coalesce(col("t_cnt"), lit(0L)) + 1).cast("double") /
@@ -158,13 +167,15 @@ object CorpusStats {
     * (`p(a,b) = n_ab/N`, `p(a·) = n_a·/N`), so
     * `PMI = ln(n_ab · N / (n_a· · n_·b))`, clamped at 0 and expressed in
     * integer micro-nats (one ln per output row, no FP accumulation).
-    * Marginals are vocabulary-sized → broadcast joins; N is a scalar.
+    * Marginals are vocabulary-sized — unbounded, so plain equi-joins on
+    * the pair-table keys (AQE broadcasts when small); only the scalar N
+    * is force-broadcast.
     */
   def ppmi(pairs: DataFrame): DataFrame = {
     val la = pairs.groupBy("w1").agg(sum("n_pairs").cast("long").as("n_left"))
     val rb = pairs.groupBy("w2").agg(sum("n_pairs").cast("long").as("n_right"))
     val n = pairs.agg(sum("n_pairs").cast("long").as("n_total"))
-    pairs.join(broadcast(la), "w1").join(broadcast(rb), "w2")
+    pairs.join(la, "w1").join(rb, "w2")
       .crossJoin(broadcast(n))
       .select(col("w1"), col("w2"), col("n_pairs"),
         greatest(lit(0L),

@@ -62,11 +62,12 @@ object PipelineOps {
     * (doc_id, source, n_grams, n_shared).
     *
     * Scale shape: the benchmark n-gram set is deduplicated and hashed to
-    * 64-bit (xxhash64) before the join, so the broadcast side carries 8
-    * bytes per distinct benchmark n-gram — a few GB even for a large
-    * eval battery — and the training side streams through a broadcast
-    * hash join with no shuffle of document text.  If the benchmark side
-    * ever outgrew broadcast, the same plan degrades gracefully to a
+    * 64-bit (xxhash64) before the join, so the small side carries 8
+    * bytes per distinct benchmark n-gram.  The join carries NO broadcast
+    * hint — the benchmark set's size is input-dependent, so AQE picks a
+    * broadcast hash join when it measures small (the common case: the
+    * training side then streams with no shuffle of document text) and
+    * the plan degrades gracefully to a
     * shuffled join on the hash key.  Hashing is an implementation detail
     * (64-bit collisions are negligible); the DuckDB oracle joins on the
     * raw strings and must agree.
@@ -87,7 +88,7 @@ object PipelineOps {
     val shared = withG.filter(!isBench)
       .select(col("doc_id"), col("source"), explode(col("__g")).as("g"))
       .select(col("doc_id"), col("source"), xxhash64(col("g")).as("gh"))
-      .join(broadcast(bench), Seq("gh"))
+      .join(bench, Seq("gh"))
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_shared"))
     val scored = withG.filter(!isBench)
@@ -188,10 +189,12 @@ object PipelineOps {
     * a row across the integer hash boundary — the keep set is exactly
     * reproducible anywhere.
     *
-    * Scale shape: one tiny aggregation (|keys| rows) → broadcast join
-    * of the rate table back onto the stream → narrow deterministic
-    * filter.  No sampling state, no shuffle of the corpus, resumable on
-    * any subset.
+    * Scale shape: one aggregation (|keys| rows) → equi-join of the
+    * rate table back onto the stream → narrow deterministic filter.
+    * The rate table is KEY-cardinality-sized (unbounded for a
+    * high-cardinality key), so it carries no broadcast hint — AQE
+    * broadcasts it when it measures small, which is the usual
+    * source-mixture case.  No sampling state, resumable on any subset.
     */
   def temperatureSample(df: DataFrame, keyCol: String, idCol: String,
       alpha: Double, budget: Long): DataFrame = {
@@ -203,7 +206,7 @@ object PipelineOps {
       .withColumn("keep_rate", round(
         least(lit(1.0), col("__w") / col("__sw") * budget / col("count")), 9))
       .select(col(keyCol), col("keep_rate"))
-    df.join(broadcast(rates), keyCol)
+    df.join(rates, keyCol)
       .filter(pmod(col(idCol) * lit(2654435761L), lit(1000000L)) <
         col("keep_rate") * 1000000)
   }

@@ -95,13 +95,17 @@ object Similarity {
     */
   /** Deterministic IVF coarse centroids: corpus vectors at ids
     * {0, nCells, …, nCells·(nCells−1)} — key arithmetic, a pushed-down
-    * filter, no RNG, no limit-without-sort.
+    * filter, no RNG.  The trailing limit(nCells) never drops a row —
+    * the filter admits at most nCells ids — it just pins the ≤nCells
+    * bound into the plan so the downstream centroid broadcast is
+    * provably bounded (PlanLintSpec's broadcast lint checks this).
     */
   def ivfCentroids(corpus: DataFrame, nCells: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
       .filter(col("corpus_id") % nCells === 0 &&
         col("corpus_id") < lit(nCells.toLong * nCells))
+      .limit(nCells)
       .select((col("corpus_id") / nCells).cast("long").as("cell_id"),
         col("cvec").as("centroid"))
 

@@ -30,9 +30,13 @@ object TfIdf {
     * `tfidf_micro = tf · idf_micro` is exact integer math.
     *
     * Scale shape: the only corpus-sized shuffle is the (doc, term)
-    * hash-aggregation; the scoring join is tf ⋈ broadcast(df-table)
-    * when the vocabulary fits, with the 1-row corpus count broadcast
-    * either way.  Nothing here is quadratic and nothing collects.
+    * hash-aggregation; the scoring join tf ⋈ df-table is a plain
+    * equi-join on `tok` — the df table is VOCABULARY-sized (unbounded:
+    * billions of noise tokens on web text), so it carries no broadcast
+    * hint; `tok` is already the shuffle key coming out of the tf
+    * aggregation, and AQE broadcasts the df side automatically when it
+    * actually is small.  Only the 1-row corpus count is force-broadcast.
+    * Nothing here is quadratic and nothing collects.
     */
   def tfIdf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = docs
@@ -41,7 +45,7 @@ object TfIdf {
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).cast("long").as("n_docs"))
-    tf.join(broadcast(dfreq), "tok")
+    tf.join(dfreq, "tok")
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("tok"), col("tf"),
         round(log(col("n_docs").cast("double") / col("df").cast("double"))

@@ -186,7 +186,7 @@ object OpsQueries {
     // DuckDB list_cosine_similarity).
     "q_knn_brute" -> { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 8)
+      val queries = emb.filter(col("vec_id") < 8).limit(8)
       Similarity.bruteForceTopK(emb, queries, k = 5)
         .orderBy(col("query_id"), col("rank"))
     },
@@ -201,7 +201,7 @@ object OpsQueries {
     // in OpsSpec.
     "q_knn_lsh" -> { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 8)
+      val queries = emb.filter(col("vec_id") < 8).limit(8)
       val corpus = emb.select(col("vec_id"), col("embedding"))
         .union(queries.select((col("vec_id") + lit(1000000L)).as("vec_id"),
           col("embedding")))
@@ -218,7 +218,7 @@ object OpsQueries {
     // cell set and must surface at rank 1 with cosine 1.0.
     "q_knn_ivf" -> { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 8)
+      val queries = emb.filter(col("vec_id") < 8).limit(8)
       val corpus = emb.select(col("vec_id"), col("embedding"))
         .union(queries.select((col("vec_id") + lit(1000000L)).as("vec_id"),
           col("embedding")))
@@ -240,7 +240,7 @@ object OpsQueries {
     "q_knn_pq" -> { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val queries = emb.filter(col("vec_id") < 8)
+      val queries = emb.filter(col("vec_id") < 8).limit(8)
       val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
         .select(col("query_id"), col("corpus_id"))
       // codebooks train on a deterministic 1/4 hash sample — the
@@ -261,6 +261,38 @@ object OpsQueries {
         .join(common, Seq("query_id"), "left")
         .select(col("query_id"),
           (coalesce(col("n_common"), lit(0L)) >= 4).as("recall_ok"))
+        .orderBy(col("query_id"))
+    },
+
+    // IVF-PQ recall ENVELOPE (oracle-checked): the billion-vector
+    // layout — IVF coarse cells prune the candidate set (nProbe=8 of 16
+    // cells), PQ codes + per-query ADC lookup tables score the probed
+    // cells in O(m) per pair.  Recall@10 vs the exact brute-force twin
+    // must clear the floor for every query; IVF pruning on top of PQ
+    // loses a little recall vs q_knn_pq, so the floor is 3/10
+    // (measured 5-10/10 across SFs).
+    "q_knn_ivfpq" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 8).limit(8)
+      val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+        .select(col("query_id"), col("corpus_id"))
+      val sample = emb.filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+      val books = Pq.train(sample, "vec_id", "embedding",
+        m = 32, k = 32, iters = 3)
+      val centroids = Similarity.ivfCentroids(emb, nCells = 16)
+      val index = Pq.ivfPqIndex(emb, centroids, books)
+      val ivfpq = Pq.ivfPqSearch(index, centroids, books, queries,
+          k = 10, nProbe = 8)
+        .select(col("query_id").as("pq_qid"), col("corpus_id").as("pq_cid"))
+      val common = brute.join(ivfpq,
+          col("query_id") === col("pq_qid") &&
+            col("corpus_id") === col("pq_cid"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(common, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("n_common"), lit(0L)) >= 3).as("recall_ok"))
         .orderBy(col("query_id"))
     },
 
@@ -338,7 +370,7 @@ object OpsQueries {
       val corpus = base.union(base.filter(col("vec_id") < 8)
         .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding")))
       val emb = Quantize.withQuantized(corpus, "embedding")
-      val q = emb.filter(col("vec_id") < 8)
+      val q = emb.filter(col("vec_id") < 8).limit(8)
         .select(col("vec_id").as("query_id"),
           col("embedding_q8").as("qq"), col("embedding").as("qvec"))
       val c = emb.select(col("vec_id").as("corpus_id"),
@@ -550,6 +582,9 @@ object OpsQueries {
       """SELECT count(*) AS n_twin_pairs, count(*) AS n_twins_found
         |FROM documents WHERE doc_id % 50 = 0""".stripMargin,
     "q_knn_pq" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
+    "q_knn_ivfpq" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
     "q_dup_clusters" ->

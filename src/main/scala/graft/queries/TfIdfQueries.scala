@@ -27,6 +27,28 @@ object TfIdfQueries {
 
   private val toksSql = "regexp_extract_all(lower(text), '[a-z0-9'']+')"
 
+  /** Suffix letters for the big-vocab corpus: each document gains 20
+    * unique tokens (`ua<doc_id>` … `ut<doc_id>`), inflating the
+    * vocabulary to 20·n_docs + naturals — ≥10⁴ distinct tokens at
+    * sf0.01, ≥10⁵ at sf0.1 — so the df-table join shape is exercised at
+    * a vocabulary that could never be accidentally driver-resident.
+    */
+  private val bigVocabSuffixes: Seq[Char] = 'a' to 't'
+
+  /** documents with the 20 per-doc unique suffix tokens appended. */
+  private def bigVocabDocs(s: SparkSession, dir: String): DataFrame = {
+    val sufs = bigVocabSuffixes.map(c =>
+      concat(lit(s" u$c"), col("doc_id").cast("string")))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), concat(col("text") +: sufs: _*).as("text"))
+  }
+
+  /** The matching DuckDB text expression. */
+  private val bigVocabTextSql: String =
+    "concat(text" +
+      bigVocabSuffixes.map(c => s", ' u$c', CAST(doc_id AS VARCHAR)").mkString +
+      ")"
+
   val queries: Map[String, Q] = Map(
     "q_tfidf" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
@@ -52,6 +74,32 @@ object TfIdfQueries {
       Triangles.perNode(edges)
         .orderBy(col("n_triangles").desc, col("node"))
         .limit(50)
+    },
+
+    // TF-IDF at a ≥10⁴-token vocabulary (20 unique suffix tokens per
+    // doc): the df table cannot be driver-resident by accident, so this
+    // gate proves the unhinted shuffle-join shape end-to-end — exact
+    // integer per-doc totals, oracle-matched.  Suffix tokens have df=1
+    // ⇒ idf = ln(N); naturals keep their corpus idf.
+    "q_tfidf_bigvocab" -> { (s, dir) =>
+      val docs = bigVocabDocs(s, dir)
+      TfIdf.tfIdf(docs, "doc_id", "text")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("tf")).cast("long").as("n_tokens"),
+          sum(col("tfidf_micro")).cast("long").as("doc_tfidf_micro"))
+        .orderBy(col("doc_id"))
+    },
+
+    // OOV at vocabSize = 10⁴ on the same inflated corpus: the top-V
+    // boundary lands INSIDE the df=1 suffix band (20·n_docs singletons
+    // ≥ 10⁴ at sf0.01), so the deterministic count-desc/token-asc
+    // tiebreak is load-bearing, and the V-row vocab broadcast rides a
+    // plan-visible TakeOrderedAndProject bound.
+    "q_oov_bigvocab" -> { (s, dir) =>
+      val docs = bigVocabDocs(s, dir)
+      TfIdf.oovRate(docs, "doc_id", "text", vocabSize = 10000)
+        .orderBy(col("doc_id"))
     },
 
     // Keyword extraction: top-3 terms per document by tf-idf, through
@@ -82,6 +130,41 @@ object TfIdfQueries {
         |    * 1000000, 0) AS BIGINT) AS BIGINT) AS tfidf_micro
         |FROM tf JOIN dfq USING (tok) CROSS JOIN n
         |ORDER BY tfidf_micro DESC, doc_id, tok LIMIT 100""".stripMargin,
+
+    "q_tfidf_bigvocab" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, $bigVocabTextSql AS text FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS tok FROM docs),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM docs)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+        |    * 1000000, 0) AS BIGINT)) AS BIGINT) AS doc_tfidf_micro
+        |FROM tf JOIN dfq USING (tok) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_oov_bigvocab" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, $bigVocabTextSql AS text FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS tok FROM docs),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS n FROM toks GROUP BY tok
+        |    ORDER BY n DESC, tok ASC LIMIT 10000)),
+        |flagged AS (
+        |  SELECT t.doc_id, v.tok AS v_tok
+        |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(CASE WHEN v_tok IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+        |  CAST((count(CASE WHEN v_tok IS NULL THEN 1 END) * 1000)
+        |    // count(*) AS BIGINT) AS oov_permille
+        |FROM flagged GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q_oov_rate" ->
       s"""WITH toks AS (

@@ -202,6 +202,33 @@ class LineageSpec extends SparkSpec {
     assert(edges == Set(("rate", "l_tax"), ("rate", "l_discount")))
   }
 
+  test("custom TopKPerKey plan: lineage survives the repo's own operator") {
+    // The reference's lineage dies on any non-stock node; ours must
+    // walk through the custom TopKPerKey logical plan (output =
+    // child.output pass-through) and still attribute derived columns
+    // to their leaf sources.
+    val scored = li.select(col("l_orderkey"), col("l_partkey"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"))
+    val topk = graft.plans.TopK.perKey(scored, Seq(col("l_orderkey")),
+      Seq(col("net").desc, col("l_partkey").asc), k = 2)
+    assert(topk.queryExecution.analyzed.collectFirst {
+      case t: graft.plans.TopKPerKey => t
+    }.nonEmpty, "plan must actually contain the custom node")
+    val g = ColumnLineage.of(topk)
+    assert(g("net") == Set(src(liTable, "l_extendedprice"), src(liTable, "l_discount")))
+    assert(g("l_orderkey") == Set(src(liTable, "l_orderkey")))
+  }
+
+  test("DSv2 scan (SquaresV2): lineage leaf is the v2 table name") {
+    val df = spark.read.format("graft.sources.SquaresV2")
+      .option("n", 100).option("slices", 2).load()
+      .select(col("id"), (col("sq") + col("id")).as("mix"))
+    val g = ColumnLineage.of(df)
+    val table = g("id").head.table
+    assert(table.startsWith("squares("), s"v2 table identity expected: $table")
+    assert(g("mix") == Set(src(table, "sq"), src(table, "id")))
+  }
+
   test("Spark-4 plan shapes (recursive CTE, pipe syntax) don't break the walk") {
     // new logical nodes (UnionLoop / UnionLoopRef for WITH RECURSIVE)
     // must flow through the generic fallback without throwing, and the

@@ -57,6 +57,61 @@ class PqSpec extends SparkSpec {
       s"recall@10 floor of 4/10 violated: $common")
   }
 
+  test("ADC scoring equals per-pair reconstructed cosine to FP tolerance") {
+    // ADC (LUT sum / stored rnorm2) must compute the SAME asymmetric
+    // cosine as explicitly reconstructing the coded vector — it is an
+    // algebraic refactoring, not an approximation.  Compare every
+    // scored pair from searchEncoded (k = corpus size ⇒ all pairs)
+    // against a reconstruct()-based twin.
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 64)
+    val queries = emb.filter(col("vec_id") < 4)
+    val books = Pq.train(emb, "vec_id", "embedding", m = 8, k = 8, iters = 2)
+    val coded = Pq.encodeTable(emb, books)
+    val adc = Pq.searchEncoded(coded, books, queries, k = 100)
+      .select(col("query_id"), col("corpus_id"), col("cos").as("cos_adc"))
+    val recon = coded.crossJoin(
+        queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(graft.functions.cosine_sim(col("qvec"),
+          Pq.reconstruct(col("codes"), books)), 6).as("cos_recon"))
+    val maxDiff = adc.join(recon, Seq("query_id", "corpus_id"))
+      .agg(max(abs(col("cos_adc") - col("cos_recon")))).head().getDouble(0)
+    // both sides are rounded to 6 dp independently, so a raw score at a
+    // rounding boundary may flip by exactly one 6-dp ulp — allow one
+    assert(maxDiff <= 1.5e-6, s"ADC diverges from reconstruction: $maxDiff")
+  }
+
+  test("IVF-PQ recall@10 vs brute force clears the floor on the real corpus") {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 8).limit(8)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select(col("query_id"), col("corpus_id"))
+    val ivfpq = Pq.ivfPqTopK(emb, queries, k = 10, nCells = 16, nProbe = 8)
+      .select(col("query_id").as("qb"), col("corpus_id").as("cb"))
+    val common = brute.join(ivfpq,
+        col("query_id") === col("qb") && col("corpus_id") === col("cb"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // IVF pruning on top of PQ: floor is 3/10 (PQ alone gates 4/10)
+    assert(common.size == 8 && common.values.forall(_ >= 3),
+      s"IVF-PQ recall@10 floor of 3/10 violated: $common")
+  }
+
+  test("train and encode fail loudly on empty/degenerate input") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Pq.train(empty, "vec_id", "embedding", m = 2, k = 2, iters = 1)
+    }
+    assert(e1.getMessage.contains("empty"))
+    val e2 = intercept[IllegalArgumentException] {
+      Pq.encode(col("embedding"), Seq.empty)
+    }
+    assert(e2.getMessage.contains("codebooks"))
+  }
+
   test("persisted code-table search equals the one-shot path") {
     val emb = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"))

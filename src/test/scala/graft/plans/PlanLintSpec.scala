@@ -19,7 +19,8 @@ class PlanLintSpec extends SparkSpec {
     "q_dedup_jaccard",       // same brute twin, capped
     "q_embed_neardup",       // exact-pair refine over a capped bucket
     "q_knn_brute",           // brute-force ANN baseline (broadcast query side)
-    "q_knn_lsh", "q_knn_ivf", "q_knn_quantized", "q_knn_pq", // recall twins embed the brute baseline
+    "q_knn_lsh", "q_knn_ivf", "q_knn_quantized", "q_knn_pq",
+    "q_knn_ivfpq",           // recall twins embed the brute baseline
     "q_kmeans",              // broadcast-centroid distance: scalar-sized right side
     "q_contamination",       // benchmark side is a broadcast scalar set
     "q_dup_clusters",        // injected-clique envelope uses a capped clone cross
@@ -47,6 +48,7 @@ class PlanLintSpec extends SparkSpec {
     "q_bm25_topk",           // corpus-stats 1-row broadcast cross-joined into the idf table
     "q_bigram_lm",           // vocab-size 1-row broadcast cross-joined into the scoring projection
     "q_tfidf",               // corpus-count 1-row broadcast cross-joined into the idf projection
+    "q_tfidf_bigvocab",      // same scalar cross-join, inflated-vocabulary variant
     "q_keyword_topk",        // same tf-idf scoring subtree under TopKPerKey
     "q_triangles")           // max-pair-count 1-row broadcast cross-joined into the edge threshold
 
@@ -90,6 +92,68 @@ class PlanLintSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"global window directly over a scan in: ${offenders.mkString(", ")} — " +
         "partition the window or whitelist with a reason")
+  }
+
+  /** Entries whose broadcast hint covers a frame that is bounded by
+    * CONTRACT but not visibly bounded in the plan (e.g. a fixed-row
+    * dimension table read from parquet, or a query batch passed in as
+    * an input).  Anything new that trips the lint must either drop the
+    * hint (plain equi-join; AQE broadcasts when actually small) or
+    * argue its way onto this list.
+    */
+  private val broadcastHintOk: Map[String, String] = Map(
+    "q03_shipping_priority" -> "BHJ coverage gate: hint pins the plan-asserted broadcast of the segment-filtered customer dim",
+    "q05_local_supplier"    -> "BHJ coverage gate: hint pins broadcasts of region-filtered dims (nation/region are schema-bounded)",
+    "q10_returned_items"    -> "BHJ coverage gate: hint pins the broadcast of the filtered customer dim",
+    "q_join_theta"          -> "BroadcastNestedLoop demo: the theta join IS the subject; broadcast side is a filtered dim",
+    "q_sql_hints"           -> "SQL hint syntax is the coverage subject of this entry")
+
+  /** A frame is plan-bounded when its row count cannot scale with the
+    * input data: a limit, a scalar (no-grouping) aggregate, a literal
+    * local relation, or any composition of unary ops / joins over
+    * bounded children.  A grouped aggregate over unbounded input is NOT
+    * bounded — that is exactly the vocabulary-sized-broadcast class
+    * that OOMs at 100 TB.
+    */
+  private def planBounded(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: GlobalLimit | _: LocalLimit => true
+      case _: LocalRelation => true
+      case _: OneRowRelation => true
+      case r: Range => r.numElements <= BigInt(100000)
+      case a: Aggregate => a.groupingExpressions.isEmpty || planBounded(a.child)
+      case j: Join => planBounded(j.left) && planBounded(j.right)
+      case u: Union => u.children.forall(planBounded)
+      case u: UnaryNode => planBounded(u.child)
+      case _ => false
+    }
+  }
+
+  test("no broadcast hint on a frame of unbounded cardinality") {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if broadcastHintOk.contains(name) => None
+      case (name, q) if name.startsWith("q_stream") || name.startsWith("q_dsv2") ||
+          name.startsWith("q_hive") || name.startsWith("q_transform") ||
+          name.startsWith("q_jdbc") || name.startsWith("q_cache") ||
+          name.startsWith("q_ctas") || name.contains("roundtrip") ||
+          name.startsWith("q_partitioned") || name.startsWith("q_dpp") ||
+          name.startsWith("q_ext") || name.startsWith("q_statestore") ||
+          name == "q_sql_scripting" => None // side-effecting; planned in their own gates
+      case (name, q) =>
+        val analyzed = q(spark, sf).queryExecution.analyzed
+        val unbounded = analyzed.collect {
+          case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) &&
+              !planBounded(h.child) => h
+        }
+        if (unbounded.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"broadcast hint on an unbounded-cardinality frame in: " +
+        s"${offenders.mkString(", ")} — drop the hint (AQE broadcasts when " +
+        "actually small) or whitelist with a reason")
   }
 
   test("no gate entry plans an unexpected cartesian product") {

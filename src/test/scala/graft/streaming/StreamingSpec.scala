@@ -449,6 +449,93 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("continuous mode: mid-epoch kill replays ONLY the uncommitted tail") {
+    // Failure injection INSIDE an epoch: with 5s epochs, wait for the
+    // first commit, let the next epoch run ~1.5s (rate=500/s ⇒ ~750
+    // uncommitted deliveries), then stop without drain.  The epoch
+    // contract under restart:
+    //  - committed-prefix exactly-once: values below the resume point
+    //    (min of run 2 = last committed offset) were delivered exactly
+    //    once, by run 1, and are NEVER re-delivered;
+    //  - at-least-once on the in-flight epoch: run 1's deliveries past
+    //    the commit boundary are re-delivered by run 2 (resume ≤ them);
+    //  - no loss: run1 ∪ run2 covers [0 .. max(run1)] contiguously.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cont_epoch").toString
+    def launch(run: Int) = spark.readStream.format("rate")
+      .option("rowsPerSecond", 500).option("numPartitions", 1).load()
+      .select($"value")
+      .writeStream
+      .foreach(new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+        override def open(partitionId: Long, epochId: Long): Boolean = true
+        override def process(r: org.apache.spark.sql.Row): Unit =
+          ContRecCollector.add(100 + run, r.getLong(0))
+        override def close(errorOrNull: Throwable): Unit = ()
+      })
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Continuous("5 seconds"))
+      .start()
+    def epochsCommitted: Int = {
+      val d = new java.io.File(ckpt, "commits")
+      if (d.exists()) d.list().count(!_.startsWith(".")) else 0
+    }
+    val q1 = launch(1)
+    try {
+      // Under load an epoch can commit with offset 0 BEFORE any rows
+      // flow (epoch boundaries are time-based) — restarting from such a
+      // commit legitimately replays value 0.  So: wait for deliveries
+      // first, then for a commit that happens AFTER them — that commit
+      // provably covers a nonzero offset, making `resume > 0` a real
+      // exactly-once assertion rather than a timing accident.
+      val deadline = System.currentTimeMillis() + 60000
+      while (ContRecCollector.values(101).isEmpty &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+      }
+      assert(ContRecCollector.values(101).nonEmpty, "run 1 never delivered")
+      val committedAtFirstData = epochsCommitted
+      while (epochsCommitted <= committedAtFirstData &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+      }
+      assert(epochsCommitted > committedAtFirstData,
+        "no epoch committed after data started flowing")
+      Thread.sleep(1500) // run well into the NEXT (uncommitted) epoch
+      assert(q1.exception.isEmpty)
+    } finally q1.stop() // kill mid-epoch, no drain
+    val run1 = ContRecCollector.values(101)
+    assert(run1.nonEmpty, "run 1 delivered nothing")
+    val q2 = launch(2)
+    try {
+      val deadline = System.currentTimeMillis() + 40000
+      while (ContRecCollector.values(102).isEmpty &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+      }
+      assert(q2.exception.isEmpty, s"restart failed: ${q2.exception}")
+    } finally q2.stop()
+    val run2 = ContRecCollector.values(102)
+    assert(run2.nonEmpty, "run 2 delivered nothing")
+    val resume = run2.min
+    // exactly-once below the commit boundary: run 1 delivered each
+    // committed value once, and the restart never replays them
+    assert(resume > 0, "restart replayed from offset 0 — committed " +
+      "epochs must not be reprocessed")
+    val committedCounts = run1.filter(_ < resume)
+      .groupBy(identity).map(_._2.size)
+    assert(committedCounts.forall(_ == 1),
+      "a committed-epoch value was delivered more than once")
+    // the kill landed mid-epoch: run 1 must have delivered uncommitted
+    // rows past the boundary, which run 2 then re-delivers
+    assert(run1.max >= resume,
+      s"kill was not mid-epoch (run1 max ${run1.max} < resume $resume)")
+    // no loss: every value up to run 1's high-water mark was delivered
+    val union = run1.toSet ++ run2.toSet
+    val missing = (0L to run1.max).filterNot(union)
+    assert(missing.isEmpty, s"values lost across the restart: " +
+      s"${missing.take(10)}")
+  }
+
   test("console sink runs a micro-batch without error") {
     val in = MemoryStream[Event]
     val q = in.toDS().toDF().writeStream.format("console")
