@@ -162,14 +162,18 @@ object Approx {
     "q_stat_quantile" -> { (s, dir) =>
       // the GK sketch and the exact-percentile twin each scan the same
       // single column — cache the 8-byte projection so the parquet
-      // decode runs once for both actions
+      // decode runs once for both actions.  Exact percentiles go
+      // through the DISTRIBUTED sort-based ExactQuantiles (same
+      // interpolation as Spark's percentile() and DuckDB quantile_cont)
+      // instead of the single-buffer Percentile aggregate, which sorts
+      // all distinct values on one thread (~2.5 s on this column and a
+      // genuine bottleneck at scale).
       val li = Tables.load(s, dir, "lineitem").select(col("l_extendedprice"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val qs = li.stat.approxQuantile("l_extendedprice",
         Array(0.1, 0.5, 0.9), 0.01)
-      val ex = li.select(expr(
-        "percentile(l_extendedprice, array(0.08,0.1,0.12, 0.48,0.5,0.52, 0.88,0.9,0.92))")
-        .as("ep")).head().getSeq[Double](0)
+      val ex = graft.ops.ExactQuantiles.percentiles(li, "l_extendedprice",
+        Seq(0.08, 0.1, 0.12, 0.48, 0.5, 0.52, 0.88, 0.9, 0.92))
       li.unpersist()
       def inBand(est: Double, lo: Double, hi: Double) = est >= lo && est <= hi
       val s2 = s

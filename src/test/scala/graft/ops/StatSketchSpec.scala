@@ -48,4 +48,31 @@ class StatSketchSpec extends SparkSpec {
       .select("o_orderstatus").distinct().collect().map(_.getString(0)).toSet
     assert(strata.subsetOf(Set("F", "O")), s"unexpected strata: $strata")
   }
+
+  test("ExactQuantiles matches the single-buffer percentile() bit-for-bit") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val ps = Seq(0.0, 0.08, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val dist = ExactQuantiles.percentiles(li, "l_extendedprice", ps, numParts = 8)
+    val single = li.select(expr(
+      s"percentile(l_extendedprice, array(${ps.mkString(",")}))").as("ep"))
+      .head().getSeq[Double](0)
+    ps.indices.foreach { i =>
+      assert(dist(i) == single(i),
+        s"p=${ps(i)}: distributed ${dist(i)} != aggregate ${single(i)}")
+    }
+  }
+
+  test("ExactQuantiles handles nulls, single values, and rejects empties") {
+    import spark.implicits._
+    val withNulls = Seq[java.lang.Double](1.0, null, 3.0, null, 2.0)
+      .toDF("v")
+    assert(ExactQuantiles.percentiles(withNulls, "v", Seq(0.5)) == Seq(2.0))
+    val one = Seq(7.5).toDF("v")
+    assert(ExactQuantiles.percentiles(one, "v", Seq(0.0, 0.5, 1.0)) ==
+      Seq(7.5, 7.5, 7.5))
+    val e = intercept[IllegalArgumentException] {
+      ExactQuantiles.percentiles(Seq.empty[Double].toDF("v"), "v", Seq(0.5))
+    }
+    assert(e.getMessage.contains("no non-null values"))
+  }
 }
