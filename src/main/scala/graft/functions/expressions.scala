@@ -535,3 +535,235 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** 1-bit (sign) sketch of an embedding: bit i of the result is set
+  * exactly when element i of the array is >= 0 (first 64 dims; shorter
+  * arrays leave high bits clear, NULL elements count as negative).
+  * 64× compression per 64 dims, and Hamming distance between sketches
+  * (popcount-xor, [[HammingDistance64]]) approximates angular distance
+  * — the standard two-stage binary-ANN layout: band the sketch for
+  * candidate generation, rerank survivors with exact cosine.
+  *
+  * Reference behavior: no binary-sketch kernel exists in the
+  * reference's expression library (`sql/catalyst/.../expressions/`);
+  * this is the scale path its users would hand-roll as 64 CASE WHENs.
+  */
+case class SignPack64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sign_pack64 requires ARRAY<FLOAT> or ARRAY<DOUBLE>, got ${other.sql}")
+  }
+  // lazy: child.dataType is only legal after resolution
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), 64)
+    var sig = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        if (x >= 0.0) sig |= (1L << i)
+      }
+      i += 1
+    }
+    sig
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n = ctx.freshName("n"); val sig = ctx.freshName("sig")
+    val i = ctx.freshName("i"); val x = ctx.freshName("x")
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""int $n = java.lang.Math.min($a.numElements(), 64);
+         |long $sig = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    double $x = (double) $a.$getter($i);
+         |    if ($x >= 0.0) $sig |= (1L << $i);
+         |  }
+         |}
+         |${ev.value} = $sig;""".stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Aho-Corasick automaton over a fixed pattern set — built once (per
+  * plan on the driver, shipped to executors inside the codegen
+  * reference array), then every row is matched in a single O(|text|)
+  * pass regardless of pattern count.
+  *
+  * ASCII transitions (the overwhelming majority of blocklist text) use
+  * a fully-resolved goto DFA (`delta[state][c]`, fail links folded in
+  * at build time, BFS over the trie) — one array load per character,
+  * no fail-chain walking at match time.  Characters >= 0x80 fall back
+  * to the fail-chain walk over the trie's child maps, so non-ASCII
+  * patterns and text remain correct, just not table-accelerated.
+  * Output links are merged transitively at build (out(s) includes
+  * out(fail(s))), so a match at state s reports every pattern ending
+  * there without chain walking.
+  */
+final class AhoAutomaton(patternsIn: Array[String]) extends Serializable {
+  private val patterns: Array[String] = patternsIn.distinct
+  /** number of distinct patterns the automaton recognizes */
+  val size: Int = patterns.length
+  require(size > 0, "AhoAutomaton needs at least one pattern")
+  require(patterns.forall(_.nonEmpty), "AhoAutomaton: empty pattern")
+
+  private val kids = scala.collection.mutable.ArrayBuffer(
+    scala.collection.mutable.HashMap.empty[Char, Int])
+  private val ownOut = scala.collection.mutable.ArrayBuffer(
+    scala.collection.mutable.ArrayBuffer.empty[Int])
+  for ((p, id) <- patterns.zipWithIndex) {
+    var s = 0
+    for (c <- p) {
+      s = kids(s).getOrElseUpdate(c, {
+        kids += scala.collection.mutable.HashMap.empty[Char, Int]
+        ownOut += scala.collection.mutable.ArrayBuffer.empty[Int]
+        kids.length - 1
+      })
+    }
+    ownOut(s) += id
+  }
+  private val nNodes = kids.length
+  private val fail = new Array[Int](nNodes)
+  /** merged output pattern-ids per state (own ++ out(fail)) */
+  private val out = new Array[Array[Int]](nNodes)
+  /** resolved goto DFA for ASCII chars */
+  private val delta = Array.ofDim[Int](nNodes, 128)
+  locally {
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    out(0) = ownOut(0).toArray
+    var c = 0
+    while (c < 128) {
+      delta(0)(c) = kids(0).getOrElse(c.toChar, 0)
+      c += 1
+    }
+    for ((_, ch) <- kids(0)) { fail(ch) = 0; queue += ch }
+    while (queue.nonEmpty) {
+      val s = queue.dequeue()
+      out(s) = (ownOut(s) ++ out(fail(s))).distinct.toArray
+      var cc = 0
+      while (cc < 128) {
+        delta(s)(cc) = kids(s).getOrElse(cc.toChar, delta(fail(s))(cc))
+        cc += 1
+      }
+      for ((ch, child) <- kids(s)) {
+        // fail(child) = state reached from fail(s) on ch — the longest
+        // proper suffix of path(s)+ch present in the trie (BFS order
+        // guarantees fail(s)'s row is already resolved)
+        fail(child) =
+          if (ch < 128) delta(fail(s))(ch)
+          else slowStep(fail(s), ch)
+        queue += child
+      }
+    }
+  }
+
+  /** fail-chain transition for non-ASCII chars (and fail-link setup) */
+  private def slowStep(state: Int, c: Char): Int = {
+    var s = state
+    while (s != 0 && !kids(s).contains(c)) s = fail(s)
+    kids(s).getOrElse(c, 0)
+  }
+
+  /** Number of DISTINCT patterns occurring as substrings of `text`.
+    * Early-exits once every pattern has been seen.
+    */
+  def countDistinct(text: String): Int = {
+    val seen = new java.util.BitSet(size)
+    var found = 0
+    var s = 0
+    var i = 0
+    val n = text.length
+    while (i < n && found < size) {
+      val c = text.charAt(i)
+      s = if (c < 128) delta(s)(c) else slowStep(s, c)
+      val o = out(s)
+      var j = 0
+      while (j < o.length) {
+        if (!seen.get(o(j))) { seen.set(o(j)); found += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    found
+  }
+}
+
+/** Multi-pattern blocklist matcher: how many DISTINCT terms of a fixed
+  * pattern list occur as substrings of the text column.  The pattern
+  * list must be a foldable ARRAY<STRING> — it compiles into a shared
+  * Aho-Corasick automaton, so the text is scanned ONCE per row however
+  * long the blocklist is.  The built-in alternative (`exists`/`filter`
+  * over `contains`) rescans the text once per pattern: a C4-style
+  * 400-term bad-words screen costs 400 passes per document there and
+  * one pass here.  NULL text gives NULL; matching is case-sensitive
+  * (normalize upstream with `lower`).
+  *
+  * Reference behavior: the reference's string-match expressions
+  * (`sql/catalyst/.../expressions/regexpExpressions.scala:102` LIKE,
+  * `stringExpressions.scala` Contains) are all single-pattern; it has
+  * no shared multi-pattern automaton — this is the scale path for
+  * blocklist screens the reference would run as P separate LIKEs.
+  */
+case class MultiMatchCount(text: Expression, patterns: Expression)
+    extends BinaryExpression {
+  override def left: Expression = text
+  override def right: Expression = patterns
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (text.dataType != StringType)
+      return TypeCheckResult.TypeCheckFailure(
+        s"multi_match_count text must be STRING, got ${text.dataType.sql}")
+    patterns.dataType match {
+      case ArrayType(StringType, _) if patterns.foldable =>
+        val v = patterns.eval(null)
+        if (v == null)
+          return TypeCheckResult.TypeCheckFailure(
+            "multi_match_count pattern list must not be NULL")
+        val arr = v.asInstanceOf[ArrayData]
+        if (arr.numElements() == 0)
+          return TypeCheckResult.TypeCheckFailure(
+            "multi_match_count pattern list must be non-empty")
+        var i = 0
+        while (i < arr.numElements()) {
+          if (arr.isNullAt(i) || arr.getUTF8String(i).numBytes() == 0)
+            return TypeCheckResult.TypeCheckFailure(
+              "multi_match_count patterns must be non-null and non-empty")
+          i += 1
+        }
+        TypeCheckResult.TypeCheckSuccess
+      case ArrayType(StringType, _) =>
+        TypeCheckResult.TypeCheckFailure(
+          "multi_match_count pattern list must be a literal (foldable)")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"multi_match_count patterns must be ARRAY<STRING>, got ${other.sql}")
+    }
+  }
+
+  @transient private lazy val automaton: AhoAutomaton = {
+    val arr = patterns.eval(null).asInstanceOf[ArrayData]
+    new AhoAutomaton(Array.tabulate(arr.numElements())(
+      i => arr.getUTF8String(i).toString))
+  }
+
+  override def nullSafeEval(t: Any, ps: Any): Any =
+    automaton.countDistinct(t.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ac = ctx.addReferenceObj("ahoAutomaton", automaton,
+      classOf[AhoAutomaton].getName)
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = $ac.countDistinct($t.toString());")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(text = newLeft, patterns = newRight)
+}

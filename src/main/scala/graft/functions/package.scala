@@ -46,4 +46,17 @@ package object functions {
   /** Fused 64-bit SimHash of a token array<string>. */
   def simhash64(toks: Column): Column =
     toCol(SimHash64(toExpr(toks)))
+
+  /** 64-bit sign sketch of an array<float>/array<double> column. */
+  def sign_pack64(vec: Column): Column =
+    toCol(SignPack64(toExpr(vec)))
+
+  /** Distinct blocklist terms present in a string column (one
+    * Aho-Corasick pass however many patterns).
+    */
+  def multi_match_count(text: Column, patterns: Seq[String]): Column =
+    toCol(MultiMatchCount(toExpr(text),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        patterns, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = false))))
 }

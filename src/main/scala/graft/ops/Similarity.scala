@@ -163,6 +163,47 @@ object Similarity {
     ivfSearch(index, centroids, queries, k, nProbe, idCol, vecCol)
   }
 
+  /** Binary-sketch ANN: 64-bit sign sketch ([[graft.functions.sign_pack64]],
+    * one codegen pass), banded into four 16-bit words for candidate
+    * generation — by pigeonhole, any corpus vector within Hamming
+    * radius <= 3 of the query agrees with it on at least one band, so
+    * the four equi-joins are a COMPLETE filter for that radius (the
+    * multi-index Hamming layout; cf. Norouzi et al., "Fast Search in
+    * Hamming Space with Multi-Index Hashing", CVPR'12).  Survivors are
+    * cut to `radius` with the popcount kernel and reranked by exact
+    * cosine.
+    *
+    * Scale design: the corpus side carries one 8-byte sketch per
+    * vector; candidate generation is an equi-join on (band, 16-bit
+    * word) against the broadcast query side — no corpus shuffle, one
+    * scan.  At billions of vectors the banded sketch table is the
+    * persisted artifact (bucket by band word); radius bounds the
+    * refine fan-in regardless of corpus size.
+    */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      radius: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(radius >= 0 && radius <= 3,
+      s"4x16-bit bands are complete only for radius <= 3, got $radius")
+    import graft.functions.{hamming64, sign_pack64}
+    def banded(df: DataFrame, idAs: String, vecAs: String,
+        sigAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+          sign_pack64(col(vecCol)).as(sigAs))
+        .select(col(idAs), col(vecAs), col(sigAs),
+          posexplode(array((0 until 4).map(b =>
+            shiftrightunsigned(col(sigAs), 16 * b)
+              .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("__band", "__word")))
+    val c = banded(corpus, "corpus_id", "cvec", "csig")
+    val q = banded(queries, "query_id", "qvec", "qsig")
+    val cands = c.join(broadcast(q), Seq("__band", "__word"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "corpus_id")
+      .filter(hamming64(col("qsig"), col("csig")) <= radius)
+    rankTopK(cands.select(col("query_id"), col("corpus_id"),
+      cosine_sim(col("qvec"), col("cvec")).as("cos")), k)
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, found via
     * sketch-bucket self-join (hamming-0 probe) + exact refine.
     */

@@ -88,6 +88,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_simhash64",
       "fused 64-bit SimHash of a token array<string>", 1,
       a => SimHash64(a(0))))
+    ext.injectFunction(fn("graft_sign_pack64",
+      "64-bit sign sketch of an array<float>/array<double>", 1,
+      a => SignPack64(a(0))))
+    ext.injectFunction(fn("graft_multi_match_count",
+      "distinct literal-array patterns present in a string (Aho-Corasick)", 2,
+      a => MultiMatchCount(a(0), a(1))))
     ext.injectFunction(fn("graft_unicode_normalize",
       "Unicode-normalize a string; form is 'NFC'|'NFD'|'NFKC'|'NFKD'", 2,
       a => UnicodeNormalize(a(0), a(1) match {

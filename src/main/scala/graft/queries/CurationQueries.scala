@@ -73,6 +73,41 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Keep-first exact-substring REMOVAL (the active Lee et al. 2022
+    // dedup, not just the profile): non-first occurrences of every
+    // corpus-duplicated 8-token span are cut and the doc re-joined.
+    // The corpus carries ~1k naturally duplicated spans at sf0.01, so
+    // the gate rewrites real documents.  The DuckDB twin re-derives
+    // the same first-occurrence rule over raw span STRINGS and slices
+    // the same token arrays, so clean_text must match byte-for-byte —
+    // which also re-certifies the hashed span pipeline collision-free.
+    "q_span_remove" -> { (s, dir) =>
+      SpanDedup.removeSpans(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))
+    },
+
+    // Aho-Corasick blocklist screen: distinct banned terms per doc in
+    // ONE text pass (codegen'd MultiMatchCount; a contains()-per-term
+    // formulation rescans the text P times), rolled up per source.
+    // Terms share prefixes ('fast hash'/'fast table') and cross word
+    // boundaries, so trie fail-links actually fire; the DuckDB twin
+    // is the naive P-pass list_filter(contains) — same counts.
+    "q_blocklist" -> { (s, dir) =>
+      import graft.functions.multi_match_count
+      val banned = Seq("fast hash", "fast table", "slow scan",
+        "big table", "spark", "scan query", "agg join", "vector")
+      Tables.load(s, dir, "documents")
+        .select(col("source"),
+          multi_match_count(lower(col("text")), banned).as("n_hits"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_hits") > 0, 1L).otherwise(0L))
+            .cast("long").as("n_flagged"),
+          sum(col("n_hits")).cast("long").as("total_hits"))
+        .orderBy(col("source"))
+    },
+
     // Script-mix profile: per-writing-system character counts over
     // deterministically mixed text (Cyrillic/CJK/Greek suffixes keyed
     // by doc_id) — the wrong-script screen that precedes language ID.
@@ -215,6 +250,53 @@ object CurationQueries {
         |SELECT doc_id, CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
         |       CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans
         |FROM documents LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_span_remove" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS arr
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, p, arr[p] AS tok FROM (
+        |    SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS p FROM toks)),
+        |spans AS (
+        |  SELECT doc_id, i, array_to_string(arr[i:i+7], ' ') AS span FROM (
+        |    SELECT doc_id, arr, unnest(range(1, len(arr) - 6)) AS i FROM toks)),
+        |occ AS (
+        |  SELECT doc_id, i,
+        |         row_number() OVER (PARTITION BY span ORDER BY doc_id, i) AS rn,
+        |         count(*) OVER (PARTITION BY span) AS cnt
+        |  FROM spans),
+        |covered AS (
+        |  SELECT DISTINCT * FROM (
+        |    SELECT doc_id, unnest(range(i, i + 8)) AS p
+        |    FROM occ WHERE cnt >= 2 AND rn > 1)),
+        |kept AS (
+        |  SELECT t.doc_id, t.p, t.tok
+        |  FROM tok t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.p
+        |  WHERE c.p IS NULL),
+        |reb AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(tok, ' ' ORDER BY p) AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |base AS (SELECT doc_id, len(arr) AS n_tokens FROM toks)
+        |SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |       CAST(b.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM base b LEFT JOIN reb r USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_blocklist" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(['fast hash', 'fast table', 'slow scan',
+        |                     'big table', 'spark', 'scan query',
+        |                     'agg join', 'vector'],
+        |        p -> contains(lower(text), p))) AS n_hits
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(sum(n_hits) AS BIGINT) AS total_hits
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
 
     "q_script_mix" ->
       """WITH d AS (

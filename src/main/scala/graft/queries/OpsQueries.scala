@@ -229,6 +229,25 @@ object OpsQueries {
         .orderBy(col("query_id"))
     },
 
+    // Binary-sketch ANN rank-1 ENVELOPE (oracle-checked): the injected
+    // clone has the identical 64-bit sign sketch ⇒ agrees on all four
+    // 16-bit bands ⇒ candidate at Hamming 0 ⇒ exact-cosine rerank puts
+    // it at rank 1 with cos 1.0.  Sketching (codegen SignPack64),
+    // pigeonhole banding, the popcount cut and the rerank all have to
+    // work for the row to match.
+    "q_knn_hamming" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8).limit(8)
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+        .union(queries.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          col("embedding")))
+      Similarity.hammingTopK(corpus, queries, k = 5, radius = 3)
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("corpus_id").as("p1_corpus_id"),
+          col("cos").as("p1_cos"))
+        .orderBy(col("query_id"))
+    },
+
     // Product-quantization recall ENVELOPE (oracle-checked): PQ codes
     // (m=32 subspaces × 32 centroids = 32 bytes/vector, 8× compression;
     // 4-bit packing would halve it) score by asymmetric reconstructed
@@ -609,6 +628,9 @@ object OpsQueries {
     "q_knn_quantized" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS p1_corpus_id,
         |  1.0 AS p1_cos, true AS err_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
+    "q_knn_hamming" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS p1_corpus_id, 1.0 AS p1_cos
         |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
     "q_knn_brute" ->
       """SELECT query_id, rank, corpus_id, cos FROM (

@@ -55,4 +55,51 @@ class LinkageSpec extends SparkSpec {
     assert(out(3L) == ((5L, 2L)), s"within-doc repeat counts; got $out")
     assert(out(4L) == ((0L, 0L)), "short docs yield zero spans, not absence")
   }
+
+  private def removed(docs: org.apache.spark.sql.DataFrame, n: Int) =
+    SpanDedup.removeSpans(docs, "doc_id", "text", n)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+  test("removeSpans cuts non-first occurrences, merging overlaps") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d q"),
+      (3L, "x y z w x y z"),
+      (4L, "p q"))
+      .toDF("doc_id", "text")
+    val out = removed(docs, n = 3)
+    // doc 1 holds the first occurrences of "a b c" and "b c d" — intact
+    assert(out(1L) == (("a b c d e", 5L, 5L, 0L)), s"got ${out(1L)}")
+    // doc 2's copies cover positions 0-2 and 1-3: the union 0-3 is cut
+    // once (4 tokens, not 6), leaving the non-duplicated tail
+    assert(out(2L) == (("q", 5L, 1L, 4L)), s"got ${out(2L)}")
+    // within-doc repeat: second "x y z" (positions 4-6) cut, first kept
+    assert(out(3L) == (("x y z w", 7L, 4L, 3L)), s"got ${out(3L)}")
+    // short docs contribute no spans and pass through
+    assert(out(4L) == (("p q", 2L, 2L, 0L)), s"got ${out(4L)}")
+  }
+
+  test("removeSpans: fully-duplicated doc collapses to the empty string") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = removed(docs, n = 3)
+    assert(out(1L) == (("a b c", 3L, 3L, 0L)), s"got ${out(1L)}")
+    assert(out(2L) == (("", 3L, 0L, 3L)), s"got ${out(2L)}")
+  }
+
+  test("removeSpans: a first occurrence can still lose tokens to a different span") {
+    // doc2 owns the first "s t u" but its tail is the SECOND "u v w"
+    // (first in doc1) — the cut applies even though doc2 is a first
+    // occurrence of another span
+    val docs = Seq(
+      (1L, "u v w"),
+      (2L, "s t u v w"),
+      (3L, "s t u"))
+      .toDF("doc_id", "text")
+    val out = removed(docs, n = 3)
+    assert(out(1L) == (("u v w", 3L, 3L, 0L)), s"got ${out(1L)}")
+    assert(out(2L) == (("s t", 5L, 2L, 3L)), s"got ${out(2L)}")
+    assert(out(3L) == (("", 3L, 0L, 3L)), s"got ${out(3L)}")
+  }
 }

@@ -176,6 +176,44 @@ class OpsSpec extends SparkSpec {
     assert(ivf.size == brute.size)
   }
 
+  test("hamming banded candidates are COMPLETE for radius <= 3 (pigeonhole)") {
+    // corpus = embeddings + a clone of each query (guarantees at least
+    // one hamming-0 candidate per query); the op's result must equal a
+    // local recompute that scans EVERY corpus vector within radius —
+    // if banding dropped any in-radius candidate, a rank would differ
+    val queries = emb.filter(col("vec_id") < 8)
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .union(queries.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        col("embedding")))
+    val got = Similarity.hammingTopK(corpus, queries, k = 5, radius = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val sigs = corpus
+      .select(col("vec_id"), graft.functions.sign_pack64(col("embedding")),
+        col("embedding"))
+      .as[(Long, Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = sigs.filter(_._1 < 8).flatMap { case (q, qs, qv) =>
+      sigs.filter { case (c, cs, _) =>
+        c != q && java.lang.Long.bitCount(qs ^ cs) <= 3 }
+        .map { case (c, _, cv) => (c, cos(qv, cv)) }
+        .sortBy { case (c, s) => (-s, c) }
+        .take(5).zipWithIndex.map { case ((c, _), i) => (q, i + 1, c) }
+    }.toSet
+    assert(got == expected, s"got ${got.size} vs expected ${expected.size}")
+    // every query found its clone at rank 1, hamming 0, cosine 1
+    (0L until 8L).foreach { q =>
+      assert(got.contains((q, 1, q + 1000000L)), s"clone missing for query $q")
+    }
+  }
+
   test("IVF split index/search == one-shot ivfTopK (persisted-index path)") {
     val queries = emb.filter(col("vec_id") < 8)
     val oneShot = Similarity.ivfTopK(emb, queries, k = 5, nCells = 16, nProbe = 4)
