@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Checks, Linkage, Retrieval, SpanDedup, TextAnalysis, Whitening}
+import graft.ops.{Checks, Linkage, Retrieval, SpanDedup, TextAnalysis, UrlOps, Whitening}
 
 /** Round-6 corpus-curation operators: BM25 retrieval, blocked fuzzy
   * record linkage, repeated-span (exact-substring) dedup — each
@@ -106,6 +106,29 @@ object CurationQueries {
             .cast("long").as("n_flagged"),
           sum(col("n_hits")).cast("long").as("total_hits"))
         .orderBy(col("source"))
+    },
+
+    // URL canonicalization: deterministic dirty URLs are built in-query
+    // (uppercase scheme+host, www., default :443 port, unsorted params,
+    // utm_/gclid tracking params, trailing slashes, fragment), then
+    // canonicalized byte-exactly on both engines — scheme/host
+    // lowercase, www./port/fragment/tracking stripped, params sorted,
+    // trailing slash cut.  Exact groupBy on the canonical form is the
+    // corpus-scale URL dedup key (hash it for 8-byte shuffles).
+    "q_url_canon" -> { (s, dir) =>
+      val url = concat(lit("HTTPS://WWW.Example"),
+        (col("doc_id") % 7).cast("string"), lit(".COM:443/Path"),
+        (col("doc_id") % 5).cast("string"),
+        when(col("doc_id") % 3 === 0, lit(""))
+          .when(col("doc_id") % 3 === 1, lit("/"))
+          .otherwise(lit("/x/")),
+        lit("?utm_source=x&b=2&a=1&gclid=1"),
+        when(col("doc_id") % 2 === 0, lit("&z=9")).otherwise(lit("")),
+        lit("#frag"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), UrlOps.canonicalize(url).as("canon"),
+          UrlOps.hostOf(url).as("host"))
+        .orderBy(col("doc_id"))
     },
 
     // Script-mix profile: per-writing-system character counts over
@@ -297,6 +320,50 @@ object CurationQueries {
         |  CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
         |  CAST(sum(n_hits) AS BIGINT) AS total_hits
         |FROM h GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_url_canon" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.Example' || (doc_id % 7) || '.COM:443/Path' ||
+        |    (doc_id % 5) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ''
+        |         WHEN doc_id % 3 = 1 THEN '/' ELSE '/x/' END ||
+        |    '?utm_source=x&b=2&a=1&gclid=1' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '&z=9' ELSE '' END || '#frag' AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(trim(url),
+        |      '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)(.*)$', 1)) AS scheme,
+        |    lower(regexp_extract(trim(url),
+        |      '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)(.*)$', 2)) AS auth0,
+        |    regexp_extract(trim(url),
+        |      '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)(.*)$', 3) AS tail0
+        |  FROM d),
+        |norm AS (
+        |  SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'http'
+        |           THEN regexp_replace(regexp_replace(auth0, '^www\.', ''), ':80$', '')
+        |         WHEN scheme = 'https'
+        |           THEN regexp_replace(regexp_replace(auth0, '^www\.', ''), ':443$', '')
+        |         ELSE regexp_replace(auth0, '^www\.', '') END AS auth,
+        |    regexp_replace(regexp_replace(regexp_replace(tail0,
+        |      '#.*$', ''), '\?.*$', ''), '/+$', '') AS path,
+        |    regexp_extract(regexp_replace(tail0, '#.*$', ''),
+        |      '\?(.*)$', 1) AS q0
+        |  FROM parts),
+        |qn AS (
+        |  SELECT doc_id, scheme, auth, path,
+        |    array_to_string(list_sort(list_filter(string_split(q0, '&'),
+        |      p -> NOT (starts_with(p, 'utm_')
+        |                OR split_part(p, '=', 1) IN ('gclid', 'fbclid')
+        |                OR p = ''))), '&') AS q
+        |  FROM norm)
+        |SELECT doc_id,
+        |  scheme || '://' || auth || path ||
+        |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon,
+        |  auth AS host
+        |FROM qn ORDER BY doc_id""".stripMargin,
 
     "q_script_mix" ->
       """WITH d AS (
