@@ -50,6 +50,17 @@ class UrlSpec extends SparkSpec {
     assert(canon("  Not A Url  ") == "not a url")
   }
 
+  test("canonicalize is idempotent") {
+    val urls = Seq(
+      "HTTP://WWW.Site.COM:80/a/b/?b=2&a=1&utm_campaign=x#frag",
+      "https://x.com:8443/p?z=1&y=2",
+      "ftp://Host.Net/Dir/",
+      "  Not A Url  ")
+    urls.foreach { u =>
+      assert(canon(canon(u)) == canon(u), s"not idempotent on $u")
+    }
+  }
+
   test("hostOf strips www and port") {
     val h = Seq(Tuple1("HTTPS://WWW.Ex.COM:8080/p?a=1")).toDF("u")
       .select(UrlOps.hostOf(col("u"))).head().getString(0)

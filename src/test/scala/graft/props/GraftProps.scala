@@ -139,4 +139,35 @@ object GraftProps extends Properties("graft") {
         }
         monotone && bounded
     }
+
+  // --- Aho-Corasick: a tiny alphabet maximizes prefix sharing, fail
+  // --- transitions and overlapping matches per generated case
+  private val tinyPat = Gen.chooseNum(1, 5)
+    .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))).map(_.mkString)
+  private val tinyText = Gen.listOf(Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString)
+
+  property("aho countDistinct == naive per-pattern contains") =
+    forAll(Gen.nonEmptyListOf(tinyPat), tinyText) { (ps, t) =>
+      val distinct = ps.distinct
+      val ac = new graft.functions.AhoAutomaton(distinct.toArray)
+      val naive = distinct.count(t.contains(_))
+      Prop(ac.countDistinct(t) == naive) :| s"ps=$distinct t='$t' naive=$naive"
+    }
+
+  property("aho count is monotone under text append") =
+    forAll(Gen.nonEmptyListOf(tinyPat), tinyText, tinyText) { (ps, t1, t2) =>
+      val ac = new graft.functions.AhoAutomaton(ps.distinct.toArray)
+      ac.countDistinct(t1 + t2) >= math.max(
+        ac.countDistinct(t1), ac.countDistinct(t2))
+    }
+
+  property("sign_pack64 bit i reflects sign of dim i; high bits clear") =
+    forAll(vec) { xs =>
+      val sig = graft.functions.SignPack64(vecLit(xs)).eval(null)
+        .asInstanceOf[Long]
+      val low = xs.zipWithIndex.forall { case (x, i) =>
+        (((sig >>> i) & 1L) == 1L) == (x >= 0.0f) }
+      val high = (xs.length until 64).forall(i => ((sig >>> i) & 1L) == 0L)
+      Prop(low && high) :| f"sig=$sig%x xs=$xs"
+    }
 }
