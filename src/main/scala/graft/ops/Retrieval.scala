@@ -73,4 +73,58 @@ object Retrieval {
       .select(col("qid"), col("__doc").as(idCol), col("score_micro"),
         col("n_terms_hit"))
   }
+
+  /** Hybrid lexical + semantic retrieval fused with reciprocal-rank
+    * fusion (Cormack/Clarke/Buettcher, SIGIR'09): each ranker
+    * contributes `round(10⁶ / (c + rank))` micro-units for its top
+    * `kEach` docs, contributions sum per (query, doc), and the fused
+    * top `k` is kept.  RRF needs no score calibration between the
+    * incommensurable BM25 and cosine scales — only ranks — and the
+    * micro-unit contributions are integers derived from integer ranks,
+    * so the fusion is bit-deterministic under any partitioning.
+    *
+    * Scale design: the lexical side is [[bm25TopK]] (posting-list
+    * joins, broadcast query terms, bounded-heap top-k).  The semantic
+    * side here scores the embedding table exactly against the
+    * broadcast query vectors (one corpus pass — right whenever
+    * |queries| is small); at billion-vector scale swap in any ANN
+    * ranking from [[Similarity]] / [[Pq]] — the fusion only consumes
+    * (query, doc, rank) rows.  Both rank windows are over kEach rows
+    * per query, never corpus-sized.
+    *
+    * @param docs    corpus with (idCol, textCol)
+    * @param emb     embedding table with (vecIdCol = doc key, vecCol)
+    * @param queries (qid, qtext, qvec) — text and vector per query
+    * @return (qid, idCol, rrf_micro, n_rankers) top-k per query
+    */
+  def hybridTopK(docs: DataFrame, idCol: String, textCol: String,
+      emb: DataFrame, vecIdCol: String, vecCol: String,
+      queries: DataFrame, k: Int, kEach: Int = 10,
+      c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.cosine_sim
+    val lex = bm25TopK(docs, idCol, textCol,
+        queries.select(col("qid"), col("qtext")), kEach)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("score_micro").desc, col(idCol).asc)))
+      .select(col("qid"), col(idCol).as("__doc"), col("rank"))
+    val cvecs = emb.select(col(vecIdCol).as("corpus_id"), col(vecCol).as("cvec"))
+    val qvecs = queries.select(col("qid").as("query_id"), col("qvec"))
+    val sem = Similarity.rankTopK(cvecs.crossJoin(broadcast(qvecs))
+        .select(col("query_id"), col("corpus_id"),
+          cosine_sim(col("qvec"), col("cvec")).as("cos")), kEach)
+      .select(col("query_id").as("qid"), col("corpus_id").as("__doc"),
+        col("rank"))
+    val fused = lex.union(sem)
+      .select(col("qid"), col("__doc"),
+        round(lit(1000000.0) / (lit(c) + col("rank")), 0)
+          .cast("long").as("rr_micro"))
+      .groupBy(col("qid"), col("__doc"))
+      .agg(sum("rr_micro").cast("long").as("rrf_micro"),
+        count(lit(1)).cast("long").as("n_rankers"))
+    TopK.perKey(fused, Seq(col("qid")),
+        Seq(col("rrf_micro").desc, col("__doc").asc), k)
+      .select(col("qid"), col("__doc").as(idCol), col("rrf_micro"),
+        col("n_rankers"))
+  }
 }

@@ -35,6 +35,29 @@ object CurationQueries {
         .orderBy(col("qid"), desc("score_micro"), col("doc_id"))
     },
 
+    // Hybrid retrieval: BM25 lexical ranks + exact-cosine semantic
+    // ranks fused with reciprocal-rank fusion (round(1e6/(60+rank))
+    // micro-units summed per doc — integer-exact from integer ranks,
+    // no cross-scale score calibration).  Query vectors are corpus
+    // embeddings (vec_id 100/200/300), so the semantic side has a
+    // natural rank-1 self hit; the DuckDB twin recomputes both
+    // rankings and the same fusion.
+    "q_hybrid_retrieval" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val q0 = s.createDataFrame(Seq(
+          (1, "spark table join", 100),
+          (2, "customer order stream", 200),
+          (3, "fast hash scan zzzunseen", 300)))
+        .toDF("qid", "qtext", "qv")
+      val queries = q0.join(
+        emb.select(col("vec_id").as("qv"), col("embedding").as("qvec")),
+        Seq("qv"))
+      Retrieval.hybridTopK(docs, "doc_id", "text", emb, "vec_id",
+          "embedding", queries, k = 5, kEach = 10)
+        .orderBy(col("qid"), desc("rrf_micro"), col("doc_id"))
+    },
+
     // Blocked fuzzy record linkage: a synthetic "dirty" customer feed
     // (even keys: digit 4 corrupted, dist 1; odd keys: digits 4-5
     // corrupted, dist 2) resolved against the clean customer table.
@@ -236,6 +259,61 @@ object CurationQueries {
         |        FROM agg)
         |SELECT qid, doc_id, score_micro, n_terms_hit FROM top WHERE rn <= 5
         |ORDER BY qid, score_micro DESC, doc_id""".stripMargin,
+
+    "q_hybrid_retrieval" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS d,
+        |         unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT d, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT d, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |                 CAST((SELECT count(*) FROM toks) AS DOUBLE)
+        |                   / (SELECT count(*) FROM documents) AS avgdl),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |idf AS (SELECT tok,
+        |          CAST(round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+        |            * 1000000) AS BIGINT) AS idf_micro
+        |        FROM dfq, stats),
+        |q(qid, qtext, qv) AS (VALUES (1, 'spark table join', 100),
+        |                             (2, 'customer order stream', 200),
+        |                             (3, 'fast hash scan zzzunseen', 300)),
+        |qt AS (SELECT DISTINCT * FROM (
+        |  SELECT qid, unnest(regexp_extract_all(lower(qtext), '[a-z0-9'']+')) AS tok
+        |  FROM q)),
+        |scored AS (
+        |  SELECT qt.qid, tf.d,
+        |    CAST(round(idf.idf_micro * (tf.tf * (1.2 + 1.0))
+        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS BIGINT)
+        |      AS term_micro
+        |  FROM tf
+        |  JOIN dl ON tf.d = dl.d
+        |  JOIN idf ON tf.tok = idf.tok
+        |  JOIN qt ON tf.tok = qt.tok, stats),
+        |bagg AS (SELECT qid, d, CAST(sum(term_micro) AS BIGINT) AS score_micro
+        |         FROM scored GROUP BY 1, 2),
+        |lex AS (SELECT qid, d AS doc, rn AS rank FROM (
+        |  SELECT qid, d, row_number() OVER (PARTITION BY qid
+        |    ORDER BY score_micro DESC, d) AS rn FROM bagg) WHERE rn <= 10),
+        |sem AS (SELECT qid, doc, rn AS rank FROM (
+        |  SELECT q.qid, c.vec_id AS doc,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |        CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rn
+        |  FROM q JOIN embeddings e ON e.vec_id = q.qv
+        |  CROSS JOIN embeddings c) WHERE rn <= 10),
+        |fused AS (SELECT qid, doc,
+        |            CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS rr
+        |          FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)),
+        |agg2 AS (SELECT qid, doc, CAST(sum(rr) AS BIGINT) AS rrf_micro,
+        |                CAST(count(*) AS BIGINT) AS n_rankers
+        |         FROM fused GROUP BY 1, 2),
+        |top AS (SELECT qid, doc, rrf_micro, n_rankers,
+        |          row_number() OVER (PARTITION BY qid
+        |            ORDER BY rrf_micro DESC, doc) AS rn FROM agg2)
+        |SELECT qid, doc AS doc_id, rrf_micro, n_rankers
+        |FROM top WHERE rn <= 5
+        |ORDER BY qid, rrf_micro DESC, doc_id""".stripMargin,
 
     "q_record_linkage" ->
       """WITH clean AS (SELECT c_custkey AS pid, c_name AS name FROM customer),

@@ -42,4 +42,40 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(out.size == 2, s"k=2 must keep exactly two docs, got $out")
   }
+
+  test("hybrid RRF fuses ranks; symmetric ranks tie and break on doc id") {
+    // lexical 'apple': doc2 rank 1, doc1 rank 2 (doc3 absent).
+    // semantic vs [1,0]: vec1 rank 1 (cos 1), vec2 rank 2, vec3 rank 3.
+    // RRF(c=60): doc1 = round(1e6/62)+round(1e6/61) = 16129+16393 =
+    // 32522 == doc2 (mirror ranks) -> tie broken by doc id; doc3 is
+    // semantic-only: round(1e6/63) = 15873 with n_rankers 1.
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1, "apple", Seq(1.0f, 0.0f)))
+      .toDF("qid", "qtext", "qvec")
+    val out = Retrieval.hybridTopK(docs, "doc_id", "text", emb,
+        "vec_id", "embedding", queries, k = 3, kEach = 10)
+      .orderBy(org.apache.spark.sql.functions.desc("rrf_micro"),
+        org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 32522L, 2L), (2L, 32522L, 2L), (3L, 15873L, 1L)),
+      s"got $out")
+  }
+
+  test("hybrid k truncates the fused list, not the per-ranker lists") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1, "apple", Seq(1.0f, 0.0f)))
+      .toDF("qid", "qtext", "qvec")
+    val out = Retrieval.hybridTopK(docs, "doc_id", "text", emb,
+        "vec_id", "embedding", queries, k = 2, kEach = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(out == Set(1L, 2L), s"fused top-2 must drop the single-ranker doc: $out")
+  }
 }
