@@ -50,7 +50,8 @@ class PlanLintSpec extends SparkSpec {
     "q_tfidf",               // corpus-count 1-row broadcast cross-joined into the idf projection
     "q_tfidf_bigvocab",      // same scalar cross-join, inflated-vocabulary variant
     "q_keyword_topk",        // same tf-idf scoring subtree under TopKPerKey
-    "q_triangles")           // max-pair-count 1-row broadcast cross-joined into the edge threshold
+    "q_triangles",           // max-pair-count 1-row broadcast cross-joined into the edge threshold
+    "q_hybrid_retrieval")    // semantic ranker is the documented exact brute baseline: corpus scan × 3-row broadcast query batch
 
   /** Entries whose unpartitioned window is over an already-aggregated
     * (small) frame, or is the documented global-order requirement.
@@ -106,7 +107,8 @@ class PlanLintSpec extends SparkSpec {
     "q05_local_supplier"    -> "BHJ coverage gate: hint pins broadcasts of region-filtered dims (nation/region are schema-bounded)",
     "q10_returned_items"    -> "BHJ coverage gate: hint pins the broadcast of the filtered customer dim",
     "q_join_theta"          -> "BroadcastNestedLoop demo: the theta join IS the subject; broadcast side is a filtered dim",
-    "q_sql_hints"           -> "SQL hint syntax is the coverage subject of this entry")
+    "q_sql_hints"           -> "SQL hint syntax is the coverage subject of this entry",
+    "q_hybrid_retrieval"    -> "query batch is a 3-row VALUES joined to the unique-key embedding lookup — bounded by contract, invisible to planBounded through the join")
 
   /** A frame is plan-bounded when its row count cannot scale with the
     * input data: a limit, a scalar (no-grouping) aggregate, a literal
