@@ -66,6 +66,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
+    ext.injectOptimizerRule(_ => MultiContainsRewrite)
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectFunction(fn("graft_hamming64",
       "popcount(a ^ b) of two int64 signatures", 2,

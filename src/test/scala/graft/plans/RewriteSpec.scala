@@ -51,6 +51,66 @@ class RewriteSpec extends SparkSpec {
     }
   }
 
+  private def usesMmc(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.expressions.exists(
+      _.exists(_.isInstanceOf[graft.functions.MultiMatchCount]))
+
+  test("contains OR-chain rewrites to one multi_match_count pass under the flag") {
+    val docs = Tables.load(spark, sf, "documents")
+    def q = docs.filter(
+      lower(col("text")).contains("spark") ||
+      lower(col("text")).contains("vector") ||
+      lower(col("text")).contains("zzznever"))
+    val exact = q.count()
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ MultiContainsRewrite
+    try {
+      spark.conf.set(MultiContainsRewrite.Flag, "true")
+      assert(usesMmc(q), "3-term same-column chain must rewrite")
+      assert(q.count() == exact, "rewrite changed the filter result")
+      spark.conf.set(MultiContainsRewrite.Flag, "false")
+      assert(!usesMmc(q), "flag off must leave the chain exact")
+    } finally {
+      spark.conf.unset(MultiContainsRewrite.Flag)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == MultiContainsRewrite)
+    }
+  }
+
+  test("multi-contains guards: short/mixed/empty chains stay exact; NULL parity") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    // RDD-backed, not a LocalRelation: ConvertToLocalRelation folds a
+    // Filter over literal rows away before extra rules ever run
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("a b", "x"), Row(null, "x"), Row("sparky", "y"))),
+      StructType(Seq(StructField("t", StringType), StructField("u", StringType))))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ MultiContainsRewrite
+    try {
+      spark.conf.set(MultiContainsRewrite.Flag, "true")
+      // below MinTerms the automaton buys nothing
+      assert(!usesMmc(df.filter(col("t").contains("a") || col("t").contains("b"))))
+      // mixed text columns must keep their exact per-column scans
+      assert(!usesMmc(df.filter(col("t").contains("a") ||
+        col("u").contains("b") || col("t").contains("c"))))
+      // contains(t, '') is TRUE for non-null t — folding it would lie
+      assert(!usesMmc(df.filter(col("t").contains("a") ||
+        col("t").contains("") || col("t").contains("c"))))
+      val chain = df.filter(col("t").contains("spark") ||
+        col("t").contains("zz") || col("t").contains("a b"))
+      assert(usesMmc(chain))
+      // NULL text row is dropped by the rewritten filter exactly as by
+      // the OR chain (three-valued logic parity)
+      assert(chain.collect().map(_.getString(0)).toSet == Set("a b", "sparky"))
+    } finally {
+      spark.conf.unset(MultiContainsRewrite.Flag)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == MultiContainsRewrite)
+    }
+  }
+
   test("AQE splits a skewed sort-merge-join partition at runtime") {
     val confs = Map(
       "spark.sql.adaptive.enabled" -> "true",
