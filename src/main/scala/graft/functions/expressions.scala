@@ -254,6 +254,75 @@ case class InterleaveBits16(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 2-D Hilbert-curve index of two int columns at `bits` bits per
+  * dimension (the canonical xy2d recursion: per level, quadrant digit
+  * `(3·rx) XOR ry` plus a reflect-and-swap rotation).  Like the Morton
+  * code ([[InterleaveBits16]]) this linearizes two dimensions for
+  * range-partitioned write clustering, but the Hilbert curve has
+  * strictly better locality — every consecutive pair of indexes is an
+  * ADJACENT cell (unit Manhattan step, no Morton "jumps" across the
+  * square), so file min/max boxes from a range partition are tighter
+  * and 2-D predicates prune more files.  Inputs are masked to `bits`;
+  * the index ranges over [0, 4^bits).
+  *
+  * Reference behavior: the reference has no space-filling-curve
+  * expression at all (`sql/catalyst/.../expressions/mathExpressions
+  * .scala` stops at scalar math); both curves here are the write-side
+  * layout story its users would need an external tool for.
+  */
+case class HilbertIndex2D(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == IntegerType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hilbert2 needs (int, int), got (${left.dataType.sql}, ${right.dataType.sql})")
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val n = 1 << bits
+    var x = a.asInstanceOf[Int] & (n - 1)
+    var y = b.asInstanceOf[Int] & (n - 1)
+    var d = 0L
+    var s = n >>> 1
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      d += s.toLong * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>>= 1
+    }
+    d
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n = ctx.freshName("n"); val x = ctx.freshName("x")
+    val y = ctx.freshName("y"); val d = ctx.freshName("d")
+    val s = ctx.freshName("s"); val rx = ctx.freshName("rx")
+    val ry = ctx.freshName("ry"); val t = ctx.freshName("t")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""int $n = 1 << $bits;
+         |int $x = $a & ($n - 1);
+         |int $y = $b & ($n - 1);
+         |long $d = 0L;
+         |for (int $s = $n >>> 1; $s > 0; $s >>>= 1) {
+         |  int $rx = (($x & $s) > 0) ? 1 : 0;
+         |  int $ry = (($y & $s) > 0) ? 1 : 0;
+         |  $d += (long) $s * $s * ((3 * $rx) ^ $ry);
+         |  if ($ry == 0) {
+         |    if ($rx == 1) { $x = $n - 1 - $x; $y = $n - 1 - $y; }
+         |    int $t = $x; $x = $y; $y = $t;
+         |  }
+         |}
+         |${ev.value} = $d;""".stripMargin)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Cosine similarity of two float vectors, computed in double precision
   * with a single fused pass (dot, |a|², |b|² in one loop).  The
   * higher-order-function composition (`aggregate(zip_with(...))`)

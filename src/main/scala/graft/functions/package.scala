@@ -30,6 +30,10 @@ package object functions {
   def morton2(x: Column, y: Column): Column =
     toCol(InterleaveBits16(toExpr(x), toExpr(y)))
 
+  /** 2-D Hilbert index of two int columns at `bits` bits/dim. */
+  def hilbert2(x: Column, y: Column, bits: Int = 16): Column =
+    toCol(HilbertIndex2D(toExpr(x), toExpr(y), bits))
+
   /** Generator: word n-grams of a text column as (pos, ngram) rows. */
   def ngrams(text: Column, n: Int): Column =
     toCol(NGramsGenerator(toExpr(text),

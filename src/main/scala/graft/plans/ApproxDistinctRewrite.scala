@@ -89,6 +89,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_simhash64",
       "fused 64-bit SimHash of a token array<string>", 1,
       a => SimHash64(a(0))))
+    ext.injectFunction(fn("graft_hilbert2",
+      "2-D Hilbert index of two ints; bits/dim is an int literal", 3,
+      a => HilbertIndex2D(a(0), a(1), a(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
+        case other => throw new IllegalArgumentException(
+          s"hilbert2 bits must be an int literal, got $other")
+      })))
     ext.injectFunction(fn("graft_sign_pack64",
       "64-bit sign sketch of an array<float>/array<double>", 1,
       a => SignPack64(a(0))))

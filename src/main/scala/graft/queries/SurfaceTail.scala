@@ -235,6 +235,28 @@ object SurfaceTail {
           sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("qty"))
     },
 
+    // Hilbert-clustered write → 2-D box query == plain-table oracle
+    // (same end-to-end contract as q_zorder_layout; the Hilbert curve's
+    // consecutive-cell adjacency is pinned by LayoutSpec — this gate
+    // proves the layout is a pure reordering that changes no answer).
+    "q_hilbert_layout" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_quantity"),
+          (col("l_partkey") % 1024).cast("int").as("hx"),
+          (col("l_suppkey") % 1024).cast("int").as("hy"))
+      val out = graft.TmpCleanup.tempDir("graft_hilbert_gate")
+      graft.ops.Layout.hilbertOrder(li, col("hx"), col("hy"),
+          buckets = 8, bits = 10)
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("hx").between(300, 600) && col("hy").between(100, 400))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("qty"))
+    },
+
     // percent_rank + cume_dist side by side over the same ordered
     // partition (the two normalized-rank definitions differ at the
     // edges: (rank-1)/(n-1) vs rank/n).
@@ -309,6 +331,14 @@ object SurfaceTail {
          |    / len(list_distinct([n_nationkey % 3, n_nationkey % 5, n_nationkey % 7]
          |        || [n_nationkey % 4, n_nationkey % 5, n_nationkey % 6])), 6) AS DOUBLE) AS jac
          |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_hilbert_layout" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE (l_partkey % 1024) BETWEEN 300 AND 600
+        |  AND (l_suppkey % 1024) BETWEEN 100 AND 400""".stripMargin,
+
     "q_zorder_layout" ->
       """SELECT count(*) AS n,
         |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,

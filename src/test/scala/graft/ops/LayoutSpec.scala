@@ -70,4 +70,87 @@ class LayoutSpec extends SparkSpec {
     assert(boxes.map(_._2).max <= 40,
       s"no bucket may span the full y range, got ${boxes.mkString(",")}")
   }
+
+  // ------------------------------------------------------------ hilbert
+
+  test("hilbert index is a bijection AND every consecutive pair is adjacent") {
+    // the property Morton lacks: walk the full curve in index order and
+    // every step is one Manhattan unit — no jumps across the square
+    for (bits <- Seq(2, 3, 5)) {
+      val n = 1 << bits
+      val cells = grid(n)
+        .select(col("x"), col("y"),
+          graft.functions.hilbert2(col("x"), col("y"), bits).as("h"))
+        .collect().map(r => (r.getLong(2), (r.getInt(0), r.getInt(1))))
+      assert(cells.length == n * n)
+      assert(cells.map(_._1).toSet == (0L until n.toLong * n).toSet,
+        s"bits=$bits: indexes must fill [0, 4^bits) exactly once")
+      val walk = cells.sortBy(_._1).map(_._2)
+      val jumps = walk.sliding(2).collect {
+        case Array((x1, y1), (x2, y2))
+          if math.abs(x1 - x2) + math.abs(y1 - y2) != 1 => ((x1, y1), (x2, y2))
+      }.toSeq
+      assert(jumps.isEmpty, s"bits=$bits: non-adjacent steps $jumps")
+    }
+  }
+
+  test("morton DOES jump; hilbert never does (the locality win)") {
+    val n = 16
+    def maxStep(codeCol: org.apache.spark.sql.Column): Int = {
+      val walk = grid(n).withColumn("c", codeCol).orderBy(col("c"))
+        .select(col("x"), col("y")).collect()
+        .map(r => (r.getInt(0), r.getInt(1)))
+      walk.sliding(2).map {
+        case Array((x1, y1), (x2, y2)) => math.abs(x1 - x2) + math.abs(y1 - y2)
+        case _ => 0
+      }.max
+    }
+    assert(maxStep(graft.functions.hilbert2(col("x"), col("y"), 4)) == 1)
+    assert(maxStep(graft.functions.morton2(col("x"), col("y"))) > 1,
+      "morton must exhibit the jumps hilbert removes")
+  }
+
+  test("hilbert interpreted eval == codegen path; inputs masked to bits") {
+    val expected = grid(8)
+      .select(graft.functions.hilbert2(col("x"), col("y"), 3).as("h"))
+      .as[Long].collect().toSeq
+    val interp = (0 until 8).flatMap(x => (0 until 8).map(y =>
+      graft.functions.HilbertIndex2D(
+        org.apache.spark.sql.catalyst.expressions.Literal(x),
+        org.apache.spark.sql.catalyst.expressions.Literal(y), 3)
+        .eval(null).asInstanceOf[Long]))
+    assert(expected == interp)
+    // out-of-range coordinates wrap by masking, never throw
+    val masked = Seq((8, 0), (0, 8), (1032, 1024)).toDF("x", "y")
+      .select(graft.functions.hilbert2(col("x"), col("y"), 3).as("h"))
+      .as[Long].collect()
+    val base = Seq((0, 0), (0, 0), (8 % 8, 0)).map(_ => 0L)
+    assert(masked.toSeq == base, s"masking must reduce mod 2^bits: ${masked.toSeq}")
+  }
+
+  test("hilbertOrder buckets are disjoint index ranges with tight boxes") {
+    val parts = Layout.hilbertOrder(grid(64), col("x"), col("y"),
+        buckets = 8, bits = 6)
+      .withColumn("h", graft.functions.hilbert2(col("x"), col("y"), 6))
+      .withColumn("p", org.apache.spark.sql.functions.spark_partition_id())
+      .select(col("p"), col("h"), col("x"), col("y"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    val byPart = parts.groupBy(_._1)
+    // disjoint h-ranges across partitions
+    val ranges = byPart.view.mapValues(v =>
+      (v.map(_._2).min, v.map(_._2).max)).toSeq.sortBy(_._2._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, (_, hi)), (_, (lo, _))) =>
+        assert(hi < lo, s"overlapping hilbert ranges: $ranges")
+      case _ =>
+    }
+    // unit-step adjacency ⇒ every bucket's bounding box area is close
+    // to its cell count (a contiguous curve segment can't smear)
+    byPart.foreach { case (p, v) =>
+      val (w, h) = (v.map(_._3).max - v.map(_._3).min + 1,
+        v.map(_._4).max - v.map(_._4).min + 1)
+      assert(w.toLong * h <= 4L * v.length,
+        s"bucket $p box ${w}x$h too loose for ${v.length} cells")
+    }
+  }
 }
