@@ -121,6 +121,35 @@ object StreamingQueries {
         .orderBy(col("user_id"))
     },
 
+    // Streaming re-crawl URL dedup: two syntactic variants of every
+    // URL (case/www/port/tracking-param/slash/fragment noise) arrive
+    // in different micro-batches; canonicalization runs in the
+    // stream's projection and dropDuplicates keys the state store on
+    // the canonical string — so state holds one row per PAGE, not per
+    // crawl variant, and the survivors equal the batch-distinct
+    // canonical set exactly.
+    "q_stream_url_dedup" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 300)
+      val v1 = docs.select(concat(lit("https://www.ex"),
+        (col("doc_id") % 50).cast("string"), lit(".com/p/"),
+        (col("doc_id") % 20).cast("string"), lit("?a=1&b=2")).as("url"))
+      val v2 = docs.select(concat(lit("HTTPS://EX"),
+        (col("doc_id") % 50).cast("string"), lit(".COM:443/p/"),
+        (col("doc_id") % 20).cast("string"),
+        lit("/?b=2&utm_source=x&a=1#frag")).as("url"))
+      val stream = replay(s, v1.union(v2), chunks = 2)
+      val name = s"stream_url_dedup_${runId.incrementAndGet()}"
+      val deduped = stream
+        .select(graft.ops.UrlOps.canonicalize(col("url")).as("canon"))
+        .dropDuplicates("canon")
+      withStatePartitions(s) {
+        val q = deduped.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(name).select(col("canon")).orderBy(col("canon"))
+    },
+
     // Stream-stream inner join: clicks joined to same-user purchases
     // within the following hour, both sides replayed as file streams.
     // No watermark in the GATE variant: the replay interleaves event
@@ -560,6 +589,10 @@ object StreamingQueries {
         |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id FROM events ORDER BY user_id""".stripMargin,
+    "q_stream_url_dedup" ->
+      """SELECT DISTINCT 'https://ex' || (doc_id % 50) || '.com/p/' ||
+        |  (doc_id % 20) || '?a=1&b=2' AS canon
+        |FROM documents WHERE doc_id < 300 ORDER BY canon""".stripMargin,
     "q_stream_join" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
         |  FROM events WHERE user_id % 3 = 0)

@@ -219,6 +219,25 @@ class LineageSpec extends SparkSpec {
     assert(g("l_orderkey") == Set(src(liTable, "l_orderkey")))
   }
 
+  test("custom codegen expressions: lineage attributes through them generically") {
+    // MultiMatchCount / SignPack64 / HilbertIndex2D are unknown to any
+    // hand-written case list — the walk must pick their child
+    // attributes up through the generic Expression.references path
+    import graft.functions.{hilbert2, multi_match_count, sign_pack64}
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val g = ColumnLineage.of(docs.select(
+      multi_match_count(lower(col("text")), Seq("a", "b", "c")).as("hits"),
+      hilbert2((col("doc_id") % 64).cast("int"),
+        (col("n_chars") % 64).cast("int"), 6).as("h")))
+    val docsTable = g("hits").head.table
+    assert(g("hits") == Set(src(docsTable, "text")))
+    assert(g("h") == Set(src(docsTable, "doc_id"), src(docsTable, "n_chars")))
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val g2 = ColumnLineage.of(emb.select(
+      sign_pack64(col("embedding")).as("sig")))
+    assert(g2("sig").map(_.column) == Set("embedding"))
+  }
+
   test("DSv2 scan (SquaresV2): lineage leaf is the v2 table name") {
     val df = spark.read.format("graft.sources.SquaresV2")
       .option("n", 100).option("slices", 2).load()
