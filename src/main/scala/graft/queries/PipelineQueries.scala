@@ -154,6 +154,17 @@ object PipelineQueries {
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
         .orderBy(col("split"), col("lang"))
+    },
+
+    // T5-style span corruption: deterministic sentinel masking
+    // ((p + doc_id) % 7 starts a 3-token span) producing the
+    // (corrupted input, span targets) denoising pair byte-exactly on
+    // both engines — corrupted text, target string, and mask counts
+    // all oracle-checked per document.
+    "q_span_corrupt" -> { (s, dir) =>
+      graft.ops.Augment.spanCorrupt(Tables.load(s, dir, "documents"),
+          "doc_id", "text", every = 7, spanLen = 3)
+        .orderBy(col("doc_id"))
     })
 
   /** DuckDB twin of TextAnalysis.tokens (same as OpsQueries). */
@@ -170,6 +181,48 @@ object PipelineQueries {
     s"CASE WHEN len($g) > 0 THEN round(1.0 - len(list_distinct($g))::DOUBLE / len($g), 6) ELSE 0.0 END"
 
   val oracle: Map[String, String] = Map(
+    "q_span_corrupt" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, $toksSql AS arr FROM documents),
+        |tok AS (
+        |  SELECT doc_id, p, arr[p + 1] AS tok FROM (
+        |    SELECT doc_id, arr, unnest(range(0, len(arr))) AS p FROM toks)),
+        |starts AS (
+        |  SELECT doc_id, p,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS k
+        |  FROM tok WHERE (p + doc_id) % 7 = 0),
+        |covered AS (
+        |  SELECT doc_id, k, unnest(range(p, p + 3)) AS cp FROM starts),
+        |spantoks AS (
+        |  SELECT t.doc_id, c.k, t.p, t.tok
+        |  FROM tok t JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.cp),
+        |spantext AS (
+        |  SELECT doc_id, k, string_agg(tok, ' ' ORDER BY p) AS stext,
+        |         count(*) AS slen
+        |  FROM spantoks GROUP BY 1, 2),
+        |targ AS (
+        |  SELECT doc_id,
+        |    string_agg('<extra_id_' || k || '> ' || stext, ' ' ORDER BY k)
+        |      AS targets,
+        |    count(*) AS n_spans, CAST(sum(slen) AS BIGINT) AS n_masked
+        |  FROM spantext GROUP BY 1),
+        |keptuni AS (
+        |  SELECT t.doc_id, t.p, t.tok FROM tok t
+        |  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.cp
+        |  WHERE c.cp IS NULL
+        |  UNION ALL
+        |  SELECT doc_id, p, '<extra_id_' || k || '>' FROM starts),
+        |corr AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS corrupted
+        |  FROM keptuni GROUP BY 1)
+        |SELECT d.doc_id, coalesce(c.corrupted, '') AS corrupted,
+        |  coalesce(t.targets, '') AS targets,
+        |  CAST(coalesce(t.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(t.n_masked, 0) AS BIGINT) AS n_masked
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN corr c USING (doc_id) LEFT JOIN targ t USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_range_join" ->
       """SELECT o_orderpriority, count(*) AS n_pairs,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_sum

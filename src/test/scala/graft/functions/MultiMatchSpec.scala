@@ -122,6 +122,29 @@ class MultiMatchSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) == 1)
   }
 
+  test("both expressions run INSIDE whole-stage codegen (no fallback stage)") {
+    // the perf claim is that matching/sketching happens in the scan's
+    // generated code — the projection must sit under a WholeStageCodegen
+    // node, not in a separate non-codegen Project
+    val docs = Tables.load(spark, sf, "documents")
+    val plan1 = docs.select(
+        multi_match_count(lower(col("text")), Seq("a", "b")).as("n"))
+      .queryExecution.executedPlan
+    val inWsc1 = plan1.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+        if w.toString.contains("multimatchcount") => w
+    }
+    assert(inWsc1.nonEmpty, s"multi_match_count fell out of codegen:\n$plan1")
+    val emb = Tables.load(spark, sf, "embeddings")
+    val plan2 = emb.select(sign_pack64(col("embedding")).as("s"))
+      .queryExecution.executedPlan
+    val inWsc2 = plan2.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+        if w.toString.contains("signpack64") => w
+    }
+    assert(inWsc2.nonEmpty, s"sign_pack64 fell out of codegen:\n$plan2")
+  }
+
   test("sign_pack64 rejects non-float arrays; SQL form registered") {
     val e = intercept[AnalysisException] {
       Seq(Tuple1(Seq(1L, 2L))).toDF("v").select(sign_pack64(col("v"))).collect()

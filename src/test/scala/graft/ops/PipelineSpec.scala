@@ -185,4 +185,32 @@ class PipelineSpec extends SparkSpec {
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(a == b)
   }
+
+  test("span corruption: sentinels, targets, tail clip, empty doc") {
+    val docs = Seq(
+      (0L, "a b c d e f g h"),        // starts at p=0 and p=7 (clipped to 1 token)
+      (10L, "a b c d e f g h i j"),   // (p+10)%7==0 => single span at p=4
+      (4L, ""))                       // no tokens at all
+      .toDF("doc_id", "text")
+    val out = Augment.spanCorrupt(docs, "doc_id", "text",
+        every = 7, spanLen = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(0L) == (("<extra_id_0> d e f g <extra_id_1>",
+      "<extra_id_0> a b c <extra_id_1> h", 2L, 4L)), s"got ${out(0L)}")
+    assert(out(10L) == (("a b c d <extra_id_0> h i j",
+      "<extra_id_0> e f g", 1L, 3L)), s"got ${out(10L)}")
+    assert(out(4L) == (("", "", 0L, 0L)), s"got ${out(4L)}")
+  }
+
+  test("span corruption masks exactly spanLen/every of an aligned doc") {
+    // doc_id 0, 70 tokens: 10 spans x 3 tokens = 30 masked
+    val text = (0 until 70).map(i => s"t$i").mkString(" ")
+    val out = Augment.spanCorrupt(Seq((0L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", every = 7, spanLen = 3)
+      .head()
+    assert(out.getLong(3) == 10L && out.getLong(4) == 30L)
+    // sentinels replace their spans in place, order preserved
+    assert(out.getString(1).startsWith("<extra_id_0> t3 t4 t5 t6 <extra_id_1>"))
+  }
 }
