@@ -107,6 +107,44 @@ object Multimodal {
     }
   }
 
+  /** Video near-duplicate pairs via frame-signature Jaccard: sample
+    * frames ([[sampleFrames]] — swap in keyframe extraction + a real
+    * perceptual hash for production), collapse each video to its
+    * DISTINCT frame-hash set, and score candidate pairs with the
+    * two-pointer [[graft.functions.jaccard_sorted]] kernel.
+    *
+    * Candidate generation is an inverted-index equi-join on the frame
+    * hash — two videos pair iff they share at least one frame, which is
+    * COMPLETE for any Jaccard > 0 (no quadratic video×video join).
+    * The usual inverted-index caveat applies: a frame shared by many
+    * videos (intros, black frames) makes its posting quadratic —
+    * production drops hashes with document frequency above a cap the
+    * way BM25 drops stopwords; the refine joins carry only (id, id)
+    * pairs plus the per-video hash arrays.
+    */
+  def videoNearDupPairs(media: DataFrame, frameBytes: Int = 64,
+      threshold: Double = 0.5): DataFrame = {
+    import graft.functions.jaccard_sorted
+    val fr = sampleFrames(media.filter(col("kind") === "video"), frameBytes)
+      .toDF()
+      .select(col("media_id"), xxhash64(col("frame_digest")).as("__h"))
+      .distinct()
+    val sets = fr.groupBy(col("media_id"))
+      .agg(sort_array(collect_set(col("__h"))).as("__fh"))
+    val cand = fr.select(col("media_id").as("id_a"), col("__h"))
+      .join(fr.select(col("media_id").as("id_b"), col("__h")), Seq("__h"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sets.select(col("media_id").as("id_a"), col("__fh").as("__fa")),
+        Seq("id_a"))
+      .join(sets.select(col("media_id").as("id_b"), col("__fh").as("__fb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard_sorted(col("__fa"), col("__fb")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Resize STUB: a real implementation re-encodes pixels; the fake
     * keeps every stride-th byte so the payload shrinks proportionally
     * and deterministically.  Metadata (width/height) updates to the

@@ -519,6 +519,26 @@ object OpsQueries {
           sum(col("n_frame_bytes")).cast("long").as("total_bytes"),
           countDistinct(col("frame_digest")).as("n_distinct_frames"))
         .orderBy(col("kind"))
+    },
+
+    // Video near-dup via frame-signature Jaccard: exact clones
+    // (J = 1.0) and tail-extended partial clones are injected among the
+    // natural videos; candidates come from the inverted frame-hash
+    // index (complete for any J > 0), refined with the two-pointer
+    // jaccard kernel.  The DuckDB twin recomputes the same char-window
+    // frame sets and list-intersection Jaccard — equality also
+    // certifies the hashed frame pipeline collision-free.
+    "q_video_neardup" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("text"))
+        .union(docs.filter(col("doc_id") % 30 === 2)
+          .select((col("doc_id") + 999999L).as("doc_id"), col("text")))
+        .union(docs.filter(col("doc_id") % 30 === 5)
+          .select((col("doc_id") + 1999998L).as("doc_id"),
+            concat(col("text"), lit(" extracut extracut")).as("text")))
+      Multimodal.videoNearDupPairs(Multimodal.asMedia(src),
+          frameBytes = 64, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -528,6 +548,34 @@ object OpsQueries {
       s"""SELECT source, count(*) AS n_docs,
         |  count(DISTINCT $normSql) AS n_distinct_fp
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_video_neardup" ->
+      """WITH vids AS (
+        |  SELECT doc_id AS vid, text FROM documents WHERE doc_id % 3 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 999999, text FROM documents WHERE doc_id % 30 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 1999998, text || ' extracut extracut'
+        |  FROM documents WHERE doc_id % 30 = 5),
+        |wins AS (
+        |  SELECT vid, list_distinct(list_transform(
+        |    range(0, GREATEST(1, CAST(ceil(len(text) / 64.0) AS BIGINT))),
+        |    i -> substring(text, CAST(i * 64 + 1 AS BIGINT), 64))) AS ws
+        |  FROM vids),
+        |cand AS (
+        |  SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+        |  FROM (SELECT vid, unnest(ws) AS w FROM wins) a
+        |  JOIN (SELECT vid, unnest(ws) AS w FROM wins) b
+        |    ON a.w = b.w AND a.vid < b.vid),
+        |j AS (
+        |  SELECT c.id_a, c.id_b,
+        |    round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE) /
+        |      (len(wa.ws) + len(wb.ws) - len(list_intersect(wa.ws, wb.ws))), 6)
+        |      AS jaccard
+        |  FROM cand c
+        |  JOIN wins wa ON wa.vid = c.id_a
+        |  JOIN wins wb ON wb.vid = c.id_b)
+        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_minhash_recall" ->
       s"""WITH c AS (
         |  SELECT doc_id, text FROM documents

@@ -214,6 +214,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("video near-dup: clone J=1, tail-extension J=1/2, disjoint absent") {
+    // 128 a's = two identical 64-byte frames = a ONE-hash signature set;
+    // the tail-extended copy adds exactly one distinct frame (J = 1/2);
+    // ids are all ≡ 2 (mod 3) so asMedia kinds them 'video'
+    val docs = Seq(
+      (2L, "a" * 128),
+      (1000001L, "a" * 128),
+      (5L, "a" * 128 + "tail bytes that differ"),
+      (8L, "b" * 100))
+      .toDF("doc_id", "text")
+    val pairs = Multimodal.videoNearDupPairs(Multimodal.asMedia(docs),
+        frameBytes = 64, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs == Map(
+      (2L, 1000001L) -> 1.0,
+      (2L, 5L) -> 0.5,
+      (5L, 1000001L) -> 0.5), s"got $pairs")
+  }
+
   test("IVF split index/search == one-shot ivfTopK (persisted-index path)") {
     val queries = emb.filter(col("vec_id") < 8)
     val oneShot = Similarity.ivfTopK(emb, queries, k = 5, nCells = 16, nProbe = 4)
