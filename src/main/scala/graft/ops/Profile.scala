@@ -43,4 +43,44 @@ object Profile {
         col("r.min_num"), col("r.max_num"), col("r.min_str"), col("r.max_str"))
       .orderBy(col("column"))
   }
+
+  /** Key-skew diagnosis for a prospective join/aggregation key — the
+    * report you read BEFORE deciding between a plain shuffle, a
+    * broadcast, AQE skew handling, or [[PipelineOps]] salting.  One
+    * pass builds the per-key count table; the summary reports key
+    * cardinality, the heaviest key (and which key it is), exact
+    * p50/p99 of per-key row counts, and the Gini coefficient of the
+    * count distribution in integer micro-units (0 = perfectly uniform,
+    * → 1 as one key dominates).
+    *
+    * Gini is computed from the ascending-rank identity
+    * `(2·Σi·cᵢ − (n+1)·Σcᵢ) / (n·Σcᵢ)` — all-integer numerator and
+    * denominator, so the only float op is the final division (ties in
+    * cᵢ cannot change Σi·cᵢ, so the value is deterministic under any
+    * tie order).  The rank window runs over the AGGREGATED per-key
+    * frame (key-cardinality rows, never the fact table); at extreme
+    * key cardinality swap the exact percentile aggregate for
+    * [[ExactQuantiles]] and the intermediate products for
+    * DECIMAL(38,0) — the shape is unchanged.
+    */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol).as("__key"))
+      .agg(count(lit(1)).as("__cnt"))
+    val ranked = counts.withColumn("__i",
+      row_number().over(Window.orderBy(col("__cnt"), col("__key"))))
+    ranked.agg(
+      count(lit(1)).as("n_keys"),
+      sum("__cnt").cast("long").as("n_rows"),
+      max("__cnt").cast("long").as("max_key_rows"),
+      max_by(col("__key").cast("string"),
+        struct(col("__cnt"), col("__key"))).as("top_key"),
+      round(expr("percentile(__cnt, 0.5D)"), 4).as("p50_rows"),
+      round(expr("percentile(__cnt, 0.99D)"), 4).as("p99_rows"),
+      round((lit(2) * sum(col("__i") * col("__cnt"))
+          - (count(lit(1)) + 1) * sum(col("__cnt"))).cast("double")
+          * 1000000d
+          / (count(lit(1)) * sum(col("__cnt"))).cast("double"), 0)
+        .cast("long").as("gini_micro"))
+  }
 }

@@ -456,6 +456,16 @@ object OpsQueries {
         strCols = Seq("l_returnflag", "l_linestatus"))
     },
 
+    // Key-skew diagnosis: cardinality, heaviest key, exact p50/p99 of
+    // per-key counts and the integer-micro Gini coefficient of the
+    // count distribution — the numbers that decide between a plain
+    // shuffle, broadcast, AQE skew-join, or salting.  Every figure is
+    // exact (integer Gini identity; interpolating percentiles match
+    // quantile_cont), so the whole row oracle-checks.
+    "q_skew_report" -> { (s, dir) =>
+      Profile.skewReport(Tables.load(s, dir, "events"), "user_id")
+    },
+
     // Keyed snapshot diff: the corpus-promotion regression gate.  The
     // "new" snapshot drops 1-in-97 keys, rewrites balances for 1-in-13
     // and names for 1-in-17, and adds 1-in-101 under offset ids; the
@@ -699,6 +709,24 @@ object OpsQueries {
         |  CAST(sum(1 + strlen(text) // 1024) AS BIGINT) AS total_frames
         |FROM documents
         |GROUP BY 1 ORDER BY kind""".stripMargin,
+    "q_skew_report" ->
+      """WITH c AS (SELECT user_id AS key, count(*) AS cnt
+        |           FROM events GROUP BY 1),
+        |r AS (SELECT key, cnt,
+        |        row_number() OVER (ORDER BY cnt, key) AS i FROM c),
+        |s AS (SELECT count(*) AS n, CAST(sum(cnt) AS BIGINT) AS tot,
+        |        CAST(max(cnt) AS BIGINT) AS mx,
+        |        CAST(sum(i * cnt) AS BIGINT) AS si,
+        |        round(quantile_cont(cnt, 0.5), 4) AS p50,
+        |        round(quantile_cont(cnt, 0.99), 4) AS p99
+        |      FROM r),
+        |t AS (SELECT CAST(key AS VARCHAR) AS top_key
+        |      FROM r ORDER BY cnt DESC, key DESC LIMIT 1)
+        |SELECT CAST(n AS BIGINT) AS n_keys, tot AS n_rows,
+        |  mx AS max_key_rows, top_key, p50 AS p50_rows, p99 AS p99_rows,
+        |  CAST(round((2.0 * si - (n + 1.0) * tot) * 1000000.0
+        |    / (CAST(n AS DOUBLE) * tot)) AS BIGINT) AS gini_micro
+        |FROM s, t""".stripMargin,
     "q_profile" ->
       """SELECT * FROM (
         |  SELECT 'l_quantity' AS "column",

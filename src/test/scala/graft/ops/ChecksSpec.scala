@@ -77,4 +77,26 @@ class ChecksSpec extends SparkSpec {
     // and a zero-MAD constant group flags nothing (strict >)
     assert(out("b") == ((3L, 0L, 7.0, 0.0)), s"got $out")
   }
+
+  test("skew report: closed-form Gini, heaviest key, exact percentiles") {
+    import spark.implicits._
+    // counts per key: a=1, b=1, c=2, d=4 (sorted 1,1,2,4)
+    // Σi·cᵢ = 1+2+6+16 = 25; gini = (2·25 − 5·8)/(4·8) = 10/32 = 0.3125
+    val rows = Seq.fill(1)("a") ++ Seq.fill(1)("b") ++
+      Seq.fill(2)("c") ++ Seq.fill(4)("d")
+    val out = Profile.skewReport(rows.toDF("k"), "k").head()
+    assert(out.getLong(0) == 4L && out.getLong(1) == 8L)      // n_keys, n_rows
+    assert(out.getLong(2) == 4L && out.getString(3) == "d")   // max, top_key
+    assert(out.getDouble(4) == 1.5)                           // p50 of 1,1,2,4
+    assert(math.abs(out.getDouble(5) - 3.94) < 1e-9)          // p99 interp
+    assert(out.getLong(6) == 312500L, s"gini ${out.getLong(6)}")
+  }
+
+  test("skew report: uniform keys give Gini 0") {
+    import spark.implicits._
+    val rows = (0 until 40).map(i => s"k${i % 8}")
+    val out = Profile.skewReport(rows.toDF("k"), "k").head()
+    assert(out.getLong(6) == 0L, s"uniform must be zero, got ${out.getLong(6)}")
+    assert(out.getLong(2) == 5L)
+  }
 }
