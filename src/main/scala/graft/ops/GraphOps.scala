@@ -60,4 +60,82 @@ object GraphOps {
     }
     ranks
   }
+
+  /** Canonical undirected edge set: (u < v), self-loops dropped. */
+  private def canonical(edges: DataFrame): DataFrame =
+    edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+  /** One peel round: drop every vertex of degree < k and the edges
+    * touching it.  Degrees are one symmetric aggregation; the cut is
+    * two semi-joins on the endpoint — all equi-shuffles on node id.
+    */
+  private def peelOnce(e: DataFrame, k: Int): DataFrame = {
+    val keep = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= k)
+      .select(col("n"))
+    e.join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+      .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+      .select(col("u"), col("v"))
+  }
+
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).cast("long").as("deg"))
+
+  /** k-core decomposition membership (Matula/Beck peel, distributed):
+    * repeatedly delete vertices of degree < k until every survivor has
+    * degree >= k.  Returns (node, deg) over the k-core subgraph.
+    * Round count is bounded by the peel depth, not the diameter; each
+    * round materializes the shrinking edge set (localCheckpoint) so
+    * the plan stays O(1).  Throws rather than return a partial core
+    * when `maxIter` is exhausted — same loud-failure contract as
+    * [[DupClusters.connectedComponents]].
+    */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var e = canonical(edges).localCheckpoint()
+    var prev = e.count()
+    var converged = prev == 0L
+    var i = 0
+    while (!converged && i < maxIter) {
+      e = peelOnce(e, k).localCheckpoint()
+      val c = e.count()
+      // unchanged edge count <=> no vertex was under-degree <=> fixpoint
+      converged = c == prev || c == 0L
+      prev = c
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore did not converge in $maxIter peels — raise maxIter " +
+          "(rounds are bounded by the peel depth of the graph)")
+    degrees(e)
+  }
+
+  /** Fixed-round peel toward the (max-degree-relative) core: k is
+    * computed from the canonical graph's maximum degree as
+    * `max(2, maxDeg·num/den)` (driver-side scalar — one aggregate over
+    * the node-sized degree table), then exactly `rounds` peels run.
+    * The FIXED round count (rather than peel-to-fixpoint) is what
+    * makes the operator expressible as an unrolled SQL twin, the same
+    * contract as [[pageRank]]'s fixed iterations; converged inputs are
+    * simply unchanged by the extra rounds.
+    */
+  def kCorePeelRelative(edges: DataFrame, num: Int, den: Int,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && num >= 1 && den >= num,
+      s"need rounds >= 1 and 0 < num/den <= 1, got $num/$den x$rounds")
+    var e = canonical(edges).localCheckpoint()
+    val maxDeg = degrees(e).agg(max(col("deg"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val k = math.max(2L, maxDeg * num / den).toInt
+    for (_ <- 1 to rounds) e = peelOnce(e, k).localCheckpoint()
+    degrees(e)
+  }
 }

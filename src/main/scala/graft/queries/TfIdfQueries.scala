@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{CorpusStats, TfIdf, Triangles}
+import graft.ops.{CorpusStats, GraphOps, TfIdf, Triangles}
 
 /** TF-IDF / vocabulary-coverage / graph-density gate battery —
   * [[graft.ops.TfIdf]] and [[graft.ops.Triangles]] over the documents
@@ -74,6 +74,25 @@ object TfIdfQueries {
       Triangles.perNode(edges)
         .orderBy(col("n_triangles").desc, col("node"))
         .limit(50)
+    },
+
+    // k-core of the same co-occurrence graph: k is max-degree-relative
+    // (max(2, maxDeg/2) — scale-proof the same way the triangle edge
+    // threshold is), and exactly 3 peel rounds run so the DuckDB twin
+    // can unroll them — the fixed-iteration contract pageRank's oracle
+    // uses.  At sf0.01 the 80% graph has degree spread 1..18, so the
+    // peel genuinely removes vertices and re-removes newly-exposed
+    // ones; the fixpoint form (loud on budget exhaustion) is
+    // golden-tested in SeriesGraphSpec.
+    "q_kcore" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = CorpusStats.skipGramPairs(docs, "doc_id", "text", window = 3)
+      val mx = pairs.agg(max("n_pairs").as("mx"))
+      val edges = pairs.crossJoin(broadcast(mx))
+        .filter(col("n_pairs") * 100 >= col("mx") * 80)
+        .select(col("w1").as("src"), col("w2").as("dst"))
+      GraphOps.kCorePeelRelative(edges, num = 1, den = 2, rounds = 3)
+        .orderBy(desc("deg"), col("node"))
     },
 
     // TF-IDF at a ≥10⁴-token vocabulary (20 unique suffix tokens per
@@ -203,6 +222,39 @@ object TfIdfQueries {
         |  FROM scored)
         |WHERE rn <= 3
         |ORDER BY doc_id, tfidf_micro DESC, tok""".stripMargin,
+
+    "q_kcore" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS tok,
+        |    unnest(range(1, len($toksSql) + 1)) AS pos
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.tok AS w1, b.tok AS w2, count(*) AS n_pairs
+        |  FROM toks a JOIN toks b
+        |    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
+        |  GROUP BY 1, 2),
+        |m AS (SELECT max(n_pairs) AS mx FROM pairs),
+        |e0 AS (SELECT DISTINCT least(w1, w2) AS u, greatest(w1, w2) AS v
+        |       FROM pairs, m WHERE n_pairs * 100 >= mx * 80 AND w1 <> w2),
+        |d0 AS (SELECT n, count(*) AS d FROM (
+        |  SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+        |kk AS (SELECT GREATEST(2, max(d) // 2) AS k FROM d0),
+        |k1 AS (SELECT n FROM d0, kk WHERE d >= k),
+        |e1 AS (SELECT u, v FROM e0 WHERE u IN (SELECT n FROM k1)
+        |       AND v IN (SELECT n FROM k1)),
+        |d2 AS (SELECT n, count(*) AS d FROM (
+        |  SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1) GROUP BY 1),
+        |k2 AS (SELECT n FROM d2, kk WHERE d >= k),
+        |e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT n FROM k2)
+        |       AND v IN (SELECT n FROM k2)),
+        |d3 AS (SELECT n, count(*) AS d FROM (
+        |  SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2) GROUP BY 1),
+        |k3 AS (SELECT n FROM d3, kk WHERE d >= k),
+        |e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT n FROM k3)
+        |       AND v IN (SELECT n FROM k3))
+        |SELECT n AS node, CAST(count(*) AS BIGINT) AS deg
+        |FROM (SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3)
+        |GROUP BY 1 ORDER BY deg DESC, node""".stripMargin,
 
     "q_triangles" ->
       s"""WITH toks AS (

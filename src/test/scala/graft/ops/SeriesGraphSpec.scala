@@ -89,4 +89,37 @@ class SeriesGraphSpec extends SparkSpec {
       .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(a == b)
   }
+
+  // K4 (complete on 1-4) with a pendant chain 4-5-6-7 hanging off it
+  private def k4chain = Seq(
+    (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+    (4L, 5L), (5L, 6L), (6L, 7L))
+    .toDF("src", "dst")
+
+  test("kCore peels the chain iteratively (re-exposed pendants) leaving K4") {
+    // k=2: 7 is degree-1 -> removed; that EXPOSES 6 as degree-1, then
+    // 5 — three dependent peel rounds; the 2-core is exactly K4
+    val core = GraphOps.kCore(k4chain, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $core")
+  }
+
+  test("kCore above the max degree empties; budget exhaustion throws") {
+    assert(GraphOps.kCore(k4chain, k = 4).isEmpty,
+      "no vertex survives k above the graph's core number")
+    val e = intercept[IllegalStateException] {
+      GraphOps.kCore(k4chain, k = 2, maxIter = 1)
+    }
+    assert(e.getMessage.contains("converge"), e.getMessage)
+  }
+
+  test("relative fixed-round peel == fixpoint core once converged") {
+    // maxDeg = 3 -> k = max(2, 3*2/3) = 2; the chain needs 3 peels, so
+    // rounds = 5 is past the fixpoint and extra rounds must be no-ops
+    val fixed = GraphOps.kCorePeelRelative(k4chain, num = 2, den = 3, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fix = GraphOps.kCore(k4chain, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed == fix, s"fixed $fixed vs fixpoint $fix")
+  }
 }

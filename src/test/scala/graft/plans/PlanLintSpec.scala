@@ -51,6 +51,7 @@ class PlanLintSpec extends SparkSpec {
     "q_tfidf_bigvocab",      // same scalar cross-join, inflated-vocabulary variant
     "q_keyword_topk",        // same tf-idf scoring subtree under TopKPerKey
     "q_triangles",           // max-pair-count 1-row broadcast cross-joined into the edge threshold
+    "q_kcore",               // same scalar max-pair cross-join feeding the edge threshold
     "q_hybrid_retrieval")    // semantic ranker is the documented exact brute baseline: corpus scan × 3-row broadcast query batch
 
   /** Entries whose unpartitioned window is over an already-aggregated
