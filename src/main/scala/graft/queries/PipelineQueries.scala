@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{KMeansOps, PipelineOps, RangeJoin, TextAnalysis}
+import graft.ops.{Dedup, KMeansOps, PipelineOps, RangeJoin, TextAnalysis}
 import graft.plans.TopK
 
 /** Round-2 pipeline operators through the driver contract: binned range
@@ -156,6 +156,34 @@ object PipelineQueries {
         .orderBy(col("split"), col("lang"))
     },
 
+    // END-TO-END curation pipeline: funnel screen → exact keep-first
+    // dedup → deterministic train/val/test split → greedy packing of
+    // the train shard — four operators COMPOSED, each stage feeding
+    // the next, and the whole chain oracle-checked as one DuckDB twin
+    // (per-split doc counts + id sums, train bin count + token total).
+    // This is the "a user runs their whole pipeline on graft" gate:
+    // any drift in any stage, or in how stages compose, breaks it.
+    "q_pipeline_e2e" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val kept = PipelineOps.curationFunnel(docs, "text")
+        .filter(col("status") === "kept")
+        .select(col("doc_id"), col("source"), col("text"))
+      val deduped = Dedup.dropExactDuplicates(kept, "doc_id", "text")
+      val split = PipelineOps.assignSplit(deduped, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val packed = PipelineOps.sequencePacking(
+        split.filter(col("split") === "train"), "source", "doc_id",
+        TextAnalysis.tokenCount(col("text")).cast("long"), budget = 2048L)
+      val splitCounts = split.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+      val packStats = packed.agg(
+        countDistinct(struct(col("source"), col("seq_bin")))
+          .as("n_train_bins"),
+        sum(col("n_tok")).cast("long").as("train_tokens"))
+      splitCounts.crossJoin(broadcast(packStats)).orderBy(col("split"))
+    },
+
     // T5-style span corruption: deterministic sentinel masking
     // ((p + doc_id) % 7 starts a 3-token span) producing the
     // (corrupted input, span targets) denoising pair byte-exactly on
@@ -181,6 +209,58 @@ object PipelineQueries {
     s"CASE WHEN len($g) > 0 THEN round(1.0 - len(list_distinct($g))::DOUBLE / len($g), 6) ELSE 0.0 END"
 
   val oracle: Map[String, String] = Map(
+    "q_pipeline_e2e" ->
+      s"""WITH base AS (
+        |  SELECT source, doc_id, text, $toksSql AS toks FROM documents),
+        |m AS (
+        |  SELECT source, doc_id, text, len(toks) AS ntok,
+        |    ${dupFracSql("toks")} AS dup,
+        |    round(greatest(0.0, least(1.0,
+        |      0.5 + 0.5*sr - pr - (CASE WHEN awl < 2 OR awl > 12 THEN 0.25 ELSE 0.0 END))), 6) AS q
+        |  FROM (
+        |    SELECT source, doc_id, text, toks,
+        |      CASE WHEN len(toks) > 0
+        |        THEN list_reduce(list_transform(toks, t -> len(t)), (a,b) -> a+b)::DOUBLE / len(toks)
+        |        ELSE 0.0 END AS awl,
+        |      CASE WHEN len(text) > 0
+        |        THEN (len(text) - len(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))::DOUBLE / len(text)
+        |        ELSE 0.0 END AS pr,
+        |      CASE WHEN len(toks) > 0
+        |        THEN len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t)))::DOUBLE / len(toks)
+        |        ELSE 0.0 END AS sr
+        |    FROM base)),
+        |kept AS (
+        |  SELECT source, doc_id, text, ntok FROM m
+        |  WHERE NOT (ntok < 10) AND NOT (dup > 0.3) AND NOT (q < 0.3)),
+        |ded AS (
+        |  SELECT source, doc_id, ntok FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY trim(regexp_replace(regexp_replace(lower(text),
+        |        '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn
+        |    FROM kept) WHERE rn = 1),
+        |sp AS (
+        |  SELECT source, doc_id, ntok,
+        |    CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+        |         WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM ded),
+        |packed AS (
+        |  SELECT source,
+        |    CAST(floor(COALESCE(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT)
+        |      AS seq_bin,
+        |    ntok
+        |  FROM sp WHERE split = 'train'),
+        |ps AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM
+        |            (SELECT DISTINCT source, seq_bin FROM packed)) AS n_train_bins,
+        |         (SELECT CAST(sum(ntok) AS BIGINT) FROM packed) AS train_tokens)
+        |SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       n_train_bins, train_tokens
+        |FROM sp, ps GROUP BY split, n_train_bins, train_tokens
+        |ORDER BY split""".stripMargin,
+
     "q_span_corrupt" ->
       s"""WITH toks AS (
         |  SELECT doc_id, $toksSql AS arr FROM documents),

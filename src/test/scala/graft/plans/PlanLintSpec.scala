@@ -52,6 +52,7 @@ class PlanLintSpec extends SparkSpec {
     "q_keyword_topk",        // same tf-idf scoring subtree under TopKPerKey
     "q_triangles",           // max-pair-count 1-row broadcast cross-joined into the edge threshold
     "q_kcore",               // same scalar max-pair cross-join feeding the edge threshold
+    "q_pipeline_e2e",        // pack-stats scalar aggregate cross-joined onto the 3-row split summary
     "q_hybrid_retrieval")    // semantic ranker is the documented exact brute baseline: corpus scan × 3-row broadcast query batch
 
   /** Entries whose unpartitioned window is over an already-aggregated
