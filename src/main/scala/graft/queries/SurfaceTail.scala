@@ -235,6 +235,22 @@ object SurfaceTail {
           sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("qty"))
     },
 
+    // Hilbert CODE bit-exactness: the xy2d recursion must produce the
+    // identical BIGINT index in both engines — the DuckDB twin runs
+    // the same per-level reflect-swap-accumulate as a recursive CTE
+    // (10 levels of state (x, y, d, s) per row), the same rigor
+    // q_zorder_code gets from its unrolled-shift twin.
+    "q_hilbert_code" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 1024).cast("int").as("hx"),
+          (col("l_suppkey") % 1024).cast("int").as("hy"))
+        .withColumn("h", graft.functions.hilbert2(col("hx"), col("hy"), 10))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
     // Hilbert-clustered write → 2-D box query == plain-table oracle
     // (same end-to-end contract as q_zorder_layout; the Hilbert curve's
     // consecutive-cell adjacency is pinned by LayoutSpec — this gate
@@ -331,6 +347,33 @@ object SurfaceTail {
          |    / len(list_distinct([n_nationkey % 3, n_nationkey % 5, n_nationkey % 7]
          |        || [n_nationkey % 4, n_nationkey % 5, n_nationkey % 6])), 6) AS DOUBLE) AS jac
          |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_hilbert_code" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_partkey % 1024 AS INTEGER) AS hx,
+        |    CAST(l_suppkey % 1024 AS INTEGER) AS hy
+        |  FROM lineitem WHERE l_orderkey <= 100),
+        |hrec AS (
+        |  SELECT l_orderkey, l_linenumber, hx, hy, hx AS x, hy AS y,
+        |         CAST(0 AS BIGINT) AS d, 512 AS s
+        |  FROM pts
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, hx, hy,
+        |    CASE WHEN (y & s) = 0
+        |         THEN (CASE WHEN (x & s) > 0 THEN 1023 - y ELSE y END)
+        |         ELSE x END,
+        |    CASE WHEN (y & s) = 0
+        |         THEN (CASE WHEN (x & s) > 0 THEN 1023 - x ELSE x END)
+        |         ELSE y END,
+        |    d + CAST(s AS BIGINT) * s *
+        |      xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+        |          CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END),
+        |    s // 2
+        |  FROM hrec WHERE s > 0)
+        |SELECT l_orderkey, l_linenumber, hx, hy, d AS h
+        |FROM hrec WHERE s = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     "q_hilbert_layout" ->
       """SELECT count(*) AS n,
         |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
