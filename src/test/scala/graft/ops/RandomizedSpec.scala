@@ -169,4 +169,77 @@ class RandomizedSpec extends SparkSpec {
       assert(got == want, s"seed=$seed got-size=${got.size} want-size=${want.size}")
     }
   }
+
+  test("removeSpans == local reference on random small-alphabet corpora (3 seeds)") {
+    // 4-token alphabet forces dense span collisions: firsts, overlap
+    // merging and cross-doc interactions all fire on arbitrary data
+    for (seed <- Seq(5, 6, 7)) {
+      val rnd = new Random(seed)
+      val n = rnd.between(2, 5)
+      val docs = Seq.tabulate(60) { i =>
+        (i.toLong,
+          Seq.fill(rnd.between(0, 25))(s"w${rnd.nextInt(4)}").mkString(" "))
+      }
+      val tok = docs.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty) }.toMap
+      val occ = for {
+        (id, ts) <- tok.toSeq
+        p <- 0 to ts.length - n
+      } yield (ts.slice(p, p + n).mkString(" "), id, p)
+      val counts = occ.groupBy(_._1).view.mapValues(_.size).toMap
+      val firsts = occ.groupBy(_._1).view
+        .mapValues(_.map(o => (o._2, o._3)).min).toMap
+      val covered = occ
+        .filter(o => counts(o._1) >= 2 && (o._2, o._3) != firsts(o._1))
+        .flatMap(o => (o._3 until o._3 + n).map(p => (o._2, p))).toSet
+      val expected = docs.map { case (id, _) =>
+        val ts = tok(id)
+        val kept = ts.zipWithIndex.collect {
+          case (t, p) if !covered((id, p)) => t }
+        id -> ((kept.mkString(" "), ts.length.toLong, kept.length.toLong,
+          (ts.length - kept.length).toLong))
+      }.toMap
+      val got = SpanDedup.removeSpans(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got == expected, s"seed=$seed n=$n")
+    }
+  }
+
+  test("spanCorrupt == local reference on random corpora (2 seeds)") {
+    for (seed <- Seq(21, 22)) {
+      val rnd = new Random(seed)
+      val every = rnd.between(4, 9)
+      val spanLen = rnd.between(1, every) // strictly < every: disjoint
+      val docs = Seq.tabulate(50) { i =>
+        (i.toLong,
+          Seq.fill(rnd.between(0, 20))(s"w${rnd.nextInt(6)}").mkString(" "))
+      }
+      val expected = docs.map { case (id, t) =>
+        val ts = t.split(" ").filter(_.nonEmpty)
+        val starts = ts.indices.filter(p => (p + id) % every == 0)
+        val ks = starts.zipWithIndex
+        val cov = ks.flatMap { case (p, _) =>
+          (p until math.min(p + spanLen, ts.length)) }.toSet
+        val corrupted = ts.indices.flatMap { p =>
+          ks.find(_._1 == p) match {
+            case Some((_, k)) => Some(s"<extra_id_$k>")
+            case None if cov(p) => None
+            case None => Some(ts(p))
+          }
+        }.mkString(" ")
+        val targets = ks.map { case (p, k) =>
+          s"<extra_id_$k> " +
+            ts.slice(p, math.min(p + spanLen, ts.length)).mkString(" ")
+        }.mkString(" ")
+        id -> ((corrupted, targets, starts.length.toLong, cov.size.toLong))
+      }.toMap
+      val got = Augment.spanCorrupt(docs.toDF("doc_id", "text"),
+          "doc_id", "text", every, spanLen)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got == expected, s"seed=$seed every=$every spanLen=$spanLen")
+    }
+  }
 }
