@@ -305,6 +305,43 @@ object Dedup {
     CacheScope.releasing(pairs, sh)
   }
 
+  /** Containment near-dup pairs (Broder containment
+    * C(A→B) = |A∩B| / |A| over shingle sets): finds the doc-in-doc
+    * relations symmetric Jaccard MISSES — a 10-shingle quote embedded
+    * in a 500-shingle page scores J ≈ 0.02 but C(quote→page) = 1.0 —
+    * the screen for quotes, boilerplate supersets and page-in-page
+    * duplication.
+    *
+    * Scale design: candidates come from the inverted shingle index
+    * (two ids pair iff they share a shingle — COMPLETE for any
+    * containment > 0, no doc×doc join; the usual df-cap on
+    * stop-shingles applies at web scale), and the refine joins carry
+    * (id, id) pairs plus the two per-doc shingle arrays.  Returns
+    * (id_a, id_b, c_ab, c_ba) for id_a < id_b where
+    * max(c_ab, c_ba) >= threshold.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, w: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val sh = shingleSets(df, idCol, textCol, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = sh.select(col("id"), explode(col("sh")).as("__s"))
+    val cand = inv.select(col("id").as("id_a"), col("__s"))
+      .join(inv.select(col("id").as("id_b"), col("__s")), Seq("__s"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val pairs = cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("__sa")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("__sb")), Seq("id_b"))
+      .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))))
+      .select(col("id_a"), col("id_b"),
+        round(col("__inter") / size(col("__sa")), 6).as("c_ab"),
+        round(col("__inter") / size(col("__sb")), 6).as("c_ba"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+    CacheScope.releasing(pairs, sh)
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the token multiset, computed by the fused

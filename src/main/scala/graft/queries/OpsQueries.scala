@@ -182,6 +182,26 @@ object OpsQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Containment (doc-in-doc) pairs: 8-token "quote" docs are carved
+    // out of real documents and injected — each quote's shingles are a
+    // SUBSET of its source's, so C(quote→doc) = 1.0 while Jaccard is
+    // tiny (exactly the relation Jaccard dedup misses).  Candidates
+    // come from the inverted shingle index; the DuckDB twin recomputes
+    // both directed containments from raw shingle STRINGS, certifying
+    // the hashed pipeline collision-free.
+    "q_containment_pairs" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text"))
+      val quotes = docs.filter(col("doc_id") % 20 === 3)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          array_join(slice(split(TextAnalysis.normalize(col("text")), " "),
+            1, 8), " ").as("text"))
+      Dedup.containmentPairs(docs.union(quotes), "doc_id", "text",
+          threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Brute-force exact cosine top-k for a small query set (oracle via
     // DuckDB list_cosine_similarity).
     "q_knn_brute" -> { (s, dir) =>
@@ -558,6 +578,35 @@ object OpsQueries {
       s"""SELECT source, count(*) AS n_docs,
         |  count(DISTINCT $normSql) AS n_distinct_fp
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_containment_pairs" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 150
+        |  UNION ALL
+        |  SELECT doc_id + 500000,
+        |    array_to_string((string_split($normSql, ' '))[1:8], ' ')
+        |  FROM documents WHERE doc_id < 150 AND doc_id % 20 = 3),
+        |t AS (SELECT doc_id AS id,
+        |        string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |          '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS toks
+        |      FROM base),
+        |sh AS (SELECT id, CASE WHEN len(toks) >= 3
+        |         THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                i -> array_to_string(toks[i:i+2], ' ')))
+        |         ELSE [array_to_string(toks, ' ')] END AS s
+        |       FROM t),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |         FROM (SELECT id, unnest(s) AS w FROM sh) a
+        |         JOIN (SELECT id, unnest(s) AS w FROM sh) b
+        |           ON a.w = b.w AND a.id < b.id),
+        |j AS (SELECT c.id_a, c.id_b,
+        |        round(len(list_intersect(sa.s, sb.s))::DOUBLE / len(sa.s), 6)
+        |          AS c_ab,
+        |        round(len(list_intersect(sa.s, sb.s))::DOUBLE / len(sb.s), 6)
+        |          AS c_ba
+        |      FROM cand c JOIN sh sa ON sa.id = c.id_a
+        |      JOIN sh sb ON sb.id = c.id_b)
+        |SELECT id_a, id_b, c_ab, c_ba FROM j
+        |WHERE greatest(c_ab, c_ba) >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     "q_video_neardup" ->
       """WITH vids AS (
         |  SELECT doc_id AS vid, text FROM documents WHERE doc_id % 3 = 2

@@ -214,6 +214,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("containment finds doc-in-doc pairs that Jaccard misses") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"), // 14 shingles (w=3)
+      (2L, "a b c d e"),                       // 3 shingles, all inside doc 1
+      (3L, "x y z w q r"))                     // disjoint
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set((1L, 2L)), s"got ${out.keySet}")
+    val (cab, cba) = out((1L, 2L))
+    assert(cba == 1.0, s"quote fully contained: $cba")
+    assert(math.abs(cab - 0.214286) < 1e-9, s"asymmetric back-direction: $cab")
+    // the same threshold through the symmetric Jaccard screen: nothing
+    assert(Dedup.jaccardPairsExact(docs, "doc_id", "text", 0.9).isEmpty,
+      "Jaccard at 0.9 must miss the quote relation containment catches")
+  }
+
   test("video near-dup: clone J=1, tail-extension J=1/2, disjoint absent") {
     // 128 a's = two identical 64-byte frames = a ONE-hash signature set;
     // the tail-extended copy adds exactly one distinct frame (J = 1/2);
