@@ -342,6 +342,57 @@ object Dedup {
     CacheScope.releasing(pairs, sh)
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * the MOSS algorithm): hash every k-token gram, then in each window
+    * of `w` consecutive gram hashes select the MINIMUM (rightmost on
+    * ties) — the distinct selected (position, hash) pairs are the
+    * document's fingerprint sketch.  Guarantee: any match of at least
+    * w + k - 1 consecutive tokens between two documents shares at
+    * least one fingerprint, at ~2/(w+1) the density of full shingling.
+    *
+    * The gram hash is an ENGINE-AGNOSTIC base-31 polynomial mod 2^31
+    * over the gram's codepoints — winnowing selects by hash ORDER, so
+    * cross-engine verification needs the identical hash function, not
+    * just equal-vs-not (xxhash64 would verify as rows-only).  The
+    * (hash, rightmost-pos) argmin is packed into one long
+    * (`h·2^20 + (2^20−1−pos)`, positions < 2^20 by contract) so the
+    * whole selection is a plain `min` window over a per-document
+    * frame.  One token explode, two per-doc windows, one distinct —
+    * linear in corpus tokens, no shuffle beyond the doc partitioning.
+    *
+    * @return (idCol, fp_pos, fp_hash) — one row per selected
+    *         fingerprint; docs with fewer than w + k - 1 tokens have
+    *         no full window and contribute no rows
+    */
+  def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 2, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 2, s"need k >= 1 and w >= 2, got k=$k w=$w")
+    val toks = docs.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("__pos").rowsBetween(0, k - 1)
+    val grams = toks
+      .withColumn("__w", collect_list("__tok").over(wg))
+      .filter(size(col("__w")) === k)
+      .select(col(idCol), col("__pos"), concat_ws(" ", col("__w")).as("__g"))
+    val hashed = grams.select(col(idCol), col("__pos"),
+      aggregate(sequence(lit(1), length(col("__g"))), lit(0L),
+        (acc, j) => (acc * 31 + ascii(col("__g").substr(j, lit(1))))
+          % lit(2147483648L)).as("__h"))
+    val keyed = hashed.select(col(idCol), col("__pos"),
+      (col("__h") * 1048576L + (lit(1048575L) - col("__pos"))).as("__k"))
+    val ww = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("__pos").rowsBetween(0, w - 1)
+    keyed
+      .withColumn("__mk", min(col("__k")).over(ww))
+      .withColumn("__n", count(lit(1)).over(ww))
+      .filter(col("__n") === w)
+      .select(col(idCol),
+        (lit(1048575L) - pmod(col("__mk"), lit(1048576L))).as("fp_pos"),
+        expr("__mk div 1048576").as("fp_hash"))
+      .distinct()
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the token multiset, computed by the fused

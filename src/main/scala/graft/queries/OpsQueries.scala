@@ -182,6 +182,23 @@ object OpsQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Winnowing fingerprints (MOSS): per-doc sketch of window-min gram
+    // hashes.  Selection depends on hash ORDER, so the gate uses an
+    // engine-agnostic base-31 mod-2^31 gram hash and the DuckDB twin
+    // recomputes the identical argmin selection — fingerprint COUNT
+    // and hash SUM match exactly per document.
+    "q_winnow" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 300)
+      val fp = Dedup.winnowedFingerprints(docs, "doc_id", "text", k = 2, w = 4)
+      docs.select(col("doc_id"))
+        .join(fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"),
+          sum(col("fp_hash")).cast("long").as("h_sum")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_fp"), lit(0L)).cast("long").as("n_fp"),
+          coalesce(col("h_sum"), lit(0L)).cast("long").as("h_sum"))
+        .orderBy(col("doc_id"))
+    },
+
     // Containment (doc-in-doc) pairs: 8-token "quote" docs are carved
     // out of real documents and injected — each quote's shingles are a
     // SUBSET of its source's, so C(quote→doc) = 1.0 while Jaccard is
@@ -578,6 +595,37 @@ object OpsQueries {
       s"""SELECT source, count(*) AS n_docs,
         |  count(DISTINCT $normSql) AS n_distinct_fp
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_winnow" ->
+      s"""WITH t AS (
+        |  SELECT doc_id AS id, $toksSql AS toks
+        |  FROM documents WHERE doc_id < 300),
+        |grams AS (
+        |  SELECT id, i - 1 AS pos,
+        |    list_reduce(list_transform(
+        |      range(1, len(array_to_string(toks[i:i+1], ' ')) + 1),
+        |      j -> CAST(unicode(array_to_string(toks[i:i+1], ' ')[j]) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 2147483648) AS h
+        |  FROM (SELECT id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+        |keyed AS (
+        |  SELECT id, pos,
+        |    h * CAST(1048576 AS BIGINT) + (1048575 - pos) AS kk
+        |  FROM grams),
+        |m AS (SELECT id, count(*) AS n FROM grams GROUP BY 1),
+        |sel AS (
+        |  SELECT g.id, s.s, min(g.kk) AS mk
+        |  FROM keyed g
+        |  JOIN (SELECT id, unnest(range(0, n - 3)) AS s FROM m) s
+        |    ON g.id = s.id AND g.pos BETWEEN s.s AND s.s + 3
+        |  GROUP BY 1, 2),
+        |fp AS (SELECT DISTINCT id, mk FROM sel),
+        |agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_fp,
+        |          CAST(sum(mk // 1048576) AS BIGINT) AS h_sum
+        |        FROM fp GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(a.n_fp, 0) AS BIGINT) AS n_fp,
+        |       CAST(coalesce(a.h_sum, 0) AS BIGINT) AS h_sum
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+        |LEFT JOIN agg a ON a.id = d.doc_id ORDER BY d.doc_id""".stripMargin,
+
     "q_containment_pairs" ->
       s"""WITH base AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id < 150

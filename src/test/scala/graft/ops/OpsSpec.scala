@@ -214,6 +214,23 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("winnowing guarantee: a shared run of >= w+k-1 tokens shares a fingerprint") {
+    // k=2, w=4: any (w+k-1)=5-token common run gives >= w common grams,
+    // so one full winnow window lies inside the match on both sides.
+    // The 6-token shared run sits at different offsets with different
+    // contexts (6 > 5: strictly inside the guarantee).
+    val docs = Seq(
+      (1L, "p q r shared run of six common tokens x y z"),
+      (2L, "a b c d e f shared run of six common tokens g h"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.winnowedFingerprints(docs, "doc_id", "text", k = 2, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+    val h1 = fp.collect { case (1L, h) => h }.toSet
+    val h2 = fp.collect { case (2L, h) => h }.toSet
+    assert(h1.intersect(h2).nonEmpty,
+      s"guaranteed shared fingerprint missing: $h1 vs $h2")
+  }
+
   test("containment finds doc-in-doc pairs that Jaccard misses") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l m n o p"), // 14 shingles (w=3)

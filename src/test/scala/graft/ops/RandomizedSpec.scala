@@ -207,6 +207,35 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("winnowed fingerprints == local reference winnow on random corpora") {
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 2147483648L)
+    for (seed <- Seq(31, 32)) {
+      val rnd = new Random(seed)
+      val k = rnd.between(2, 4)
+      val w = rnd.between(2, 6)
+      val docs = Seq.tabulate(40) { i =>
+        (i.toLong,
+          Seq.fill(rnd.between(0, 30))(s"w${rnd.nextInt(5)}").mkString(" "))
+      }
+      val expected = docs.flatMap { case (id, t) =>
+        val ts = t.split(" ").filter(_.nonEmpty)
+        val grams = ts.sliding(k).filter(_.length == k)
+          .map(_.mkString(" ")).toArray
+        val hs = grams.map(polyHash)
+        (0 to hs.length - w).flatMap { s =>
+          val p = (s until s + w).minBy(p => (hs(p), -p))
+          Some((id, p.toLong, hs(p)))
+        }.distinct
+      }.toSet
+      val got = Dedup.winnowedFingerprints(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"seed=$seed k=$k w=$w " +
+        s"got=${got.size} want=${expected.size}")
+    }
+  }
+
   test("spanCorrupt == local reference on random corpora (2 seeds)") {
     for (seed <- Seq(21, 22)) {
       val rnd = new Random(seed)
