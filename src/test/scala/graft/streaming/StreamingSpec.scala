@@ -547,6 +547,38 @@ class StreamingSpec extends SparkSpec with org.scalatest.Retries {
       s"${missing.take(10)}")
   }
 
+  test("observe() metrics surface per micro-batch in streaming progress") {
+    // the streaming half of the q_observe gate: observed metrics
+    // accumulate ON the executors during the micro-batch and land in
+    // StreamingQueryProgress.observedMetrics — the zero-extra-pass
+    // data-quality hook for production streams
+    val in = MemoryStream[Event]
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val obs = in.toDF().observe("gate_metrics",
+      count(lit(1)).as("n"), sum($"value").as("v"))
+    val q = obs.writeStream.format("memory").queryName("obs_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, 1, value = 2.0), ev(2, 2, value = 3.0),
+        ev(3, 3, value = 5.0))
+      q.processAllAvailable()
+      val metrics = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("gate_metrics")))
+      assert(metrics.nonEmpty, "no observed metrics in any progress event")
+      val last = metrics.last
+      assert(last.getLong(last.fieldIndex("n")) == 3L)
+      assert(last.getDouble(last.fieldIndex("v")) == 10.0)
+      // a second batch reports ITS batch's metrics, not a running total
+      in.addData(ev(4, 4, value = 7.0))
+      q.processAllAvailable()
+      val m2 = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("gate_metrics"))).last
+      assert(m2.getLong(m2.fieldIndex("n")) == 1L &&
+        m2.getDouble(m2.fieldIndex("v")) == 7.0,
+        "observe must be per-micro-batch, not cumulative")
+    } finally q.stop()
+  }
+
   test("console sink runs a micro-batch without error") {
     val in = MemoryStream[Event]
     val q = in.toDS().toDF().writeStream.format("console")
