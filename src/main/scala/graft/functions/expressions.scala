@@ -678,7 +678,8 @@ case class SignPack64(child: Expression) extends UnaryExpression {
   * out(fail(s))), so a match at state s reports every pattern ending
   * there without chain walking.
   */
-final class AhoAutomaton(patternsIn: Array[String]) extends Serializable {
+final class AhoAutomaton(patternsIn: Array[String],
+    denseLimit: Int = 262144) extends Serializable {
   private val patterns: Array[String] = patternsIn.distinct
   /** number of distinct patterns the automaton recognizes */
   val size: Int = patterns.length
@@ -701,34 +702,46 @@ final class AhoAutomaton(patternsIn: Array[String]) extends Serializable {
     ownOut(s) += id
   }
   private val nNodes = kids.length
+  /** The dense ASCII DFA costs nodes × 128 ints (512 B/node) — right
+    * for blocklists (≤ tens of KB of patterns), wrong for a pattern
+    * set with millions of trie nodes.  Past this cap every transition
+    * takes the fail-chain path instead: bounded memory, amortized
+    * O(1) per char, same answers.
+    */
+  private val useDense = nNodes <= denseLimit
   private val fail = new Array[Int](nNodes)
   /** merged output pattern-ids per state (own ++ out(fail)) */
   private val out = new Array[Array[Int]](nNodes)
-  /** resolved goto DFA for ASCII chars */
-  private val delta = Array.ofDim[Int](nNodes, 128)
+  /** resolved goto DFA for ASCII chars (only when [[useDense]]) */
+  private val delta: Array[Array[Int]] =
+    if (useDense) Array.ofDim[Int](nNodes, 128) else null
   locally {
     val queue = scala.collection.mutable.Queue.empty[Int]
     out(0) = ownOut(0).toArray
-    var c = 0
-    while (c < 128) {
-      delta(0)(c) = kids(0).getOrElse(c.toChar, 0)
-      c += 1
+    if (useDense) {
+      var c = 0
+      while (c < 128) {
+        delta(0)(c) = kids(0).getOrElse(c.toChar, 0)
+        c += 1
+      }
     }
     for ((_, ch) <- kids(0)) { fail(ch) = 0; queue += ch }
     while (queue.nonEmpty) {
       val s = queue.dequeue()
       out(s) = (ownOut(s) ++ out(fail(s))).distinct.toArray
-      var cc = 0
-      while (cc < 128) {
-        delta(s)(cc) = kids(s).getOrElse(cc.toChar, delta(fail(s))(cc))
-        cc += 1
+      if (useDense) {
+        var cc = 0
+        while (cc < 128) {
+          delta(s)(cc) = kids(s).getOrElse(cc.toChar, delta(fail(s))(cc))
+          cc += 1
+        }
       }
       for ((ch, child) <- kids(s)) {
         // fail(child) = state reached from fail(s) on ch — the longest
         // proper suffix of path(s)+ch present in the trie (BFS order
         // guarantees fail(s)'s row is already resolved)
         fail(child) =
-          if (ch < 128) delta(fail(s))(ch)
+          if (useDense && ch < 128) delta(fail(s))(ch)
           else slowStep(fail(s), ch)
         queue += child
       }
@@ -753,7 +766,7 @@ final class AhoAutomaton(patternsIn: Array[String]) extends Serializable {
     val n = text.length
     while (i < n && found < size) {
       val c = text.charAt(i)
-      s = if (c < 128) delta(s)(c) else slowStep(s, c)
+      s = if (useDense && c < 128) delta(s)(c) else slowStep(s, c)
       val o = out(s)
       var j = 0
       while (j < o.length) {

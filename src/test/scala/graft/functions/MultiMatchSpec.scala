@@ -65,6 +65,20 @@ class MultiMatchSpec extends SparkSpec {
       s"AC total $viaAc vs naive $viaNaive")
   }
 
+  test("sparse (no dense DFA) automaton matches the dense path exactly") {
+    // denseLimit = 0 forces every transition through the fail-chain —
+    // the memory-bounded mode a million-node pattern set gets
+    val ps = Array("he", "she", "his", "hers", "fast hash", "пр")
+    val dense = new AhoAutomaton(ps)
+    val sparse = new AhoAutomaton(ps, denseLimit = 0)
+    val texts = Seq("ushers", "his fast hash set", "пример", "", "hhhh",
+      "she sells seashells", "fast hash fast hash")
+    texts.foreach { t =>
+      assert(dense.countDistinct(t) == sparse.countDistinct(t),
+        s"dense/sparse diverge on '$t'")
+    }
+  }
+
   test("pattern-list contract violations are analysis errors") {
     val e1 = intercept[AnalysisException] {
       Seq(Tuple1(1)).toDF("t").select(multi_match_count(col("t"), Seq("x"))).collect()
