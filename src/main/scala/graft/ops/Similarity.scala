@@ -186,22 +186,31 @@ object Similarity {
     require(radius >= 0 && radius <= 3,
       s"4x16-bit bands are complete only for radius <= 3, got $radius")
     import graft.functions.{hamming64, sign_pack64}
-    def banded(df: DataFrame, idAs: String, vecAs: String,
-        sigAs: String): DataFrame =
-      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
-          sign_pack64(col(vecCol)).as(sigAs))
-        .select(col(idAs), col(vecAs), col(sigAs),
+    def banded(df: DataFrame, idAs: String, sigAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), sign_pack64(col(vecCol)).as(sigAs))
+        .select(col(idAs), col(sigAs),
           posexplode(array((0 until 4).map(b =>
             shiftrightunsigned(col(sigAs), 16 * b)
               .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("__band", "__word")))
-    val c = banded(corpus, "corpus_id", "cvec", "csig")
-    val q = banded(queries, "query_id", "qvec", "qsig")
-    val cands = c.join(broadcast(q), Seq("__band", "__word"))
+    // candidate generation carries only (id, 8-byte sketch) — the
+    // popcount cut happens BEFORE the pair dedup, so the dedup shuffle
+    // moves 16-byte id pairs, never vectors
+    val pairs = banded(corpus, "corpus_id", "csig")
+      .join(broadcast(banded(queries, "query_id", "qsig")),
+        Seq("__band", "__word"))
       .filter(col("corpus_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "corpus_id")
       .filter(hamming64(col("qsig"), col("csig")) <= radius)
-    rankTopK(cands.select(col("query_id"), col("corpus_id"),
-      cosine_sim(col("qvec"), col("cvec")).as("cos")), k)
+      .select(col("query_id"), col("corpus_id")).distinct()
+    // vectors re-join only for the radius-bounded survivor set (AQE
+    // broadcasts the tiny pair table against the corpus scan)
+    val scored = pairs
+      .join(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec")),
+        Seq("corpus_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qvec"))), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine_sim(col("qvec"), col("cvec")).as("cos"))
+    rankTopK(scored, k)
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold, found via
