@@ -199,4 +199,38 @@ object CorpusStats {
         org.apache.spark.sql.expressions.Window
           .partitionBy(sourceCol).orderBy(col("hkey"), col(idCol))))
   }
+
+  /** Vocabulary-growth (Heaps' law) curve: exact token and distinct-
+    * vocabulary counts at each corpus prefix cut (documents ordered by
+    * id; cuts are exclusive upper bounds on the id).  The curve is
+    * what sizes a tokenizer vocabulary and predicts OOV decay as the
+    * corpus grows.
+    *
+    * One-scan design: vocab at cut c = tokens whose FIRST-occurrence
+    * doc id is < c, so a single (token → min doc, per-cut occurrence
+    * counts) aggregation answers every cut — the token stream is read
+    * once however many cuts are requested, and the second-stage
+    * aggregate runs over the vocabulary-sized first-occurrence table
+    * (conditional sums, |cuts| scalars out).
+    */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+      cuts: Seq[Long]): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted, "cuts must be ascending")
+    val toks = docs.select(col(idCol).as("__id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+    val firsts = toks.groupBy(col("__tok"))
+      .agg(min(col("__id")).as("__first"),
+        cuts.map(c =>
+          sum(when(col("__id") < c, 1L).otherwise(0L)).as(s"__n$c")): _*)
+    val perCut = cuts.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("cut"),
+        sum(col(s"__n$c")).cast("long").as("n_tokens"),
+        sum(when(col("__first") < c, 1L).otherwise(0L))
+          .cast("long").as("vocab")).as(s"__cut$i")
+    }
+    firsts.agg(perCut.head, perCut.tail: _*)
+      .select(explode(array(cuts.indices.map(i => col(s"__cut$i")): _*)).as("r"))
+      .select(col("r.cut"), col("r.n_tokens"), col("r.vocab"))
+      .orderBy(col("cut"))
+  }
 }

@@ -25,6 +25,14 @@ object CorpusQueries {
   private val toksSql = "regexp_extract_all(lower(text), '[a-z0-9'']+')"
 
   val queries: Map[String, Q] = Map(
+    // Heaps-law vocabulary-growth curve: exact (n_tokens, vocab) at
+    // three corpus prefixes from ONE token scan (vocab@cut counted
+    // from per-token FIRST-occurrence ids — no per-cut rescan).  The
+    // tokenizer-vocab-sizing curve, oracle-exact at every cut.
+    "q_vocab_growth" -> { (s, dir) =>
+      graft.ops.CorpusStats.vocabGrowth(Tables.load(s, dir, "documents"),
+        "doc_id", "text", cuts = Seq(100L, 250L, 1000000000L))
+    },
     "q_lm_score" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       CorpusStats.unigramLogProb(docs, "doc_id", "text")
@@ -152,6 +160,27 @@ object CorpusQueries {
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_vocab_growth" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |f AS (
+        |  SELECT tok, min(doc_id) AS fst,
+        |    sum(CASE WHEN doc_id < 100 THEN 1 ELSE 0 END) AS n100,
+        |    sum(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS n250,
+        |    count(*) AS nall
+        |  FROM toks GROUP BY tok)
+        |SELECT * FROM (
+        |  SELECT CAST(100 AS BIGINT) AS cut,
+        |    CAST(sum(n100) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN fst < 100 THEN 1 ELSE 0 END) AS BIGINT) AS vocab
+        |  FROM f
+        |  UNION ALL
+        |  SELECT 250, CAST(sum(n250) AS BIGINT),
+        |    CAST(sum(CASE WHEN fst < 250 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+        |  UNION ALL
+        |  SELECT 1000000000, CAST(sum(nall) AS BIGINT),
+        |    CAST(count(*) AS BIGINT) FROM f)
+        |ORDER BY cut""".stripMargin,
     "q_lm_score" ->
       s"""WITH toks AS (
         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),

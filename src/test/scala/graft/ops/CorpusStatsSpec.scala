@@ -190,4 +190,13 @@ class CorpusStatsSpec extends SparkSpec {
     assert(one.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ==
       many.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
   }
+
+  test("vocabGrowth counts tokens and first-occurrence vocab per cut") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b a"), (1L, "b c"), (2L, "d")).toDF("doc_id", "text")
+    val out = CorpusStats.vocabGrowth(docs, "doc_id", "text",
+        cuts = Seq(1L, 2L, 10L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 3L, 2L), (2L, 5L, 3L), (10L, 6L, 4L)), s"got $out")
+  }
 }
