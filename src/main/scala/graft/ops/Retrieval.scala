@@ -74,6 +74,41 @@ object Retrieval {
         col("n_terms_hit"))
   }
 
+  /** More-like-this retrieval (the Lucene MLT recipe): for each query
+    * DOCUMENT, select its `mTerms` most characteristic terms by
+    * tf-idf (deterministic desc-score / asc-token tiebreak via the
+    * bounded-heap [[graft.plans.TopKPerKey]]) and BM25-search the
+    * corpus with those terms; the query document itself is excluded
+    * from its results.  Term selection and scoring are both integer
+    * micro-unit exact, so the whole composition is bit-deterministic
+    * and oracle-checkable end to end.
+    *
+    * Self-exclusion contract: the BM25 pass keeps k+1 hits, the self
+    * row (at most one) is dropped, and the survivors re-rank to k —
+    * provably equal to ranking the non-self candidates directly.
+    *
+    * @return (qid, idCol, score_micro, rank) — top-k similar docs per
+    *         query document
+    */
+  def moreLikeThis(docs: DataFrame, idCol: String, textCol: String,
+      queryIds: Seq[Long], mTerms: Int = 5, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryIds.nonEmpty && mTerms >= 1 && k >= 1)
+    val terms = TfIdf.tfIdf(docs, idCol, textCol)
+      .filter(col("doc_id").isin(queryIds: _*))
+    val top = TopK.perKey(terms, Seq(col("doc_id")),
+      Seq(col("tfidf_micro").desc, col("tok").asc), mTerms)
+    val queries = top.groupBy(col("doc_id").as("qid"))
+      .agg(concat_ws(" ", sort_array(collect_list(col("tok")))).as("qtext"))
+    val hits = bm25TopK(docs, idCol, textCol, queries, k + 1)
+      .filter(col(idCol) =!= col("qid"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col(idCol).asc)
+    hits.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol), col("score_micro"), col("rank"))
+  }
+
   /** Hybrid lexical + semantic retrieval fused with reciprocal-rank
     * fusion (Cormack/Clarke/Buettcher, SIGIR'09): each ranker
     * contributes `round(10⁶ / (c + rank))` micro-units for its top

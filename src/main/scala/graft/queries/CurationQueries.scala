@@ -35,6 +35,16 @@ object CurationQueries {
         .orderBy(col("qid"), desc("score_micro"), col("doc_id"))
     },
 
+    // More-like-this: each query DOCUMENT's top-5 tf-idf terms become
+    // its BM25 query; the doc itself is excluded from its hits.  Term
+    // selection and scoring are integer micro-unit exact, so the whole
+    // two-stage composition oracle-checks bit-for-bit.
+    "q_more_like_this" -> { (s, dir) =>
+      Retrieval.moreLikeThis(Tables.load(s, dir, "documents"),
+          "doc_id", "text", queryIds = Seq(7L, 42L), mTerms = 5, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // Hybrid retrieval: BM25 lexical ranks + exact-cosine semantic
     // ranks fused with reciprocal-rank fusion (round(1e6/(60+rank))
     // micro-units summed per doc — integer-exact from integer ranks,
@@ -259,6 +269,48 @@ object CurationQueries {
         |        FROM agg)
         |SELECT qid, doc_id, score_micro, n_terms_hit FROM top WHERE rn <= 5
         |ORDER BY qid, score_micro DESC, doc_id""".stripMargin,
+
+    "q_more_like_this" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS d,
+        |         unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT d, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT d, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |                 CAST((SELECT count(*) FROM toks) AS DOUBLE)
+        |                   / (SELECT count(*) FROM documents) AS avgdl),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |idf AS (SELECT tok,
+        |          CAST(round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+        |            * 1000000) AS BIGINT) AS idf_micro
+        |        FROM dfq, stats),
+        |ti AS (
+        |  SELECT tf.d, tf.tok,
+        |    tf.tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+        |      * 1000000, 0) AS BIGINT) AS tim
+        |  FROM tf JOIN dfq USING (tok), stats
+        |  WHERE tf.d IN (7, 42)),
+        |qt AS (SELECT d AS qid, tok FROM (
+        |  SELECT d, tok, row_number() OVER (PARTITION BY d
+        |    ORDER BY tim DESC, tok) AS rn FROM ti) WHERE rn <= 5),
+        |scored AS (
+        |  SELECT qt.qid, tf.d,
+        |    CAST(round(idf.idf_micro * (tf.tf * (1.2 + 1.0))
+        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS BIGINT)
+        |      AS term_micro
+        |  FROM tf
+        |  JOIN dl ON tf.d = dl.d
+        |  JOIN idf ON tf.tok = idf.tok
+        |  JOIN qt ON tf.tok = qt.tok, stats),
+        |agg AS (SELECT qid, d, CAST(sum(term_micro) AS BIGINT) AS score_micro
+        |        FROM scored GROUP BY 1, 2),
+        |ranked AS (SELECT qid, d, score_micro,
+        |             CAST(row_number() OVER (PARTITION BY qid
+        |               ORDER BY score_micro DESC, d) AS INTEGER) AS rank
+        |           FROM agg WHERE d <> qid)
+        |SELECT qid, d AS doc_id, score_micro, rank
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "q_hybrid_retrieval" ->
       """WITH toks AS (

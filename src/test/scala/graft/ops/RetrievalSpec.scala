@@ -43,6 +43,17 @@ class RetrievalSpec extends SparkSpec {
     assert(out.size == 2, s"k=2 must keep exactly two docs, got $out")
   }
 
+  test("more-like-this selects characteristic terms and excludes the query doc") {
+    // doc2 "apple apple cherry": tfidf(cherry)=ln(3)·1e6 > tfidf(apple)
+    // =2·ln(3/2)·1e6 — both selected at mTerms=2; BM25 over
+    // "apple cherry" hits docs 1 and 2; self (doc2) must be excluded,
+    // leaving doc1 at rank 1 and nothing else
+    val out = Retrieval.moreLikeThis(docs, "doc_id", "text",
+        queryIds = Seq(2L), mTerms = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    assert(out == Seq((2L, 1L, 1)), s"got $out")
+  }
+
   test("hybrid RRF fuses ranks; symmetric ranks tie and break on doc id") {
     // lexical 'apple': doc2 rank 1, doc1 rank 2 (doc3 absent).
     // semantic vs [1,0]: vec1 rank 1 (cos 1), vec2 rank 2, vec3 rank 3.

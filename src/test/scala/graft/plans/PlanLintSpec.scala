@@ -53,6 +53,7 @@ class PlanLintSpec extends SparkSpec {
     "q_triangles",           // max-pair-count 1-row broadcast cross-joined into the edge threshold
     "q_kcore",               // same scalar max-pair cross-join feeding the edge threshold
     "q_pipeline_e2e",        // pack-stats scalar aggregate cross-joined onto the 3-row split summary
+    "q_more_like_this",      // tf-idf + BM25 corpus-stat scalars cross-joined into the scoring projections
     "q_hybrid_retrieval")    // semantic ranker is the documented exact brute baseline: corpus scan × 3-row broadcast query batch
 
   /** Entries whose unpartitioned window is over an already-aggregated
@@ -110,7 +111,8 @@ class PlanLintSpec extends SparkSpec {
     "q10_returned_items"    -> "BHJ coverage gate: hint pins the broadcast of the filtered customer dim",
     "q_join_theta"          -> "BroadcastNestedLoop demo: the theta join IS the subject; broadcast side is a filtered dim",
     "q_sql_hints"           -> "SQL hint syntax is the coverage subject of this entry",
-    "q_hybrid_retrieval"    -> "query batch is a 3-row VALUES joined to the unique-key embedding lookup — bounded by contract, invisible to planBounded through the join")
+    "q_hybrid_retrieval"    -> "query batch is a 3-row VALUES joined to the unique-key embedding lookup — bounded by contract, invisible to planBounded through the join",
+    "q_more_like_this"      -> "BM25 query-term table is |queryIds| x mTerms rows by contract (TopKPerKey bound, opaque to planBounded)")
 
   /** A frame is plan-bounded when its row count cannot scale with the
     * input data: a limit, a scalar (no-grouping) aggregate, a literal
