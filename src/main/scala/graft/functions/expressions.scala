@@ -679,7 +679,7 @@ case class SignPack64(child: Expression) extends UnaryExpression {
   * there without chain walking.
   */
 final class AhoAutomaton(patternsIn: Array[String],
-    denseLimit: Int = 262144) extends Serializable {
+    denseLimit: Int = 16384) extends Serializable {
   private val patterns: Array[String] = patternsIn.distinct
   /** number of distinct patterns the automaton recognizes */
   val size: Int = patterns.length
@@ -702,11 +702,14 @@ final class AhoAutomaton(patternsIn: Array[String],
     ownOut(s) += id
   }
   private val nNodes = kids.length
-  /** The dense ASCII DFA costs nodes × 128 ints (512 B/node) — right
-    * for blocklists (≤ tens of KB of patterns), wrong for a pattern
-    * set with millions of trie nodes.  Past this cap every transition
-    * takes the fail-chain path instead: bounded memory, amortized
-    * O(1) per char, same answers.
+  /** The dense ASCII DFA costs nodes × 128 ints (512 B/node), built on
+    * the driver and shipped to every executor in the codegen reference
+    * array — at the default cap of 16384 nodes that is ≤ 8 MB, right
+    * for blocklists (tens of KB of patterns).  Past the cap every
+    * transition takes the fail-chain path instead: bounded memory,
+    * amortized O(1) per char, same answers — an unexpectedly large
+    * foldable pattern list degrades gracefully rather than silently
+    * allocating hundreds of MB per plan.
     */
   private val useDense = nNodes <= denseLimit
   private val fail = new Array[Int](nNodes)

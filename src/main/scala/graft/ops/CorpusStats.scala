@@ -215,7 +215,8 @@ object CorpusStats {
     */
   def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
       cuts: Seq[Long]): DataFrame = {
-    require(cuts.nonEmpty && cuts == cuts.sorted, "cuts must be ascending")
+    require(cuts.nonEmpty && cuts.zip(cuts.tail).forall { case (a, b) => a < b },
+      "cuts must be strictly ascending (duplicates would collide on column names)")
     val toks = docs.select(col(idCol).as("__id"),
       explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
     val firsts = toks.groupBy(col("__tok"))

@@ -355,7 +355,8 @@ object Dedup {
     * cross-engine verification needs the identical hash function, not
     * just equal-vs-not (xxhash64 would verify as rows-only).  The
     * (hash, rightmost-pos) argmin is packed into one long
-    * (`h·2^20 + (2^20−1−pos)`, positions < 2^20 by contract) so the
+    * (`h·2^31 + (2^31−1−pos)`, exact for any pos < 2^31 since
+    * h < 2^31 keeps the product below 2^62) so the
     * whole selection is a plain `min` window over a per-document
     * frame.  One token explode, two per-doc windows, one distinct —
     * linear in corpus tokens, no shuffle beyond the doc partitioning.
@@ -379,8 +380,12 @@ object Dedup {
       aggregate(sequence(lit(1), length(col("__g"))), lit(0L),
         (acc, j) => (acc * 31 + ascii(col("__g").substr(j, lit(1))))
           % lit(2147483648L)).as("__h"))
+    // Packed argmin key: h * 2^31 + (2^31-1 - pos).  h < 2^31 (the hash
+    // is reduced mod 2^31) and pos < 2^31 by any physical document, so
+    // the product tops out at 2^62-1 — no silent corruption at any
+    // realistic token count (positions up to ~2.1e9 are exact).
     val keyed = hashed.select(col(idCol), col("__pos"),
-      (col("__h") * 1048576L + (lit(1048575L) - col("__pos"))).as("__k"))
+      (col("__h") * 2147483648L + (lit(2147483647L) - col("__pos"))).as("__k"))
     val ww = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("__pos").rowsBetween(0, w - 1)
     keyed
@@ -388,8 +393,8 @@ object Dedup {
       .withColumn("__n", count(lit(1)).over(ww))
       .filter(col("__n") === w)
       .select(col(idCol),
-        (lit(1048575L) - pmod(col("__mk"), lit(1048576L))).as("fp_pos"),
-        expr("__mk div 1048576").as("fp_hash"))
+        (lit(2147483647L) - pmod(col("__mk"), lit(2147483648L))).as("fp_pos"),
+        expr("__mk div 2147483648").as("fp_hash"))
       .distinct()
   }
 

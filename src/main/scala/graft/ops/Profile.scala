@@ -57,30 +57,40 @@ object Profile {
     * `(2·Σi·cᵢ − (n+1)·Σcᵢ) / (n·Σcᵢ)` — all-integer numerator and
     * denominator, so the only float op is the final division (ties in
     * cᵢ cannot change Σi·cᵢ, so the value is deterministic under any
-    * tie order).  The rank window runs over the AGGREGATED per-key
-    * frame (key-cardinality rows, never the fact table); at extreme
-    * key cardinality swap the exact percentile aggregate for
-    * [[ExactQuantiles]] and the intermediate products for
-    * DECIMAL(38,0) — the shape is unchanged.
+    * tie order).  No global rank window over the per-key frame: the
+    * per-key counts collapse first to one row per DISTINCT count value
+    * (with its key multiplicity m), and a group of m keys sharing
+    * count c at ranks r+1…r+m contributes `c·(m·r + m(m+1)/2)` to
+    * Σi·cᵢ.  Distinct positive counts summing to n_rows number at most
+    * `√(2·n_rows)` — the only single-task window below runs over that
+    * provably tiny frame (~1.4 M rows even at 10¹² input rows), never
+    * over key cardinality.  At extreme scale swap the intermediate
+    * products for DECIMAL(38,0) — the shape is unchanged.
     */
   def skewReport(df: DataFrame, keyCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(keyCol).as("__key"))
       .agg(count(lit(1)).as("__cnt"))
-    val ranked = counts.withColumn("__i",
-      row_number().over(Window.orderBy(col("__cnt"), col("__key"))))
-    ranked.agg(
-      count(lit(1)).as("n_keys"),
-      sum("__cnt").cast("long").as("n_rows"),
-      max("__cnt").cast("long").as("max_key_rows"),
-      max_by(col("__key").cast("string"),
-        struct(col("__cnt"), col("__key"))).as("top_key"),
-      round(expr("percentile(__cnt, 0.5D)"), 4).as("p50_rows"),
-      round(expr("percentile(__cnt, 0.99D)"), 4).as("p99_rows"),
-      round((lit(2) * sum(col("__i") * col("__cnt"))
-          - (count(lit(1)) + 1) * sum(col("__cnt"))).cast("double")
-          * 1000000d
-          / (count(lit(1)) * sum(col("__cnt"))).cast("double"), 0)
+    val byCnt = counts.groupBy(col("__cnt")).agg(count(lit(1)).as("__m"))
+    val cum = byCnt.withColumn("__r",
+      coalesce(sum(col("__m")).over(Window.orderBy(col("__cnt"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val main = cum.agg(
+      sum(col("__m")).cast("long").as("n_keys"),
+      sum(col("__cnt") * col("__m")).cast("long").as("n_rows"),
+      max(col("__cnt")).cast("long").as("max_key_rows"),
+      round(expr("percentile(__cnt, 0.5D, __m)"), 4).as("p50_rows"),
+      round(expr("percentile(__cnt, 0.99D, __m)"), 4).as("p99_rows"),
+      sum(expr("__cnt * (__m * __r + __m * (__m + 1) div 2)"))
+        .cast("long").as("__si"))
+    val top = counts.agg(max_by(col("__key").cast("string"),
+      struct(col("__cnt"), col("__key"))).as("top_key"))
+    main.crossJoin(top).select(
+      col("n_keys"), col("n_rows"), col("max_key_rows"), col("top_key"),
+      col("p50_rows"), col("p99_rows"),
+      round((lit(2) * col("__si") - (col("n_keys") + 1) * col("n_rows"))
+          .cast("double") * 1000000d
+          / (col("n_keys") * col("n_rows")).cast("double"), 0)
         .cast("long").as("gini_micro"))
   }
 }

@@ -608,7 +608,7 @@ object OpsQueries {
         |  FROM (SELECT id, toks, unnest(range(1, len(toks))) AS i FROM t)),
         |keyed AS (
         |  SELECT id, pos,
-        |    h * CAST(1048576 AS BIGINT) + (1048575 - pos) AS kk
+        |    h * CAST(2147483648 AS BIGINT) + (2147483647 - pos) AS kk
         |  FROM grams),
         |m AS (SELECT id, count(*) AS n FROM grams GROUP BY 1),
         |sel AS (
@@ -619,7 +619,7 @@ object OpsQueries {
         |  GROUP BY 1, 2),
         |fp AS (SELECT DISTINCT id, mk FROM sel),
         |agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_fp,
-        |          CAST(sum(mk // 1048576) AS BIGINT) AS h_sum
+        |          CAST(sum(mk // 2147483648) AS BIGINT) AS h_sum
         |        FROM fp GROUP BY 1)
         |SELECT d.doc_id, CAST(coalesce(a.n_fp, 0) AS BIGINT) AS n_fp,
         |       CAST(coalesce(a.h_sum, 0) AS BIGINT) AS h_sum
