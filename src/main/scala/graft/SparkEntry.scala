@@ -56,7 +56,8 @@ object SparkEntry {
     graft.queries.QualityQueries.queries ++
     graft.queries.CatalogQueries.queries ++
     graft.queries.TfIdfQueries.queries ++
-    graft.queries.StateStoreQueries.queries
+    graft.queries.StateStoreQueries.queries ++
+    graft.queries.MixQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -103,5 +104,6 @@ object SparkEntry {
     graft.queries.QualityQueries.oracle ++
     graft.queries.CatalogQueries.oracle ++
     graft.queries.TfIdfQueries.oracle ++
-    graft.queries.StateStoreQueries.oracle
+    graft.queries.StateStoreQueries.oracle ++
+    graft.queries.MixQueries.oracle
 }

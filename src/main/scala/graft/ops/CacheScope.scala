@@ -15,7 +15,7 @@ import org.apache.spark.sql.DataFrame
   * blocks (the checkpointed result itself is reclaimed by the
   * ContextCleaner once the returned DataFrame is unreachable).
   */
-private[ops] object CacheScope {
+private[graft] object CacheScope {
   /** Materialize `result`, then unpersist every cache it was built from. */
   def releasing(result: DataFrame, caches: DataFrame*): DataFrame = {
     val out = result.localCheckpoint(true)

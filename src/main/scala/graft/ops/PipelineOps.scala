@@ -268,4 +268,147 @@ object PipelineOps {
     }
     df.withColumn("split", expr)
   }
+
+  /** Length-bucketed batching report — the padding-waste accounting
+    * behind bucketed batch assembly (group sequences of similar length
+    * so a batch pads to its bucket's edge, not the global max).  Each
+    * document lands in the smallest bucket edge ≥ its token count
+    * (documents longer than the last edge are truncated to it), and
+    * per bucket the report gives document/token totals, padded-slot
+    * waste at that edge, truncation loss, and the batch count at
+    * `batchSize` sequences per batch.
+    *
+    * One narrow projection (token count + bucket pick) feeding one
+    * groupBy over ≤ |edges| groups — a single map-side-combined
+    * aggregation regardless of corpus size.
+    */
+  def lengthBuckets(df: DataFrame, idCol: String, textCol: String,
+      edges: Seq[Int], batchSize: Int): DataFrame = {
+    require(edges.nonEmpty && edges.zip(edges.tail).forall(p => p._1 < p._2),
+      "bucket edges must be strictly ascending")
+    require(batchSize >= 1)
+    val n = TextAnalysis.tokenCount(col(textCol)).cast("long")
+    val edge = edges.init.foldRight(lit(edges.last.toLong): Column) {
+      case (e, rest) => when(n <= e, e.toLong).otherwise(rest)
+    }
+    df.select(col(idCol), n.as("__n"), edge.as("bucket_edge"))
+      .groupBy(col("bucket_edge"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("__n"), col("bucket_edge"))).cast("long").as("n_tokens"),
+        sum(col("bucket_edge") - least(col("__n"), col("bucket_edge")))
+          .cast("long").as("n_pad"),
+        sum(greatest(col("__n") - col("bucket_edge"), lit(0L)))
+          .cast("long").as("n_truncated"),
+        ceil(count(lit(1)).cast("double") / batchSize)
+          .cast("long").as("n_batches"))
+      .orderBy(col("bucket_edge"))
+  }
+
+  /** Token-budget mixture builder — the "take N tokens from each
+    * domain" step that assembles a training mix from a curated pool.
+    * Within each domain, documents are ordered by a deterministic
+    * multiplicative-hash priority (an id-seeded shuffle that needs no
+    * RNG state and is identical on any cluster), and the greedy prefix
+    * is kept while the tokens consumed BEFORE a document stay under
+    * the domain's budget — so the straddling document is kept and
+    * every domain reaches ≥ its budget when it has the supply.
+    *
+    * Scale shape: one narrow projection (token count + priority), one
+    * cumulative-sum window PARTITIONED BY DOMAIN (parallel across
+    * domains; within a domain the window is the order the mix
+    * definition demands), then a filter.  Returns the kept documents
+    * with their priority rank and running token total.
+    */
+  def tokenBudgetMixture(df: DataFrame, idCol: String, textCol: String,
+      domainCol: String, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ > 0))
+    val budget = budgets.foldLeft(lit(null).cast("long"): Column) {
+      case (rest, (dom, b)) => when(col(domainCol) === dom, b).otherwise(rest)
+    }
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("__prio"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(domainCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok"),
+        pmod(col(idCol) * lit(2654435761L), lit(1048576L)).as("__prio"),
+        budget.as("__budget"))
+      .filter(col("__budget").isNotNull)
+      .withColumn("__before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .filter(col("__before") < col("__budget"))
+      .select(col(idCol), col(domainCol), col("n_tok"),
+        (col("__before") + col("n_tok")).as("cum_tokens"))
+  }
+
+  /** Consecutive global row numbers (1-based) in `orderCols` order —
+    * the shard/example-id assignment step — WITHOUT the partitionless
+    * window that funnels the whole dataset through one task.
+    *
+    * Three-stage zipWithIndex, all relational: range-repartition on the
+    * order key and sort within partitions (one shuffle, the same one
+    * any global sort pays); tag rows with `monotonically_increasing_id`
+    * (partition id in the high bits, a per-partition counter that
+    * follows the sorted order in the low bits — a narrow projection);
+    * then offset each partition's local index by the total row count of
+    * the partitions before it, computed from a partition-count frame of
+    * ≤ `numPartitions` rows and broadcast back.  No stage sees more
+    * than one partition's rows in one task.
+    *
+    * `orderCols` must be a UNIQUE total order (enforce upstream) —
+    * otherwise numbering among ties follows partition boundaries.
+    *
+    * The tagged frame is persisted (MEMORY_AND_DISK) because the
+    * offset branch and the output branch must observe the SAME range
+    * boundaries — range repartitioning samples, and two independent
+    * executions could split differently.  The cache is scoped to the
+    * returned frame's lifetime (ContextCleaner reclaims it when the
+    * result becomes unreachable).
+    */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[String],
+      numPartitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty)
+    val ord = orderCols.map(col)
+    val ranged =
+      (if (numPartitions > 0) df.repartitionByRange(numPartitions, ord: _*)
+       else df.repartitionByRange(ord: _*))
+        .sortWithinPartitions(ord: _*)
+    val tagged = ranged.withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33))
+      .withColumn("__local", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val offsets = tagged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n"))
+        .over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    tagged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("rn", col("__off") + col("__local") + 1L)
+      .drop("__mid", "__pid", "__local")
+  }
+
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis A-ES, IPL 2006): per stratum keep the k rows with the
+    * largest `u^(1/w)` where u is a uniform draw — here a
+    * multiplicative-hash uniform from the row id, so the sample is
+    * reproducible on any cluster with no RNG state.  Ranking uses the
+    * monotone-equivalent key `ln(u)/w` (one `ln`, no pow) with the id
+    * as tiebreak.
+    *
+    * One narrow projection + one per-stratum window (parallel across
+    * strata, k-bounded output) — no driver state, no sampling passes.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      strataCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val u = (pmod(col(idCol) * lit(2654435761L), lit(2147483648L)) + 1D) /
+      2147483649D
+    val key = log(u) / col(weightCol)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(desc("__key"), col(idCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("__key", key)
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .drop("__key")
+  }
 }

@@ -230,4 +230,45 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .distinct()
   }
+
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k most-similar corpus vectors with a DIFFERENT label
+    * (the negatives a random sample would almost never surface), plus
+    * the query's best same-label cosine so the (positive − negative)
+    * margin is read off the same row.
+    *
+    * Scale shape: ONE query×corpus pass computes every cosine; the
+    * label split happens after scoring, so negatives ranking and the
+    * positive max reuse the same scored frame.  The query set
+    * broadcasts (mining runs per training batch / eval slice — small
+    * by construction); the corpus streams, and the negatives window is
+    * partitioned per query (parallel, k-bounded output).  Ranking ties
+    * break on corpus id — deterministic on any cluster.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("cvec"), col(labelCol).as("clab"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec"), col(labelCol).as("qlab"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlab"), col("corpus_id"), col("clab"),
+        cosine_sim(col("qvec"), col("cvec")).as("__cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("__cos"), asc("corpus_id"))
+    val negs = scored.filter(col("clab") =!= col("qlab"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        round(col("__cos"), 6).as("neg_cos"))
+    val pos = scored.filter(col("clab") === col("qlab"))
+      .groupBy(col("query_id"))
+      .agg(round(max(col("__cos")), 6).as("pos_cos"))
+    negs.join(pos, Seq("query_id"), "left")
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        col("neg_cos"), col("pos_cos"),
+        round(col("pos_cos") - col("neg_cos"), 6).as("margin"))
+  }
 }

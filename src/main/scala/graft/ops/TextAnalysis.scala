@@ -167,6 +167,36 @@ object TextAnalysis {
       regexp_count(text, lit(pat)).as(s"n_$label")
     }: _*)
 
+  /** Per-document character Shannon entropy (nats) — the classic
+    * gibberish/boilerplate screen: natural text sits in a narrow
+    * entropy band, while base64 blobs / key dumps score high and
+    * repeated-character padding scores near zero.
+    *
+    * Computed from the identity `H = ln(n) − (Σ cᵢ·ln cᵢ)/n` over the
+    * per-(doc, char) counts, so the whole op is two partial-aggregated
+    * groupBys — linear in corpus characters, no window, no driver
+    * state.  The character explode is bounded by document bytes (the
+    * same cost as any tokenize), and the second aggregate runs over
+    * ≤ |alphabet| rows per doc.  Entropy is rounded to 4 decimals so
+    * the value is engine-portable (libm ulp differences vanish).
+    *
+    * @return (idCol, n_chars, n_distinct_chars, entropy); docs with no
+    *         characters are absent (no 0·ln 0 convention needed)
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = df.select(col(idCol),
+        explode(split(col(textCol), "")).as("__c"))
+      .filter(length(col("__c")) === 1)
+    val perChar = chars.groupBy(col(idCol), col("__c"))
+      .agg(count(lit(1)).as("__cnt"))
+    perChar.groupBy(col(idCol))
+      .agg(sum(col("__cnt")).cast("long").as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        round(log(sum(col("__cnt")).cast("double"))
+          - sum(col("__cnt") * log(col("__cnt").cast("double")))
+            / sum(col("__cnt")).cast("double"), 4).as("entropy"))
+  }
+
   /** Attach all text-analysis columns at once (single projection). */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

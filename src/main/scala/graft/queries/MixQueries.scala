@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{PipelineOps, Similarity, TextAnalysis}
+
+/** Round-9 training-mix assembly gates: hard-negative mining for
+  * contrastive objectives, character-entropy gibberish screening,
+  * length-bucketed batching (padding-waste accounting), token-budget
+  * mixture building, scalable global row numbering (the shard-id
+  * assignment step, with no partitionless window), and deterministic
+  * weighted sampling (Efraimidis–Spirakis A-ES).
+  *
+  * Every entry is oracle-checked against DuckDB running the identical
+  * relational definition; selections that hinge on float ordering
+  * (cosine ranks, A-ES keys) use engine-portable arithmetic and a
+  * unique integer tiebreak, per the oracle-parity notes.
+  */
+object MixQueries {
+
+  private val toksSql = "regexp_extract_all(lower(text), '[a-z0-9'']+')"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Hard-negative mining: top-5 most-similar different-label vectors
+    // per query, with the best same-label cosine and the margin.
+    "q_hard_negatives" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8).limit(8)
+      Similarity.hardNegatives(emb, queries, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Character Shannon entropy per document — gibberish/padding screen.
+    "q_char_entropy" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+      TextAnalysis.charEntropy(docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // Length-bucketed batching report: padding waste + truncation loss
+    // per bucket edge at batchSize=8.
+    "q_pad_waste" -> { (s, dir) =>
+      PipelineOps.lengthBuckets(Tables.load(s, dir, "documents"),
+        "doc_id", "text", edges = Seq(16, 32, 48, 64), batchSize = 8)
+    },
+
+    // Token-budget mixture: greedy deterministic-priority prefix per
+    // domain until each domain's token budget is reached.
+    "q_mixture_budget" -> { (s, dir) =>
+      PipelineOps.tokenBudgetMixture(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "source",
+          Map("src0" -> 400L, "src1" -> 300L, "src3" -> 250L))
+        .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+    },
+
+    // Global consecutive row numbering over lineitem WITHOUT a
+    // partitionless window — verified by a permutation-sensitive
+    // checksum against row_number() in the oracle.
+    "q_global_rownum" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      val numbered = PipelineOps.globalRowNumber(
+        li, Seq("l_orderkey", "l_linenumber"))
+      val out = numbered.agg(
+        count(lit(1)).as("n_rows"),
+        min(col("rn")).cast("long").as("min_rn"),
+        max(col("rn")).cast("long").as("max_rn"),
+        sum(col("rn") * pmod(col("l_partkey"), lit(97L)))
+          .cast("long").as("checksum"))
+      graft.ops.CacheScope.releasing(out, numbered)
+    },
+
+    // A-ES weighted sampling: top-3 per source by u^(1/n_chars) with a
+    // hash-uniform u — reproducible on any cluster, no RNG state.
+    "q_weighted_sample" -> { (s, dir) =>
+      PipelineOps.weightedSample(Tables.load(s, dir, "documents"),
+          "doc_id", "n_chars", "source", k = 3)
+        .select(col("source"), col("sample_rank"), col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy(col("source"), col("sample_rank"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT * FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, q.label AS qlab,
+        |    c.vec_id AS corpus_id, c.label AS clab,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.vec_id),
+        |negs AS (
+        |  SELECT query_id, corpus_id, round(cos, 6) AS neg_cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, corpus_id) AS rank
+        |  FROM scored WHERE clab <> qlab),
+        |pos AS (SELECT query_id, round(max(cos), 6) AS pos_cos
+        |        FROM scored WHERE clab = qlab GROUP BY 1)
+        |SELECT n.query_id, n.rank, n.corpus_id, n.neg_cos, p.pos_cos,
+        |  round(p.pos_cos - n.neg_cos, 6) AS margin
+        |FROM negs n LEFT JOIN pos p USING (query_id)
+        |WHERE n.rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, strlen(text) + 1),
+        |      i -> text[i])) AS c
+        |  FROM documents WHERE doc_id < 200),
+        |pc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+        |  count(*) AS n_distinct_chars,
+        |  round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 4) AS entropy
+        |FROM pc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q_pad_waste" ->
+      s"""WITH t AS (SELECT doc_id, len($toksSql) AS n FROM documents),
+        |b AS (SELECT doc_id, n,
+        |    CAST(CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+        |         WHEN n <= 48 THEN 48 ELSE 64 END AS BIGINT) AS bucket_edge
+        |  FROM t)
+        |SELECT bucket_edge, count(*) AS n_docs,
+        |  CAST(sum(least(n, bucket_edge)) AS BIGINT) AS n_tokens,
+        |  CAST(sum(bucket_edge - least(n, bucket_edge)) AS BIGINT) AS n_pad,
+        |  CAST(sum(greatest(n - bucket_edge, 0)) AS BIGINT) AS n_truncated,
+        |  CAST(ceil(count(*) / 8.0) AS BIGINT) AS n_batches
+        |FROM b GROUP BY 1 ORDER BY bucket_edge""".stripMargin,
+
+    "q_mixture_budget" ->
+      s"""WITH t AS (SELECT doc_id, source,
+        |    len($toksSql) AS n_tok,
+        |    (doc_id * 2654435761) % 1048576 AS prio
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src3')),
+        |b AS (SELECT *,
+        |    CASE source WHEN 'src0' THEN 400 WHEN 'src1' THEN 300
+        |         ELSE 250 END AS budget,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY source
+        |      ORDER BY prio, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM t)
+        |SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(before + n_tok AS BIGINT) AS cum_tokens
+        |FROM b WHERE before < budget
+        |ORDER BY source, cum_tokens, doc_id""".stripMargin,
+
+    "q_global_rownum" ->
+      """WITH r AS (SELECT l_partkey,
+        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |SELECT count(*) AS n_rows,
+        |  CAST(min(rn) AS BIGINT) AS min_rn,
+        |  CAST(max(rn) AS BIGINT) AS max_rn,
+        |  CAST(sum(rn * (l_partkey % 97)) AS BIGINT) AS checksum
+        |FROM r""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, source, n_chars,
+        |    ln(((doc_id * 2654435761) % 2147483648 + 1) / 2147483649.0)
+        |      / n_chars AS key
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY key DESC, doc_id) AS sample_rank FROM t)
+        |SELECT source, sample_rank, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM r WHERE sample_rank <= 3
+        |ORDER BY source, sample_rank""".stripMargin)
+}

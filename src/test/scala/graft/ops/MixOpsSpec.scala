@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-9 mix-assembly operators: hard negatives, char entropy,
+  * length buckets, token-budget mixture, global row numbers, A-ES
+  * weighted sampling.
+  */
+class MixOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hardNegatives ranks only different-label vectors; margin = pos - neg") {
+    // 1D-ish vectors: label 0 cluster near (1,0), label 1 near (0,1),
+    // plus one label-1 vector close to the label-0 cluster — the hard
+    // negative a random sample would miss.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.14f), 0),   // the positive
+      (3L, Array(0.9f, 0.43f), 1),    // HARD negative (closest other-label)
+      (4L, Array(0.0f, 1.0f), 1),
+      (5L, Array(-1.0f, 0.1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(emb, emb.filter($"vec_id" === 1), k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("corpus_id")).toSeq == Seq(3L, 4L),
+      "negatives must rank other-label vectors by cosine")
+    val r1 = out.head
+    val pos = r1.getAs[Double]("pos_cos")
+    val neg = r1.getAs[Double]("neg_cos")
+    assert(pos > neg, "positive (same-label) must outrank the hard negative here")
+    assert(math.abs(r1.getAs[Double]("margin") - (pos - neg)) < 1e-9)
+    // the same-label vector 2 never appears among negatives
+    assert(!out.map(_.getAs[Long]("corpus_id")).contains(2L))
+  }
+
+  test("charEntropy: uniform text hits ln(k), constant text hits 0") {
+    val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 1L, 0.0)))
+    assert(out(2L)._3 == math.rint(math.log(2) * 10000) / 10000)
+    assert(out(3L)._3 == math.rint(math.log(4) * 10000) / 10000)
+    assert(!out.contains(4L), "empty doc contributes no row")
+  }
+
+  test("lengthBuckets: smallest edge >= n, truncation past the last edge") {
+    val docs = Seq(
+      (1L, "a b c"),                       // 3 -> edge 4
+      (2L, "a b c d"),                     // 4 -> edge 4 (boundary)
+      (3L, "a b c d e"),                   // 5 -> edge 8, pad 3
+      (4L, Seq.fill(20)("t").mkString(" "))) // 20 -> edge 8, trunc 12
+      .toDF("doc_id", "text")
+    val out = PipelineOps.lengthBuckets(docs, "doc_id", "text",
+      edges = Seq(4, 8), batchSize = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out(4L) == ((2L, 7L, 1L, 0L, 1L)))  // 2 docs, 3+4 tok, pad 1
+    assert(out(8L) == ((2L, 13L, 3L, 12L, 1L))) // 5+8 kept, pad 3, trunc 12
+  }
+
+  test("tokenBudgetMixture keeps the straddling doc and stops after") {
+    // One domain, budget 5; priority order is by hashed id — compute
+    // the expected greedy prefix with the same hash locally.
+    val docs = Seq.tabulate(6)(i => (i.toLong, "t " * 3, "d0")) // 3 tokens each
+      .toDF("doc_id", "text", "source")
+    val out = PipelineOps.tokenBudgetMixture(docs, "doc_id", "text",
+      "source", Map("d0" -> 5L))
+    val got = out.orderBy("cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    // greedy: first doc cum 3 (before=0 < 5), second cum 6 (before=3 < 5),
+    // third before=6 >= 5 stops — exactly 2 docs.
+    assert(got.length == 2 && got.map(_._2).toSeq == Seq(3L, 6L), got.toSeq)
+    val prio = (id: Long) => ((id * 2654435761L) % 1048576L, id)
+    val expectedIds = (0L to 5L).sortBy(prio).take(2).toSet
+    assert(got.map(_._1).toSet == expectedIds)
+    // domains without a budget are excluded entirely
+    val none = PipelineOps.tokenBudgetMixture(docs, "doc_id", "text",
+      "source", Map("other" -> 5L))
+    assert(none.isEmpty)
+  }
+
+  test("globalRowNumber == row_number over the same unique order") {
+    val df = Seq.tabulate(500)(i => ((i * 37) % 500, s"v$i"))
+      .toDF("k", "v")
+    val got = PipelineOps.globalRowNumber(df, Seq("k"), numPartitions = 7)
+      .select($"k", $"rn").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got.size == 500)
+    assert(got.values.min == 1L && got.values.max == 500L)
+    // k values are 0..499 uniquely, so rn(k) must equal k+1
+    assert((0 until 500).forall(k => got(k) == k + 1L))
+  }
+
+  test("weightedSample: deterministic, k-bounded, matches local A-ES") {
+    val docs = Seq.tabulate(30)(i =>
+      (i.toLong, s"doc$i", 10L + (i * 13) % 50, s"s${i % 3}"))
+      .toDF("doc_id", "text", "n_chars", "source")
+    def run() = PipelineOps.weightedSample(docs, "doc_id", "n_chars",
+      "source", k = 2).select($"source", $"sample_rank", $"doc_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val got = run()
+    assert(got == run(), "sample must be identical across runs")
+    assert(got.groupBy(_._1).forall(_._2.size == 2))
+    // local reference of the same keyed ranking
+    val local = Seq.tabulate(30) { i =>
+      val id = i.toLong; val w = 10L + (i * 13) % 50
+      val u = ((id * 2654435761L) % 2147483648L + 1).toDouble / 2147483649.0
+      (s"s${i % 3}", math.log(u) / w, id)
+    }.groupBy(_._1).flatMap { case (src, rows) =>
+      rows.sortBy(r => (-r._2, r._3)).take(2).zipWithIndex
+        .map { case (r, j) => (src, j + 1, r._3) }
+    }.toSet
+    assert(got == local)
+  }
+}
