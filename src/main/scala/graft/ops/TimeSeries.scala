@@ -46,4 +46,66 @@ object TimeSeries {
           lit(0L)).as("cents"),
         col("day_cents").isNotNull.as("observed"))
   }
+
+  /** Ordered-funnel analysis (the windowFunnel of event analytics): how
+    * many users reach each step of `steps` in order, starting from
+    * their EARLIEST step-1 event, with every later step inside
+    * `windowExpr` (a SQL interval, e.g. "INTERVAL 1 DAY") of that
+    * anchor.  The chain is greedy-from-earliest — each level keeps the
+    * user's first qualifying event after the previous level — which
+    * makes the levels deterministic and exactly mirrorable in SQL (an
+    * existential "any chain in any window" needs a per-user sequence
+    * scan; the greedy anchor is the standard funnel-report contract).
+    *
+    * Scale shape: level k is one equi-join on the user key against the
+    * step-k slice of the stream plus a partial-aggregated min — k-1
+    * shuffles all keyed the same way, no window over the fact table,
+    * no per-user arrays.  Output is |steps| rows.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], windowExpr: String): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val s1 = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("__u")).agg(min(col(tsCol)).as("__t1"))
+      .withColumn("__tk", col("__t1"))
+    val levels = steps.tail.scanLeft(s1) { case (prev, step) =>
+      events.filter(col(typeCol) === step)
+        .select(col(userCol).as("__u"), col(tsCol).as("__ts"))
+        .join(prev, Seq("__u"))
+        .filter(col("__ts") > col("__tk") &&
+          col("__ts") <= col("__t1") + expr(windowExpr))
+        .groupBy(col("__u"), col("__t1"))
+        .agg(min(col("__ts")).as("__tk"))
+    }
+    levels.zip(steps).zipWithIndex.map { case ((frame, step), i) =>
+      frame.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("level"), lit(step).as("step"),
+          col("n_users"))
+    }.reduce(_.union(_)).orderBy(col("level"))
+  }
+
+  /** Weekly cohort-retention matrix: users are grouped by the ISO week
+    * of their first event (their cohort), and each cell counts the
+    * cohort's users active `week_offset` weeks later.  The classic
+    * retention triangle — offset 0 equals cohort size, later offsets
+    * decay.
+    *
+    * Scale shape: first-touch is one partial-aggregated min per user;
+    * activity is a (user, week) distinct; the matrix is their equi-join
+    * on the user key aggregated to |cohorts|·|weeks| cells.  Nothing
+    * windows over the fact table.
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val first = events.groupBy(col(userCol).as("__u"))
+      .agg(to_date(date_trunc("week", min(col(tsCol)))).as("cohort_week"))
+    val active = events.select(col(userCol).as("__u"),
+      to_date(date_trunc("week", col(tsCol))).as("__wk")).distinct()
+    active.join(first, Seq("__u"))
+      .groupBy(col("cohort_week"),
+        expr("CAST(datediff(__wk, cohort_week) div 7 AS BIGINT)")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
 }

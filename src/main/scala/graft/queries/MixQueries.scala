@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{PipelineOps, Similarity, TextAnalysis}
+import graft.ops.{PipelineOps, Similarity, TextAnalysis, TimeSeries}
 
 /** Round-9 training-mix assembly gates: hard-negative mining for
   * contrastive objectives, character-entropy gibberish screening,
@@ -81,6 +81,25 @@ object MixQueries {
         .select(col("source"), col("sample_rank"), col("doc_id"),
           col("n_chars").cast("long").as("n_chars"))
         .orderBy(col("source"), col("sample_rank"))
+    },
+
+    // Ordered funnel view -> click -> purchase within one day of the
+    // user's first view.
+    "q_funnel" -> { (s, dir) =>
+      TimeSeries.funnel(Tables.load(s, dir, "events"),
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), "INTERVAL 1 DAY")
+    },
+
+    // Weekly cohort-retention triangle over the events stream (dates
+    // formatted as strings for the cross-engine compare).
+    "q_cohort_retention" -> { (s, dir) =>
+      TimeSeries.cohortRetention(Tables.load(s, dir, "events"),
+          "user_id", "ts")
+        .select(date_format(col("cohort_week"), "yyyy-MM-dd")
+            .as("cohort_week"),
+          col("week_offset"), col("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -155,6 +174,42 @@ object MixQueries {
         |  CAST(max(rn) AS BIGINT) AS max_rn,
         |  CAST(sum(rn * (l_partkey % 97)) AS BIGINT) AS checksum
         |FROM r""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id AS u, min(CAST(ts AS TIMESTAMP)) AS t1
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, s.t1, min(CAST(e.ts AS TIMESTAMP)) AS tk
+        |  FROM events e JOIN s1 s ON e.user_id = s.u
+        |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s.t1
+        |    AND CAST(e.ts AS TIMESTAMP) <= s.t1 + INTERVAL 1 DAY
+        |  GROUP BY 1, 2),
+        |s3 AS (SELECT e.user_id AS u, s.t1, min(CAST(e.ts AS TIMESTAMP)) AS tk
+        |  FROM events e JOIN s2 s ON e.user_id = s.u
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s.tk
+        |    AND CAST(e.ts AS TIMESTAMP) <= s.t1 + INTERVAL 1 DAY
+        |  GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS level, 'view' AS step,
+        |    count(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |ORDER BY level""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH f AS (SELECT user_id,
+        |    CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS DATE)
+        |      AS cohort_week
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+        |  FROM events),
+        |g AS (SELECT cohort_week,
+        |    CAST((wk - cohort_week) // 7 AS BIGINT) AS week_offset,
+        |    count(*) AS n_users
+        |  FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+        |  week_offset, n_users
+        |FROM g ORDER BY 1, 2""".stripMargin,
 
     "q_weighted_sample" ->
       """WITH t AS (SELECT doc_id, source, n_chars,

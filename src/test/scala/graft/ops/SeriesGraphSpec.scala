@@ -122,4 +122,63 @@ class SeriesGraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fixed == fix, s"fixed $fixed vs fixpoint $fix")
   }
+
+  test("funnel: greedy-from-earliest chain, window from the anchor") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1 completes view->click->purchase inside 1 day
+      (1L, "view", t("2024-01-01 10:00:00")),
+      (1L, "click", t("2024-01-01 11:00:00")),
+      (1L, "purchase", t("2024-01-01 12:00:00")),
+      // user 2: click BEFORE the first view never counts; none after
+      (2L, "click", t("2024-01-01 09:00:00")),
+      (2L, "view", t("2024-01-01 10:00:00")),
+      // user 3: click arrives outside the 1-day window of first view
+      (3L, "view", t("2024-01-01 10:00:00")),
+      (3L, "click", t("2024-01-02 11:00:00")),
+      // user 4: never views; purchase alone reaches no level
+      (4L, "purchase", t("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val out = TimeSeries.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), "INTERVAL 1 DAY")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) == (("view", 3L)), s"level1 $out")     // users 1,2,3
+    assert(out(2L) == (("click", 1L)), s"level2 $out")    // only user 1
+    assert(out(3L) == (("purchase", 1L)), s"level3 $out")
+  }
+
+  test("funnel steps must stay strictly ordered within a user") {
+    def t(s: String) = Timestamp.valueOf(s)
+    // purchase BETWEEN view and click: chain needs purchase AFTER click
+    val ev = Seq(
+      (1L, "view", t("2024-01-01 10:00:00")),
+      (1L, "purchase", t("2024-01-01 10:30:00")),
+      (1L, "click", t("2024-01-01 11:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val out = TimeSeries.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), "INTERVAL 1 DAY")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 0L,
+      s"out-of-order purchase must not complete the funnel: $out")
+  }
+
+  test("cohortRetention: offset-0 equals cohort size; decay is exact") {
+    def t(s: String) = Timestamp.valueOf(s)
+    // two users first seen in week of Mon 2024-01-01; one returns the
+    // following week; a third user starts in week 2
+    val ev = Seq(
+      (1L, t("2024-01-02 10:00:00")), (2L, t("2024-01-03 10:00:00")),
+      (1L, t("2024-01-09 10:00:00")),
+      (3L, t("2024-01-10 10:00:00")))
+      .toDF("user_id", "ts")
+    val out = TimeSeries.cohortRetention(ev, "user_id", "ts")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> 2L,
+      ("2024-01-01", 1L) -> 1L,
+      ("2024-01-08", 0L) -> 1L), out)
+  }
 }
