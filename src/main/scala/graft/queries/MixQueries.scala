@@ -85,7 +85,7 @@ object MixQueries {
 
     // Ordered funnel view -> click -> purchase within one day of the
     // user's first view.
-    "q_funnel" -> { (s, dir) =>
+    "q_event_funnel" -> { (s, dir) =>
       TimeSeries.funnel(Tables.load(s, dir, "events"),
         "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"), "INTERVAL 1 DAY")
@@ -175,7 +175,7 @@ object MixQueries {
         |  CAST(sum(rn * (l_partkey % 97)) AS BIGINT) AS checksum
         |FROM r""".stripMargin,
 
-    "q_funnel" ->
+    "q_event_funnel" ->
       """WITH s1 AS (SELECT user_id AS u, min(CAST(ts AS TIMESTAMP)) AS t1
         |  FROM events WHERE event_type = 'view' GROUP BY 1),
         |s2 AS (SELECT e.user_id AS u, s.t1, min(CAST(e.ts AS TIMESTAMP)) AS tk
