@@ -5,105 +5,115 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Aggregates the per-group query maps; each group file documents which
-  * SURVEY.md §2 rows it covers.
+  * SURVEY.md §2 rows it covers.  Group maps are merged through
+  * [[merged]], which FAILS on a duplicate gate name instead of letting
+  * `Map ++` silently shadow an earlier group's entry (a collision once
+  * dropped a live gate without any signal).
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
+  private def merged[V](what: String, entries: Seq[(String, V)]): Map[String, V] = {
+    val dups = entries.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"duplicate $what name(s) across query groups: ${dups.mkString(", ")}")
+    entries.toMap
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Tpch.queries ++
-    graft.queries.TpchHard.queries ++
-    graft.queries.Joins.queries ++
-    graft.queries.Relational.queries ++
-    graft.queries.OpsQueries.queries ++
-    graft.queries.LineageQueries.queries ++
-    graft.queries.Functions.queries ++
-    graft.queries.Events.queries ++
-    graft.queries.AsOfQueries.queries ++
-    graft.queries.Subqueries.queries ++
-    graft.queries.Approx.queries ++
-    graft.queries.TopKQueries.queries ++
-    graft.queries.SqlSurface.queries ++
-    graft.queries.StreamingQueries.queries ++
-    graft.queries.PipelineQueries.queries ++
-    graft.queries.GateQueries.queries ++
-    graft.queries.ModernSql.queries ++
-    graft.queries.ModernSql4.queries ++
-    graft.queries.VocabQueries.queries ++
-    graft.queries.MergeQueries.queries ++
-    graft.queries.FinalQueries.queries ++
-    graft.queries.TpcdsShapes.queries ++
-    graft.queries.TpcdsShapes2.queries ++
-    graft.queries.TpcdsShapes3.queries ++
-    graft.queries.TpcdsShapes4.queries ++
-    graft.queries.CoercionQueries.queries ++
-    graft.queries.SsbShapes.queries ++
-    graft.queries.SubqueryCorners.queries ++
-    graft.queries.GroupAnalytics.queries ++
-    graft.queries.HiveQueries.queries ++
-    graft.queries.SqlGolden.queries ++
-    graft.queries.SketchQueries.queries ++
-    graft.queries.SurfaceTail.queries ++
-    graft.queries.CorpusQueries.queries ++
-    graft.queries.AnalyticsQueries.queries ++
-    graft.queries.WarehouseQueries.queries ++
-    graft.queries.FuzzQueries.queries ++
-    graft.queries.GoldenTail.queries ++
-    graft.queries.CurationQueries.queries ++
-    graft.queries.QualityQueries.queries ++
-    graft.queries.CatalogQueries.queries ++
-    graft.queries.TfIdfQueries.queries ++
-    graft.queries.StateStoreQueries.queries ++
-    graft.queries.MixQueries.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] = merged("gate",
+    graft.queries.Tpch.queries.toSeq ++
+    graft.queries.TpchHard.queries.toSeq ++
+    graft.queries.Joins.queries.toSeq ++
+    graft.queries.Relational.queries.toSeq ++
+    graft.queries.OpsQueries.queries.toSeq ++
+    graft.queries.LineageQueries.queries.toSeq ++
+    graft.queries.Functions.queries.toSeq ++
+    graft.queries.Events.queries.toSeq ++
+    graft.queries.AsOfQueries.queries.toSeq ++
+    graft.queries.Subqueries.queries.toSeq ++
+    graft.queries.Approx.queries.toSeq ++
+    graft.queries.TopKQueries.queries.toSeq ++
+    graft.queries.SqlSurface.queries.toSeq ++
+    graft.queries.StreamingQueries.queries.toSeq ++
+    graft.queries.PipelineQueries.queries.toSeq ++
+    graft.queries.GateQueries.queries.toSeq ++
+    graft.queries.ModernSql.queries.toSeq ++
+    graft.queries.ModernSql4.queries.toSeq ++
+    graft.queries.VocabQueries.queries.toSeq ++
+    graft.queries.MergeQueries.queries.toSeq ++
+    graft.queries.FinalQueries.queries.toSeq ++
+    graft.queries.TpcdsShapes.queries.toSeq ++
+    graft.queries.TpcdsShapes2.queries.toSeq ++
+    graft.queries.TpcdsShapes3.queries.toSeq ++
+    graft.queries.TpcdsShapes4.queries.toSeq ++
+    graft.queries.CoercionQueries.queries.toSeq ++
+    graft.queries.SsbShapes.queries.toSeq ++
+    graft.queries.SubqueryCorners.queries.toSeq ++
+    graft.queries.GroupAnalytics.queries.toSeq ++
+    graft.queries.HiveQueries.queries.toSeq ++
+    graft.queries.SqlGolden.queries.toSeq ++
+    graft.queries.SketchQueries.queries.toSeq ++
+    graft.queries.SurfaceTail.queries.toSeq ++
+    graft.queries.CorpusQueries.queries.toSeq ++
+    graft.queries.AnalyticsQueries.queries.toSeq ++
+    graft.queries.WarehouseQueries.queries.toSeq ++
+    graft.queries.FuzzQueries.queries.toSeq ++
+    graft.queries.GoldenTail.queries.toSeq ++
+    graft.queries.CurationQueries.queries.toSeq ++
+    graft.queries.QualityQueries.queries.toSeq ++
+    graft.queries.CatalogQueries.queries.toSeq ++
+    graft.queries.TfIdfQueries.queries.toSeq ++
+    graft.queries.StateStoreQueries.queries.toSeq ++
+    graft.queries.MixQueries.queries.toSeq)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    graft.queries.Tpch.oracle ++
-    graft.queries.TpchHard.oracle ++
-    graft.queries.Joins.oracle ++
-    graft.queries.Relational.oracle ++
-    graft.queries.OpsQueries.oracle ++
-    graft.queries.LineageQueries.oracle ++
-    graft.queries.Functions.oracle ++
-    graft.queries.Events.oracle ++
-    graft.queries.AsOfQueries.oracle ++
-    graft.queries.Subqueries.oracle ++
-    graft.queries.Approx.oracle ++
-    graft.queries.TopKQueries.oracle ++
-    graft.queries.SqlSurface.oracle ++
-    graft.queries.StreamingQueries.oracle ++
-    graft.queries.PipelineQueries.oracle ++
-    graft.queries.GateQueries.oracle ++
-    graft.queries.ModernSql.oracle ++
-    graft.queries.ModernSql4.oracle ++
-    graft.queries.VocabQueries.oracle ++
-    graft.queries.MergeQueries.oracle ++
-    graft.queries.FinalQueries.oracle ++
-    graft.queries.TpcdsShapes.oracle ++
-    graft.queries.TpcdsShapes2.oracle ++
-    graft.queries.TpcdsShapes3.oracle ++
-    graft.queries.TpcdsShapes4.oracle ++
-    graft.queries.CoercionQueries.oracle ++
-    graft.queries.SsbShapes.oracle ++
-    graft.queries.SubqueryCorners.oracle ++
-    graft.queries.GroupAnalytics.oracle ++
-    graft.queries.HiveQueries.oracle ++
-    graft.queries.SqlGolden.oracle ++
-    graft.queries.SketchQueries.oracle ++
-    graft.queries.SurfaceTail.oracle ++
-    graft.queries.CorpusQueries.oracle ++
-    graft.queries.AnalyticsQueries.oracle ++
-    graft.queries.WarehouseQueries.oracle ++
-    graft.queries.FuzzQueries.oracle ++
-    graft.queries.GoldenTail.oracle ++
-    graft.queries.CurationQueries.oracle ++
-    graft.queries.QualityQueries.oracle ++
-    graft.queries.CatalogQueries.oracle ++
-    graft.queries.TfIdfQueries.oracle ++
-    graft.queries.StateStoreQueries.oracle ++
-    graft.queries.MixQueries.oracle
+  def oracleSql: Map[String, String] = merged("oracle",
+    graft.queries.Tpch.oracle.toSeq ++
+    graft.queries.TpchHard.oracle.toSeq ++
+    graft.queries.Joins.oracle.toSeq ++
+    graft.queries.Relational.oracle.toSeq ++
+    graft.queries.OpsQueries.oracle.toSeq ++
+    graft.queries.LineageQueries.oracle.toSeq ++
+    graft.queries.Functions.oracle.toSeq ++
+    graft.queries.Events.oracle.toSeq ++
+    graft.queries.AsOfQueries.oracle.toSeq ++
+    graft.queries.Subqueries.oracle.toSeq ++
+    graft.queries.Approx.oracle.toSeq ++
+    graft.queries.TopKQueries.oracle.toSeq ++
+    graft.queries.SqlSurface.oracle.toSeq ++
+    graft.queries.StreamingQueries.oracle.toSeq ++
+    graft.queries.PipelineQueries.oracle.toSeq ++
+    graft.queries.GateQueries.oracle.toSeq ++
+    graft.queries.ModernSql.oracle.toSeq ++
+    graft.queries.ModernSql4.oracle.toSeq ++
+    graft.queries.VocabQueries.oracle.toSeq ++
+    graft.queries.MergeQueries.oracle.toSeq ++
+    graft.queries.FinalQueries.oracle.toSeq ++
+    graft.queries.TpcdsShapes.oracle.toSeq ++
+    graft.queries.TpcdsShapes2.oracle.toSeq ++
+    graft.queries.TpcdsShapes3.oracle.toSeq ++
+    graft.queries.TpcdsShapes4.oracle.toSeq ++
+    graft.queries.CoercionQueries.oracle.toSeq ++
+    graft.queries.SsbShapes.oracle.toSeq ++
+    graft.queries.SubqueryCorners.oracle.toSeq ++
+    graft.queries.GroupAnalytics.oracle.toSeq ++
+    graft.queries.HiveQueries.oracle.toSeq ++
+    graft.queries.SqlGolden.oracle.toSeq ++
+    graft.queries.SketchQueries.oracle.toSeq ++
+    graft.queries.SurfaceTail.oracle.toSeq ++
+    graft.queries.CorpusQueries.oracle.toSeq ++
+    graft.queries.AnalyticsQueries.oracle.toSeq ++
+    graft.queries.WarehouseQueries.oracle.toSeq ++
+    graft.queries.FuzzQueries.oracle.toSeq ++
+    graft.queries.GoldenTail.oracle.toSeq ++
+    graft.queries.CurationQueries.oracle.toSeq ++
+    graft.queries.QualityQueries.oracle.toSeq ++
+    graft.queries.CatalogQueries.oracle.toSeq ++
+    graft.queries.TfIdfQueries.oracle.toSeq ++
+    graft.queries.StateStoreQueries.oracle.toSeq ++
+    graft.queries.MixQueries.oracle.toSeq)
 }

@@ -45,7 +45,7 @@ object CoercionQueries {
           |ORDER BY l_orderkey, l_linenumber""".stripMargin)
     },
 
-    "q_null_ordering" -> { (s, dir) =>
+    "q_null_ordering_desc" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql(
         """SELECT nullif(l_linestatus, 'F') AS st_nullable, l_orderkey, l_linenumber
@@ -66,7 +66,7 @@ object CoercionQueries {
         |  CAST(floor(l_orderkey / 7) AS BIGINT) AS int_div_floor
         |FROM lineitem WHERE l_orderkey < 300
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-    "q_null_ordering" ->
+    "q_null_ordering_desc" ->
       """SELECT nullif(l_linestatus, 'F') AS st_nullable, l_orderkey, l_linenumber
         |FROM lineitem WHERE l_orderkey < 150
         |ORDER BY st_nullable DESC NULLS LAST, l_orderkey, l_linenumber""".stripMargin)

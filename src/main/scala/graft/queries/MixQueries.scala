@@ -75,7 +75,7 @@ object MixQueries {
 
     // A-ES weighted sampling: top-3 per source by u^(1/n_chars) with a
     // hash-uniform u — reproducible on any cluster, no RNG state.
-    "q_weighted_sample" -> { (s, dir) =>
+    "q_aes_sample" -> { (s, dir) =>
       PipelineOps.weightedSample(Tables.load(s, dir, "documents"),
           "doc_id", "n_chars", "source", k = 3)
         .select(col("source"), col("sample_rank"), col("doc_id"),
@@ -93,7 +93,7 @@ object MixQueries {
 
     // Weekly cohort-retention triangle over the events stream (dates
     // formatted as strings for the cross-engine compare).
-    "q_cohort_retention" -> { (s, dir) =>
+    "q_cohort_weekly" -> { (s, dir) =>
       TimeSeries.cohortRetention(Tables.load(s, dir, "events"),
           "user_id", "ts")
         .select(date_format(col("cohort_week"), "yyyy-MM-dd")
@@ -195,7 +195,7 @@ object MixQueries {
         |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
         |ORDER BY level""".stripMargin,
 
-    "q_cohort_retention" ->
+    "q_cohort_weekly" ->
       """WITH f AS (SELECT user_id,
         |    CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS DATE)
         |      AS cohort_week
@@ -211,7 +211,7 @@ object MixQueries {
         |  week_offset, n_users
         |FROM g ORDER BY 1, 2""".stripMargin,
 
-    "q_weighted_sample" ->
+    "q_aes_sample" ->
       """WITH t AS (SELECT doc_id, source, n_chars,
         |    ln(((doc_id * 2654435761) % 2147483648 + 1) / 2147483649.0)
         |      / n_chars AS key
