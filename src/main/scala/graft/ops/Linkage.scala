@@ -47,4 +47,64 @@ object Linkage {
         col("__best.__dist").as("best_dist"),
         col("__best.__cid").as("best_match"))
   }
+
+  /** Per-field survivorship rule for [[survivorship]] — every rule is
+    * a deterministic total order, so the golden record is identical on
+    * any cluster and any partitioning.
+    */
+  sealed trait SurvivorRule
+  object SurvivorRule {
+    /** newest non-null value, order = lexicographic on `orderCols`
+      * (include a unique id as the last column) */
+    final case class Newest(orderCols: Seq[String]) extends SurvivorRule
+    /** longest string; ties break to the lexicographically LARGEST */
+    case object Longest extends SurvivorRule
+    /** numeric maximum */
+    case object MaxNum extends SurvivorRule
+    /** most frequent value; ties break to the SMALLEST value */
+    case object ModeAsc extends SurvivorRule
+  }
+
+  /** Survivorship / golden-record merge — the step AFTER matching: each
+    * cluster of records referring to one entity collapses to a single
+    * row, field by field, under the caller's rules.
+    *
+    * Scale shape: all Newest/Longest/MaxNum fields fold into ONE
+    * hash aggregation on the cluster key (max_by/max partials combine
+    * map-side); each ModeAsc field costs one extra (cluster, value)
+    * pre-aggregation — value-cardinality-sized, joined back on the
+    * cluster key.  Nothing is ever ordered globally and no cluster's
+    * records need to fit one task beyond its aggregation buffer.
+    *
+    * @param fields (outputName, sourceColumn, rule) per golden field
+    * @return one row per cluster: (clusterCol, outputName...)
+    */
+  def survivorship(records: DataFrame, clusterCol: String,
+      fields: Seq[(String, String, SurvivorRule)]): DataFrame = {
+    import SurvivorRule._
+    require(fields.nonEmpty)
+    val onePass = fields.collect {
+      case (out, f, Newest(ord)) =>
+        max_by(col(f), when(col(f).isNotNull,
+          struct(ord.map(col): _*))).as(out)
+      case (out, f, Longest) =>
+        max_by(col(f), when(col(f).isNotNull,
+          struct(length(col(f)), col(f)))).as(out)
+      case (out, f, MaxNum) => max(col(f)).as(out)
+    }
+    val base =
+      if (onePass.nonEmpty)
+        records.groupBy(col(clusterCol)).agg(onePass.head, onePass.tail: _*)
+      else records.select(col(clusterCol)).distinct()
+    val withModes = fields.collect { case (out, f, ModeAsc) => (out, f) }
+      .foldLeft(base) { case (acc, (out, f)) =>
+        val mode = records.filter(col(f).isNotNull)
+          .groupBy(col(clusterCol), col(f)).agg(count(lit(1)).as("__cnt"))
+          .groupBy(col(clusterCol))
+          .agg(min_by(col(f), struct(negate(col("__cnt")), col(f))).as(out))
+        acc.join(mode, Seq(clusterCol), "left")
+      }
+    // column order follows the caller's field list
+    withModes.select(col(clusterCol) +: fields.map(f => col(f._1)): _*)
+  }
 }

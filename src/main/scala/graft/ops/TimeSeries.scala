@@ -84,6 +84,44 @@ object TimeSeries {
     }.reduce(_.union(_)).orderBy(col("level"))
   }
 
+  /** Rolling z-score anomaly detection, integer-exact: flag an event
+    * whose value deviates from the mean of its key's previous `n`
+    * events by more than `z` standard deviations.  Values are taken as
+    * exact integer cents, and the test is evaluated in cross-
+    * multiplied integer form —
+    * `(n·x − S1)² > z²·(n·S2 − S1²)` with S1 = Σcᵢ, S2 = Σcᵢ² over the
+    * trailing window — so the flag is bit-identical on every engine
+    * and partitioning (no float mean/stddev anywhere).
+    *
+    * Scale shape: one window partitioned by the series key (parallel
+    * across keys), frame = `n` PRECEDING rows — no global ordering, no
+    * state beyond the frame.  Events whose key has fewer than `n`
+    * prior events are not scored.
+    *
+    * @return flagged rows only: (keyCol, idCol, cents, dev_sq,
+    *         bound) with dev_sq = (n·x − S1)² and
+    *         bound = z²·(n·S2 − S1²)
+    */
+  def rollingAnomalies(events: DataFrame, keyCol: String, idCol: String,
+      tsCol: String, valueCol: String, n: Int, z: Int): DataFrame = {
+    require(n >= 2 && z >= 1)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol)).rowsBetween(-n, -1)
+    events
+      .withColumn("__c", round(col(valueCol) * 100).cast("long"))
+      .withColumn("__s1", sum(col("__c")).over(w))
+      .withColumn("__s2", sum(col("__c") * col("__c")).over(w))
+      .withColumn("__m", count(lit(1)).over(w))
+      .filter(col("__m") === n)
+      .withColumn("dev_sq",
+        (col("__c") * n - col("__s1")) * (col("__c") * n - col("__s1")))
+      .withColumn("bound",
+        lit(z.toLong * z) * (col("__s2") * n - col("__s1") * col("__s1")))
+      .filter(col("dev_sq") > col("bound"))
+      .select(col(keyCol), col(idCol), col("__c").as("cents"),
+        col("dev_sq"), col("bound"))
+  }
+
   /** Weekly cohort-retention matrix: users are grouped by the ISO week
     * of their first event (their cohort), and each cell counts the
     * cohort's users active `week_offset` weeks later.  The classic

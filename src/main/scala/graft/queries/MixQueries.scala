@@ -91,6 +91,29 @@ object MixQueries {
         Seq("view", "click", "purchase"), "INTERVAL 1 DAY")
     },
 
+    // Survivorship / golden-record merge per user: newest event type,
+    // longest props, max value (one hash agg) + modal event type (one
+    // value-cardinality pre-agg) — the step after entity matching.
+    "q_survivorship" -> { (s, dir) =>
+      import graft.ops.Linkage
+      import Linkage.SurvivorRule._
+      Linkage.survivorship(Tables.load(s, dir, "events"), "user_id", Seq(
+          ("last_type", "event_type", Newest(Seq("ts", "event_id"))),
+          ("longest_props", "props", Longest),
+          ("max_value", "value", MaxNum),
+          ("top_type", "event_type", ModeAsc)))
+        .orderBy(col("user_id"))
+    },
+
+    // Integer-exact rolling z-score anomalies: value deviates from the
+    // trailing-20 mean by > 3 sigma, tested in cross-multiplied integer
+    // cents so the flag set is bit-identical on any engine.
+    "q_rolling_anomaly" -> { (s, dir) =>
+      TimeSeries.rollingAnomalies(Tables.load(s, dir, "events"),
+          "user_id", "event_id", "ts", "value", n = 20, z = 3)
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     // Weekly cohort-retention triangle over the events stream (dates
     // formatted as strings for the cross-engine compare).
     "q_cohort_weekly" -> { (s, dir) =>
@@ -174,6 +197,48 @@ object MixQueries {
         |  CAST(max(rn) AS BIGINT) AS max_rn,
         |  CAST(sum(rn * (l_partkey % 97)) AS BIGINT) AS checksum
         |FROM r""".stripMargin,
+
+    "q_survivorship" ->
+      """WITH lastt AS (
+        |  SELECT user_id, event_type AS last_type FROM (
+        |    SELECT user_id, event_type, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_type IS NOT NULL) WHERE rn = 1),
+        |lng AS (
+        |  SELECT user_id, props AS longest_props FROM (
+        |    SELECT user_id, props, row_number() OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY strlen(props) DESC, props DESC) AS rn
+        |    FROM events WHERE props IS NOT NULL) WHERE rn = 1),
+        |mx AS (SELECT user_id, max(value) AS max_value
+        |       FROM events GROUP BY 1),
+        |md AS (
+        |  SELECT user_id, event_type AS top_type FROM (
+        |    SELECT user_id, event_type, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn
+        |    FROM (SELECT user_id, event_type, count(*) AS cnt
+        |          FROM events WHERE event_type IS NOT NULL
+        |          GROUP BY 1, 2)) WHERE rn = 1)
+        |SELECT user_id, last_type, longest_props, max_value, top_type
+        |FROM lastt JOIN lng USING (user_id) JOIN mx USING (user_id)
+        |  JOIN md USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "q_rolling_anomaly" ->
+      """WITH t AS (SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |w AS (SELECT user_id, event_id, c,
+        |    sum(c) OVER win AS s1, sum(c * c) OVER win AS s2,
+        |    count(*) OVER win AS m
+        |  FROM t WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, c AS cents,
+        |  (c * 20 - s1) * (c * 20 - s1) AS dev_sq,
+        |  9 * (s2 * 20 - s1 * s1) AS bound
+        |FROM w WHERE m = 20
+        |  AND (c * 20 - s1) * (c * 20 - s1) > 9 * (s2 * 20 - s1 * s1)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q_event_funnel" ->
       """WITH s1 AS (SELECT user_id AS u, min(CAST(ts AS TIMESTAMP)) AS t1

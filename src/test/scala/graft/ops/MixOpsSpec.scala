@@ -116,4 +116,46 @@ class MixOpsSpec extends SparkSpec {
     }.toSet
     assert(got == local)
   }
+
+  test("survivorship: newest skips nulls, longest/mode tie-breaks exact") {
+    import Linkage.SurvivorRule._
+    val recs = Seq(
+      // cluster 1: newest type is null -> falls back to newest non-null
+      (1L, Some("a"), "xx", 1.0, 1L),
+      (1L, Some("b"), "yyy", 5.0, 2L),
+      (1L, None: Option[String], "zz", 2.0, 3L),
+      // cluster 2: mode tie a vs b (1 each) -> smallest wins; longest
+      // tie ("pp" vs "qq") -> lexicographically largest wins
+      (2L, Some("b"), "pp", -1.0, 4L),
+      (2L, Some("a"), "qq", -3.0, 5L))
+      .toDF("cluster", "t", "p", "v", "ord")
+    val out = Linkage.survivorship(recs, "cluster", Seq(
+        ("newest_t", "t", Newest(Seq("ord"))),
+        ("longest_p", "p", Longest),
+        ("max_v", "v", MaxNum),
+        ("mode_t", "t", ModeAsc)))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getDouble(3), r.getString(4))))
+      .toMap
+    assert(out(1L) == (("b", "yyy", 5.0, "a")),
+      s"newest non-null must skip the ord=3 null; mode tie -> smallest: ${out(1L)}")
+    assert(out(2L) == (("a", "qq", -1.0, "a")), s"${out(2L)}")
+  }
+
+  test("rollingAnomalies: integer test flags the spike, not the boundary") {
+    def t(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$i%02d")
+    // key 1: three 1.00s then a 100.00 spike (n=3): S1=300, S2=30000,
+    // x=10000 -> dev=(3*10000-300)^2=8.82e8 > 9*(3*30000-90000)=0 -> flag.
+    // The fifth event equals the window mean -> never flagged.
+    val ev = Seq(
+      (1L, 1L, t(1), 1.00), (1L, 2L, t(2), 1.00), (1L, 3L, t(3), 1.00),
+      (1L, 4L, t(4), 100.00), (1L, 5L, t(5), 34.00),
+      // key 2: only two events -> below n, never scored
+      (2L, 6L, t(1), 1.00), (2L, 7L, t(2), 99.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = TimeSeries.rollingAnomalies(ev, "user_id", "event_id",
+        "ts", "value", n = 3, z = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 4L)), s"only the spike flags: ${out.toSeq}")
+  }
 }
