@@ -103,6 +103,38 @@ object StreamingQueries {
     // in append mode; the emitted key set equals batch DISTINCT.  Only
     // the key is output — which concrete row survives per key depends
     // on partition order and is not part of the operator's contract.
+    // Streaming rolling-anomaly parity: the integer-exact trailing-20
+    // z-score test runs as flatMapGroupsWithState (bounded n-long state
+    // per user) over a time-ordered 3-chunk replay; the flag stream
+    // must equal the batch operator — which the DuckDB oracle
+    // recomputes independently.
+    "q_stream_anomaly" -> { (s, dir) =>
+      val s2 = s
+      import s2.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id") % 5 === 1)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val b = ev.agg(min(col("ts").cast("long")).as("lo"),
+        max(col("ts").cast("long")).as("hi")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      val stream = orderedReplay(s, Seq(
+        ev.filter(col("ts").cast("long") <= t1),
+        ev.filter(col("ts").cast("long") > t1 &&
+          col("ts").cast("long") <= t2),
+        ev.filter(col("ts").cast("long") > t2)))
+      val name = s"stream_anomaly_${runId.incrementAndGet()}"
+      val flags = graft.streaming.Streaming.rollingAnomalies(
+        stream.as[graft.streaming.Event], n = 20, z = 3)
+      withStatePartitions(s) {
+        val q = flags.toDF().writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(name).orderBy(col("user_id"), col("event_id"))
+    },
+
     "q_stream_dedup" -> { (s, dir) =>
       // only the dedup key is projected: the state store then holds a
       // key per user and nothing else
@@ -587,6 +619,21 @@ object StreamingQueries {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
+    "q_stream_anomaly" ->
+      """WITH t AS (SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE user_id % 5 = 1),
+        |w AS (SELECT user_id, event_id, c,
+        |    sum(c) OVER win AS s1, sum(c * c) OVER win AS s2,
+        |    count(*) OVER win AS m
+        |  FROM t WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, c AS cents,
+        |  (c * 20 - s1) * (c * 20 - s1) AS dev_sq,
+        |  9 * (s2 * 20 - s1 * s1) AS bound
+        |FROM w WHERE m = 20
+        |  AND (c * 20 - s1) * (c * 20 - s1) > 9 * (s2 * 20 - s1 * s1)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id FROM events ORDER BY user_id""".stripMargin,
     "q_stream_url_dedup" ->

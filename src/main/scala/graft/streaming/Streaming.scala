@@ -26,6 +26,9 @@ case class SessionOut(user_id: Long, session_start: Long, n_events: Int,
 
 case class SessionState(start: Long, last: Long, n: Int, total: Double)
 
+case class AnomalyOut(user_id: Long, event_id: Long, cents: Long,
+    dev_sq: Long, bound: Long)
+
 /** Per-key running total via the Spark-4 `transformWithState` API
   * (StatefulProcessor + typed ValueState over the RocksDB state
   * store) — the successor of flatMapGroupsWithState that the 2.4-era
@@ -114,6 +117,43 @@ object Streaming {
             }
             closed.result().iterator
           }
+      }
+  }
+
+  /** Streaming twin of [[graft.ops.TimeSeries.rollingAnomalies]]: the
+    * same integer-exact trailing-window z-score test, with the window
+    * carried per key in GroupState — at most `n` longs per key, so
+    * state is bounded without any watermark.  Micro-batch rows for a
+    * key are sorted by (ts, event_id) before folding; fed time-ordered
+    * batches (ordered replay / an in-order source), the flag stream is
+    * IDENTICAL to the batch operator's output — the parity the gate
+    * asserts.
+    */
+  def rollingAnomalies(events: Dataset[Event], n: Int,
+      z: Int): Dataset[AnomalyOut] = {
+    require(n >= 2 && z >= 1)
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[Long], AnomalyOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[Seq[Long]]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var win = state.getOption.getOrElse(Seq.empty[Long])
+          val out = Seq.newBuilder[AnomalyOut]
+          sorted.foreach { e =>
+            val c = math.round(e.value * 100)
+            if (win.size == n) {
+              val s1 = win.sum
+              val s2 = win.iterator.map(x => x * x).sum
+              val dev = (c * n - s1) * (c * n - s1)
+              val bound = z.toLong * z * (s2 * n - s1 * s1)
+              if (dev > bound) out += AnomalyOut(userId, e.event_id, c, dev, bound)
+            }
+            win = (win :+ c).takeRight(n)
+          }
+          state.update(win)
+          out.result().iterator
       }
   }
 

@@ -137,6 +137,31 @@ class StreamingSpec extends SparkSpec with org.scalatest.Retries {
     } finally q.stop()
   }
 
+  test("streaming rollingAnomalies carries the window across batches") {
+    // n=3, z=3: three 1.00s arrive in batch 1; the spike arrives in
+    // batch 2 — it flags ONLY if GroupState carried the trailing
+    // window over the batch boundary.  A second key stays below n and
+    // never scores.
+    val in = MemoryStream[Event]
+    val q = runToMemory(
+      rollingAnomalies(in.toDS(), n = 3, z = 3).toDF(), "anom_out")
+    try {
+      in.addData(ev(1, 1, value = 1.00), ev(2, 2, value = 1.00),
+        ev(3, 3, value = 1.00), ev(10, 1, user = 2, value = 50.0))
+      q.processAllAvailable()
+      in.addData(ev(4, 4, value = 100.00), ev(5, 5, value = 1.00),
+        ev(11, 2, user = 2, value = 50.0))
+      q.processAllAvailable()
+      val got = spark.table("anom_out")
+        .select("user_id", "event_id", "cents")
+        .as[(Long, Long, Long)].collect().toSet
+      // event 4: window [100,100,100], dev=(3*10000-300)^2, bound=0 -> flag
+      // event 5: window [100,100,10000] -> mean 3400; dev=(300-10200)^2
+      //   = 98010000; bound 9*(3*100020000-10200^2)=9*195960000 -> no flag
+      assert(got == Set((1L, 4L, 10000L)), got)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizes with event-time timeout") {
     val in = MemoryStream[Event]
     val q = runToMemory(sessionize(in.toDS(), gapSeconds = 600, "0 seconds").toDF(),
