@@ -138,4 +138,42 @@ object GraphOps {
     for (_ <- 1 to rounds) e = peelOnce(e, k).localCheckpoint()
     degrees(e)
   }
+
+  /** Item-item co-occurrence similarity (the item-based collaborative-
+    * filtering kernel): from a (user, item) interaction stream, count
+    * for every item pair how many users touched BOTH, and score the
+    * pair by cosine over the user sets — `n_ab / √(n_a · n_b)`.
+    *
+    * Scale shape: interactions first collapse to DISTINCT (user, item)
+    * — one shuffle on the user key — then the pair generation is a
+    * self-equi-join on user, so the quadratic term is per-user
+    * (Σ|items(u)|², the standard CF bound; cap items-per-user upstream
+    * for power users, exactly the salting/ceiling every production CF
+    * applies), never |items|² globally.  Pair counts and the two
+    * item-degree joins all shuffle fixed-width keys.
+    *
+    * @param minUsers drop pairs co-seen by fewer users (noise floor)
+    * @return (item_a, item_b, n_ab, cosine) with item_a < item_b
+    */
+  def itemCooccurrence(df: DataFrame, userCol: String, itemCol: String,
+      minUsers: Long): DataFrame = {
+    require(minUsers >= 1)
+    val ui = df.select(col(userCol).as("__u"), col(itemCol).as("__i"))
+      .filter(col("__i").isNotNull).distinct()
+    val counts = ui.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    val pairs = ui.select(col("__u"), col("__i").as("item_a"))
+      .join(ui.select(col("__u"), col("__i").as("item_b")), Seq("__u"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minUsers)
+    pairs
+      .join(counts.select(col("__i").as("item_a"), col("__n").as("__na")),
+        Seq("item_a"))
+      .join(counts.select(col("__i").as("item_b"), col("__n").as("__nb")),
+        Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        round(col("n_ab") / sqrt((col("__na") * col("__nb")).cast("double")),
+          6).as("cosine"))
+  }
 }

@@ -91,6 +91,17 @@ object MixQueries {
         Seq("view", "click", "purchase"), "INTERVAL 1 DAY")
     },
 
+    // Item-item co-occurrence similarity (item-based CF kernel) over
+    // the events props item ids.
+    "q_item_cooc" -> { (s, dir) =>
+      graft.ops.GraphOps.itemCooccurrence(
+          Tables.load(s, dir, "events")
+            .select(col("user_id"),
+              get_json_object(col("props"), "$.k").as("item")),
+          "user_id", "item", minUsers = 5L)
+        .orderBy(col("item_a"), col("item_b"))
+    },
+
     // Survivorship / golden-record merge per user: newest event type,
     // longest props, max value (one hash agg) + modal event type (one
     // value-cardinality pre-agg) — the step after entity matching.
@@ -197,6 +208,21 @@ object MixQueries {
         |  CAST(max(rn) AS BIGINT) AS max_rn,
         |  CAST(sum(rn * (l_partkey % 97)) AS BIGINT) AS checksum
         |FROM r""".stripMargin,
+
+    "q_item_cooc" ->
+      """WITH ui AS (SELECT DISTINCT user_id,
+        |    json_extract_string(props, 'k') AS item
+        |  FROM events WHERE props IS NOT NULL),
+        |ic AS (SELECT item, count(*) AS n FROM ui GROUP BY 1),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b,
+        |    count(*) AS n_ab
+        |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  round(n_ab / sqrt(CAST(ia.n * ib.n AS DOUBLE)), 6) AS cosine
+        |FROM p JOIN ic ia ON ia.item = p.item_a
+        |  JOIN ic ib ON ib.item = p.item_b
+        |ORDER BY item_a, item_b""".stripMargin,
 
     "q_survivorship" ->
       """WITH lastt AS (

@@ -158,4 +158,20 @@ class MixOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((1L, 4L)), s"only the spike flags: ${out.toSeq}")
   }
+
+  test("itemCooccurrence: distinct users, cosine closed-form, floor works") {
+    val ui = Seq(
+      (1L, "a"), (1L, "b"), (1L, "b"),   // duplicate interaction collapses
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"))
+      .toDF("user_id", "item")
+    val out = GraphOps.itemCooccurrence(ui, "user_id", "item", minUsers = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // a: 3 users, b: 2 users, ab co-seen by users 1 and 2
+    assert(out.keySet == Set(("a", "b")), s"floor must drop (a,c): ${out.keySet}")
+    val (nab, cos) = out(("a", "b"))
+    assert(nab == 2L)
+    assert(cos == math.rint(2.0 / math.sqrt(3.0 * 2.0) * 1e6) / 1e6)
+  }
 }
