@@ -69,4 +69,56 @@ class PipelinePlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 2, s"expected the two-phase shape (salted + final):\n$plan")
   }
+
+  test("charEntropy aggregates partially below both exchanges") {
+    val docs = Tables.load(spark, sf, "documents")
+    val plan = executedPlan(
+      TextAnalysis.charEntropy(docs, "doc_id", "text"))
+    // two groupBys, each partial->final: partial_count must appear
+    // (map-side combine), and no window/global node anywhere
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"expected partial aggregation:\n$plan")
+    assert(!plan.contains("WindowExec"), "no window in a pure two-agg op")
+  }
+
+  test("globalRowNumber: range shuffle + broadcast offsets, no global window") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"))
+    val df = PipelineOps.globalRowNumber(li, Seq("l_orderkey", "l_linenumber"),
+      numPartitions = 8)
+    val plan = executedPlan(df)
+    assert(plan.contains("Exchange rangepartitioning"),
+      s"order must come from ONE range shuffle:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"partition offsets must broadcast, never shuffle the data again:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the whole point: no window anywhere:\n$plan")
+    df.unpersist()
+  }
+
+  test("tokenBudgetMixture windows per domain (parallel), never globally") {
+    val docs = Tables.load(spark, sf, "documents")
+    val df = PipelineOps.tokenBudgetMixture(docs, "doc_id", "text", "source",
+      Map("src0" -> 400L, "src1" -> 300L))
+    // assert on the plan string (AQE hides WindowExec from node
+    // collect): the windowspecdefinition must lead with the domain
+    // column — a partitioned window — and the only exchange keys on it
+    val plan = executedPlan(df)
+    assert(plan.contains("windowspecdefinition(source"),
+      s"cumulative budget window must be partitioned by domain:\n$plan")
+    assert(plan.contains("hashpartitioning(source"),
+      s"the window's shuffle must key on the domain:\n$plan")
+  }
+
+  test("itemCooccurrence: pair counts combine map-side; joins stay equi") {
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), get_json_object(col("props"), "$.k").as("item"))
+    val plan = executedPlan(
+      graft.ops.GraphOps.itemCooccurrence(ev, "user_id", "item", 2L))
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"pair counting must combine map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"user self-join and degree joins must stay equi-joins:\n$plan")
+  }
 }
