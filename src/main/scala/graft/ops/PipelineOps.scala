@@ -386,6 +386,47 @@ object PipelineOps {
       .drop("__mid", "__pid", "__local")
   }
 
+  /** Deterministic weighted categorical sampling WITH replacement —
+    * the negative-sampling kernel (word2vec's unigram^0.75 draw) at
+    * cluster scale: instead of a driver-resident alias table, the
+    * categorical distribution becomes an integer inverse-CDF laid out
+    * as [lo, hi) intervals over the cumulative weight line, and the
+    * `n` hash-deterministic draws resolve by a BINNED range join
+    * ([[RangeJoin.binned]]) — an equi-join on the bin key, never a
+    * nested loop, with the category side expanding to ≤ 2 bins each.
+    *
+    * All arithmetic is integer (weights arrive as micro-units), so the
+    * draw→category mapping is bit-identical on any engine and
+    * partitioning.  The only global window runs over the CATEGORY
+    * frame (vocabulary-sized, already aggregated); the two scalars
+    * (total and max weight) are one 1-row driver action — distribution
+    * state, not data.
+    *
+    * @param weights (keyCol, weightCol) one row per category; integer
+    *                weights > 0 (micro-scale fractional weights first)
+    * @param n       number of draws (draw_id 0..n-1)
+    * @return (draw_id, keyCol) — the sampled category per draw
+    */
+  def sampleCategorical(weights: DataFrame, keyCol: String,
+      weightCol: String, n: Long, seed: Long): DataFrame = {
+    require(n > 0)
+    val spark = weights.sparkSession
+    val base = weights
+      .select(col(keyCol), col(weightCol).cast("long").as("__w"))
+      .filter(col("__w") > 0)
+    val scalars = base.agg(sum(col("__w")), max(col("__w"))).head()
+    val (total, maxW) = (scalars.getLong(0), scalars.getLong(1))
+    val w = Window.orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = base
+      .withColumn("__lo", coalesce(sum(col("__w")).over(w), lit(0L)))
+      .withColumn("__hi", col("__lo") + col("__w") - 1)
+    val draws = spark.range(n).select(col("id").as("draw_id"),
+      pmod(col("id") * 2654435761L + seed, lit(total)).as("__u"))
+    RangeJoin.binned(draws, cum, "__u", "__lo", "__hi", binWidth = maxW)
+      .select(col("draw_id"), col(keyCol))
+  }
+
   /** Deterministic weighted sampling without replacement (Efraimidis &
     * Spirakis A-ES, IPL 2006): per stratum keep the k rows with the
     * largest `u^(1/w)` where u is a uniform draw — here a

@@ -91,6 +91,20 @@ object MixQueries {
         Seq("view", "click", "purchase"), "INTERVAL 1 DAY")
     },
 
+    // Negative sampling: 500 deterministic draws from the
+    // unigram^0.75 distribution via the integer inverse-CDF + binned
+    // range join (no driver alias table).
+    "q_negative_sampling" -> { (s, dir) =>
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val weights = toks.groupBy(col("token"))
+        .agg(round(pow(count(lit(1)), 0.75) * 1000000)
+          .cast("long").as("w"))
+      PipelineOps.sampleCategorical(weights, "token", "w",
+          n = 500L, seed = 42L)
+        .orderBy(col("draw_id"))
+    },
+
     // Item-item co-occurrence similarity (item-based CF kernel) over
     // the events props item ids.
     "q_item_cooc" -> { (s, dir) =>
@@ -208,6 +222,23 @@ object MixQueries {
         |  CAST(max(rn) AS BIGINT) AS max_rn,
         |  CAST(sum(rn * (l_partkey % 97)) AS BIGINT) AS checksum
         |FROM r""".stripMargin,
+
+    "q_negative_sampling" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
+        |v AS (SELECT token,
+        |    CAST(round(pow(count(*), 0.75) * 1000000) AS BIGINT) AS w
+        |  FROM tok GROUP BY 1),
+        |c AS (SELECT token, w,
+        |    coalesce(sum(w) OVER (ORDER BY token
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+        |  FROM v),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM v),
+        |d AS (SELECT r.i AS draw_id,
+        |    (r.i * 2654435761 + 42) % t.total AS u
+        |  FROM range(0, 500) r(i), tot t)
+        |SELECT d.draw_id, c.token
+        |FROM d JOIN c ON d.u >= c.lo AND d.u < c.lo + c.w
+        |ORDER BY d.draw_id""".stripMargin,
 
     "q_item_cooc" ->
       """WITH ui AS (SELECT DISTINCT user_id,

@@ -174,4 +174,18 @@ class MixOpsSpec extends SparkSpec {
     assert(nab == 2L)
     assert(cos == math.rint(2.0 / math.sqrt(3.0 * 2.0) * 1e6) / 1e6)
   }
+
+  test("sampleCategorical: every draw resolves exactly once, inverse-CDF exact") {
+    val weights = Seq(("a", 1L), ("b", 3L), ("c", 6L)).toDF("k", "w")
+    val out = PipelineOps.sampleCategorical(weights, "k", "w",
+        n = 200L, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 200, "each draw must resolve to exactly one category")
+    // local inverse-CDF twin: lo(a)=0, lo(b)=1, lo(c)=4, total=10
+    val local = (0L until 200L).map { i =>
+      val u = (i * 2654435761L + 7L) % 10L
+      i -> (if (u < 1) "a" else if (u < 4) "b" else "c")
+    }.toMap
+    assert(out == local)
+  }
 }
