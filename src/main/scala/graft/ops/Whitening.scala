@@ -100,6 +100,22 @@ object Whitening {
     }.toDF(idCol, "whitened")
   }
 
+  /** Squared Mahalanobis distance per vector — the embedding
+    * out-of-distribution screen a curation pipeline runs before
+    * training: m² = ‖L⁻¹(x − μ)‖², i.e. the squared norm of the
+    * [[whiten]]ed vector, which weighs every direction by the corpus's
+    * own covariance (a vector can be OOD by correlation structure, not
+    * just magnitude).  Same scale shape as whiten: O(d²) driver moment
+    * solve, then a narrow per-row kernel + one codegen'd fold — no
+    * shuffle at all after the moment aggregation.
+    */
+  def mahalanobis(emb: DataFrame, idCol: String, vecCol: String,
+      d: Int, eps: Double = 1e-9): DataFrame =
+    whiten(emb, idCol, vecCol, d, eps)
+      .select(col(idCol),
+        aggregate(col("whitened"), lit(0.0d),
+          (acc, x) => acc + x * x).as("m2"))
+
   /** Lower-triangular Cholesky factor of `a + eps·I` (a symmetric
     * positive-semidefinite d×d matrix). Driver-side, O(d³).
     */

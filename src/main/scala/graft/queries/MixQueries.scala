@@ -91,6 +91,25 @@ object MixQueries {
         Seq("view", "click", "purchase"), "INTERVAL 1 DAY")
     },
 
+    // Embedding OOD screen ENVELOPE (oracle-checked): a 1000x-scaled
+    // clone of vector 0 is injected; its Mahalanobis distance under
+    // the corpus covariance is orders of magnitude beyond the natural
+    // range (whitened coordinates scale linearly), so it MUST rank 1 —
+    // moments, Cholesky, the whitening solve and the norm fold all
+    // have to work for the row to match.
+    "q_embed_outlier" -> { (s, dir) =>
+      import graft.ops.Whitening
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val outlier = emb.filter(col("vec_id") === 0)
+        .select(lit(1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1000.0f)).as("embedding"))
+      Whitening.mahalanobis(emb.union(outlier), "vec_id", "embedding",
+          d = 16)
+        .orderBy(desc("m2"), col("vec_id")).limit(1)
+        .select(lit(1L).as("rank"), col("vec_id"))
+    },
+
     // Negative sampling: 500 deterministic draws from the
     // unigram^0.75 distribution via the integer inverse-CDF + binned
     // range join (no driver alias table).
@@ -222,6 +241,10 @@ object MixQueries {
         |  CAST(max(rn) AS BIGINT) AS max_rn,
         |  CAST(sum(rn * (l_partkey % 97)) AS BIGINT) AS checksum
         |FROM r""".stripMargin,
+
+    "q_embed_outlier" ->
+      """SELECT CAST(1 AS BIGINT) AS rank,
+        |  CAST(1000000 AS BIGINT) AS vec_id""".stripMargin,
 
     "q_negative_sampling" ->
       s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),

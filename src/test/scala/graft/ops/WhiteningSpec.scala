@@ -64,4 +64,23 @@ class WhiteningSpec extends SparkSpec {
     }
     assert(l(0)(1) == 0.0 && l(0)(2) == 0.0 && l(1)(2) == 0.0, "lower triangular")
   }
+
+  test("mahalanobis: correlated direction scores lower than a rarer one") {
+    // strongly correlated 2D cloud along (1,1); two probes at the same
+    // Euclidean distance from the mean: along the major axis (common)
+    // vs the minor axis (rare) — Mahalanobis must rank the minor-axis
+    // probe far higher, which plain L2 cannot.
+    val cloud = (0 until 200).map { i =>
+      val t = (i - 100) / 25.0
+      (i.toLong, Seq(t, t + (if (i % 2 == 0) 0.1 else -0.1)))
+    }
+    val major = (1000L, Seq(4.0, 4.0))
+    val minor = (1001L, Seq(4.0 / math.sqrt(2) + 0.0,
+      -4.0 / math.sqrt(2)))  // same L2 norm from the origin/mean
+    val emb = (cloud :+ major :+ minor).toDF("id", "vec")
+    val m2 = Whitening.mahalanobis(emb, "id", "vec", d = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m2(1001L) > 10 * m2(1000L),
+      s"minor-axis probe must dominate: ${m2(1001L)} vs ${m2(1000L)}")
+  }
 }
