@@ -305,6 +305,54 @@ object Dedup {
     CacheScope.releasing(pairs, sh)
   }
 
+  /** EXACT Jaccard pairs ≥ threshold via PREFIX FILTERING (Bayardo et
+    * al. WWW'07 "Scaling Up All Pairs Similarity Search" / SSJoin):
+    * same output as [[jaccardPairsExact]], sub-quadratic plan.  Under
+    * a GLOBAL rarity order (document frequency asc, shingle id as the
+    * total-order tiebreak), any pair with J ≥ t must share a shingle
+    * inside both documents' first `|x| − ⌈t·|x|⌉ + 1` shingles — so
+    * only those PREFIX shingles enter the inverted index, and the
+    * candidate join touches the rarest tokens first (the frequent
+    * shingles that explode a full inverted index never generate
+    * candidates at all).
+    *
+    * Scale shape: one df aggregation, one per-doc window (partitioned
+    * by doc — parallel), an equi-join on prefix shingles, then the
+    * codegen two-pointer [[graft.functions.jaccard_sorted]] verify on
+    * the candidate pairs only.  At t = 0.9 the prefix is ~10% of each
+    * document — a 10× smaller index and a ~100× smaller candidate
+    * cross-section than full-index joins, with EXACT (not
+    * probabilistic) results.
+    */
+  def prefixFilteredJaccardPairs(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double, w: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0)
+    val sh = shingleSets(df, idCol, textCol, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = sh.select(col("id"), explode(col("sh")).as("__s"))
+    val dfreq = toks.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
+    val pos = toks.join(dfreq, Seq("__s"))
+      .withColumn("__p", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("__df"), col("__s"))))
+    val pref = pos.join(sh.select(col("id"), size(col("sh")).as("__sz")),
+        Seq("id"))
+      .filter(col("__p") <=
+        col("__sz") - ceil(col("__sz") * threshold).cast("long") + 1)
+    val cand = pref.select(col("__s"), col("id").as("id_a"))
+      .join(pref.select(col("__s"), col("id").as("id_b")), Seq("__s"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val pairs = cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("__sa")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("__sb")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(graft.functions.jaccard_sorted(col("__sa"), col("__sb")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    CacheScope.releasing(pairs, sh)
+  }
+
   /** Containment near-dup pairs (Broder containment
     * C(A→B) = |A∩B| / |A| over shingle sets): finds the doc-in-doc
     * relations symmetric Jaccard MISSES — a 10-shingle quote embedded

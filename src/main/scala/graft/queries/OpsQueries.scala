@@ -182,6 +182,17 @@ object OpsQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Same contract via PREFIX FILTERING (AllPairs): the sub-quadratic
+    // exact plan must emit the IDENTICAL pair set the brute-force twin
+    // and the DuckDB all-pairs oracle produce — completeness of the
+    // prefix-filter theorem checked on real data.
+    "q_prefix_jaccard" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+      Dedup.prefixFilteredJaccardPairs(docs, "doc_id", "text",
+          threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Winnowing fingerprints (MOSS): per-doc sketch of window-min gram
     // hashes.  Selection depends on hash ORDER, so the gate uses an
     // engine-agnostic base-31 mod-2^31 gram hash and the DuckDB twin
@@ -747,6 +758,7 @@ object OpsQueries {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_lang_id" -> langIdOracle,
     "q_dedup_jaccard" -> jaccardOracle,
+    "q_prefix_jaccard" -> jaccardOracle,
     // precision envelope: exact-pair count on the capped subset; the
     // found-but-not-exact anti-join count is 0 by construction
     "q_dedup_minhash" ->

@@ -231,6 +231,27 @@ class OpsSpec extends SparkSpec {
       s"guaranteed shared fingerprint missing: $h1 vs $h2")
   }
 
+  test("prefix-filtered Jaccard == brute force on random corpora") {
+    for (seed <- Seq(31, 32)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = Seq.tabulate(60) { i =>
+        (i.toLong,
+          Seq.fill(rnd.between(1, 25))(s"w${rnd.nextInt(8)}").mkString(" "))
+      }.toDF("doc_id", "text")
+      for (t <- Seq(0.3, 0.6, 0.9)) {
+        val brute = Dedup.jaccardPairsExact(docs, "doc_id", "text", t)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSet
+        val pf = Dedup.prefixFilteredJaccardPairs(docs, "doc_id", "text", t)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSet
+        assert(pf == brute,
+          s"seed=$seed t=$t: prefix filter must be COMPLETE and exact " +
+            s"(missing ${brute -- pf}, extra ${pf -- brute})")
+      }
+    }
+  }
+
   test("containment finds doc-in-doc pairs that Jaccard misses") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l m n o p"), // 14 shingles (w=3)
