@@ -67,6 +67,42 @@ object Profile {
     * over key cardinality.  At extreme scale swap the intermediate
     * products for DECIMAL(38,0) — the shape is unchanged.
     */
+  /** Rank-based quality-signal fusion: each integer signal is mapped
+    * to its 1..`buckets` quantile bucket by CUMULATIVE-COUNT
+    * arithmetic — `1 + ⌊(#rows below value)·buckets / n⌋` — and the
+    * fused score is the bucket sum.  Rank fusion (RRF's cousin) is how
+    * heterogeneous quality signals combine without calibrating scales;
+    * the all-integer definition makes every bucket edge engine- and
+    * partitioning-exact, where interpolated quantile EDGES would shift
+    * by an ulp between engines and flip boundary rows.
+    *
+    * Scale shape: per signal, one distinct-value aggregation (bounded
+    * by the signal's value cardinality, tiny for integer quality
+    * signals) + a window over THAT frame + an equi-join back on the
+    * value — AQE broadcasts the bucket maps.  No window ever touches
+    * the row frame.  Ties share a bucket by construction.
+    */
+  def decileFusion(df: DataFrame, idCol: String, signals: Seq[String],
+      buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(signals.nonEmpty && buckets >= 2)
+    val n = df.count()
+    require(n > 0, "empty input")
+    val withBuckets = signals.foldLeft(df) { case (acc, c) =>
+      val cum = df.groupBy(col(c)).agg(count(lit(1)).as("__m"))
+        .withColumn("__below", coalesce(sum(col("__m")).over(
+          Window.orderBy(col(c))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col(c),
+          expr(s"CAST(1 + __below * $buckets div $n AS BIGINT)")
+            .as(s"b_$c"))
+      acc.join(cum, Seq(c))
+    }
+    withBuckets.select(
+      col(idCol) +: signals.map(c => col(s"b_$c")) :+
+        signals.map(c => col(s"b_$c")).reduce(_ + _).as("fused"): _*)
+  }
+
   def skewReport(df: DataFrame, keyCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(keyCol).as("__key"))

@@ -91,6 +91,19 @@ object MixQueries {
         Seq("view", "click", "purchase"), "INTERVAL 1 DAY")
     },
 
+    // Rank-based quality fusion: token-count and char-count deciles by
+    // integer cumulative-count arithmetic (no interpolated edges, no
+    // row-frame window), fused by bucket sum.
+    "q_quality_fusion" -> { (s, dir) =>
+      import graft.ops.Profile
+      val t = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
+          col("n_chars"))
+      Profile.decileFusion(t, "doc_id", Seq("n_tok", "n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // Embedding OOD screen ENVELOPE (oracle-checked): a 1000x-scaled
     // clone of vector 0 is injected; its Mahalanobis distance under
     // the corpus covariance is orders of magnitude beyond the natural
@@ -241,6 +254,26 @@ object MixQueries {
         |  CAST(max(rn) AS BIGINT) AS max_rn,
         |  CAST(sum(rn * (l_partkey % 97)) AS BIGINT) AS checksum
         |FROM r""".stripMargin,
+
+    "q_quality_fusion" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tok,
+        |    n_chars
+        |  FROM documents),
+        |nn AS (SELECT count(*) AS n FROM t),
+        |m1 AS (SELECT n_tok, count(*) AS m FROM t GROUP BY 1),
+        |b1 AS (SELECT n_tok, CAST(1 + coalesce(sum(m) OVER (ORDER BY n_tok
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 10
+        |    // (SELECT n FROM nn) AS BIGINT) AS b_n_tok
+        |  FROM m1),
+        |m2 AS (SELECT n_chars, count(*) AS m FROM t GROUP BY 1),
+        |b2 AS (SELECT n_chars, CAST(1 + coalesce(sum(m) OVER (ORDER BY n_chars
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 10
+        |    // (SELECT n FROM nn) AS BIGINT) AS b_n_chars
+        |  FROM m2)
+        |SELECT t.doc_id, b1.b_n_tok, b2.b_n_chars,
+        |  b1.b_n_tok + b2.b_n_chars AS fused
+        |FROM t JOIN b1 USING (n_tok) JOIN b2 USING (n_chars)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_embed_outlier" ->
       """SELECT CAST(1 AS BIGINT) AS rank,

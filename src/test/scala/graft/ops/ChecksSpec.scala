@@ -99,4 +99,23 @@ class ChecksSpec extends SparkSpec {
     assert(out.getLong(6) == 0L, s"uniform must be zero, got ${out.getLong(6)}")
     assert(out.getLong(2) == 5L)
   }
+
+  test("decileFusion: integer rank buckets, ties share, fused = sum") {
+    // 10 rows, values 1..10 on s1 -> bucket i for value i (n=10, b=10);
+    // s2 constant -> everyone bucket 1; fused = b1 + 1
+    val df = (1 to 10).map(i => (i.toLong, i.toLong, 5L))
+      .toDF("id", "s1", "s2")
+    val out = Profile.decileFusion(df, "id", Seq("s1", "s2"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    (1 to 10).foreach { i =>
+      assert(out(i.toLong) == ((i.toLong, 1L, i.toLong + 1)),
+        s"row $i: ${out(i.toLong)}")
+    }
+    // ties: four equal values in n=4 all land in bucket 1
+    val ties = Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 7L)).toDF("id", "s")
+    val tb = Profile.decileFusion(ties, "id", Seq("s"))
+      .collect().map(_.getLong(1)).toSet
+    assert(tb == Set(1L), s"equal values must share the lowest bucket: $tb")
+  }
 }
