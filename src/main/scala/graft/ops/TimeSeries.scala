@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -82,6 +82,38 @@ object TimeSeries {
         .select(lit(i + 1L).as("level"), lit(step).as("step"),
           col("n_users"))
     }.reduce(_.union(_)).orderBy(col("level"))
+  }
+
+  /** Row-pattern matching over per-key event sequences (the
+    * MATCH_RECOGNIZE workload, compiled to a regex): each key's events
+    * collapse — in deterministic (ts, id) order — to a string of
+    * single-character event-class symbols, and the pattern (a plain
+    * regex over those symbols, e.g. `v[ce]*p` = view, any
+    * clicks/errors, purchase) is counted per key with leftmost
+    * non-overlapping semantics — identical in Java regex and
+    * RE2-family engines for alternation/class/star patterns, which is
+    * what keeps it cross-engine checkable.
+    *
+    * Scale shape: ONE aggregation keyed by the entity — the collected
+    * symbol string is events-per-key characters (bounded by the same
+    * per-key ceiling any sessionized store enforces; cap upstream for
+    * power keys), and the regex runs once per key, not per event.
+    *
+    * @param classOf maps the type column to a single-char symbol
+    *                (default: first character)
+    * @return (keyCol, seq_len, n_matches)
+    */
+  def sequencePatternCounts(events: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, typeCol: String, pattern: String,
+      classOf: Column => Column = c => substring(c, 1, 1)): DataFrame = {
+    events.groupBy(col(keyCol))
+      .agg(concat_ws("", transform(
+        sort_array(collect_list(struct(col(tsCol).as("t"),
+          col(idCol).as("i"), classOf(col(typeCol)).as("c")))),
+        s => s.getField("c"))).as("__seq"))
+      .select(col(keyCol), length(col("__seq")).cast("long").as("seq_len"),
+        regexp_count(col("__seq"), lit(pattern)).cast("long")
+          .as("n_matches"))
   }
 
   /** Rolling z-score anomaly detection, integer-exact: flag an event

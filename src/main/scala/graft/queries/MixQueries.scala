@@ -91,6 +91,15 @@ object MixQueries {
         Seq("view", "click", "purchase"), "INTERVAL 1 DAY")
     },
 
+    // Row-pattern matching (MATCH_RECOGNIZE workload as a per-key
+    // symbol-string regex): count view -> clicks/errors* -> purchase
+    // chains per user.
+    "q_seq_pattern" -> { (s, dir) =>
+      TimeSeries.sequencePatternCounts(Tables.load(s, dir, "events"),
+          "user_id", "ts", "event_id", "event_type", "v[ce]*p")
+        .orderBy(col("user_id"))
+    },
+
     // Rank-based quality fusion: token-count and char-count deciles by
     // integer cumulative-count arithmetic (no interpolated edges, no
     // row-frame window), fused by bucket sum.
@@ -254,6 +263,16 @@ object MixQueries {
         |  CAST(max(rn) AS BIGINT) AS max_rn,
         |  CAST(sum(rn * (l_partkey % 97)) AS BIGINT) AS checksum
         |FROM r""".stripMargin,
+
+    "q_seq_pattern" ->
+      """WITH s AS (SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), ''
+        |      ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, CAST(strlen(seq) AS BIGINT) AS seq_len,
+        |  CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS BIGINT)
+        |    AS n_matches
+        |FROM s ORDER BY user_id""".stripMargin,
 
     "q_quality_fusion" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tok,

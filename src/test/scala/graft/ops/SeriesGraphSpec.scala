@@ -181,4 +181,23 @@ class SeriesGraphSpec extends SparkSpec {
       ("2024-01-01", 1L) -> 1L,
       ("2024-01-08", 0L) -> 1L), out)
   }
+
+  test("sequencePatternCounts: ordered symbols, non-overlapping matches") {
+    def t(i: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$i%02d")
+    val ev = Seq(
+      // user 1 sequence in time order: v c c p v p e  -> 'vccpvpe'
+      (1L, 1L, t(1), "view"), (1L, 2L, t(2), "click"),
+      (1L, 3L, t(3), "click"), (1L, 4L, t(4), "purchase"),
+      (1L, 5L, t(5), "view"), (1L, 6L, t(6), "purchase"),
+      (1L, 7L, t(7), "error"),
+      // user 2: p v  -> purchase BEFORE view never matches
+      (2L, 8L, t(1), "purchase"), (2L, 9L, t(2), "view"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = TimeSeries.sequencePatternCounts(ev, "user_id", "ts",
+        "event_id", "event_type", "v[ce]*p")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) == ((7L, 2L)), s"vccp + vp = 2 matches: ${out(1L)}")
+    assert(out(2L) == ((2L, 0L)), s"order matters: ${out(2L)}")
+  }
 }
