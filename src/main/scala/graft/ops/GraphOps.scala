@@ -139,6 +139,67 @@ object GraphOps {
     degrees(e)
   }
 
+  /** Deterministic weighted random walks — the node2vec/DeepWalk
+    * corpus generator, with the RNG replaced by hash arithmetic so the
+    * walk corpus is bit-identical on any cluster, any partitioning,
+    * any retry.  Each node starts `walksPerNode` walks; at step `s`
+    * walk `w` draws `(w·2654435761 + s·40503 + seed) mod out-weight`
+    * and follows the edge whose cumulative-weight interval contains
+    * the draw (integer inverse-CDF per node, same device as
+    * [[PipelineOps.sampleCategorical]]).
+    *
+    * Scale shape: the per-node cumulative intervals are built ONCE
+    * (one window PARTITIONED by source node) and reused by every step;
+    * each step is one equi-join of the walk frontier against that
+    * table on the current node plus an interval filter — k steps = k
+    * user-keyed joins, no driver state, no RNG coordination.  The
+    * per-step fan-out is bounded by max out-degree (hub nodes are the
+    * usual alias-table / degree-cap candidates at web scale).
+    *
+    * Requires LONG node ids and that every `dst` also appears as a
+    * `src` (true for symmetric graphs) — walkers then never strand.
+    *
+    * @return (walk_id, path) with path = "n0->n1->...->nk"
+    */
+  def deterministicWalks(edges: DataFrame, walksPerNode: Int, steps: Int,
+      seed: Long): DataFrame = {
+    require(walksPerNode >= 1 && steps >= 1)
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val cum = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("__w"))
+      .filter(col("__w") > 0)
+      .withColumn("__lo", coalesce(sum(col("__w")).over(wnd), lit(0L)))
+    val cumT = cum
+      .join(cum.groupBy(col("src")).agg(sum(col("__w")).as("__total")),
+        Seq("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var walks = cumT.select(col("src").as("__cur")).distinct()
+      .select(col("__cur"),
+        explode(sequence(lit(0), lit(walksPerNode - 1))).as("__j"))
+      .select((col("__cur") * walksPerNode + col("__j")).as("walk_id"),
+        col("__cur"), col("__cur").cast("string").as("path"))
+    for (s <- 1 to steps) {
+      val ct = cumT.select(col("src").as("__s"), col("dst").as("__d"),
+        col("__w").as("__ww"), col("__lo").as("__ll"),
+        col("__total").as("__tt"))
+      walks = walks.join(ct, col("__cur") === col("__s"))
+        .withColumn("__u", pmod(
+          col("walk_id") * 2654435761L + lit(s * 40503L) + seed,
+          col("__tt")))
+        .filter(col("__u") >= col("__ll") &&
+          col("__u") < col("__ll") + col("__ww"))
+        .select(col("walk_id"), col("__d").as("__cur"),
+          concat(col("path"), lit("->"), col("__d").cast("string"))
+            .as("path"))
+    }
+    val out = walks.select(col("walk_id"), col("path"))
+    CacheScope.releasing(out, cumT)
+  }
+
   /** Item-item co-occurrence similarity (the item-based collaborative-
     * filtering kernel): from a (user, item) interaction stream, count
     * for every item pair how many users touched BOTH, and score the

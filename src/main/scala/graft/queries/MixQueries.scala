@@ -91,6 +91,26 @@ object MixQueries {
         Seq("view", "click", "purchase"), "INTERVAL 1 DAY")
     },
 
+    // Deterministic node2vec-style walks over the item co-occurrence
+    // graph: hash-driven inverse-CDF steps, bit-identical corpus.
+    "q_random_walks" -> { (s, dir) =>
+      import graft.ops.GraphOps
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").as("item"))
+      val pairs = GraphOps.itemCooccurrence(ev, "user_id", "item",
+          minUsers = 3L)
+        .select(col("item_a").cast("long").as("a"),
+          col("item_b").cast("long").as("b"), col("n_ab"))
+      val edges = pairs
+        .select(col("a").as("src"), col("b").as("dst"), col("n_ab").as("w"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst"),
+          col("n_ab").as("w")))
+      GraphOps.deterministicWalks(edges, walksPerNode = 2, steps = 4,
+          seed = 11L)
+        .orderBy(col("walk_id"))
+    },
+
     // Row-pattern matching (MATCH_RECOGNIZE workload as a per-key
     // symbol-string regex): count view -> clicks/errors* -> purchase
     // chains per user.
@@ -263,6 +283,40 @@ object MixQueries {
         |  CAST(max(rn) AS BIGINT) AS max_rn,
         |  CAST(sum(rn * (l_partkey % 97)) AS BIGINT) AS checksum
         |FROM r""".stripMargin,
+
+    "q_random_walks" -> {
+      val step = (s: Int) =>
+        s"""w$s AS (SELECT w.walk_id, ct.dst AS cur,
+          |    w.path || '->' || CAST(ct.dst AS VARCHAR) AS path
+          |  FROM w${s - 1} w JOIN ct ON ct.src = w.cur
+          |  WHERE (w.walk_id * 2654435761 + ${s * 40503} + 11) % ct.total
+          |    BETWEEN ct.lo AND ct.lo + ct.w - 1)""".stripMargin
+      s"""WITH ui AS (SELECT DISTINCT user_id,
+        |    json_extract_string(props, 'k') AS item
+        |  FROM events WHERE props IS NOT NULL),
+        |p AS (SELECT CAST(a.item AS BIGINT) AS a, CAST(b.item AS BIGINT) AS b,
+        |    count(*) AS w
+        |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |e AS (SELECT a AS src, b AS dst, w FROM p
+        |      UNION ALL SELECT b, a, w FROM p),
+        |c AS (SELECT src, dst, w,
+        |    coalesce(sum(w) OVER (PARTITION BY src ORDER BY dst
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+        |  FROM e),
+        |t AS (SELECT src, CAST(sum(w) AS BIGINT) AS total FROM e GROUP BY 1),
+        |ct AS (SELECT c.src, c.dst, c.w, c.lo, t.total
+        |       FROM c JOIN t USING (src)),
+        |n AS (SELECT DISTINCT src FROM e),
+        |w0 AS (SELECT src * 2 + r.j AS walk_id, src AS cur,
+        |    CAST(src AS VARCHAR) AS path
+        |  FROM n, range(0, 2) r(j)),
+        |${step(1)},
+        |${step(2)},
+        |${step(3)},
+        |${step(4)}
+        |SELECT walk_id, path FROM w4 ORDER BY walk_id""".stripMargin
+    },
 
     "q_seq_pattern" ->
       """WITH s AS (SELECT user_id,

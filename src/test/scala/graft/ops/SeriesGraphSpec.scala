@@ -200,4 +200,39 @@ class SeriesGraphSpec extends SparkSpec {
     assert(out(1L) == ((7L, 2L)), s"vccp + vp = 2 matches: ${out(1L)}")
     assert(out(2L) == ((2L, 0L)), s"order matters: ${out(2L)}")
   }
+
+  test("deterministicWalks: hash-driven steps match a local twin") {
+    // symmetric triangle with asymmetric weights
+    val base = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L))
+    val edges = (base ++ base.map(e => (e._2, e._1, e._3)))
+      .toDF("src", "dst", "w")
+    val got = GraphOps.deterministicWalks(edges, walksPerNode = 2,
+        steps = 3, seed = 5L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // local twin with identical integer arithmetic
+    val adj = (base ++ base.map(e => (e._2, e._1, e._3)))
+      .groupBy(_._1).map { case (s, es) =>
+        val sorted = es.sortBy(_._2)
+        val cum = sorted.scanLeft(0L)(_ + _._3)
+        s -> ((sorted, cum))
+      }
+    val local = (for (n <- Seq(1L, 2L, 3L); j <- 0 to 1) yield {
+      val wid = n * 2 + j
+      var cur = n
+      val path = new StringBuilder(cur.toString)
+      for (s <- 1 to 3) {
+        val (sorted, cum) = adj(cur)
+        val u = (wid * 2654435761L + s * 40503L + 5L) % cum.last
+        val idx = cum.indexWhere(_ > u) - 1
+        cur = sorted(idx)._2
+        path.append("->").append(cur)
+      }
+      wid -> path.toString
+    }).toMap
+    assert(got == local, s"got $got want $local")
+    // determinism across re-execution
+    val again = GraphOps.deterministicWalks(edges, 2, 3, 5L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == got)
+  }
 }
