@@ -386,6 +386,38 @@ object PipelineOps {
       .drop("__mid", "__pid", "__local")
   }
 
+  /** Smoothed target encoding (the ML-feature-prep classic): each
+    * category's code is the shrunk mean
+    * `(Σy_cat + m·global_mean) / (n_cat + m)` — high-count categories
+    * keep their own mean, rare ones shrink to the prior.  Computed
+    * ENTIRELY in integers: values become exact cents, the shrinkage
+    * becomes `(sum·N + m·T)·10⁶ div ((n+m)·N)` over DECIMAL(38,0)
+    * intermediates (sum = category cents, N/T = global count/cents),
+    * so the encoding is bit-identical on any engine and partitioning —
+    * float means would drift in the last ulp with summation order.
+    *
+    * Scale shape: one map-side-combined aggregation per category plus
+    * a 1-row global total cross-joined in (broadcast scalar) — the
+    * category table is the output.
+    *
+    * @return (catCol, n_rows, enc_micro) with enc_micro the encoding
+    *         in micro-value units
+    */
+  def targetEncode(df: DataFrame, catCol: String, valueCol: String,
+      m: Long): DataFrame = {
+    require(m >= 0)
+    val cents = df.select(col(catCol),
+      round(col(valueCol) * 100).cast("long").as("__c"))
+    val stats = cents.groupBy(col(catCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__c")).as("__s"))
+    val tot = cents.agg(count(lit(1)).as("__tn"), sum(col("__c")).as("__ts"))
+    stats.crossJoin(broadcast(tot))
+      .select(col(catCol), col("__n").as("n_rows"),
+        expr(s"CAST((CAST(__s AS DECIMAL(38,0)) * __tn + ${m}L * __ts) " +
+          s"* 1000000 div ((__n + ${m}L) * CAST(__tn AS DECIMAL(38,0))) " +
+          "AS BIGINT)").as("enc_micro"))
+  }
+
   /** Deterministic weighted categorical sampling WITH replacement —
     * the negative-sampling kernel (word2vec's unigram^0.75 draw) at
     * cluster scale: instead of a driver-resident alias table, the

@@ -154,6 +154,29 @@ object TimeSeries {
         col("dev_sq"), col("bound"))
   }
 
+  /** Last-touch conversion attribution: each conversion event is
+    * credited to the user's most recent preceding touch event (its
+    * type is the channel; conversions with no prior touch are
+    * "direct"), and the report sums conversions and exact decimal
+    * value per channel.  Composes [[AsOfJoin.asOf]] — the single-
+    * shuffle union-window as-of — so attribution costs one shuffle on
+    * the user key plus the channel aggregation, at any scale.
+    */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, valueCol: String,
+      conversionType: String, touchTypes: Seq[String]): DataFrame = {
+    val conv = events.filter(col(typeCol) === conversionType)
+      .select(col(userCol), col(tsCol),
+        col(valueCol).cast("decimal(12,2)").as("__v"))
+    val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol), col(tsCol), col(typeCol).as("channel"))
+    AsOfJoin.asOf(conv, touches, userCol, tsCol, Seq("channel"))
+      .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("__v")).cast("double").as("total_value"))
+      .orderBy(col("channel"))
+  }
+
   /** Weekly cohort-retention matrix: users are grouped by the ISO week
     * of their first event (their cohort), and each cell counts the
     * cohort's users active `week_offset` weeks later.  The classic

@@ -91,6 +91,22 @@ object MixQueries {
         Seq("view", "click", "purchase"), "INTERVAL 1 DAY")
     },
 
+    // Smoothed target encoding of event_type by value (m=20), all
+    // integer micro-units — bit-identical shrunk means.
+    "q_target_encode" -> { (s, dir) =>
+      PipelineOps.targetEncode(Tables.load(s, dir, "events"),
+          "event_type", "value", m = 20L)
+        .orderBy(col("event_type"))
+    },
+
+    // Last-touch attribution: purchases credited to the user's most
+    // recent preceding click/view (or 'direct'), value summed exactly.
+    "q_attribution" -> { (s, dir) =>
+      TimeSeries.lastTouchAttribution(Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_type", "value",
+        conversionType = "purchase", touchTypes = Seq("click", "view"))
+    },
+
     // Deterministic node2vec-style walks over the item co-occurrence
     // graph: hash-driven inverse-CDF steps, bit-identical corpus.
     "q_random_walks" -> { (s, dir) =>
@@ -283,6 +299,32 @@ object MixQueries {
         |  CAST(max(rn) AS BIGINT) AS max_rn,
         |  CAST(sum(rn * (l_partkey % 97)) AS BIGINT) AS checksum
         |FROM r""".stripMargin,
+
+    "q_target_encode" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cc FROM events),
+        |s AS (SELECT event_type, count(*) AS n, sum(cc) AS sm
+        |      FROM c GROUP BY 1),
+        |t AS (SELECT count(*) AS tn, sum(cc) AS ts FROM c)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+        |  CAST((CAST(sm AS HUGEINT) * tn + 20 * ts) * 1000000
+        |    // ((n + 20) * CAST(tn AS HUGEINT)) AS BIGINT) AS enc_micro
+        |FROM s, t ORDER BY event_type""".stripMargin,
+
+    "q_attribution" ->
+      """WITH conv AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+        |    CAST(value AS DECIMAL(12,2)) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+        |    event_type AS channel
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT conv.v, tch.channel
+        |  FROM conv ASOF LEFT JOIN tch
+        |    ON conv.user_id = tch.user_id AND conv.t >= tch.t)
+        |SELECT coalesce(channel, 'direct') AS channel,
+        |  count(*) AS n_conversions,
+        |  CAST(sum(v) AS DOUBLE) AS total_value
+        |FROM j GROUP BY 1 ORDER BY channel""".stripMargin,
 
     "q_random_walks" -> {
       val step = (s: Int) =>

@@ -188,4 +188,43 @@ class MixOpsSpec extends SparkSpec {
     }.toMap
     assert(out == local)
   }
+
+  test("lastTouchAttribution: latest touch wins, no-touch is direct") {
+    def t(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$i%02d")
+    val ev = Seq(
+      // user 1: view then click then purchase -> click (latest) credited
+      (1L, t(1), "view", 0.0), (1L, t(2), "click", 0.0),
+      (1L, t(3), "purchase", 10.00),
+      // user 2: touch AFTER the purchase doesn't count -> direct
+      (2L, t(5), "purchase", 7.50), (2L, t(6), "click", 0.0),
+      // user 3: view only before -> view credited
+      (3L, t(1), "view", 0.0), (3L, t(2), "purchase", 2.25))
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = TimeSeries.lastTouchAttribution(ev, "user_id", "ts",
+        "event_type", "value", "purchase", Seq("click", "view"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map("click" -> ((1L, 10.00)), "direct" -> ((1L, 7.50)),
+      "view" -> ((1L, 2.25))), out)
+  }
+
+  test("targetEncode: shrinkage interpolates category mean and prior") {
+    // cat a: 4 rows of 1.00 (mean 100c); cat b: 1 row of 11.00 (1100c)
+    // global: n=5, sum=1500c, mean 300c.  m=1:
+    //   a: (400*5 + 1*1500)*1e6 / (5*5) = 140_000_000 -> 140.0 c-micro?
+    //   formula: (sum*N + m*T)*1e6 div ((n+m)*N)
+    //   a: (400*5 + 1500)*1e6 div (5*5) = 3500e6 div 25 = 140_000_000
+    //   b: (1100*5 + 1500)*1e6 div (2*5) = 7000e6 div 10 = 700_000_000
+    val df = (Seq.fill(4)(("a", 1.00)) :+ (("b", 11.00)))
+      .toDF("cat", "v")
+    val out = PipelineOps.targetEncode(df, "cat", "v", m = 1L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map("a" -> ((4L, 140000000L)), "b" -> ((1L, 700000000L))),
+      out)
+    // m=0 degenerates to the exact category mean (micro-cents)
+    val raw = PipelineOps.targetEncode(df, "cat", "v", m = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(raw == Map("a" -> 100000000L, "b" -> 1100000000L), raw)
+  }
 }
