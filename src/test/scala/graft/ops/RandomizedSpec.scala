@@ -271,4 +271,49 @@ class RandomizedSpec extends SparkSpec {
       assert(got == expected, s"seed=$seed every=$every spanLen=$spanLen")
     }
   }
+
+  test("decileFusion == local rank-bucket twin on random ints (2 seeds)") {
+    for (seed <- Seq(41, 42)) {
+      val rnd = new Random(seed)
+      val rows = Seq.tabulate(120)(i =>
+        (i.toLong, rnd.between(0L, 15L), rnd.between(-5L, 5L)))
+      val got = Profile.decileFusion(rows.toDF("id", "a", "b"),
+          "id", Seq("a", "b"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val n = rows.size
+      def bucket(vs: Seq[Long], v: Long): Long =
+        1L + vs.count(_ < v).toLong * 10 / n
+      val as = rows.map(_._2); val bs = rows.map(_._3)
+      rows.foreach { case (id, a, b) =>
+        val (ba, bb) = (bucket(as, a), bucket(bs, b))
+        assert(got(id) == ((ba, bb, ba + bb)),
+          s"seed=$seed id=$id: ${got(id)} want ($ba,$bb,${ba + bb})")
+      }
+    }
+  }
+
+  test("itemCooccurrence == local pair counting on random data (2 seeds)") {
+    for (seed <- Seq(51, 52)) {
+      val rnd = new Random(seed)
+      val inter = Seq.tabulate(300)(_ =>
+        (rnd.between(0L, 25L), s"i${rnd.nextInt(12)}"))
+      val got = GraphOps.itemCooccurrence(inter.toDF("u", "i"), "u", "i",
+          minUsers = 2L)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      val ui = inter.distinct
+      val ic = ui.groupBy(_._2).map { case (i, xs) => i -> xs.size.toLong }
+      val local = ui.groupBy(_._1).values.flatMap { items =>
+        val is = items.map(_._2).distinct.sorted
+        for (a <- is; b <- is if a < b) yield (a, b)
+      }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+        .filter(_._2 >= 2)
+        .map { case ((a, b), nab) =>
+          (a, b) -> ((nab,
+            math.rint(nab / math.sqrt((ic(a) * ic(b)).toDouble) * 1e6) / 1e6))
+        }
+      assert(got == local, s"seed=$seed: ${got.size} vs ${local.size}")
+    }
+  }
 }
