@@ -154,6 +154,41 @@ object TimeSeries {
         col("dev_sq"), col("bound"))
   }
 
+  /** Per-key Theil–Sen trend estimation — the robust slope (median of
+    * all pairwise slopes) that a single outlier cannot drag the way it
+    * drags least squares.  Slopes are value-cents per hour over
+    * event-time seconds; equal-time pairs are excluded (undefined
+    * slope).
+    *
+    * Scale shape: the pairwise term is a self-equi-join ON THE KEY —
+    * quadratic per key (the estimator's nature), bounded by the same
+    * events-per-key ceiling as any sessionized analysis; the median
+    * per key is an aggregation over that bounded pair set.  Nothing is
+    * global.
+    *
+    * @return (keyCol, n_pairs, slope_cph) — median slope in cents per
+    *         hour, rounded to 6 dp
+    */
+  def theilSen(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    val base = events.select(col(keyCol).as("__k"), col(idCol).as("__i"),
+      col(tsCol).cast("long").as("__t"),
+      round(col(valueCol) * 100).cast("long").as("__c"))
+    val a = base.select(col("__k"), col("__i").as("__ia"),
+      col("__t").as("__ta"), col("__c").as("__ca"))
+    val b = base.select(col("__k"), col("__i").as("__ib"),
+      col("__t").as("__tb"), col("__c").as("__cb"))
+    a.join(b, Seq("__k"))
+      .filter(col("__ia") < col("__ib") && col("__ta") =!= col("__tb"))
+      .select(col("__k"),
+        ((col("__cb") - col("__ca")).cast("double") * 3600d /
+          (col("__tb") - col("__ta")).cast("double")).as("__s"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(__s, 0.5D)"), 6).as("slope_cph"))
+      .select(col("__k").as(keyCol), col("n_pairs"), col("slope_cph"))
+  }
+
   /** Last-touch conversion attribution: each conversion event is
     * credited to the user's most recent preceding touch event (its
     * type is the channel; conversions with no prior touch are

@@ -91,6 +91,15 @@ object MixQueries {
         Seq("view", "click", "purchase"), "INTERVAL 1 DAY")
     },
 
+    // Robust trend per user: Theil-Sen median pairwise slope of spend
+    // (cents/hour) — outlier-immune where least squares is not.
+    "q_theil_sen" -> { (s, dir) =>
+      TimeSeries.theilSen(
+          Tables.load(s, dir, "events").filter(col("user_id") < 40),
+          "user_id", "ts", "event_id", "value")
+        .orderBy(col("user_id"))
+    },
+
     // Smoothed target encoding of event_type by value (m=20), all
     // integer micro-units — bit-identical shrunk means.
     "q_target_encode" -> { (s, dir) =>
@@ -299,6 +308,19 @@ object MixQueries {
         |  CAST(max(rn) AS BIGINT) AS max_rn,
         |  CAST(sum(rn * (l_partkey % 97)) AS BIGINT) AS checksum
         |FROM r""".stripMargin,
+
+    "q_theil_sen" ->
+      """WITH b AS (SELECT user_id, event_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE user_id < 40),
+        |p AS (SELECT x.user_id,
+        |    (y.c - x.c) * 3600.0 / (y.t - x.t) AS s
+        |  FROM b x JOIN b y ON x.user_id = y.user_id
+        |    AND x.event_id < y.event_id AND x.t <> y.t)
+        |SELECT user_id, count(*) AS n_pairs,
+        |  round(quantile_cont(s, 0.5), 6) AS slope_cph
+        |FROM p GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "q_target_encode" ->
       """WITH c AS (SELECT event_type,

@@ -235,4 +235,24 @@ class SeriesGraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(again == got)
   }
+
+  test("theilSen: outlier-immune where the mean slope is not") {
+    def t(i: Int) = Timestamp.valueOf(f"2024-01-01 ${i}%02d:00:00")
+    // perfect slope of +1.00/hour (100 cents/hour) with one wild
+    // outlier at the end — the median pairwise slope stays 100.0
+    val ev = Seq(
+      (1L, 1L, t(1), 1.00), (1L, 2L, t(2), 2.00), (1L, 3L, t(3), 3.00),
+      (1L, 4L, t(4), 4.00), (1L, 5L, t(5), 500.00))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = TimeSeries.theilSen(ev, "user_id", "ts", "event_id", "value")
+      .head()
+    assert(out.getLong(1) == 10L, s"5 choose 2 pairs: ${out.getLong(1)}")
+    assert(out.getDouble(2) == 100.0,
+      s"median slope must ignore the outlier: ${out.getDouble(2)}")
+    // equal-time pairs are excluded, not divide-by-zero
+    val eq = Seq((1L, 1L, t(1), 1.0), (1L, 2L, t(1), 9.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    assert(TimeSeries.theilSen(eq, "user_id", "ts", "event_id", "value")
+      .isEmpty)
+  }
 }
