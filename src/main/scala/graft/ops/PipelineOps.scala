@@ -304,6 +304,51 @@ object PipelineOps {
       .orderBy(col("bucket_edge"))
   }
 
+  /** Segmented prefix sum at scale: appends `__before` = the sum of
+    * `valueCol` over all EARLIER rows of the same segment, where
+    * "earlier" is `orderCols` order (must be unique within a segment).
+    * The naive formulation — a window partitioned by segment — pins
+    * every row of a segment to ONE task, which dies when a segment is
+    * domain-sized.  Here the classic two-pass scan: range-repartition
+    * on (segment, order) so each segment spans consecutive sorted
+    * partitions, run the cumulative window per (partition, segment) —
+    * bounded by PARTITION size, never segment size — and add the
+    * per-(partition, segment) subtotal offsets computed on a
+    * partitions×segments-sized frame and broadcast back.
+    *
+    * The tagged frame persists for the same reason as
+    * [[globalRowNumber]]: the offset and output branches must see the
+    * same sampled range boundaries.
+    */
+  def segmentedPrefixSum(df: DataFrame, segCols: Seq[String],
+      orderCols: Seq[String], valueCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    require(segCols.nonEmpty && orderCols.nonEmpty)
+    val ord = (segCols ++ orderCols).map(col)
+    val ranged =
+      (if (numPartitions > 0) df.repartitionByRange(numPartitions, ord: _*)
+       else df.repartitionByRange(ord: _*))
+        .sortWithinPartitions(ord: _*)
+    val tagged = ranged.withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wLocal = Window
+      .partitionBy((col("__pid") +: segCols.map(col)): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = tagged
+      .groupBy((col("__pid") +: segCols.map(col)): _*)
+      .agg(sum(col(valueCol)).as("__pt"))
+      .withColumn("__off", coalesce(sum(col("__pt")).over(
+        Window.partitionBy(segCols.map(col): _*).orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((col("__pid") +: segCols.map(col) :+ col("__off")): _*)
+    tagged
+      .withColumn("__local", coalesce(sum(col(valueCol)).over(wLocal), lit(0L)))
+      .join(broadcast(offsets), "__pid" +: segCols)
+      .withColumn("__before", col("__off") + col("__local"))
+      .drop("__pid", "__local", "__off")
+  }
+
   /** Token-budget mixture builder — the "take N tokens from each
     * domain" step that assembles a training mix from a curated pool.
     * Within each domain, documents are ordered by a deterministic
@@ -313,11 +358,11 @@ object PipelineOps {
     * the domain's budget — so the straddling document is kept and
     * every domain reaches ≥ its budget when it has the supply.
     *
-    * Scale shape: one narrow projection (token count + priority), one
-    * cumulative-sum window PARTITIONED BY DOMAIN (parallel across
-    * domains; within a domain the window is the order the mix
-    * definition demands), then a filter.  Returns the kept documents
-    * with their priority rank and running token total.
+    * Scale shape: one narrow projection (token count + priority), then
+    * the running total comes from [[segmentedPrefixSum]] — cumulative
+    * work bounded by PARTITION size even when one domain holds most of
+    * the corpus (a domain-partitioned window would pin that domain to
+    * a single task), then a filter.
     */
   def tokenBudgetMixture(df: DataFrame, idCol: String, textCol: String,
       domainCol: String, budgets: Map[String, Long]): DataFrame = {
@@ -325,15 +370,12 @@ object PipelineOps {
     val budget = budgets.foldLeft(lit(null).cast("long"): Column) {
       case (rest, (dom, b)) => when(col(domainCol) === dom, b).otherwise(rest)
     }
-    val w = Window.partitionBy(col(domainCol))
-      .orderBy(col("__prio"), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(col(idCol), col(domainCol),
+    val base = df.select(col(idCol), col(domainCol),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok"),
         pmod(col(idCol) * lit(2654435761L), lit(1048576L)).as("__prio"),
         budget.as("__budget"))
       .filter(col("__budget").isNotNull)
-      .withColumn("__before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+    segmentedPrefixSum(base, Seq(domainCol), Seq("__prio", idCol), "n_tok")
       .filter(col("__before") < col("__budget"))
       .select(col(idCol), col(domainCol), col("n_tok"),
         (col("__before") + col("n_tok")).as("cum_tokens"))

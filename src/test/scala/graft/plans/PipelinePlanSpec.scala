@@ -96,18 +96,21 @@ class PipelinePlanSpec extends SparkSpec {
     df.unpersist()
   }
 
-  test("tokenBudgetMixture windows per domain (parallel), never globally") {
+  test("tokenBudgetMixture: segmented scan, tasks bounded by partition size") {
     val docs = Tables.load(spark, sf, "documents")
     val df = PipelineOps.tokenBudgetMixture(docs, "doc_id", "text", "source",
       Map("src0" -> 400L, "src1" -> 300L))
-    // assert on the plan string (AQE hides WindowExec from node
-    // collect): the windowspecdefinition must lead with the domain
-    // column — a partitioned window — and the only exchange keys on it
     val plan = executedPlan(df)
-    assert(plan.contains("windowspecdefinition(source"),
-      s"cumulative budget window must be partitioned by domain:\n$plan")
-    assert(plan.contains("hashpartitioning(source"),
-      s"the window's shuffle must key on the domain:\n$plan")
+    // the cumulative window runs per (partition, domain) — NEVER per
+    // domain alone, which would pin a whole domain to one task
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"running total must be per (partition, domain):\n$plan")
+    assert(!plan.contains("windowspecdefinition(source#"),
+      s"no domain-wide window allowed:\n$plan")
+    assert(plan.contains("Exchange rangepartitioning"),
+      s"order comes from the range shuffle:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"subtotal offsets must broadcast back:\n$plan")
   }
 
   test("itemCooccurrence: pair counts combine map-side; joins stay equi") {
