@@ -509,8 +509,12 @@ object PipelineOps {
     * monotone-equivalent key `ln(u)/w` (one `ln`, no pow) with the id
     * as tiebreak.
     *
-    * One narrow projection + one per-stratum window (parallel across
-    * strata, k-bounded output) — no driver state, no sampling passes.
+    * One narrow projection, then the per-stratum selection runs
+    * through the bounded-heap [[graft.plans.TopK]] operator — O(n log
+    * k) single pass, memory O(strata·k), no per-stratum sort or window
+    * over the raw frame (which would pin a whole stratum to one
+    * task).  Ranks are assigned afterwards on the k-bounded survivors
+    * only.
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       strataCol: String, k: Int): DataFrame = {
@@ -518,12 +522,12 @@ object PipelineOps {
     val u = (pmod(col(idCol) * lit(2654435761L), lit(2147483648L)) + 1D) /
       2147483649D
     val key = log(u) / col(weightCol)
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(desc("__key"), col(idCol))
-    df.filter(col(weightCol) > 0)
-      .withColumn("__key", key)
-      .withColumn("sample_rank", row_number().over(w))
-      .filter(col("sample_rank") <= k)
+    val keyed = df.filter(col(weightCol) > 0).withColumn("__key", key)
+    graft.plans.TopK.perKey(keyed, Seq(col(strataCol)),
+        Seq(col("__key").desc, col(idCol).asc), k)
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(col(strataCol))
+          .orderBy(desc("__key"), col(idCol))))
       .drop("__key")
   }
 }

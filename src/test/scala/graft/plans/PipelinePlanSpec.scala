@@ -113,6 +113,21 @@ class PipelinePlanSpec extends SparkSpec {
       s"subtotal offsets must broadcast back:\n$plan")
   }
 
+  test("weightedSample selects through the bounded-heap TopKPerKey") {
+    val docs = Tables.load(spark, sf, "documents")
+    val df = PipelineOps.weightedSample(docs, "doc_id", "n_chars",
+      "source", k = 3)
+    val plan = executedPlan(df)
+    assert(plan.contains("TopKPerKey"),
+      s"per-stratum selection must use the k-heap operator:\n$plan")
+    // the rank-label window (and its sort) may only run ABOVE the
+    // k-heap — i.e. over k-bounded survivors, never the raw stratum
+    val winAt = plan.indexOf("Window ")
+    val heapAt = plan.indexOf("TopKPerKey")
+    assert(winAt >= 0 && heapAt > winAt,
+      s"window must sit above TopKPerKey (survivors only):\n$plan")
+  }
+
   test("itemCooccurrence: pair counts combine map-side; joins stay equi") {
     val ev = Tables.load(spark, sf, "events")
       .select(col("user_id"), get_json_object(col("props"), "$.k").as("item"))
