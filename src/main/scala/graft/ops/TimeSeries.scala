@@ -127,8 +127,13 @@ object TimeSeries {
     *
     * Scale shape: one window partitioned by the series key (parallel
     * across keys), frame = `n` PRECEDING rows — no global ordering, no
-    * state beyond the frame.  Events whose key has fewer than `n`
-    * prior events are not scored.
+    * state beyond the frame.  A key's rows do flow through one task
+    * (the nature of a per-entity ordered scan): this is the
+    * events-per-entity-bounded contract every sessionized analysis
+    * carries — cap or time-slice power keys upstream; the streaming
+    * twin ([[graft.streaming.Streaming.rollingAnomalies]]) holds only
+    * `n` longs per key and has no such bound.  Events whose key has
+    * fewer than `n` prior events are not scored.
     *
     * @return flagged rows only: (keyCol, idCol, cents, dev_sq,
     *         bound) with dev_sq = (n·x − S1)² and
