@@ -135,6 +135,33 @@ object StreamingQueries {
       s.table(name).orderBy(col("user_id"), col("event_id"))
     },
 
+    // Streaming mixture intake: per-domain token budgets fill
+    // incrementally across three id-ordered micro-batches (one long of
+    // state per domain); the admitted set equals the batch greedy
+    // prefix the DuckDB oracle recomputes.
+    "q_stream_budget_take" -> { (s, dir) =>
+      val s2 = s
+      import s2.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tok"))
+      val stream = orderedReplay(s, Seq(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 === 1),
+        docs.filter(col("doc_id") % 3 === 2)))
+      val name = s"stream_budget_${runId.incrementAndGet()}"
+      val taken = graft.streaming.Streaming.budgetTake(
+        stream.as[graft.streaming.DocTokens],
+        Map("src0" -> 400L, "src1" -> 300L, "src3" -> 250L))
+      withStatePartitions(s) {
+        val q = taken.toDF().writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(name).orderBy(col("source"), col("doc_id"))
+    },
+
     "q_stream_dedup" -> { (s, dir) =>
       // only the dedup key is projected: the state store then holds a
       // key per user and nothing else
@@ -619,6 +646,27 @@ object StreamingQueries {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
+    // arrival order is (doc_id % 3, doc_id) — chunk i carries the
+    // %3 == i ids in id order — and the greedy prefix is over THAT
+    // order, which the oracle mirrors exactly.
+    "q_stream_budget_take" ->
+      s"""WITH t AS (SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9'']+'))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src3')),
+        |b AS (SELECT *,
+        |    CASE source WHEN 'src0' THEN 400 WHEN 'src1' THEN 300
+        |         ELSE 250 END AS budget,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY source
+        |      ORDER BY doc_id % 3, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before
+        |  FROM t)
+        |SELECT doc_id, source, n_tok,
+        |  CAST(before + n_tok AS BIGINT) AS cum_tokens
+        |FROM b WHERE before < budget
+        |ORDER BY source, doc_id""".stripMargin,
+
     "q_stream_anomaly" ->
       """WITH t AS (SELECT user_id, event_id,
         |    CAST(round(value * 100) AS BIGINT) AS c, CAST(ts AS TIMESTAMP) AS ts

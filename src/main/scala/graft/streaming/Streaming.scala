@@ -29,6 +29,11 @@ case class SessionState(start: Long, last: Long, n: Int, total: Double)
 case class AnomalyOut(user_id: Long, event_id: Long, cents: Long,
     dev_sq: Long, bound: Long)
 
+case class DocTokens(doc_id: Long, source: String, n_tok: Long)
+
+case class BudgetTake(doc_id: Long, source: String, n_tok: Long,
+    cum_tokens: Long)
+
 /** Per-key running total via the Spark-4 `transformWithState` API
   * (StatefulProcessor + typed ValueState over the RocksDB state
   * store) — the successor of flatMapGroupsWithState that the 2.4-era
@@ -116,6 +121,45 @@ object Streaming {
               state.setTimeoutTimestamp((s.last + gapSeconds) * 1000)
             }
             closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming token-budget intake — the arrival-order twin of
+    * [[graft.ops.PipelineOps.tokenBudgetMixture]]: documents stream
+    * in, each domain greedily admits them while the tokens consumed
+    * BEFORE a document stay under the domain's budget (the straddling
+    * document is admitted; afterwards the domain is closed).  State is
+    * ONE long per domain (the running token total) — the mixture
+    * assembles incrementally with no reprocessing, the way an
+    * ingestion front-end actually fills a training mix.
+    *
+    * Within a micro-batch a domain's documents are admitted in doc_id
+    * order; fed id-ordered batches the admitted set equals the batch
+    * greedy prefix in doc_id order — the parity the gate asserts.
+    * Domains without a budget admit nothing.
+    */
+  def budgetTake(docs: Dataset[DocTokens],
+      budgets: Map[String, Long]): Dataset[BudgetTake] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[Long, BudgetTake](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (dom: String, rows: Iterator[DocTokens], state: GroupState[Long]) =>
+          budgets.get(dom) match {
+            case None => Iterator.empty
+            case Some(budget) =>
+              var cum = state.getOption.getOrElse(0L)
+              val out = Vector.newBuilder[BudgetTake]
+              rows.toSeq.sortBy(_.doc_id).foreach { d =>
+                if (cum < budget) {
+                  cum += d.n_tok
+                  out += BudgetTake(d.doc_id, dom, d.n_tok, cum)
+                }
+              }
+              state.update(cum)
+              out.result().iterator
           }
       }
   }

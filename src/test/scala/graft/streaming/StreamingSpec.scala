@@ -162,6 +162,25 @@ class StreamingSpec extends SparkSpec with org.scalatest.Retries {
     } finally q.stop()
   }
 
+  test("budgetTake closes a domain across batches; unbudgeted admits none") {
+    val in = MemoryStream[DocTokens]
+    val q = runToMemory(
+      budgetTake(in.toDS(), Map("d0" -> 5L)).toDF(), "budget_out")
+    try {
+      in.addData(DocTokens(1, "d0", 3), DocTokens(10, "dX", 2))
+      q.processAllAvailable()
+      // batch 2: 3 consumed of 5 -> id 2 straddles (cum 6), id 3 refused
+      in.addData(DocTokens(2, "d0", 3), DocTokens(3, "d0", 3))
+      q.processAllAvailable()
+      // batch 3: domain closed, nothing admitted
+      in.addData(DocTokens(4, "d0", 1))
+      q.processAllAvailable()
+      val got = spark.table("budget_out")
+        .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 3L), (2L, 6L)), got)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizes with event-time timeout") {
     val in = MemoryStream[Event]
     val q = runToMemory(sessionize(in.toDS(), gapSeconds = 600, "0 seconds").toDF(),
