@@ -268,4 +268,29 @@ class LineageSpec extends SparkSpec {
     assert(piped("rev").exists(_.column == "l_extendedprice"))
     assert(piped("l_returnflag").exists(_.column == "l_returnflag"))
   }
+
+  test("round-9 shapes: lineage through funnel and survivorship plans") {
+    val ev = Tables.load(spark, sf, "events")
+    // funnel: unions of per-level aggregates over joins — every level's
+    // n_users must trace to nothing but literals/counts, and the plan
+    // still analyzes through the lineage walk without dying
+    val fg = graft.lineage.ColumnLineage.of(
+      graft.ops.TimeSeries.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), "INTERVAL 1 DAY"))
+    assert(fg.outputs.map(_.name).toSet == Set("level", "step", "n_users"))
+    // survivorship: max_by/min_by aggregates + mode pre-agg join — the
+    // merged fields must attribute to their true source columns
+    import graft.ops.Linkage
+    import Linkage.SurvivorRule._
+    val sg = graft.lineage.ColumnLineage.of(
+      Linkage.survivorship(ev, "user_id", Seq(
+        ("last_type", "event_type", Newest(Seq("ts", "event_id"))),
+        ("max_value", "value", MaxNum),
+        ("top_type", "event_type", ModeAsc))))
+    val evTable = sg("max_value").head.table
+    assert(sg("max_value") == Set(src(evTable, "value")))
+    assert(sg("last_type").contains(src(evTable, "event_type")),
+      s"newest value must trace to its source column: ${sg("last_type")}")
+    assert(sg("top_type").contains(src(evTable, "event_type")))
+  }
 }
