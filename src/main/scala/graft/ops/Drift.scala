@@ -58,4 +58,46 @@ object Drift {
         round((pa - pb) * log(pa / pb), 6).as("psi_contrib"))
       .orderBy(col("bin"))
   }
+
+  /** EXACT two-sample Kolmogorov–Smirnov statistic — the
+    * distribution-free drift test that needs no bin edges (PSI's blind
+    * spot: drift WITHIN a bin).  D = max over values of
+    * |F_a(v) − F_b(v)| is evaluated in cross-multiplied integers —
+    * `max |cumA·n_b − cumB·n_a|` over the merged distinct-value frame —
+    * so the statistic is bit-identical on any engine and partitioning;
+    * only the final report ratio divides.
+    *
+    * Scale shape: each side collapses to per-distinct-value counts
+    * (map-side combined), the two count tables full-outer join, and
+    * the single ordered window runs over that VALUE-CARDINALITY frame
+    * — for continuous data quantize first (e.g. cents, or
+    * [[binOf]] buckets) exactly as done here, which is also what
+    * keeps the frame bounded at 100 TB.
+    *
+    * @return one row: (n_a, n_b, d_num, ks) with
+    *         ks = d_num / (n_a·n_b) rounded to 6 dp
+    */
+  def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def counts(df: DataFrame, out: String) =
+      df.select(col(valueCol).as("__v")).filter(col("__v").isNotNull)
+        .groupBy(col("__v")).agg(count(lit(1)).as(out))
+    val merged = counts(a, "__ca").join(counts(b, "__cb"), Seq("__v"), "full")
+      .na.fill(0L, Seq("__ca", "__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = merged
+      .withColumn("__fa", sum(col("__ca")).over(w))
+      .withColumn("__fb", sum(col("__cb")).over(w))
+    // totals first (1-row broadcast), then the integer max
+    val tot = cum.agg(max(col("__fa")).cast("long").as("__na"),
+      max(col("__fb")).cast("long").as("__nb"))
+    cum.crossJoin(broadcast(tot))
+      .agg(first(col("__na")).as("n_a"), first(col("__nb")).as("n_b"),
+        max(abs(col("__fa") * col("__nb") - col("__fb") * col("__na")))
+          .cast("long").as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        round(col("d_num").cast("double")
+          / (col("n_a") * col("n_b")).cast("double"), 6).as("ks"))
+  }
 }

@@ -159,6 +159,39 @@ object TimeSeries {
         col("dev_sq"), col("bound"))
   }
 
+  /** Per-key ordinary-least-squares trend via EXACT integer moments:
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with x = event-time
+    * seconds and y = value cents, every moment accumulated in
+    * DECIMAL(38,0) — no floating-point accumulation anywhere, so the
+    * slope is identical under any partitioning and engine (the
+    * float-sum formulation loses digits exactly where OLS is fragile:
+    * n·Σx² − (Σx)² is a catastrophic cancellation of ~10²¹-scale
+    * terms).  The single final division happens in doubles and rounds
+    * to 6 dp.  One map-side-combined aggregation per key.
+    *
+    * @return (keyCol, n, slope_cps) — slope in cents per second; keys
+    *         with a degenerate x spread (all same second) are dropped
+    */
+  def olsTrend(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val d = "CAST(%s AS DECIMAL(38,0))"
+    events.select(col(keyCol),
+        col(tsCol).cast("long").as("__x"),
+        round(col(valueCol) * 100).cast("long").as("__y"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(expr(d.format("__x"))).as("__sx"),
+        sum(expr(d.format("__y"))).as("__sy"),
+        sum(expr(d.format("__x") + " * " + d.format("__y"))).as("__sxy"),
+        sum(expr(d.format("__x") + " * " + d.format("__x"))).as("__sxx"))
+      .withColumn("__num", expr("CAST(n AS DECIMAL(38,0)) * __sxy - __sx * __sy"))
+      .withColumn("__den", expr("CAST(n AS DECIMAL(38,0)) * __sxx - __sx * __sx"))
+      .filter(col("__den") =!= 0)
+      .select(col(keyCol), col("n"),
+        round(col("__num").cast("double") / col("__den").cast("double"), 6)
+          .as("slope_cps"))
+  }
+
   /** Per-key Theil–Sen trend estimation — the robust slope (median of
     * all pairwise slopes) that a single outlier cannot drag the way it
     * drags least squares.  Slopes are value-cents per hour over

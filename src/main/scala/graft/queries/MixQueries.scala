@@ -91,6 +91,25 @@ object MixQueries {
         Seq("view", "click", "purchase"), "INTERVAL 1 DAY")
     },
 
+    // Exact OLS trend per user via DECIMAL(38,0) integer moments —
+    // cancellation-proof where float sums lose the slope's digits.
+    "q_ols_trend" -> { (s, dir) =>
+      TimeSeries.olsTrend(Tables.load(s, dir, "events"),
+          "user_id", "ts", "value")
+        .orderBy(col("user_id"))
+    },
+
+    // Exact two-sample KS statistic: view vs purchase value
+    // distributions, cross-multiplied integer D.
+    "q_ks_test" -> { (s, dir) =>
+      import graft.ops.Drift
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      Drift.ksStatistic(ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"), "cents")
+    },
+
     // Robust trend per user: Theil-Sen median pairwise slope of spend
     // (cents/hour) — outlier-immune where least squares is not.
     "q_theil_sen" -> { (s, dir) =>
@@ -308,6 +327,45 @@ object MixQueries {
         |  CAST(max(rn) AS BIGINT) AS max_rn,
         |  CAST(sum(rn * (l_partkey % 97)) AS BIGINT) AS checksum
         |FROM r""".stripMargin,
+
+    "q_ols_trend" ->
+      """WITH b AS (SELECT user_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |s AS (SELECT user_id, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM b GROUP BY 1)
+        |SELECT user_id, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cps
+        |FROM s WHERE n * sxx - sx * sx <> 0
+        |ORDER BY user_id""".stripMargin,
+
+    "q_ks_test" ->
+      """WITH av AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'view'),
+        |bv AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |ca AS (SELECT v, count(*) AS c FROM av GROUP BY 1),
+        |cb AS (SELECT v, count(*) AS c FROM bv GROUP BY 1),
+        |m AS (SELECT coalesce(ca.v, cb.v) AS v,
+        |    coalesce(ca.c, 0) AS cca, coalesce(cb.c, 0) AS ccb
+        |  FROM ca FULL JOIN cb ON ca.v = cb.v),
+        |c AS (SELECT v,
+        |    sum(cca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS fa,
+        |    sum(ccb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS fb
+        |  FROM m),
+        |t AS (SELECT max(fa) AS na, max(fb) AS nb FROM c)
+        |SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+        |  CAST(max(abs(c.fa * t.nb - c.fb * t.na)) AS BIGINT) AS d_num,
+        |  round(CAST(max(abs(c.fa * t.nb - c.fb * t.na)) AS DOUBLE)
+        |    / (t.na * t.nb), 6) AS ks
+        |FROM c, t GROUP BY t.na, t.nb""".stripMargin,
 
     "q_theil_sen" ->
       """WITH b AS (SELECT user_id, event_id,

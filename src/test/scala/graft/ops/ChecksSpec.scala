@@ -118,4 +118,16 @@ class ChecksSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(tb == Set(1L), s"equal values must share the lowest bucket: $tb")
   }
+
+  test("ksStatistic: exact D on hand-built samples; identical -> 0") {
+    val a = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val b = Seq(3L, 4L, 5L, 6L).toDF("v")
+    val r = Drift.ksStatistic(a, b, "v").head()
+    // F_a jumps to 1 at 4 while F_b is 2/4 there: D = 1/2.
+    // cross-mult: max |fa*4 - fb*4| = |4*4 - 2*4| = 8; 8/16 = 0.5
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((4L, 4L, 8L, 0.5)), r)
+    val same = Drift.ksStatistic(a, a, "v").head()
+    assert(same.getLong(2) == 0L && same.getDouble(3) == 0.0)
+  }
 }

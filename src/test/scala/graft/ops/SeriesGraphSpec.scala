@@ -255,4 +255,18 @@ class SeriesGraphSpec extends SparkSpec {
     assert(TimeSeries.theilSen(eq, "user_id", "ts", "event_id", "value")
       .isEmpty)
   }
+
+  test("olsTrend: exact slope on a perfect line; degenerate x dropped") {
+    def t(i: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$i%02d")
+    val ev = Seq(
+      // y = 2 cents per second exactly
+      (1L, t(1), 0.02), (1L, t(2), 0.04), (1L, t(3), 0.06),
+      // all at the same second -> zero x-variance, dropped
+      (2L, t(5), 1.0), (2L, t(5), 2.0))
+      .toDF("user_id", "ts", "value")
+    val out = TimeSeries.olsTrend(ev, "user_id", "ts", "value")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out == Map(1L -> ((3L, 2.0))), out)
+  }
 }
