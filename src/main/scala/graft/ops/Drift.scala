@@ -100,4 +100,56 @@ object Drift {
         round(col("d_num").cast("double")
           / (col("n_a") * col("n_b")).cast("double"), 6).as("ks"))
   }
+
+  /** EXACT Mann–Whitney rank-sum statistic (two-sample location shift,
+    * no normality assumption): U = #{(a,b): a > b} + ½·#{a = b},
+    * reported as the integer 2U = Σ_v (2·c_a(v)·F_b(v⁻) + c_a(v)·c_b(v))
+    * over the merged distinct-value frame — tie-corrected and
+    * bit-identical on any engine (the textbook average-rank form is
+    * fractional; doubling it keeps every intermediate integral).
+    * Same scale shape as [[ksStatistic]]: two per-value count tables,
+    * one full-outer join, one window over the value-cardinality frame.
+    *
+    * @return one row: (n_a, n_b, u2) with u2 = 2·U; the normalized
+    *         effect size is u2 / (2·n_a·n_b)
+    */
+  def rankSumU(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def counts(df: DataFrame, out: String) =
+      df.select(col(valueCol).as("__v")).filter(col("__v").isNotNull)
+        .groupBy(col("__v")).agg(count(lit(1)).as(out))
+    val merged = counts(a, "__ca").join(counts(b, "__cb"), Seq("__v"), "full")
+      .na.fill(0L, Seq("__ca", "__cb"))
+    val wb = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    merged
+      .withColumn("__fbb", coalesce(sum(col("__cb")).over(wb), lit(0L)))
+      .agg(sum(col("__ca")).cast("long").as("n_a"),
+        sum(col("__cb")).cast("long").as("n_b"),
+        sum(col("__ca") * (col("__fbb") * 2 + col("__cb")))
+          .cast("long").as("u2"))
+  }
+
+  /** Benford first-significant-digit profile — the forensic
+    * data-quality screen (fabricated or truncated numeric feeds break
+    * the log-uniform leading-digit law).  Exact per-digit counts plus
+    * the expected Benford share in parts-per-million (integer, from
+    * log10(1+1/d) — a constant table, not data math).  One map-side-
+    * combined aggregation over a narrow projection.
+    */
+  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
+    // first significant digit of a 2-decimal money value == first
+    // digit of its positive integer cents — extracted from the decimal
+    // string, which every engine renders identically for integers
+    // (float log10/pow extraction is ulp-fragile at exact powers of 10)
+    val cents = round(abs(col(valueCol)) * 100).cast("long")
+    df.filter(col(valueCol).isNotNull)
+      .select(cents.as("__c")).filter(col("__c") > 0)
+      .select(substring(col("__c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("benford_ppm",
+        expr("CAST(round(log10(1.0 + 1.0 / digit) * 1000000) AS BIGINT)"))
+      .orderBy(col("digit"))
+  }
 }

@@ -110,6 +110,23 @@ object MixQueries {
         ev.filter(col("event_type") === "purchase"), "cents")
     },
 
+    // Exact Mann-Whitney rank-sum (2U integer, tie-corrected):
+    // click vs error value distributions.
+    "q_rank_sum" -> { (s, dir) =>
+      import graft.ops.Drift
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      Drift.rankSumU(ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "error"), "cents")
+    },
+
+    // Benford first-digit forensic profile of the value feed.
+    "q_benford" -> { (s, dir) =>
+      graft.ops.Drift.benfordProfile(
+        Tables.load(s, dir, "events"), "value")
+    },
+
     // Robust trend per user: Theil-Sen median pairwise slope of spend
     // (cents/hour) — outlier-immune where least squares is not.
     "q_theil_sen" -> { (s, dir) =>
@@ -366,6 +383,36 @@ object MixQueries {
         |  round(CAST(max(abs(c.fa * t.nb - c.fb * t.na)) AS DOUBLE)
         |    / (t.na * t.nb), 6) AS ks
         |FROM c, t GROUP BY t.na, t.nb""".stripMargin,
+
+    "q_rank_sum" ->
+      """WITH av AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'click'),
+        |bv AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'error'),
+        |ca AS (SELECT v, count(*) AS c FROM av GROUP BY 1),
+        |cb AS (SELECT v, count(*) AS c FROM bv GROUP BY 1),
+        |m AS (SELECT coalesce(ca.v, cb.v) AS v,
+        |    coalesce(ca.c, 0) AS cca, coalesce(cb.c, 0) AS ccb
+        |  FROM ca FULL JOIN cb ON ca.v = cb.v),
+        |c AS (SELECT v, cca, ccb,
+        |    coalesce(sum(ccb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS fbb
+        |  FROM m)
+        |SELECT CAST(sum(cca) AS BIGINT) AS n_a,
+        |  CAST(sum(ccb) AS BIGINT) AS n_b,
+        |  CAST(sum(cca * (fbb * 2 + ccb)) AS BIGINT) AS u2
+        |FROM c""".stripMargin,
+
+    "q_benford" ->
+      """SELECT digit, count(*) AS n,
+        |  CAST(round(log10(1.0 + 1.0 / digit) * 1000000) AS BIGINT)
+        |    AS benford_ppm
+        |FROM (
+        |  SELECT CAST(substr(CAST(CAST(round(abs(value) * 100) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM events
+        |  WHERE value IS NOT NULL AND round(abs(value) * 100) > 0)
+        |GROUP BY digit ORDER BY digit""".stripMargin,
 
     "q_theil_sen" ->
       """WITH b AS (SELECT user_id, event_id,

@@ -130,4 +130,26 @@ class ChecksSpec extends SparkSpec {
     val same = Drift.ksStatistic(a, a, "v").head()
     assert(same.getLong(2) == 0L && same.getDouble(3) == 0.0)
   }
+
+  test("rankSumU: closed-form 2U with ties; symmetry identity holds") {
+    val a = Seq(1L, 3L, 3L).toDF("v")
+    val b = Seq(2L, 3L).toDF("v")
+    // pairs (a,b): 1<2, 1<3 -> 0; 3>2 twice -> 2; 3==3 twice -> 1
+    // U = 2 + 2*0.5 = 3 -> 2U = 6
+    val r = Drift.rankSumU(a, b, "v").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 6L)), r)
+    // U_a + U_b = n_a * n_b  (doubled: 2Ua + 2Ub = 2*na*nb)
+    val r2 = Drift.rankSumU(b, a, "v").head()
+    assert(r.getLong(2) + r2.getLong(2) == 2L * 3L * 2L)
+  }
+
+  test("benfordProfile: exact first-digit counts incl. sub-1 values") {
+    val df = Seq(1.23, 19.99, 0.02, 0.91, 300.0, -4.5, 0.0)
+      .toDF("value")
+    val out = Drift.benfordProfile(df, "value")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // digits: 1.23->1, 19.99->1, 0.02->2, 0.91->9, 300->3, -4.5->4;
+    // 0.0 excluded
+    assert(out == Map(1 -> 2L, 2 -> 1L, 3 -> 1L, 4 -> 1L, 9 -> 1L), out)
+  }
 }
