@@ -200,6 +200,41 @@ object CorpusStats {
           .partitionBy(sourceCol).orderBy(col("hkey"), col(idCol))))
   }
 
+  /** Exact cross-source vocabulary overlap — the corpus-composition
+    * matrix that tells a mixture designer which domains are lexically
+    * redundant BEFORE any embedding exists: for every source pair, the
+    * exact Jaccard of their distinct-token sets.
+    *
+    * Scale shape: one (source, token) distinct — map-side combined —
+    * then the pair counts come from a self-equi-join on the TOKEN key
+    * (a pair is counted once per shared token; the quadratic term is
+    * per-token source-df², capped by the source count, with the usual
+    * stop-token df-cap at web scale), and two source-size joins close
+    * the Jaccard.  All counts exact integers; only the final ratio
+    * divides.
+    */
+  def vocabOverlap(docs: DataFrame, textCol: String,
+      srcCol: String): DataFrame = {
+    val st = docs.select(col(srcCol).as("__s"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .distinct()
+    val sizes = st.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+    st.select(col("__s").as("src_a"), col("__t"))
+      .join(st.select(col("__s").as("src_b"), col("__t")), Seq("__t"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("__s").as("src_a"), col("__n").as("__na")),
+        Seq("src_a"))
+      .join(sizes.select(col("__s").as("src_b"), col("__n").as("__nb")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        round(col("n_common").cast("double")
+          / (col("__na") + col("__nb") - col("n_common")).cast("double"),
+          6).as("jaccard"))
+  }
+
   /** Vocabulary-growth (Heaps' law) curve: exact token and distinct-
     * vocabulary counts at each corpus prefix cut (documents ordered by
     * id; cuts are exclusive upper bounds on the id).  The curve is

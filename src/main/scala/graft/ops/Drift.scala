@@ -130,6 +130,48 @@ object Drift {
           .cast("long").as("u2"))
   }
 
+  /** Chi-squared test of association between two categoricals, with
+    * Cramér's V effect size.  Observed and marginal counts are exact
+    * integers; χ² folds over the CELL table (|catA|·|catB| rows — the
+    * only non-integer arithmetic is the per-cell (O·N − R·C)² /
+    * (R·C·N) ratio and the tiny final sum, rounded to 4 dp).  One
+    * map-side-combined pass builds the cells; the marginals join back
+    * on each axis.
+    *
+    * @return one row: (n, dof, chi2, cramers_v)
+    */
+  def chiSquared(df: DataFrame, catA: String, catB: String): DataFrame = {
+    val cells = df.filter(col(catA).isNotNull && col(catB).isNotNull)
+      .groupBy(col(catA).as("__a"), col(catB).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val ra = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__r"))
+    val cb = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__c"))
+    val tot = cells.agg(sum(col("__o")).cast("long").as("__n"),
+      count_distinct(col("__a")).as("__ka"),
+      count_distinct(col("__b")).as("__kb"))
+    // the FULL ka×kb contingency grid: zero-observed cells still carry
+    // expectation R·C/N and must contribute — the grid cross is the
+    // category-marginal frames, |catA|·|catB| rows by definition
+    ra.crossJoin(cb)
+      .join(cells, Seq("__a", "__b"), "left")
+      .na.fill(0L, Seq("__o"))
+      .crossJoin(broadcast(tot))
+      // (O·N − R·C)²/(R·C·N) summed over cells == χ²; all factors are
+      // exact longs, only the ratio and its tiny sum are doubles
+      .agg(first(col("__n")).as("n"),
+        ((first(col("__ka")) - 1) * (first(col("__kb")) - 1)).as("dof"),
+        round(sum(
+          pow(col("__o") * col("__n") - col("__r") * col("__c"), 2)
+            / (col("__r") * col("__c")).cast("double")
+            / col("__n").cast("double")), 4).as("chi2"),
+        round(sqrt(sum(
+          pow(col("__o") * col("__n") - col("__r") * col("__c"), 2)
+            / (col("__r") * col("__c")).cast("double")
+            / col("__n").cast("double"))
+          / (first(col("__n")) * least(first(col("__ka")) - 1,
+            first(col("__kb")) - 1)).cast("double")), 4).as("cramers_v"))
+  }
+
   /** Benford first-significant-digit profile — the forensic
     * data-quality screen (fabricated or truncated numeric feeds break
     * the log-uniform leading-digit law).  Exact per-digit counts plus

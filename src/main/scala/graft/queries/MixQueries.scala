@@ -110,6 +110,23 @@ object MixQueries {
         ev.filter(col("event_type") === "purchase"), "cents")
     },
 
+    // Chi-squared association of event_type x user bucket, with
+    // Cramér's V effect size.
+    "q_chi_squared" -> { (s, dir) =>
+      graft.ops.Drift.chiSquared(
+        Tables.load(s, dir, "events")
+          .select(col("event_type"), pmod(col("user_id"), lit(4L)).as("bucket")),
+        "event_type", "bucket")
+    },
+
+    // Exact cross-source vocabulary-overlap matrix (top pairs by
+    // Jaccard of distinct-token sets).
+    "q_vocab_overlap" -> { (s, dir) =>
+      graft.ops.CorpusStats.vocabOverlap(
+          Tables.load(s, dir, "documents"), "text", "source")
+        .orderBy(col("src_a"), col("src_b"))
+    },
+
     // Exact Mann-Whitney rank-sum (2U integer, tie-corrected):
     // click vs error value distributions.
     "q_rank_sum" -> { (s, dir) =>
@@ -383,6 +400,45 @@ object MixQueries {
         |  round(CAST(max(abs(c.fa * t.nb - c.fb * t.na)) AS DOUBLE)
         |    / (t.na * t.nb), 6) AS ks
         |FROM c, t GROUP BY t.na, t.nb""".stripMargin,
+
+    "q_chi_squared" ->
+      """WITH cells AS (SELECT event_type AS a, user_id % 4 AS b,
+        |    count(*) AS o
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(o) AS r FROM cells GROUP BY 1),
+        |cb AS (SELECT b, sum(o) AS c FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    count(DISTINCT a) AS ka, count(DISTINCT b) AS kb FROM cells),
+        |g AS (SELECT ra.a, ra.r, cb.b, cb.c FROM ra, cb),
+        |f AS (SELECT g.a, g.r, g.b, g.c, coalesce(cl.o, 0) AS o
+        |  FROM g LEFT JOIN cells cl ON cl.a = g.a AND cl.b = g.b)
+        |SELECT t.n,
+        |  CAST((t.ka - 1) * (t.kb - 1) AS BIGINT) AS dof,
+        |  round(sum(pow(f.o * t.n - f.r * f.c, 2)
+        |    / CAST(f.r * f.c AS DOUBLE) / CAST(t.n AS DOUBLE)), 4)
+        |    AS chi2,
+        |  round(sqrt(sum(pow(f.o * t.n - f.r * f.c, 2)
+        |    / CAST(f.r * f.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |    / CAST(t.n * least(t.ka - 1, t.kb - 1) AS DOUBLE)), 4)
+        |    AS cramers_v
+        |FROM f, tot t
+        |GROUP BY t.n, t.ka, t.kb""".stripMargin,
+
+    "q_vocab_overlap" ->
+      s"""WITH st AS (SELECT DISTINCT source AS s,
+        |    unnest($toksSql) AS t
+        |  FROM documents),
+        |sz AS (SELECT s, count(*) AS n FROM st GROUP BY 1),
+        |iv AS (SELECT a.s AS src_a, b.s AS src_b, count(*) AS n_common
+        |  FROM st a JOIN st b ON a.t = b.t AND a.s < b.s
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+        |  CAST(za.n AS BIGINT) AS n_a, CAST(zb.n AS BIGINT) AS n_b,
+        |  round(CAST(n_common AS DOUBLE)
+        |    / (za.n + zb.n - n_common), 6) AS jaccard
+        |FROM iv JOIN sz za ON za.s = iv.src_a
+        |  JOIN sz zb ON zb.s = iv.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
 
     "q_rank_sum" ->
       """WITH av AS (SELECT CAST(round(value * 100) AS BIGINT) AS v

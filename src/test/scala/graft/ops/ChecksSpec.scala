@@ -152,4 +152,19 @@ class ChecksSpec extends SparkSpec {
     // 0.0 excluded
     assert(out == Map(1 -> 2L, 2 -> 1L, 3 -> 1L, 4 -> 1L, 9 -> 1L), out)
   }
+
+  test("chiSquared: independent table -> 0; perfect association -> V=1") {
+    // perfectly independent 2x2: every cell = 25
+    val ind = (for (a <- Seq("x", "y"); b <- Seq("p", "q");
+      _ <- 1 to 25) yield (a, b)).toDF("a", "b")
+    val ri = Drift.chiSquared(ind, "a", "b").head()
+    assert(ri.getLong(0) == 100L && ri.getLong(1) == 1L)
+    assert(ri.getDouble(2) == 0.0 && ri.getDouble(3) == 0.0, ri)
+    // perfect association: a == b mapping
+    val dep = (for (a <- Seq("x", "y"); _ <- 1 to 30)
+      yield (a, a.toUpperCase)).toDF("a", "b")
+    val rd = Drift.chiSquared(dep, "a", "b").head()
+    assert(rd.getDouble(2) == 60.0, s"chi2 = n for a perfect 2x2: $rd")
+    assert(rd.getDouble(3) == 1.0, s"Cramer's V must hit 1: $rd")
+  }
 }

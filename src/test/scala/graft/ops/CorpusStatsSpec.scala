@@ -199,4 +199,20 @@ class CorpusStatsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(out == Seq((1L, 3L, 2L), (2L, 5L, 3L), (10L, 6L, 4L)), s"got $out")
   }
+
+  test("vocabOverlap: exact Jaccard of distinct-token sets per pair") {
+    val docs = Seq(
+      ("s1", "alpha beta gamma"), ("s1", "alpha beta"),
+      ("s2", "beta gamma delta"),
+      ("s3", "zeta"))
+      .toDF("source", "text")
+    val out = CorpusStats.vocabOverlap(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // s1 = {alpha,beta,gamma}, s2 = {beta,gamma,delta}: common 2 of 4
+    assert(out(("s1", "s2")) == ((2L, 3L, 3L, 0.5)), out)
+    // disjoint pairs are absent (no shared token -> no row)
+    assert(!out.contains(("s1", "s3")) && !out.contains(("s2", "s3")))
+  }
 }
