@@ -645,8 +645,8 @@ object MixQueries {
         |  FROM t WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
         |SELECT user_id, event_id, c AS cents,
-        |  (c * 20 - s1) * (c * 20 - s1) AS dev_sq,
-        |  9 * (s2 * 20 - s1 * s1) AS bound
+        |  CAST((c * 20 - s1) * (c * 20 - s1) AS BIGINT) AS dev_sq,
+        |  CAST(9 * (s2 * 20 - s1 * s1) AS BIGINT) AS bound
         |FROM w WHERE m = 20
         |  AND (c * 20 - s1) * (c * 20 - s1) > 9 * (s2 * 20 - s1 * s1)
         |ORDER BY user_id, event_id""".stripMargin,
