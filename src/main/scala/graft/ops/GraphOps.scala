@@ -149,12 +149,18 @@ object GraphOps {
     * [[PipelineOps.sampleCategorical]]).
     *
     * Scale shape: the per-node cumulative intervals are built ONCE
-    * (one window PARTITIONED by source node) and reused by every step;
-    * each step is one equi-join of the walk frontier against that
-    * table on the current node plus an interval filter — k steps = k
-    * user-keyed joins, no driver state, no RNG coordination.  The
-    * per-step fan-out is bounded by max out-degree (hub nodes are the
-    * usual alias-table / degree-cap candidates at web scale).
+    * (one window PARTITIONED by source node, outdeg-bounded) and laid
+    * out as a BINNED index — each interval exploded to the coarse bins
+    * it overlaps, bin width = the node's mean edge weight (floored to
+    * ≥ total/4096 so no edge explodes to more than ~4k bins), the same
+    * device as [[PipelineOps.sampleCategorical]] /
+    * [[RangeJoin.binned]].  Each step then equi-joins the frontier on
+    * (node, bin-of-draw): a walk meets only the O(1)-expected
+    * intervals sharing its draw's bin, NEVER the node's full edge
+    * list — a 10⁶-out-degree hub multiplies a resting walk by ~2 rows
+    * per step (≤ deg/4096 + 1 worst case), not by 10⁶.  The walk's
+    * current-node scalars (total weight, bin width) ride ON the index
+    * rows of the edge that produced it, so a step is exactly one join.
     *
     * Requires LONG node ids and that every `dst` also appears as a
     * `src` (true for symmetric graphs) — walkers then never strand.
@@ -163,41 +169,73 @@ object GraphOps {
     */
   def deterministicWalks(edges: DataFrame, walksPerNode: Int, steps: Int,
       seed: Long): DataFrame = {
+    val (walks, binsIdx) = walkFrontier(edges, walksPerNode, steps, seed)
+    val out = walks.select(col("walk_id"), col("path"))
+    CacheScope.releasing(out, binsIdx)
+  }
+
+  /** [[deterministicWalks]] before its lineage-erasing checkpoint —
+    * exposed so specs can assert the per-step (node, bin) join shape.
+    * Returns (frontier, persisted bin index); the caller owns the
+    * index's unpersist. */
+  private[graft] def walkFrontier(edges: DataFrame, walksPerNode: Int,
+      steps: Int, seed: Long): (DataFrame, DataFrame) = {
     require(walksPerNode >= 1 && steps >= 1)
     val wnd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("dst"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         -1)
-    val cum = edges
+    val base = edges
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("__w"))
       .filter(col("__w") > 0)
+    // per-node distribution scalars: total weight and bin width (mean
+    // edge weight, clamped so one node never spans more than ~2·4096
+    // bins — bounds both the sequence() explosion of a dominant edge
+    // and the per-bin candidate count of a uniform hub)
+    val stats = base.groupBy(col("src"))
+      .agg(sum(col("__w")).as("__total"), count(lit(1)).as("__deg"))
+      .select(col("src"), col("__total"),
+        greatest(lit(1L), expr("__total div least(__deg, 4096L)"))
+          .as("__binw"))
+    val cum = base
       .withColumn("__lo", coalesce(sum(col("__w")).over(wnd), lit(0L)))
-    val cumT = cum
-      .join(cum.groupBy(col("src")).agg(sum(col("__w")).as("__total")),
-        Seq("src"))
+    // binned inverse-CDF index, built once and reused by every step;
+    // each row carries the DESTINATION node's scalars so the frontier
+    // never needs a second join to draw its next step
+    val dstStats = stats.select(col("src").as("__d2"),
+      col("__total").as("__dt"), col("__binw").as("__dbw"))
+    val binsIdx = cum.join(stats, Seq("src"))
+      .withColumn("__b", explode(sequence(
+        expr("__lo div __binw"), expr("(__lo + __w - 1) div __binw"))))
+      .join(dstStats, col("dst") === col("__d2"))
+      .select(col("src").as("__s"), col("__b"), col("dst").as("__d"),
+        col("__lo").as("__ll"), col("__w").as("__ww"),
+        col("__dt"), col("__dbw"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var walks = cumT.select(col("src").as("__cur")).distinct()
-      .select(col("__cur"),
+    var walks = stats
+      .select(col("src").as("__cur"), col("__total").as("__tt"),
+        col("__binw").as("__bw"),
         explode(sequence(lit(0), lit(walksPerNode - 1))).as("__j"))
       .select((col("__cur") * walksPerNode + col("__j")).as("walk_id"),
-        col("__cur"), col("__cur").cast("string").as("path"))
+        col("__cur"), col("__cur").cast("string").as("path"),
+        col("__tt"), col("__bw"))
     for (s <- 1 to steps) {
-      val ct = cumT.select(col("src").as("__s"), col("dst").as("__d"),
-        col("__w").as("__ww"), col("__lo").as("__ll"),
-        col("__total").as("__tt"))
-      walks = walks.join(ct, col("__cur") === col("__s"))
+      walks = walks
         .withColumn("__u", pmod(
           col("walk_id") * 2654435761L + lit(s * 40503L) + seed,
           col("__tt")))
+        .withColumn("__ub", expr("__u div __bw"))
+        .join(binsIdx,
+          col("__cur") === col("__s") && col("__ub") === col("__b"))
         .filter(col("__u") >= col("__ll") &&
           col("__u") < col("__ll") + col("__ww"))
         .select(col("walk_id"), col("__d").as("__cur"),
           concat(col("path"), lit("->"), col("__d").cast("string"))
-            .as("path"))
+            .as("path"),
+          col("__dt").as("__tt"), col("__dbw").as("__bw"))
     }
-    val out = walks.select(col("walk_id"), col("path"))
-    CacheScope.releasing(out, cumT)
+    (walks, binsIdx)
   }
 
   /** Item-item co-occurrence similarity (the item-based collaborative-

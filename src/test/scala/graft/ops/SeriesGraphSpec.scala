@@ -236,6 +236,32 @@ class SeriesGraphSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("deterministicWalks: steps join on (node, bin) — never the full " +
+      "out-edge fan of the current node") {
+    // a 512-out-degree hub (node 1) wired symmetrically: the old shape
+    // expanded every walk resting on the hub by 512 candidate rows per
+    // step; the binned index bounds that at O(1) expected
+    val base = (1 to 512).map(i => (1L, 1000L + i, 1L + i % 3))
+    val edges = (base ++ base.map(e => (e._2, e._1, e._3)))
+      .toDF("src", "dst", "w")
+    val (frontier, binsIdx) = GraphOps.walkFrontier(edges,
+      walksPerNode = 1, steps = 3, seed = 11L)
+    try {
+      // every frontier-step join (the ones keyed by the walk's current
+      // node __s) must also carry the draw's bin key __b — string-match
+      // the plan because AQE hides join nodes from collect()
+      val stepJoins = frontier.queryExecution.executedPlan.toString
+        .split('\n').filter(l => l.contains("Join") && l.contains("__s#"))
+      assert(stepJoins.nonEmpty, "no frontier-step join found in the plan")
+      assert(stepJoins.forall(l => l.contains("__b#") || l.contains("__ub#")),
+        s"a step join lacks the bin key:\n${stepJoins.mkString("\n")}")
+      // and the walks themselves still terminate with full-length paths
+      val rows = frontier.select("walk_id", "path").collect()
+      assert(rows.length == 513, s"one walk per node: ${rows.length}")
+      assert(rows.forall(_.getString(1).count(_ == '>') == 3))
+    } finally binsIdx.unpersist(false)
+  }
+
   test("theilSen: outlier-immune where the mean slope is not") {
     def t(i: Int) = Timestamp.valueOf(f"2024-01-01 ${i}%02d:00:00")
     // perfect slope of +1.00/hour (100 cents/hour) with one wild

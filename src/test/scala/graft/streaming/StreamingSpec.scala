@@ -46,6 +46,39 @@ class StreamingSpec extends SparkSpec with org.scalatest.Retries {
   override def withFixture(test: NoArgTest): org.scalatest.Outcome =
     withRetry { super.withFixture(test) }
 
+  /** Min per-partition rate-source value recorded in `ckpt/offsets/epoch`
+    * — the END offsets of that epoch (last value emitted; -1 before any
+    * rows), written before `commits/epoch`.  A restart resumes at
+    * offsets/latestCommit + 1. */
+  private def walOffsetValue(ckpt: String, epoch: Long): Option[Long] = {
+    val f = new java.io.File(new java.io.File(ckpt, "offsets"), epoch.toString)
+    if (!f.exists()) None
+    else {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val vs = """"value"\s*:\s*(-?\d+)""".r
+        .findAllMatchIn(txt).map(_.group(1).toLong).toSeq
+      if (vs.isEmpty) None else Some(vs.min)
+    }
+  }
+
+  /** Highest epoch id with a commit record in `ckpt/commits`. */
+  private def walLatestCommit(ckpt: String): Option[Long] = {
+    val d = new java.io.File(ckpt, "commits")
+    val es = Option(d.list()).getOrElse(Array.empty[String])
+      .filterNot(_.startsWith("."))
+      .flatMap(n => scala.util.Try(n.toLong).toOption)
+    if (es.isEmpty) None else Some(es.max)
+  }
+
+  /** End offset of the latest COMMITTED epoch — the provable resume
+    * lower bound for a restart on `ckpt`.  offsets/(E+1) can already
+    * exist for a not-yet-committed epoch and must not be consulted:
+    * doing so races a late commit of an empty epoch 0 (the flake this
+    * helper exists to kill). */
+  private def walCommittedOffset(ckpt: String): Option[Long] =
+    walLatestCommit(ckpt).flatMap(walOffsetValue(ckpt, _))
+
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
 
@@ -468,33 +501,34 @@ class StreamingSpec extends SparkSpec with org.scalatest.Retries {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.Continuous("1 second"))
       .start()
-    def epochsCommitted: Int = {
-      val d = new java.io.File(ckpt, "commits")
-      if (d.exists()) d.list().count(!_.startsWith(".")) else 0
-    }
     val q1 = launch(1)
     try {
-      val deadline = System.currentTimeMillis() + 30000
-      while ((epochsCommitted < 2 || ContRecCollector.values(1).isEmpty) &&
+      // kill only once a COMMITTED epoch provably ends past value 0 —
+      // commit counts alone race a late commit of an empty epoch 0
+      // (end offset -1), after which a replay from value 0 is legal
+      val deadline = System.currentTimeMillis() + 60000
+      while (!walCommittedOffset(ckpt).exists(_ > 0) &&
           System.currentTimeMillis() < deadline) {
         Thread.sleep(250)
       }
-      assert(epochsCommitted >= 2, "first run never committed an epoch")
+      assert(walCommittedOffset(ckpt).exists(_ > 0),
+        s"first run never committed a nonzero offset " +
+          s"(latest ${walLatestCommit(ckpt)})")
       assert(q1.exception.isEmpty)
     } finally q1.stop()
-    val committedBefore = epochsCommitted
+    val committedBefore = walLatestCommit(ckpt).get
     assert(ContRecCollector.values(1).nonEmpty, "first run delivered nothing")
     val q2 = launch(2)
     try {
       val deadline = System.currentTimeMillis() + 30000
       while ((ContRecCollector.values(2).isEmpty ||
-          epochsCommitted <= committedBefore) &&
+          !walLatestCommit(ckpt).exists(_ > committedBefore)) &&
           System.currentTimeMillis() < deadline) {
         Thread.sleep(250)
       }
       assert(q2.exception.isEmpty,
         s"restart from existing WAL failed: ${q2.exception}")
-      assert(epochsCommitted > committedBefore,
+      assert(walLatestCommit(ckpt).exists(_ > committedBefore),
         "restarted query never committed a new epoch")
       val run2 = ContRecCollector.values(2)
       assert(run2.nonEmpty && run2.min > 0,
@@ -530,31 +564,26 @@ class StreamingSpec extends SparkSpec with org.scalatest.Retries {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.Continuous("5 seconds"))
       .start()
-    def epochsCommitted: Int = {
-      val d = new java.io.File(ckpt, "commits")
-      if (d.exists()) d.list().count(!_.startsWith(".")) else 0
-    }
+    // Epoch boundaries are time-based, so commits can land with end
+    // offset -1 before any rows flow — and a LATE-ARRIVING commit of
+    // such an epoch can postdate the first deliveries, which made a
+    // commit-count guard flaky.  Ground truth instead: parse the
+    // committed end offset out of the checkpoint WAL
+    // (walCommittedOffset) and only kill once it is provably > 0, so
+    // the restart cannot legally replay value 0.
     val q1 = launch(1)
     try {
-      // Under load an epoch can commit with offset 0 BEFORE any rows
-      // flow (epoch boundaries are time-based) — restarting from such a
-      // commit legitimately replays value 0.  So: wait for deliveries
-      // first, then for a commit that happens AFTER them — that commit
-      // provably covers a nonzero offset, making `resume > 0` a real
-      // exactly-once assertion rather than a timing accident.
       val deadline = System.currentTimeMillis() + 60000
-      while (ContRecCollector.values(101).isEmpty &&
+      while (!walCommittedOffset(ckpt).exists(_ > 0) &&
           System.currentTimeMillis() < deadline) {
         Thread.sleep(100)
       }
-      assert(ContRecCollector.values(101).nonEmpty, "run 1 never delivered")
-      val committedAtFirstData = epochsCommitted
-      while (epochsCommitted <= committedAtFirstData &&
-          System.currentTimeMillis() < deadline) {
-        Thread.sleep(100)
-      }
-      assert(epochsCommitted > committedAtFirstData,
-        "no epoch committed after data started flowing")
+      assert(walCommittedOffset(ckpt).exists(_ > 0),
+        s"no epoch with a nonzero offset committed within 60s " +
+          s"(latest commit ${walLatestCommit(ckpt)}, " +
+          s"offset ${walCommittedOffset(ckpt)})")
+      assert(ContRecCollector.values(101).nonEmpty,
+        "offset committed but run 1 delivered nothing")
       Thread.sleep(1500) // run well into the NEXT (uncommitted) epoch
       assert(q1.exception.isEmpty)
     } finally q1.stop() // kill mid-epoch, no drain
@@ -589,6 +618,100 @@ class StreamingSpec extends SparkSpec with org.scalatest.Retries {
     val missing = (0L to run1.max).filterNot(union)
     assert(missing.isEmpty, s"values lost across the restart: " +
       s"${missing.take(10)}")
+  }
+
+  test("continuous mode: a torn commit replays exactly the torn epoch") {
+    // Complement of the mid-epoch-kill test: here the failure is
+    // injected at the COMMIT boundary — the newest commit file is
+    // deleted after the query stops, simulating a driver crash while
+    // the commit record was being written.  The WAL writes offsets/E+1
+    // (the end-of-epoch offsets) BEFORE commits/E, so a torn write
+    // leaves the offsets entry present and the commit absent; the
+    // restart must treat epoch E as uncommitted and replay exactly it:
+    //  - resume point == start offset of the torn epoch (offsets/E);
+    //  - nothing below it (epochs with a PRESENT commit) re-delivered;
+    //  - no loss across the injected tear.
+    ContRecCollector.clear(103, 104)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cont_torn").toString
+    def launch(run: Int) = spark.readStream.format("rate")
+      .option("rowsPerSecond", 500).option("numPartitions", 1).load()
+      .select($"value")
+      .writeStream
+      .foreach(new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+        override def open(partitionId: Long, epochId: Long): Boolean = true
+        override def process(r: org.apache.spark.sql.Row): Unit =
+          ContRecCollector.add(102 + run, r.getLong(0))
+        override def close(errorOrNull: Throwable): Unit = ()
+      })
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Continuous("2 seconds"))
+      .start()
+    def offsetValue(epoch: Long): Option[Long] = walOffsetValue(ckpt, epoch)
+    def latestCommit: Option[Long] = walLatestCommit(ckpt)
+    val q1 = launch(1)
+    try {
+      // need the torn epoch to have a committed PREDECESSOR whose end
+      // offsets are past value 0, so (a) a committed epoch survives the
+      // deletion and (b) the exact-resume assertion is non-trivial.
+      // offsets/E = end offsets of epoch E (see the mid-epoch test);
+      // offset values are monotone in epoch, so once some commit e has
+      // offsets/(e-1) > 0, every later latestCommit does too.
+      val deadline = System.currentTimeMillis() + 60000
+      while (!latestCommit.exists(e =>
+          e >= 1 && offsetValue(e - 1).exists(_ > 0)) &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+      }
+      assert(latestCommit.exists(e => e >= 1 && offsetValue(e - 1).exists(_ > 0)),
+        s"never reached two commits with nonzero predecessor offsets " +
+          s"(latest $latestCommit)")
+      assert(q1.exception.isEmpty)
+    } finally q1.stop()
+    val run1 = ContRecCollector.values(103)
+    assert(run1.nonEmpty, "run 1 delivered nothing")
+    // tear the newest commit (re-read AFTER stop — more epochs may have
+    // committed between the guard and the stop); the restart must fall
+    // back to the previous commit, whose end offsets put the first
+    // replayed value at offsets/(tornEpoch-1) + 1 — the torn epoch's
+    // first row
+    val tornEpoch = latestCommit.get
+    val expectedResume = offsetValue(tornEpoch - 1).get + 1
+    val tornFile = new java.io.File(new java.io.File(ckpt, "commits"),
+      tornEpoch.toString)
+    assert(tornFile.delete(), s"could not delete commit $tornEpoch")
+    assert(latestCommit.contains(tornEpoch - 1))
+    val q2 = launch(2)
+    try {
+      val deadline = System.currentTimeMillis() + 40000
+      while (ContRecCollector.values(104).isEmpty &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+      }
+      assert(q2.exception.isEmpty,
+        s"restart over the torn commit failed: ${q2.exception}")
+    } finally q2.stop()
+    val run2 = ContRecCollector.values(104)
+    assert(run2.nonEmpty, "run 2 delivered nothing after the torn commit")
+    // replay starts exactly at the torn epoch, not before and not after
+    assert(run2.min == expectedResume,
+      s"expected replay from the torn epoch's start $expectedResume, " +
+        s"run 2 began at ${run2.min}")
+    // committed-prefix exactly-once across the tear: run 1 delivered
+    // each pre-tear value once and run 2 never re-delivers them
+    val committedOnce = run1.filter(_ < expectedResume)
+      .groupBy(identity).map(_._2.size)
+    assert(committedOnce.forall(_ == 1),
+      "a value below the torn epoch was delivered more than once by run 1")
+    // run 1 HAD processed (and committed) the torn epoch — so the torn
+    // epoch's rows really are re-delivered, proving the commit file is
+    // what gates re-delivery
+    assert(run1.max >= expectedResume,
+      s"run 1 never entered the torn epoch (max ${run1.max})")
+    val union = run1.toSet ++ run2.toSet
+    val missing = (0L to run1.max).filterNot(union)
+    assert(missing.isEmpty,
+      s"values lost across the torn commit: ${missing.take(10)}")
   }
 
   test("observe() metrics surface per micro-batch in streaming progress") {
