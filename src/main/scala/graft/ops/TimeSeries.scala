@@ -200,9 +200,15 @@ object TimeSeries {
     *
     * Scale shape: the pairwise term is a self-equi-join ON THE KEY —
     * quadratic per key (the estimator's nature), bounded by the same
-    * events-per-key ceiling as any sessionized analysis; the median
-    * per key is an aggregation over that bounded pair set.  Nothing is
-    * global.
+    * events-per-key ceiling as any sessionized analysis.  The median
+    * is NOT Spark's `percentile` aggregate — that funnels every pair
+    * of a key into one in-memory buffer (a 10⁴-event key would buffer
+    * 5·10⁷ slopes in a single task).  Instead each slope's per-key
+    * rank comes from [[PipelineOps.segmentedPrefixSum]] — cumulative
+    * work bounded by PARTITION size, spillable, regardless of how many
+    * pairs one key owns — and the median is the 1-or-2 middle-ranked
+    * rows per key, averaged (bit-identical to Spark's p=0.5
+    * interpolation `0.5·v_lo + 0.5·v_hi`).
     *
     * @return (keyCol, n_pairs, slope_cph) — median slope in cents per
     *         hour, rounded to 6 dp
@@ -216,14 +222,22 @@ object TimeSeries {
       col("__t").as("__ta"), col("__c").as("__ca"))
     val b = base.select(col("__k"), col("__i").as("__ib"),
       col("__t").as("__tb"), col("__c").as("__cb"))
-    a.join(b, Seq("__k"))
+    val pairs = a.join(b, Seq("__k"))
       .filter(col("__ia") < col("__ib") && col("__ta") =!= col("__tb"))
-      .select(col("__k"),
+      .select(col("__k"), col("__ia"), col("__ib"),
         ((col("__cb") - col("__ca")).cast("double") * 3600d /
-          (col("__tb") - col("__ta")).cast("double")).as("__s"))
-      .groupBy(col("__k"))
-      .agg(count(lit(1)).as("n_pairs"),
-        round(expr("percentile(__s, 0.5D)"), 6).as("slope_cph"))
+          (col("__tb") - col("__ta")).cast("double")).as("__s"),
+        lit(1L).as("__one"))
+    val nk = pairs.groupBy(col("__k")).agg(count(lit(1)).as("n_pairs"))
+    // __before = 0-based rank of the slope within its key ((__ia,__ib)
+    // breaks slope ties, so the order is unique as the scan requires)
+    PipelineOps.segmentedPrefixSum(pairs, Seq("__k"),
+        Seq("__s", "__ia", "__ib"), "__one")
+      .join(nk, Seq("__k"))
+      .filter(expr("__before = (n_pairs - 1) div 2 OR " +
+        "__before = n_pairs div 2"))
+      .groupBy(col("__k"), col("n_pairs"))
+      .agg(round(avg(col("__s")), 6).as("slope_cph"))
       .select(col("__k").as(keyCol), col("n_pairs"), col("slope_cph"))
   }
 

@@ -282,6 +282,41 @@ class SeriesGraphSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("theilSen: a deliberately heavy key — exact median over ~45k " +
+      "pairs, no single-buffer percentile aggregate") {
+    // one key with 300 events → 300·299/2 = 44 850 pairwise slopes; a
+    // buffering Percentile aggregate would hold all of them in one
+    // task's memory — the rank path must agree with a local twin and
+    // keep the Percentile expression out of the plan entirely
+    def t(i: Int) = new Timestamp(1700000000000L + i * 60000L)
+    val rows = (0 until 300).map { i =>
+      // deterministic jagged series: mixes positive/negative slopes
+      val cents = ((i * 37) % 101) - 50 + i / 3
+      (7L, i.toLong, t(i), cents / 100.0)
+    } :+ ((8L, 1000L, t(0), 1.0)) :+ ((8L, 1001L, t(10), 2.0))
+    val ev = rows.toDF("user_id", "event_id", "ts", "value")
+    val df = TimeSeries.theilSen(ev, "user_id", "ts", "event_id", "value")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile"),
+      "theilSen must not plan the single-buffer Percentile aggregate")
+    val out = df.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // local twin: exact pairwise slopes, Spark percentile-0.5 semantics
+    val pts = rows.filter(_._1 == 7L)
+      .map(r => (r._3.getTime / 1000, math.round(r._4 * 100)))
+    val slopes = (for {
+      i <- pts.indices; j <- (i + 1) until pts.size
+      if pts(i)._1 != pts(j)._1
+    } yield (pts(j)._2 - pts(i)._2).toDouble * 3600d /
+        (pts(j)._1 - pts(i)._1).toDouble).sorted
+    val n = slopes.size
+    val want = BigDecimal(0.5 * slopes((n - 1) / 2) + 0.5 * slopes(n / 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(7L)._1 == 44850L, s"pair count: ${out(7L)._1}")
+    assert(out(7L)._2 == want, s"median ${out(7L)._2} want $want")
+    assert(out(8L) == ((1L, 600.0)), s"two-point key: ${out(8L)}")
+  }
+
   test("olsTrend: exact slope on a perfect line; degenerate x dropped") {
     def t(i: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$i%02d")
     val ev = Seq(
