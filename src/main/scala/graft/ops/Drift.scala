@@ -30,12 +30,16 @@ object Drift {
 
   /** Exact per-bin counts of `valueCol`, with every bin present (zero
     * counts included) so both sides of a drift compare align by bin.
+    * NULL values are excluded — a CASE over a NULL would silently land
+    * in the `otherwise` (+inf) bin and skew the tail; [[ksStatistic]] /
+    * [[rankSumU]] drop nulls the same way.
     */
   def histogram(df: DataFrame, valueCol: String, edges: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val bins = (0 to edges.size).toDF("bin")
-    val counts = df.select(binOf(col(valueCol), edges).as("bin"))
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select(binOf(col(valueCol), edges).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
     bins.join(counts, Seq("bin"), "left")
       .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"))
@@ -50,8 +54,10 @@ object Drift {
     val ha = histogram(a, valueCol, edges).withColumnRenamed("n", "n_a")
     val hb = histogram(b, valueCol, edges).withColumnRenamed("n", "n_b")
     val joined = ha.join(hb, Seq("bin"))
-      .crossJoin(a.agg(count(lit(1)).as("tot_a")))
-      .crossJoin(b.agg(count(lit(1)).as("tot_b")))
+      .crossJoin(a.filter(col(valueCol).isNotNull)
+        .agg(count(lit(1)).as("tot_a")))
+      .crossJoin(b.filter(col(valueCol).isNotNull)
+        .agg(count(lit(1)).as("tot_b")))
     val pa = greatest(col("n_a") / col("tot_a"), lit(floorP))
     val pb = greatest(col("n_b") / col("tot_b"), lit(floorP))
     joined.select(col("bin"), col("n_a"), col("n_b"),

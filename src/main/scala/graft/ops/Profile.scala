@@ -44,6 +44,56 @@ object Profile {
       .orderBy(col("column"))
   }
 
+  /** Rank-based quality-signal fusion: each integer signal is mapped
+    * to its 1..`buckets` quantile bucket by CUMULATIVE-COUNT
+    * arithmetic — `1 + ⌊(#rows below value)·buckets / n⌋` — and the
+    * fused score is the bucket sum.  Rank fusion (RRF's cousin) is how
+    * heterogeneous quality signals combine without calibrating scales;
+    * the all-integer definition makes every bucket edge engine- and
+    * partitioning-exact, where interpolated quantile EDGES would shift
+    * by an ulp between engines and flip boundary rows.
+    *
+    * Contract: signals must be non-null — a NULL cannot be ranked, so
+    * rows carrying one are excluded by an EXPLICIT filter up front
+    * (never silently by a join miss), and bucket edges are computed on
+    * exactly the surviving rows.
+    *
+    * Scale shape: ONE melted aggregation builds every signal's
+    * distinct-value frame in a single pass over the data (no separate
+    * count action); the cumulative window runs per signal over THAT
+    * frame — bounded by value cardinality, tiny for integer quality
+    * signals — and each bucket map equi-joins back on the value (AQE
+    * broadcasts them).  No window or extra pass ever touches the row
+    * frame.  Ties share a bucket by construction.
+    */
+  def decileFusion(df: DataFrame, idCol: String, signals: Seq[String],
+      buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(signals.nonEmpty && buckets >= 2)
+    val clean = df.filter(signals.map(col(_).isNotNull).reduce(_ && _))
+    val melted = clean.select(explode(array(signals.map(c =>
+        struct(lit(c).as("__sig"), col(c).cast("long").as("__v"))): _*))
+      .as("r")).select(col("r.__sig").as("__sig"), col("r.__v").as("__v"))
+    val maps = melted.groupBy(col("__sig"), col("__v"))
+      .agg(count(lit(1)).as("__m"))
+      .withColumn("__below", coalesce(sum(col("__m")).over(
+        Window.partitionBy(col("__sig")).orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__m")).over(
+        Window.partitionBy(col("__sig"))))
+      .select(col("__sig"), col("__v"),
+        expr(s"CAST(1 + __below * $buckets div __n AS BIGINT)").as("__b"))
+    val withBuckets = signals.foldLeft(clean) { case (acc, c) =>
+      acc.join(maps.filter(col("__sig") === c)
+          .select(col("__v").as(s"__jv_$c"), col("__b").as(s"b_$c")),
+        col(c).cast("long") === col(s"__jv_$c"))
+        .drop(s"__jv_$c")
+    }
+    withBuckets.select(
+      col(idCol) +: signals.map(c => col(s"b_$c")) :+
+        signals.map(c => col(s"b_$c")).reduce(_ + _).as("fused"): _*)
+  }
+
   /** Key-skew diagnosis for a prospective join/aggregation key — the
     * report you read BEFORE deciding between a plain shuffle, a
     * broadcast, AQE skew handling, or [[PipelineOps]] salting.  One
@@ -67,42 +117,6 @@ object Profile {
     * over key cardinality.  At extreme scale swap the intermediate
     * products for DECIMAL(38,0) — the shape is unchanged.
     */
-  /** Rank-based quality-signal fusion: each integer signal is mapped
-    * to its 1..`buckets` quantile bucket by CUMULATIVE-COUNT
-    * arithmetic — `1 + ⌊(#rows below value)·buckets / n⌋` — and the
-    * fused score is the bucket sum.  Rank fusion (RRF's cousin) is how
-    * heterogeneous quality signals combine without calibrating scales;
-    * the all-integer definition makes every bucket edge engine- and
-    * partitioning-exact, where interpolated quantile EDGES would shift
-    * by an ulp between engines and flip boundary rows.
-    *
-    * Scale shape: per signal, one distinct-value aggregation (bounded
-    * by the signal's value cardinality, tiny for integer quality
-    * signals) + a window over THAT frame + an equi-join back on the
-    * value — AQE broadcasts the bucket maps.  No window ever touches
-    * the row frame.  Ties share a bucket by construction.
-    */
-  def decileFusion(df: DataFrame, idCol: String, signals: Seq[String],
-      buckets: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(signals.nonEmpty && buckets >= 2)
-    val n = df.count()
-    require(n > 0, "empty input")
-    val withBuckets = signals.foldLeft(df) { case (acc, c) =>
-      val cum = df.groupBy(col(c)).agg(count(lit(1)).as("__m"))
-        .withColumn("__below", coalesce(sum(col("__m")).over(
-          Window.orderBy(col(c))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col(c),
-          expr(s"CAST(1 + __below * $buckets div $n AS BIGINT)")
-            .as(s"b_$c"))
-      acc.join(cum, Seq(c))
-    }
-    withBuckets.select(
-      col(idCol) +: signals.map(c => col(s"b_$c")) :+
-        signals.map(c => col(s"b_$c")).reduce(_ + _).as("fused"): _*)
-  }
-
   def skewReport(df: DataFrame, keyCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(keyCol).as("__key"))

@@ -313,7 +313,7 @@ object MixQueries {
     "q_char_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id,
-        |    unnest(list_transform(range(1, strlen(text) + 1),
+        |    unnest(list_transform(range(1, length(text) + 1),
         |      i -> text[i])) AS c
         |  FROM documents WHERE doc_id < 200),
         |pc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2)

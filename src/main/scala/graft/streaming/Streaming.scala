@@ -186,7 +186,11 @@ object Streaming {
           var win = state.getOption.getOrElse(Seq.empty[Long])
           val out = Seq.newBuilder[AnomalyOut]
           sorted.foreach { e =>
-            val c = math.round(e.value * 100)
+            // HALF_UP (half away from zero), matching Spark's round()
+            // in the batch twin and the DuckDB oracle — math.round is
+            // floor(x+0.5), which differs at negative exact halves
+            val c = BigDecimal(e.value * 100)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
             if (win.size == n) {
               val s1 = win.sum
               val s2 = win.iterator.map(x => x * x).sum
