@@ -119,14 +119,45 @@ object Bench {
     // `baseline_deltas` surfaces entries whose fresh median is >1.5×
     // (and >0.2s over) that best — machine-visible drift even when the
     // round-over-round `regressions` field is clean.
+    //
+    // Bests are keyed to a FINGERPRINT of the testdata (sorted relative
+    // file names + sizes): the corpus regenerates between rounds, and a
+    // best measured on last round's data is not a baseline for this
+    // round's — those stale flags (q_stat_quantile/q_pagerank carried
+    // "data-regen artifact" notes for two rounds) drowned real drift.
+    // On a fingerprint change the history restarts; within one data
+    // generation every full run still tightens and checks the bests.
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val fingerprint: String = {
+      val root = java.nio.file.Paths.get(sfDir)
+      if (!java.nio.file.Files.exists(root)) "absent"
+      else {
+        val walk = java.nio.file.Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          val entries = walk.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(p => root.relativize(p).toString + ":" +
+              java.nio.file.Files.size(p))
+            .toSeq.sorted
+          java.lang.Long.toHexString(entries.foldLeft(1125899906842597L) {
+            (h, s) => s.foldLeft(h)((a, c) => a * 31 + c)
+          })
+        } finally walk.close()
+      }
+    }
     val histPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_BASELINE_HISTORY.json"))
     val hist: Map[String, Double] =
       if (java.nio.file.Files.exists(histPath)) {
         val txt = java.nio.file.Files.readString(histPath)
-        val re = """"([^"]+)":\s*(-?[0-9.eE+]+)""".r
-        re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val fpRe = """"__fingerprint__":\s*"([^"]+)"""".r
+        val sameData = fpRe.findFirstMatchIn(txt).exists(_.group(1) == fingerprint)
+        if (!sameData) Map.empty
+        else {
+          val re = """"([^"]+)":\s*(-?[0-9.eE+]+)""".r
+          re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
       } else Map.empty
     val baselineDeltas = ok.flatMap { n =>
       hist.get(n).filter(b => b > 0 && med(n) > b * 1.5 && med(n) - b > 0.2)
@@ -141,7 +172,8 @@ object Bench {
         s"${jq(n)}: $best"
       }
       java.nio.file.Files.writeString(histPath,
-        merged.mkString("{\n", ",\n", "\n}"))
+        (s""""__fingerprint__": "$fingerprint"""" +: merged)
+          .mkString("{\n", ",\n", "\n}"))
     }
     val detail = names.map { n =>
       val rs = samples.getOrElse(n, Nil).map(r3).mkString("[", ",", "]")
