@@ -65,6 +65,14 @@ object ColumnLineage {
       OutputLineage(a.name, resolved.getOrElse(a.exprId, Set.empty))))
   }
 
+  /** Output ExprId → leaf sources, for [[LineageRegistry.capture]]. */
+  private[lineage] def outputSources(plan: LogicalPlan)
+      : Map[ExprId, Set[SourceColumn]] = {
+    val resolved = resolve(plan, None, Map.empty)
+    plan.output.map(a =>
+      a.exprId -> resolved.getOrElse(a.exprId, Set.empty[SourceColumn])).toMap
+  }
+
   /** Best-effort identity of a leaf relation (mirrors the reference's
     * `RelationColumn.source`: `ResolveHiveRelation.scala:18` captures
     * `catalogTable`; we also capture file paths and v2 table names).
@@ -120,8 +128,13 @@ object ColumnLineage {
       }.toMap
 
     case l: LeafNode =>
+      // a checkpointed ops pipeline surfaces as a LogicalRDD leaf; if
+      // its output was captured at checkpoint time, splice the
+      // pre-checkpoint lineage in instead of naming the RDD a source
       val table = alias.getOrElse(leafName(l))
-      l.output.map(a => a.exprId -> Set(SourceColumn(table, a.name))).toMap
+      l.output.map(a => a.exprId ->
+        LineageRegistry.lookup(a.exprId)
+          .getOrElse(Set(SourceColumn(table, a.name)))).toMap
 
     case p: Project =>
       val child = resolveChildren(p, alias, ctes)

@@ -1,0 +1,54 @@
+package graft.lineage
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridges column lineage across lineage-ERASING materialization
+  * points.  Several ops pipelines end in `localCheckpoint` (via
+  * [[graft.ops.CacheScope]]) so corpus-sized caches can be released —
+  * but a checkpointed frame's plan is a bare `LogicalRDD` leaf, where
+  * the reference design (and any post-hoc plan walk) loses the trail.
+  *
+  * At the moment of checkpointing, the PRE-checkpoint analyzed plan is
+  * still in hand: [[capture]] resolves its output columns to leaf
+  * sources and records them keyed by the POST-checkpoint output
+  * ExprIds (paired positionally — names and order are preserved by
+  * `localCheckpoint`).  [[ColumnLineage]] consults the registry at
+  * every leaf attribute, so `ColumnLineage.of(Dedup.minhashPairs(...))`
+  * traces `jaccard` all the way to `documents.text` even though the
+  * physical plan starts at an RDD scan.
+  *
+  * Driver-side plan metadata only — a few dozen (ExprId → source-set)
+  * entries per checkpoint, capped and cleared defensively at
+  * [[MaxEntries]] so a pathological loop cannot leak.
+  */
+object LineageRegistry {
+
+  private val MaxEntries = 65536
+
+  private val byExprId = new java.util.concurrent.ConcurrentHashMap[
+    Long, Set[ColumnLineage.SourceColumn]]()
+
+  /** Resolve `pre`'s output lineage and register it under `post`'s
+    * output ExprIds.  Never throws: lineage capture must not be able to
+    * fail the operator that calls it.
+    */
+  def capture(pre: LogicalPlan, post: LogicalPlan): Unit =
+    try {
+      val sources = ColumnLineage.outputSources(pre)
+      if (byExprId.size() > MaxEntries) byExprId.clear()
+      post.output.zip(pre.output).foreach { case (p, b) =>
+        val srcs = sources.getOrElse(b.exprId,
+          Set.empty[ColumnLineage.SourceColumn])
+        if (srcs.nonEmpty) byExprId.put(p.exprId.id, srcs)
+      }
+    } catch { case scala.util.control.NonFatal(_) => }
+
+  /** Registered leaf sources for an output attribute, if this ExprId
+    * was ever the output of a captured checkpoint. */
+  def lookup(exprId: org.apache.spark.sql.catalyst.expressions.ExprId)
+      : Option[Set[ColumnLineage.SourceColumn]] =
+    Option(byExprId.get(exprId.id))
+
+  /** Test hook. */
+  private[graft] def clear(): Unit = byExprId.clear()
+}

@@ -16,9 +16,14 @@ import org.apache.spark.sql.DataFrame
   * ContextCleaner once the returned DataFrame is unreachable).
   */
 private[graft] object CacheScope {
-  /** Materialize `result`, then unpersist every cache it was built from. */
+  /** Materialize `result`, then unpersist every cache it was built from.
+    * The pre-checkpoint lineage is captured into
+    * [[graft.lineage.LineageRegistry]] first, so column lineage traces
+    * THROUGH the checkpoint instead of stopping at the RDD scan. */
   def releasing(result: DataFrame, caches: DataFrame*): DataFrame = {
     val out = result.localCheckpoint(true)
+    graft.lineage.LineageRegistry.capture(
+      result.queryExecution.analyzed, out.queryExecution.analyzed)
     caches.foreach(_.unpersist(false))
     out
   }

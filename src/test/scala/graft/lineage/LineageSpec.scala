@@ -293,4 +293,38 @@ class LineageSpec extends SparkSpec {
       s"newest value must trace to its source column: ${sg("last_type")}")
     assert(sg("top_type").contains(src(evTable, "event_type")))
   }
+
+  test("ops-layer checkpoint: minhashPairs traces THROUGH the " +
+      "lineage-erasing localCheckpoint to documents columns") {
+    // minhashPairs ends in CacheScope.releasing → localCheckpoint, so
+    // its plan is a bare LogicalRDD leaf; the LineageRegistry capture
+    // at checkpoint time must splice the pre-checkpoint lineage back in
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") < 60)
+    val docTable = ColumnLineage.of(docs).outputs.head.sources.head.table
+    val pairs = graft.ops.Dedup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.5)
+    val g = ColumnLineage.of(pairs)
+    assert(g("id_a") == Set(src(docTable, "doc_id")),
+      s"id_a must reach the source id through the checkpoint: ${g("id_a")}")
+    assert(g("id_b") == Set(src(docTable, "doc_id")))
+    assert(g("jaccard") == Set(src(docTable, "text")),
+      s"jaccard derives from shingled text only: ${g("jaccard")}")
+  }
+
+  test("ops-layer checkpoint: deterministicWalks paths trace to the " +
+      "edge columns") {
+    val edges = Seq((1L, 2L, 3L), (2L, 1L, 1L), (1L, 3L, 2L),
+        (3L, 1L, 2L), (2L, 3L, 1L), (3L, 2L, 1L))
+      .toDF("src", "dst", "w")
+    val walks = graft.ops.GraphOps.deterministicWalks(edges, 1, 2, 3L)
+    val g = ColumnLineage.of(walks)
+    // the LocalRelation leaf's own columns are the tuple fields: _1 =
+    // src, _2 = dst, _3 = w — path concatenates node ids, never weights
+    val pathSrcs = g("path").map(_.column)
+    assert(pathSrcs == Set("_1", "_2"),
+      s"path concatenates src and dst node ids: ${g("path")}")
+    assert(g("walk_id").map(_.column) == Set("_1"),
+      s"walk ids derive from start nodes: ${g("walk_id")}")
+  }
 }
