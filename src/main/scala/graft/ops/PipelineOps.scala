@@ -313,8 +313,16 @@ object PipelineOps {
     * on (segment, order) so each segment spans consecutive sorted
     * partitions, run the cumulative window per (partition, segment) —
     * bounded by PARTITION size, never segment size — and add the
-    * per-(partition, segment) subtotal offsets computed on a
-    * partitions×segments-sized frame and broadcast back.
+    * per-(partition, segment) subtotal offsets broadcast back.
+    *
+    * The offsets table is filtered to segments that STRADDLE a
+    * partition boundary before the broadcast: a range-partitioned
+    * segment is contiguous, so at most numPartitions−1 segments can
+    * straddle and the broadcast is ≤ parts² rows BY CONSTRUCTION even
+    * when the segment key has data-scale cardinality (a per-key
+    * offsets broadcast would be the vocabulary-broadcast class all
+    * over again).  Non-straddling segments left-join to no offset and
+    * take 0.
     *
     * The tagged frame persists for the same reason as
     * [[globalRowNumber]]: the offset and output branches must see the
@@ -338,14 +346,17 @@ object PipelineOps {
     val offsets = tagged
       .groupBy((col("__pid") +: segCols.map(col)): _*)
       .agg(sum(col(valueCol)).as("__pt"))
+      .withColumn("__npid", count(lit(1)).over(
+        Window.partitionBy(segCols.map(col): _*)))
+      .filter(col("__npid") > 1)
       .withColumn("__off", coalesce(sum(col("__pt")).over(
         Window.partitionBy(segCols.map(col): _*).orderBy(col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select((col("__pid") +: segCols.map(col) :+ col("__off")): _*)
     tagged
       .withColumn("__local", coalesce(sum(col(valueCol)).over(wLocal), lit(0L)))
-      .join(broadcast(offsets), "__pid" +: segCols)
-      .withColumn("__before", col("__off") + col("__local"))
+      .join(broadcast(offsets), "__pid" +: segCols, "left")
+      .withColumn("__before", coalesce(col("__off"), lit(0L)) + col("__local"))
       .drop("__pid", "__local", "__off")
   }
 

@@ -118,7 +118,8 @@ class PlanLintSpec extends SparkSpec {
     "q_sql_hints"           -> "SQL hint syntax is the coverage subject of this entry",
     "q_hybrid_retrieval"    -> "query batch is a 3-row VALUES joined to the unique-key embedding lookup — bounded by contract, invisible to planBounded through the join",
     "q_more_like_this"      -> "BM25 query-term table is |queryIds| x mTerms rows by contract (TopKPerKey bound, opaque to planBounded)",
-    "q_mixture_budget"      -> "segmented-scan offset table is shufflePartitions x |budgets| rows by construction (spark_partition_id x budgeted-domain groupBy, opaque to planBounded)")
+    "q_mixture_budget"      -> "segmented-scan offset table is shufflePartitions x |budgets| rows by construction (spark_partition_id x budgeted-domain groupBy, opaque to planBounded)",
+    "q_theil_sen"           -> "segmented-scan offset table is filtered to partition-boundary-straddling keys before the hint — at most numPartitions-1 segments straddle a range boundary, so <= parts^2 rows by construction regardless of key cardinality (opaque to planBounded)")
 
   /** A frame is plan-bounded when its row count cannot scale with the
     * input data: a limit, a scalar (no-grouping) aggregate, a literal
