@@ -162,4 +162,65 @@ object Retrieval {
       .select(col("qid"), col("__doc").as(idCol), col("rrf_micro"),
         col("n_rankers"))
   }
+
+  /** Offline retrieval evaluation — recall@k, MRR@k, and graded
+    * nDCG@k per query, the report every retrieval/dedup index change
+    * is judged by.
+    *
+    * Determinism: each DCG term `(2^rel − 1)/log₂(rank+1)` is rounded
+    * to integer micro-units BEFORE the per-query sum (the
+    * [[bm25TopK]] idf_micro recipe — integer addition commutes, so
+    * partitioning cannot change the sum), recall and MRR are integer
+    * ratios (`·10⁶ div`), and only the final nDCG ratio divides two
+    * exact integers.
+    *
+    * Scale shape: the run is k-bounded per query by contract; the
+    * ideal ranking for IDCG goes through the bounded-heap
+    * [[graft.plans.TopKPerKey]] (never a window over the gold frame,
+    * whose per-query size is unbounded); the only windows run over
+    * ≤ k rows per query.  Everything joins on (query, doc) — fixed-
+    * width shuffle keys.
+    *
+    * @param run  ranked results: (qidCol, docCol, rankCol), rank
+    *             1-based; rows with rank > k are ignored
+    * @param gold graded labels: (qidCol, docCol, relCol), rel ≥ 1
+    *             (filter zeros upstream); ties in rel break by doc id
+    *             for the ideal ranking, which cannot change IDCG
+    * @return one row per query with gold labels: (qidCol, n_rel,
+    *         n_rel_ret, first_rel_rank ∈ [1,k] — 0 when no relevant
+    *         doc was retrieved — recall_micro, mrr_micro, dcg_micro,
+    *         idcg_micro, ndcg)
+    */
+  def evalMetrics(run: DataFrame, gold: DataFrame, qidCol: String,
+      docCol: String, rankCol: String, relCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1)
+    val dcgTerm = round((pow(lit(2.0), col(relCol)) - 1.0)
+      / log2(col(rankCol) + 1.0) * 1000000d, 0).cast("long")
+    val g = gold.filter(col(relCol) > 0)
+    val nrel = g.groupBy(col(qidCol)).agg(count(lit(1)).as("n_rel"))
+    val ideal = TopK.perKey(g, Seq(col(qidCol)),
+        Seq(col(relCol).desc, col(docCol).asc), k)
+      .withColumn(rankCol, row_number().over(Window.partitionBy(col(qidCol))
+        .orderBy(col(relCol).desc, col(docCol).asc)))
+    val idcg = ideal.groupBy(col(qidCol))
+      .agg(sum(dcgTerm).cast("long").as("idcg_micro"))
+    val hits = run.filter(col(rankCol) <= k)
+      .join(g, Seq(qidCol, docCol))
+      .groupBy(col(qidCol))
+      .agg(count(lit(1)).as("n_rel_ret"),
+        min(col(rankCol)).cast("long").as("first_rel_rank"),
+        sum(dcgTerm).cast("long").as("dcg_micro"))
+    nrel.join(idcg, Seq(qidCol))
+      .join(hits, Seq(qidCol), "left")
+      .select(col(qidCol), col("n_rel"),
+        coalesce(col("n_rel_ret"), lit(0L)).as("n_rel_ret"),
+        coalesce(col("first_rel_rank"), lit(0L)).as("first_rel_rank"),
+        expr("coalesce(n_rel_ret, 0) * 1000000 div n_rel").as("recall_micro"),
+        coalesce(expr("1000000 div first_rel_rank"), lit(0L)).as("mrr_micro"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        col("idcg_micro"),
+        round(coalesce(col("dcg_micro"), lit(0L)).cast("double")
+          / col("idcg_micro").cast("double"), 6).as("ndcg"))
+  }
 }

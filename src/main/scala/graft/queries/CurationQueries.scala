@@ -35,6 +35,41 @@ object CurationQueries {
         .orderBy(col("qid"), desc("score_micro"), col("doc_id"))
     },
 
+    // Offline retrieval evaluation over the BM25 run: graded gold
+    // labels come from deterministic per-query term containment (rel 2
+    // for the query's primary term, +1 for its secondary), and the
+    // metrics are recall@10 / MRR@10 / nDCG@10 with every DCG term
+    // rounded to integer micro-units before the sum.  The ideal
+    // ranking for IDCG runs through the bounded-heap TopKPerKey, never
+    // a window over the gold frame.
+    "q_retrieval_eval" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val queries = s.createDataFrame(Seq(
+          (1, "spark table join"),
+          (2, "customer order stream"),
+          (3, "fast hash scan zzzunseen")))
+        .toDF("qid", "qtext")
+      val run = Retrieval.bm25TopK(docs, "doc_id", "text", queries, k = 10)
+        .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("score_micro").desc, col("doc_id"))))
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val terms = Seq((1, "table", "join"), (2, "customer", "order"),
+        (3, "hash", "scan"))
+      val qarr = array(terms.map { case (q, a, b) =>
+        struct(lit(q).as("qid"), lit(a).as("ta"), lit(b).as("tb")) }: _*)
+      val gold = docs.select(col("doc_id"), lower(col("text")).as("__lt"))
+        .select(col("doc_id"), col("__lt"), explode(qarr).as("q"))
+        .select(col("q.qid").as("qid"), col("doc_id"),
+          (when(col("__lt").contains(col("q.ta")), 2).otherwise(0)
+            + when(col("__lt").contains(col("q.tb")), 1).otherwise(0))
+            .cast("long").as("rel"))
+        .filter(col("rel") > 0)
+      Retrieval.evalMetrics(run, gold, "qid", "doc_id", "rank", "rel",
+          k = 10)
+        .orderBy(col("qid"))
+    },
+
     // More-like-this: each query DOCUMENT's top-5 tf-idf terms become
     // its BM25 query; the doc itself is excluded from its hits.  Term
     // selection and scoring are integer micro-unit exact, so the whole
@@ -269,6 +304,81 @@ object CurationQueries {
         |        FROM agg)
         |SELECT qid, doc_id, score_micro, n_terms_hit FROM top WHERE rn <= 5
         |ORDER BY qid, score_micro DESC, doc_id""".stripMargin,
+
+    "q_retrieval_eval" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS d,
+        |         unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT d, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT d, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |                 CAST((SELECT count(*) FROM toks) AS DOUBLE)
+        |                   / (SELECT count(*) FROM documents) AS avgdl),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |idf AS (SELECT tok,
+        |          CAST(round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+        |            * 1000000) AS BIGINT) AS idf_micro
+        |        FROM dfq, stats),
+        |q(qid, qtext) AS (VALUES (1, 'spark table join'),
+        |                         (2, 'customer order stream'),
+        |                         (3, 'fast hash scan zzzunseen')),
+        |qt AS (SELECT DISTINCT * FROM (
+        |  SELECT qid, unnest(regexp_extract_all(lower(qtext), '[a-z0-9'']+')) AS tok
+        |  FROM q)),
+        |scored AS (
+        |  SELECT qt.qid, tf.d,
+        |    CAST(round(idf.idf_micro * (tf.tf * (1.2 + 1.0))
+        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS BIGINT)
+        |      AS term_micro
+        |  FROM tf
+        |  JOIN dl ON tf.d = dl.d
+        |  JOIN idf ON tf.tok = idf.tok
+        |  JOIN qt ON tf.tok = qt.tok, stats),
+        |agg AS (SELECT qid, d, CAST(sum(term_micro) AS BIGINT) AS score_micro
+        |        FROM scored GROUP BY 1, 2),
+        |runk AS (SELECT * FROM (
+        |  SELECT qid, d AS doc_id,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY score_micro DESC, d) AS rnk
+        |  FROM agg) WHERE rnk <= 10),
+        |qterm(qid, ta, tb) AS (VALUES (1, 'table', 'join'),
+        |                              (2, 'customer', 'order'),
+        |                              (3, 'hash', 'scan')),
+        |goldp AS (SELECT * FROM (
+        |  SELECT qterm.qid, d.doc_id,
+        |    (CASE WHEN position(qterm.ta IN lower(d.text)) > 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN position(qterm.tb IN lower(d.text)) > 0 THEN 1 ELSE 0 END)
+        |      AS rel
+        |  FROM documents d, qterm) WHERE rel > 0),
+        |nrel AS (SELECT qid, count(*) AS n_rel FROM goldp GROUP BY 1),
+        |ideal AS (SELECT qid, rel,
+        |            row_number() OVER (PARTITION BY qid
+        |              ORDER BY rel DESC, doc_id) AS rnk
+        |          FROM goldp),
+        |idcg AS (SELECT qid,
+        |           CAST(sum(CAST(round((pow(2.0, rel) - 1.0)
+        |             / log2(rnk + 1.0) * 1000000) AS BIGINT)) AS BIGINT)
+        |             AS idcg_micro
+        |         FROM ideal WHERE rnk <= 10 GROUP BY 1),
+        |hits AS (SELECT r.qid, count(*) AS n_rel_ret,
+        |           min(r.rnk) AS first_rel_rank,
+        |           CAST(sum(CAST(round((pow(2.0, g.rel) - 1.0)
+        |             / log2(r.rnk + 1.0) * 1000000) AS BIGINT)) AS BIGINT)
+        |             AS dcg_micro
+        |         FROM runk r JOIN goldp g
+        |           ON r.qid = g.qid AND r.doc_id = g.doc_id
+        |         GROUP BY 1)
+        |SELECT n.qid, n.n_rel,
+        |  coalesce(h.n_rel_ret, 0) AS n_rel_ret,
+        |  coalesce(h.first_rel_rank, 0) AS first_rel_rank,
+        |  coalesce(h.n_rel_ret, 0) * 1000000 // n.n_rel AS recall_micro,
+        |  coalesce(1000000 // h.first_rel_rank, 0) AS mrr_micro,
+        |  coalesce(h.dcg_micro, 0) AS dcg_micro, i.idcg_micro,
+        |  round(CAST(coalesce(h.dcg_micro, 0) AS DOUBLE) / i.idcg_micro, 6)
+        |    AS ndcg
+        |FROM nrel n JOIN idcg i USING (qid) LEFT JOIN hits h USING (qid)
+        |ORDER BY qid""".stripMargin,
 
     "q_more_like_this" ->
       """WITH toks AS (

@@ -89,4 +89,39 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(out == Set(1L, 2L), s"fused top-2 must drop the single-ranker doc: $out")
   }
+
+  test("evalMetrics: hand-computed recall/MRR/nDCG, zero-hit query " +
+      "and rank-k truncation") {
+    // run for q1: ranks 1..3 = docs 10, 20, 30; gold rel(20)=2,
+    // rel(40)=1 → hits only doc 20 at rank 2.
+    // q2 retrieves nothing relevant (gold doc 99, run docs 50,60).
+    // q3's only relevant doc sits at rank 4 — outside k=3.
+    val run = Seq(
+      (1, 10L, 1), (1, 20L, 2), (1, 30L, 3),
+      (2, 50L, 1), (2, 60L, 2),
+      (3, 70L, 1), (3, 80L, 2), (3, 81L, 3), (3, 90L, 4))
+      .toDF("qid", "doc_id", "rank")
+    val gold = Seq(
+      (1, 20L, 2L), (1, 40L, 1L),
+      (2, 99L, 3L),
+      (3, 90L, 2L))
+      .toDF("qid", "doc_id", "rel")
+    val out = Retrieval.evalMetrics(run, gold, "qid", "doc_id", "rank",
+        "rel", k = 3)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getDouble(8)))).toMap
+    def m(x: Double) = math.round(x * 1e6)
+    // q1: dcg = (2^2-1)/log2(3) at rank 2; idcg = 3/1 + 1/log2(3)
+    val q1dcg = m(3.0 / (math.log(3) / math.log(2)))
+    val q1idcg = m(3.0) + m(1.0 / (math.log(3) / math.log(2)))
+    assert(out(1) == ((2L, 1L, 2L, 500000L, 500000L, q1dcg, q1idcg,
+      BigDecimal(q1dcg.toDouble / q1idcg)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)),
+      s"q1: ${out(1)}")
+    // q2: no relevant retrieved — all-zero metrics, idcg from gold
+    assert(out(2) == ((1L, 0L, 0L, 0L, 0L, 0L, m(7.0), 0.0)), s"q2: ${out(2)}")
+    // q3: the relevant doc is at rank 4 > k — truncation must drop it
+    assert(out(3) == ((1L, 0L, 0L, 0L, 0L, 0L, m(3.0), 0.0)), s"q3: ${out(3)}")
+  }
 }
