@@ -91,6 +91,79 @@ object Checks {
     * @return (keyCol, n, n_outliers, med, mad) — med/mad rounded to 6
     *         for display; the outlier predicate uses the exact values
     */
+  /** Deterministic Poisson-bootstrap confidence interval for the mean
+    * of a money column — the error bar every drift/quality metric
+    * should ship with.  The classic index-resample bootstrap needs a
+    * global row numbering plus B index joins; the Poisson bootstrap
+    * (Chamandy et al., "Estimating Uncertainty for Massive Data
+    * Streams", Google 2012) instead gives every row an independent
+    * Poisson(1) weight per resample, so the whole thing is ONE pass:
+    * explode ×B, weight, and a map-side-combined (resample → sum,
+    * count) aggregation shuffling exactly B rows.
+    *
+    * Determinism: the Poisson draw inverts an integer hash u ∈ [0,2³¹)
+    * (two LCG mixing rounds over id and resample index — products stay
+    * < 2⁴⁷, overflow-safe under ANSI) against hard-coded integer CDF
+    * thresholds `round(2³¹·P(X≤k))`, truncated at weight 5 (tail mass
+    * 0.37%).  Resample sums/counts are exact integers; the only
+    * floating step is each resample's IEEE sum/count ratio — identical
+    * on any engine — which orders the B-row frame for the quantile
+    * pick at ranks ⌈loP·B⌉ / ⌈hiP·B⌉.
+    *
+    * Scale shape: explode ×B then aggregate — no global row numbers,
+    * no index join, no window over data-scale frames; the only
+    * unpartitioned window ranks the B-row resample frame.
+    *
+    * @return one row: (n_rows, b_eff, mean, ci_lo, ci_hi) — currency
+    *         units rounded to 6 dp
+    */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: String,
+      b: Int, seed: Long, loP: Double = 0.025,
+      hiP: Double = 0.975): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(b >= 2 && b <= 10000, s"resample count out of range: $b")
+    require(seed >= 0 && loP > 0 && hiP < 1 && loP < hiP)
+    val rLo = math.ceil(loP * b).toLong
+    val rHi = math.ceil(hiP * b).toLong
+    val cents = df.filter(col(valueCol).isNotNull)
+      .select(col(idCol).cast("long").as("__i"),
+        round(col(valueCol) * 100).cast("long").as("__c"))
+    val res = cents
+      .select(col("__i"), col("__c"),
+        explode(sequence(lit(0), lit(b - 1))).as("__j"))
+      .withColumn("__u1", pmod(
+        col("__i") * 2654435761L + col("__j") * 40503L + seed,
+        lit(2147483648L)))
+      .withColumn("__u", pmod(col("__u1") * 48271L + col("__j"),
+        lit(2147483648L)))
+      .withColumn("__w", when(col("__u") < 790015084L, 0L)
+        .when(col("__u") < 1580030169L, 1L)
+        .when(col("__u") < 1975037711L, 2L)
+        .when(col("__u") < 2106706892L, 3L)
+        .when(col("__u") < 2139624187L, 4L)
+        .otherwise(5L))
+      .groupBy(col("__j"))
+      .agg(sum(col("__w") * col("__c")).as("__s"),
+        sum(col("__w")).as("__n"))
+      .filter(col("__n") > 0)
+    val ranked = res
+      .select(col("__j"),
+        (col("__s").cast("double") / col("__n").cast("double")).as("__mv"))
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("__mv"), col("__j"))))
+    val ci = ranked.agg(count(lit(1)).as("b_eff"),
+      max(when(col("__r") === rLo, col("__mv"))).as("__lo"),
+      max(when(col("__r") === rHi, col("__mv"))).as("__hi"))
+    cents.agg(count(lit(1)).as("n_rows"),
+        sum(col("__c")).as("__ts"))
+      .crossJoin(ci)
+      .select(col("n_rows"), col("b_eff"),
+        round(col("__ts").cast("double") / 100d / col("n_rows"), 6)
+          .as("mean"),
+        round(col("__lo") / 100d, 6).as("ci_lo"),
+        round(col("__hi") / 100d, 6).as("ci_hi"))
+  }
+
   def madOutliers(df: DataFrame, keyCol: String, valCol: String,
       cutoff: Double = 4.4478): DataFrame = {
     val med = df.groupBy(col(keyCol))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Classifier, CorpusStats}
+import graft.ops.{Checks, Classifier, CorpusStats}
 
 /** Document-quality model gates — the round-6 additions to the corpus
   * battery:
@@ -23,6 +23,16 @@ object QualityQueries {
   private val toksSql = "regexp_extract_all(lower(text), '[a-z0-9'']+')"
 
   val queries: Map[String, Q] = Map(
+    // Poisson-bootstrap 95% CI for the mean event value: one pass,
+    // hash-deterministic Poisson(1) weights against integer CDF
+    // thresholds, exact integer resample sums, IEEE ratio ordering of
+    // the 200-row resample frame.  The DuckDB twin replays the
+    // identical integer pipeline.
+    "q_bootstrap_ci" -> { (s, dir) =>
+      Checks.bootstrapMeanCI(Tables.load(s, dir, "events"),
+        "event_id", "value", b = 200, seed = 7L)
+    },
+
     "q_bigram_lm" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       CorpusStats.bigramLogProb(docs, "doc_id", "text")
@@ -36,6 +46,41 @@ object QualityQueries {
     })
 
   val oracle: Map[String, String] = Map(
+    "q_bootstrap_ci" ->
+      """WITH cents AS (
+        |  SELECT event_id AS i, CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |drawn AS (
+        |  SELECT i, c, r.j,
+        |    (i * 2654435761 + r.j * 40503 + 7) % 2147483648 AS u1
+        |  FROM cents, range(0, 200) r(j)),
+        |weighted AS (
+        |  SELECT j, c,
+        |    CASE WHEN u < 790015084 THEN 0
+        |         WHEN u < 1580030169 THEN 1
+        |         WHEN u < 1975037711 THEN 2
+        |         WHEN u < 2106706892 THEN 3
+        |         WHEN u < 2139624187 THEN 4
+        |         ELSE 5 END AS w
+        |  FROM (SELECT i, c, j, (u1 * 48271 + j) % 2147483648 AS u
+        |        FROM drawn)),
+        |res AS (
+        |  SELECT j, CAST(sum(w * c) AS BIGINT) AS s,
+        |         CAST(sum(w) AS BIGINT) AS n
+        |  FROM weighted GROUP BY 1 HAVING sum(w) > 0),
+        |ranked AS (
+        |  SELECT j, CAST(s AS DOUBLE) / n AS mv,
+        |    row_number() OVER (ORDER BY CAST(s AS DOUBLE) / n, j) AS r
+        |  FROM res),
+        |tot AS (SELECT count(*) AS n_rows, CAST(sum(c) AS BIGINT) AS ts
+        |        FROM cents)
+        |SELECT t.n_rows,
+        |  (SELECT count(*) FROM ranked) AS b_eff,
+        |  round(CAST(t.ts AS DOUBLE) / 100 / t.n_rows, 6) AS mean,
+        |  round((SELECT mv FROM ranked WHERE r = 5) / 100, 6) AS ci_lo,
+        |  round((SELECT mv FROM ranked WHERE r = 195) / 100, 6) AS ci_hi
+        |FROM tot t""".stripMargin,
+
     "q_bigram_lm" ->
       s"""WITH toks AS (
         |  SELECT doc_id, $toksSql AS t FROM documents),

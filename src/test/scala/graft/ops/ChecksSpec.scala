@@ -167,4 +167,31 @@ class ChecksSpec extends SparkSpec {
     assert(rd.getDouble(2) == 60.0, s"chi2 = n for a perfect 2x2: $rd")
     assert(rd.getDouble(3) == 1.0, s"Cramer's V must hit 1: $rd")
   }
+
+  test("bootstrapMeanCI: brackets the sample mean, deterministic, " +
+      "Poisson weight mass near e^-1") {
+    val df = (1 to 500).map(i => (i.toLong, (i % 100) / 10.0))
+      .toDF("id", "v")
+    val r = Checks.bootstrapMeanCI(df, "id", "v", b = 200, seed = 7L)
+      .head()
+    assert(r.getLong(0) == 500L && r.getLong(1) == 200L, s"counts: $r")
+    val (mean, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(lo < mean && mean < hi,
+      s"a 95% CI over 200 resamples must bracket the sample mean: $r")
+    assert(hi - lo < 1.0, s"CI of a 500-row mean must be tight-ish: $r")
+    // bit-determinism across re-execution
+    val again = Checks.bootstrapMeanCI(df, "id", "v", 200, 7L).head()
+    assert(again == r, s"resamples must be reproducible: $again vs $r")
+    // the hash-inverted weights must put roughly e^-1 of the mass at 0
+    // (loose band — this guards the threshold constants and the mixing,
+    // not the third decimal)
+    val zeros = df.select(col("id"),
+        explode(sequence(lit(0), lit(199))).as("j"))
+      .select(pmod(pmod(col("id") * 2654435761L + col("j") * 40503L + 7L,
+        lit(2147483648L)) * 48271L + col("j"), lit(2147483648L)).as("u"))
+      .filter(col("u") < 790015084L).count()
+    val frac = zeros.toDouble / (500 * 200)
+    assert(frac > 0.33 && frac < 0.41,
+      s"P(w=0) should be near e^-1 = 0.368: $frac")
+  }
 }
