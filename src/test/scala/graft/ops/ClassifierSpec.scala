@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.spark.sql.execution.exchange.Exchange
 
 import graft.SparkSpec
 
@@ -54,11 +53,12 @@ class ClassifierSpec extends SparkSpec {
 
   test("scoring is a map-only plan: no Exchange anywhere") {
     val docs = Seq((1L, "one two three")).toDF("doc_id", "text")
+    // string-match, not collect: under AQE the wrapper is a leaf and a
+    // collect-based negative assert would pass vacuously
     val plan = Classifier.linearScore(docs, "doc_id", "text")
-      .queryExecution.executedPlan
-    val exchanges = plan.collect { case e: Exchange => e }
-    assert(exchanges.isEmpty,
-      s"linear classifier must not shuffle, found: $exchanges")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"linear classifier must not shuffle, plan:\n$plan")
   }
 
   test("scores are partition-invariant (integer micro arithmetic)") {

@@ -59,7 +59,9 @@ class PlanLintSpec extends SparkSpec {
     "q_kcore",               // same scalar max-pair cross-join feeding the edge threshold
     "q_pipeline_e2e",        // pack-stats scalar aggregate cross-joined onto the 3-row split summary
     "q_more_like_this",      // tf-idf + BM25 corpus-stat scalars cross-joined into the scoring projections
-    "q_hybrid_retrieval")    // semantic ranker is the documented exact brute baseline: corpus scan × 3-row broadcast query batch
+    "q_hybrid_retrieval",    // semantic ranker is the documented exact brute baseline: corpus scan × 3-row broadcast query batch
+    "q_retrieval_eval",      // BM25 corpus-stats 1-row broadcast cross-join inherited from the run under evaluation
+    "q_bootstrap_ci")        // 1-row totals × 1-row CI aggregate folded into the single summary row
 
   /** Entries whose unpartitioned window is over an already-aggregated
     * (small) frame, or is the documented global-order requirement.
@@ -71,7 +73,90 @@ class PlanLintSpec extends SparkSpec {
     "q_doc_chunks",           // per-doc running index, capped subset
     "qds_q51_cumulative", "qds_q67_rollup_rank", "qds_q44_best_worst",
     "qds_q49_return_rank",    // rank over aggregated (group-count-sized) rows
-    "q_mixture_sample", "q_train_split")
+    "q_mixture_sample", "q_train_split",
+    "q_sql_nulls_ordering")   // NULLS FIRST/LAST coverage gate: global rank over the dim-sized frame IS the subject
+
+  /** Entries whose PARTITIONED window runs over a raw (un-aggregated)
+    * frame on purpose: the partition key's per-key row count is bounded
+    * by a data contract the plan cannot show.  A window partitioned by
+    * an unbounded-cardinality key pins that key's rows to ONE task —
+    * the same 100 TB bug as a global window, previously invisible to
+    * the lint (the verify-skill gotcha list called this out).  Anything
+    * new that trips must either re-shape (segmented prefix sum /
+    * TopKPerKey) or state its per-key bound here.
+    */
+  private val keyedWindowOk: Map[String, String] = Map(
+    "q_rolling_anomaly"  -> "per-user trailing window; events per user bounded by the sessionized-feed contract (same bound the streaming twin's GroupState relies on)",
+    "q_ev_sessionize"    -> "per-user session gaps; per-user rows bounded by the feed contract",
+    "q_ev_transitions"   -> "per-user lead/lag chain; per-user rows bounded by the feed contract",
+    "q_attribution"      -> "as-of union window keyed by user; per-user rows bounded by the feed contract",
+    "q_asof_join"        -> "as-of union window keyed by the join key; per-key rows bounded by the feed contract",
+    "q_asof_forward"     -> "same as-of union-window shape, forward direction",
+    "q_seq_packing"      -> "per-bin running totals over the capped doc subset the gate selects",
+    "q_span_dedup"       -> "per-document winnowing positions; bounded by document length",
+    "q_span_remove"      -> "per-document span merge; bounded by document length",
+    "q_span_corrupt"     -> "per-document span selection; bounded by document length",
+    "q_winnow"           -> "per-document winnowing argmins; bounded by document length",
+    "q_interleaved_shuffle" -> "order-restore window in the interleave device; keyed by a partition-derived bucket, partition-size-bounded by construction",
+    "q_win_ignore_nulls" -> "IGNORE NULLS frame-semantics coverage gate (§2.5); per-user rows bounded by the feed contract",
+    "q_window_frames"    -> "ROWS/RANGE frame coverage gate (§2.5); per-key rows bounded by the feed contract",
+    "q_window_percent_rank" -> "rank-family coverage gate (§2.5); per-key rows bounded by the feed contract",
+    "q_window_range"     -> "RANGE frame coverage gate (§2.5); per-key rows bounded by the feed contract",
+    "q_window_sliding"   -> "sliding-frame coverage gate (§2.5); per-key rows bounded by the feed contract",
+    "q_window_time_range" -> "INTERVAL range-frame coverage gate (§2.5); per-key rows bounded by the feed contract")
+
+  /** The physical plan BELOW the AQE wrapper: AdaptiveSparkPlanExec is
+    * a LEAF to TreeNode.collect (Spark 4 enables AQE by default), so a
+    * collect on `executedPlan` sees nothing — which silently made every
+    * physical-plan lint here vacuous until this helper.  inputPlan is
+    * the pre-AQE physical tree; AQE re-planning only ever REPLACES
+    * exchanges/joins at runtime, and the anti-patterns linted here
+    * (window shape, partition keys) are decided before AQE runs.
+    */
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case other => other
+    }
+
+  test("windows partitioned by a data-scale key must carry a per-key " +
+      "bound or an aggregated input") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if keyedWindowOk.contains(name) => None
+      case (name, q) if name.startsWith("q_stream") || name.startsWith("q_dsv2") ||
+          name.startsWith("q_hive") || name.startsWith("q_transform") ||
+          name.startsWith("q_jdbc") || name.startsWith("q_cache") ||
+          name.startsWith("q_ctas") || name.contains("roundtrip") ||
+          name.startsWith("q_partitioned") || name.startsWith("q_dpp") ||
+          name.startsWith("q_ext") || name.startsWith("q_statestore") ||
+          name == "q_sql_scripting" => None
+      case (name, q) =>
+        val plan = physicalPlan(q(spark, sf))
+        val raw = plan.collect {
+          case w: WindowExec if w.partitionSpec.nonEmpty &&
+              // partition keys that include the physical partition id
+              // are partition-size-bounded by construction
+              !w.partitionSpec.exists(_.references.exists(
+                _.name.startsWith("__pid"))) &&
+              // bounded input: an aggregate (group-count-sized), a
+              // limit, the bounded-heap TopKPerKey, or a literal frame
+              w.child.collectFirst {
+                case a if a.nodeName.contains("Aggregate") ||
+                  a.nodeName.contains("Limit") ||
+                  a.nodeName.contains("TopKPerKey") ||
+                  a.nodeName.contains("LocalTableScan") => a
+              }.isEmpty => w
+        }
+        if (raw.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"window partitioned by a data-scale key over a raw frame in: " +
+        s"${offenders.mkString(", ")} — re-shape (segmentedPrefixSum / " +
+        "TopKPerKey) or whitelist with the per-key bound")
+  }
 
   test("unpartitioned windows only run over aggregated (small) frames") {
     import org.apache.spark.sql.execution.window.WindowExec
@@ -85,7 +170,7 @@ class PlanLintSpec extends SparkSpec {
           name.startsWith("q_ext") || name.startsWith("q_statestore") ||
           name == "q_sql_scripting" => None
       case (name, q) =>
-        val plan = q(spark, sf).queryExecution.executedPlan
+        val plan = physicalPlan(q(spark, sf))
         val globalWindows = plan.collect {
           case w: WindowExec if w.partitionSpec.isEmpty => w
         }
