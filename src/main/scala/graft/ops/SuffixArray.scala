@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed suffix ranking by prefix doubling (Manber–Myers) — the
+  * substrate of exact-substring corpus dedup (Lee et al., "Deduplicating
+  * Training Data Makes Language Models Better", ACL 2022, builds suffix
+  * arrays over the whole training corpus) and of longest-repeated-
+  * substring mining.
+  *
+  * Every suffix (doc, pos) is assigned its DENSE RANK in the global
+  * lexicographic order of all suffixes across all documents.  Round r
+  * ranks suffixes by their first 2^r characters: the classic doubling
+  * step re-ranks pairs `(rank_k(i), rank_k(i+k))` — a self equi-join on
+  * (doc, pos+k), never any string re-comparison after round 0, so the
+  * per-round cost is rank-pair sorting regardless of how long the
+  * matched prefixes grow (naive suffix SORTING degrades to O(L) per
+  * comparison on repetitive corpora — exactly the corpora dedup cares
+  * about).
+  *
+  * Scale shape: each round is one range-repartition sort on the
+  * fixed-width rank pair plus a per-partition dense rank — the global
+  * dense rank comes from partition-local ranks plus broadcast
+  * per-partition distinct counts (≤ numPartitions rows), the same
+  * zipWithIndex device as [[PipelineOps.globalRowNumber]]; no window
+  * ever spans partitions.  Rounds are `ceil(log2(maxLen))`, data-
+  * independent.  Each round materializes via `localCheckpoint` (the
+  * [[DupClusters]] iterative-plan contract) so lineage depth stays
+  * constant.
+  *
+  * Shorter-is-prefix suffixes rank SMALLER (the missing half-rank joins
+  * to the −1 sentinel), matching plain string comparison semantics.
+  */
+object SuffixArray {
+
+  /** Global dense rank of (c1, c2) pairs without a global window:
+    * range-repartition on the pair (equal pairs land in one partition),
+    * rank locally per partition, and add broadcast cumulative distinct
+    * counts of the preceding partitions.
+    */
+  private def globalDenseRank(df: DataFrame, c1: String,
+      c2: String): DataFrame = {
+    val ranged = df.repartitionByRange(col(c1), col(c2))
+      .sortWithinPartitions(col(c1), col(c2))
+    val tagged = ranged.withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val offsets = tagged.groupBy(col("__pid"))
+      .agg(count_distinct(col(c1), col(c2)).as("__nd"))
+      .withColumn("__off", coalesce(sum(col("__nd")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val local = dense_rank().over(
+      Window.partitionBy(col("__pid")).orderBy(col(c1), col(c2)))
+    val out = tagged
+      .withColumn("__lr", local.cast("long"))
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__r", col("__off") + col("__lr"))
+      .drop("__pid", "__lr", "__off", c1, c2)
+    CacheScope.releasing(out, tagged)
+  }
+
+  /** Dense global suffix ranks for every position of every document,
+    * comparing up to `maxLen` characters (documents are truncated to
+    * `maxLen` first, so ranks are EXACT for the truncated corpus).
+    *
+    * @return (idCol, pos, suffix_rank) with pos 1-based
+    */
+  def suffixRanks(df: DataFrame, idCol: String, textCol: String,
+      maxLen: Int): DataFrame = {
+    require(maxLen >= 2 && maxLen <= 4096,
+      s"maxLen out of range: $maxLen")
+    val base = df
+      .select(col(idCol).as("__d"),
+        substring(col(textCol), 1, maxLen).as("__t"))
+      .filter(length(col("__t")) >= 1)
+      .select(col("__d"), col("__t"),
+        explode(sequence(lit(1), length(col("__t")))).as("__p"))
+      .select(col("__d"), col("__p"),
+        expr("substring(__t, __p, 1)").as("__c1"))
+    var cur = globalDenseRank(
+      base.withColumn("__z", lit(0L)), "__c1", "__z")
+    var k = 1
+    while (k < maxLen) {
+      val nxt = cur.select(col("__d").as("__d2"),
+        (col("__p") - k).as("__p2"), col("__r").as("__rn"))
+      val paired = cur
+        .join(nxt, col("__d") === col("__d2") && col("__p") === col("__p2"),
+          "left")
+        .select(col("__d"), col("__p"), col("__r").as("__r1"),
+          coalesce(col("__rn"), lit(-1L)).as("__r2"))
+      cur = globalDenseRank(paired, "__r1", "__r2")
+      k *= 2
+    }
+    cur.select(col("__d").as(idCol), col("__p").cast("long").as("pos"),
+      col("__r").as("suffix_rank"))
+  }
+}

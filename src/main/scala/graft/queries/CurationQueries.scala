@@ -35,6 +35,20 @@ object CurationQueries {
         .orderBy(col("qid"), desc("score_micro"), col("doc_id"))
     },
 
+    // Distributed suffix ranking by prefix doubling (the exact-
+    // substring-dedup substrate): dense global lexicographic rank of
+    // every suffix of every document, ranks re-derived each round from
+    // fixed-width rank PAIRS (never string re-comparison), global
+    // dense rank assembled from partition-local ranks + broadcast
+    // partition distinct counts.  The oracle sorts the suffixes
+    // directly — same converged ranks.
+    "q_suffix_ranks" -> { (s, dir) =>
+      graft.ops.SuffixArray.suffixRanks(
+          Tables.load(s, dir, "documents").filter(col("doc_id") < 120),
+          "doc_id", "text", maxLen = 96)
+        .orderBy(col("doc_id"), col("pos"))
+    },
+
     // Offline retrieval evaluation over the BM25 run: graded gold
     // labels come from deterministic per-query term containment (rel 2
     // for the query's primary term, +1 for its secondary), and the
@@ -304,6 +318,19 @@ object CurationQueries {
         |        FROM agg)
         |SELECT qid, doc_id, score_micro, n_terms_hit FROM top WHERE rn <= 5
         |ORDER BY qid, score_micro DESC, doc_id""".stripMargin,
+
+    "q_suffix_ranks" ->
+      """WITH docs AS (
+        |  SELECT doc_id, substr(text, 1, 96) AS t
+        |  FROM documents WHERE doc_id < 120),
+        |pos AS (SELECT doc_id, t,
+        |          unnest(range(1, length(t) + 1)) AS p
+        |        FROM docs)
+        |SELECT doc_id, CAST(p AS BIGINT) AS pos,
+        |  CAST(dense_rank() OVER (ORDER BY substr(t, CAST(p AS INTEGER)))
+        |    AS BIGINT) AS suffix_rank
+        |FROM pos
+        |ORDER BY doc_id, pos""".stripMargin,
 
     "q_retrieval_eval" ->
       """WITH toks AS (
