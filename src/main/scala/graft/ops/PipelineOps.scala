@@ -439,6 +439,78 @@ object PipelineOps {
       .drop("__mid", "__pid", "__local")
   }
 
+  /** Serpentine (boustrophedon) balanced sharding: documents ranked by
+    * token count DESCENDING are dealt into `shards` shards
+    * back-and-forth — pass 0 deals shards 0..S−1, pass 1 deals
+    * S−1..0, … — so every shard receives one document from each size
+    * class and heavy/light documents cancel.  The classic one-pass
+    * approximation of longest-processing-time assignment that stays
+    * expressible as pure rank arithmetic (true LPT needs a priority
+    * queue), used to keep training shards byte-balanced.
+    *
+    * Scale shape: the global size rank comes from [[globalRowNumber]]
+    * (range shuffle + broadcast partition counts, no global window);
+    * the shard id is arithmetic on the rank; the report is one
+    * map-side-combined aggregation to `shards` rows.
+    *
+    * @return (shard, n_docs, n_tokens) one row per shard
+    */
+  def serpentineShards(df: DataFrame, idCol: String, textCol: String,
+      shards: Int): DataFrame = {
+    require(shards >= 2 && shards <= 65536)
+    val sized = df.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("__w"))
+      .withColumn("__negw", -col("__w"))
+    globalRowNumber(sized, Seq("__negw", idCol))
+      .withColumn("__i", col("rn") - 1)
+      .withColumn("__pass", expr(s"__i div ${shards}"))
+      .withColumn("shard", when(pmod(col("__pass"), lit(2)) === 0,
+          pmod(col("__i"), lit(shards.toLong)))
+        .otherwise(lit(shards - 1L) - pmod(col("__i"), lit(shards.toLong))))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__w")).cast("long").as("n_tokens"))
+      .orderBy(col("shard"))
+  }
+
+  /** Deterministic per-epoch data ordering — the reproducible "shuffle
+    * each epoch" every training run needs: within an epoch, documents
+    * order by a multiplicative-hash priority of (id, epoch, seed), and
+    * consecutive `batchSize` documents form a batch.  Identical on any
+    * cluster, any partitioning, any retry, with no RNG state — and two
+    * epochs give genuinely different orders from the same corpus.
+    *
+    * Scale shape: per-epoch ordinals come from
+    * [[segmentedPrefixSum]] over the (epoch)-segmented frame —
+    * cumulative work bounded by partition size, no epoch-partitioned
+    * window (an epoch IS the whole corpus, the worst possible window
+    * key).
+    *
+    * @return (epoch, idCol, ord, batch_id) — ord 1-based within epoch
+    */
+  def epochOrder(df: DataFrame, idCol: String, epochs: Int,
+      batchSize: Int, seed: Long): DataFrame = {
+    require(epochs >= 1 && epochs <= 64 && batchSize >= 1)
+    // the epoch term must enter NON-affinely: a purely additive shift
+    // (id·a + e·b mod 2³¹) only ROTATES the priority order between
+    // epochs, it doesn't reshuffle it — squaring the mixed value makes
+    // each epoch's order genuinely independent while staying
+    // overflow-safe (u < 2³¹ ⇒ u² < 2⁶²) and exactly replayable in SQL
+    val base = df.select(col(idCol),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("__u", pmod(
+        col(idCol) * 2654435761L + col("epoch") * 40503L + seed,
+        lit(2147483648L)))
+      .withColumn("__prio", pmod(col("__u") * col("__u") + col("__u"),
+        lit(2147483648L)))
+      .withColumn("__one", lit(1L))
+    segmentedPrefixSum(base, Seq("epoch"), Seq("__prio", idCol), "__one")
+      .withColumn("ord", col("__before") + 1)
+      .withColumn("batch_id", expr(s"__before div ${batchSize}"))
+      .select(col("epoch").cast("long").as("epoch"), col(idCol),
+        col("ord"), col("batch_id"))
+  }
+
   /** Smoothed target encoding (the ML-feature-prep classic): each
     * category's code is the shrunk mean
     * `(Σy_cat + m·global_mean) / (n_cat + m)` — high-count categories

@@ -23,6 +23,27 @@ object PipelineQueries {
     datediff(to_date(c), to_date(lit("1970-01-01"))).cast("long")
 
   val queries: Map[String, Q] = Map(
+    // Serpentine balanced sharding: docs ranked by token count desc are
+    // dealt back-and-forth into 8 shards; per-shard totals must match
+    // the oracle's identical rank arithmetic.
+    "q_serpentine_shards" -> { (s, dir) =>
+      PipelineOps.serpentineShards(Tables.load(s, dir, "documents"),
+        "doc_id", "text", shards = 8)
+    },
+
+    // Deterministic per-epoch shuffling with batch assignment: two
+    // epochs over the same corpus give different, reproducible orders
+    // from pure hash arithmetic; ordinals come from the segmented
+    // prefix scan (an epoch is the whole corpus — the worst possible
+    // window key).
+    "q_epoch_order" -> { (s, dir) =>
+      PipelineOps.epochOrder(
+          Tables.load(s, dir, "documents").filter(col("doc_id") < 300)
+            .select(col("doc_id")),
+          "doc_id", epochs = 2, batchSize = 32, seed = 11L)
+        .orderBy(col("epoch"), col("ord"))
+    },
+
     // Binned range join: lineitems shipped within 7 days of a sampled
     // order's date (no equi-key — a pure interval predicate that would
     // otherwise plan as a nested loop).
@@ -209,6 +230,36 @@ object PipelineQueries {
     s"CASE WHEN len($g) > 0 THEN round(1.0 - len(list_distinct($g))::DOUBLE / len($g), 6) ELSE 0.0 END"
 
   val oracle: Map[String, String] = Map(
+    "q_serpentine_shards" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS w
+        |  FROM documents),
+        |r AS (SELECT doc_id, w,
+        |        row_number() OVER (ORDER BY -w, doc_id) - 1 AS i
+        |      FROM t)
+        |SELECT CAST(CASE WHEN (i // 8) % 2 = 0 THEN i % 8
+        |                 ELSE 7 - i % 8 END AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS n_tokens
+        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "q_epoch_order" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+        |e AS (SELECT doc_id, unnest(range(0, 2)) AS epoch FROM d),
+        |p AS (SELECT epoch, doc_id, (u * u + u) % 2147483648 AS prio
+        |      FROM (SELECT epoch, doc_id,
+        |              (doc_id * 2654435761 + epoch * 40503 + 11)
+        |                % 2147483648 AS u
+        |            FROM e)),
+        |r AS (SELECT epoch, doc_id,
+        |        row_number() OVER (PARTITION BY epoch
+        |          ORDER BY prio, doc_id) AS ord
+        |      FROM p)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+        |  CAST(ord AS BIGINT) AS ord,
+        |  CAST((ord - 1) // 32 AS BIGINT) AS batch_id
+        |FROM r ORDER BY epoch, ord""".stripMargin,
+
     "q_pipeline_e2e" ->
       s"""WITH base AS (
         |  SELECT source, doc_id, text, $toksSql AS toks FROM documents),

@@ -213,4 +213,47 @@ class PipelineSpec extends SparkSpec {
     // sentinels replace their spans in place, order preserved
     assert(out.getString(1).startsWith("<extra_id_0> t3 t4 t5 t6 <extra_id_1>"))
   }
+
+  test("serpentineShards: back-and-forth dealing balances a linear " +
+      "size ramp perfectly") {
+    // 16 docs with token counts 16..1 into 4 shards: pass 0 deals
+    // 16,15,14,13 to shards 0..3, pass 1 deals 12,11,10,9 to shards
+    // 3..0, ... — every shard totals exactly 34 tokens
+    val docs = (1 to 16).map(i => (i.toLong, Seq.fill(17 - i)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = PipelineOps.serpentineShards(docs, "doc_id", "text", shards = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out == Map(0L -> ((4L, 34L)), 1L -> ((4L, 34L)),
+      2L -> ((4L, 34L)), 3L -> ((4L, 34L))), s"got $out")
+  }
+
+  test("epochOrder: per-epoch permutations, distinct across epochs, " +
+      "reproducible, batches follow ordinals") {
+    val df = (1L to 200L).toDF("doc_id")
+    val out = PipelineOps.epochOrder(df, "doc_id", epochs = 2,
+        batchSize = 16, seed = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val byEpoch = out.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L))
+    byEpoch.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to 200L),
+        "ordinals must be a 1..n permutation per epoch")
+      assert(rows.forall(r => r._4 == (r._3 - 1) / 16),
+        "batch id must be (ord-1) div batchSize")
+    }
+    val o0 = byEpoch(0L).sortBy(_._3).map(_._2).toSeq
+    val o1 = byEpoch(1L).sortBy(_._3).map(_._2).toSeq
+    assert(o0 != o1, "epochs must shuffle differently")
+    // an additive-only epoch term would make epoch 1 a mere ROTATION
+    // of epoch 0's order — require a genuine reshuffle
+    assert(!o0.indices.exists(k => o1 == o0.drop(k) ++ o0.take(k)),
+      "epoch 1 must not be a rotation of epoch 0")
+    val again = PipelineOps.epochOrder(df, "doc_id", 2, 16, 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(again.sortBy(r => (r._1, r._3)).toSeq ==
+      out.sortBy(r => (r._1, r._3)).toSeq, "must be reproducible")
+  }
 }
