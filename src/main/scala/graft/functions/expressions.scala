@@ -852,3 +852,98 @@ case class MultiMatchCount(text: Expression, patterns: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(text = newLeft, patterns = newRight)
 }
+
+/** Greedy longest-match WordPiece segmentation — the APPLY half of
+  * subword tokenization (the [[graft.ops.Bpe]] learner builds merges;
+  * this encodes text against a finished vocabulary).  Input is a token
+  * array (one word per element); output is the concatenated piece
+  * array: each word is consumed left-to-right by the longest vocabulary
+  * piece matching at the cursor — word-initial pieces match verbatim,
+  * continuations match their `##`-stripped form — and a word with any
+  * dead-end becomes the single `unk` piece (classic WordPiece
+  * semantics, Devlin et al. 2019; the reference algorithm in the BERT
+  * repo's tokenization.py).
+  *
+  * One expression call per ROW (the whole token array is segmented in
+  * a single invocation), and codegen calls straight into [[encode]]
+  * via a reference object — the expression stays inside whole-stage
+  * codegen, with the vocabulary hashed ONCE per executor instead of a
+  * per-row broadcast-join against a vocab table.
+  */
+case class WordPieceEncode(child: Expression, vocab: Seq[String],
+    unk: String) extends UnaryExpression {
+  require(vocab.nonEmpty && vocab.size <= (1 << 20),
+    s"vocab size out of range: ${vocab.size}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"wordpiece_encode needs array<string>, got ${t.sql}")
+  }
+
+  @transient private lazy val heads: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    vocab.iterator.filterNot(_.startsWith("##")).foreach(s.add)
+    s
+  }
+  @transient private lazy val conts: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    vocab.iterator.filter(_.startsWith("##")).map(_.substring(2))
+      .filter(_.nonEmpty).foreach(s.add)
+    s
+  }
+  @transient private lazy val maxHead: Int =
+    vocab.iterator.filterNot(_.startsWith("##")).map(_.length)
+      .foldLeft(1)(math.max)
+  @transient private lazy val maxCont: Int =
+    vocab.iterator.filter(_.startsWith("##")).map(_.length - 2)
+      .foldLeft(1)(math.max)
+
+  def encode(arr: ArrayData): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    val word = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var t = 0
+    val n = arr.numElements()
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val w = arr.getUTF8String(t).toString
+        word.clear()
+        var i = 0
+        var dead = w.isEmpty
+        while (i < w.length && !dead) {
+          val limit = math.min(w.length - i, if (i == 0) maxHead else maxCont)
+          var j = limit
+          var hit = -1
+          while (j >= 1 && hit < 0) {
+            val sub = w.substring(i, i + j)
+            if (if (i == 0) heads.contains(sub) else conts.contains(sub)) hit = j
+            j -= 1
+          }
+          if (hit < 0) dead = true
+          else {
+            word += UTF8String.fromString(
+              if (i == 0) w.substring(i, i + hit)
+              else "##" + w.substring(i, i + hit))
+            i += hit
+          }
+        }
+        if (dead) out += UTF8String.fromString(unk)
+        else out ++= word
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(v: Any): Any = encode(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordpiece", this,
+      classOf[WordPieceEncode].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.encode($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "wordpiece_encode"
+}

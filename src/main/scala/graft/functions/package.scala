@@ -63,4 +63,9 @@ package object functions {
       org.apache.spark.sql.catalyst.expressions.Literal.create(
         patterns, org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.StringType, containsNull = false))))
+
+  /** Greedy longest-match WordPiece pieces of a token-array column. */
+  def wordpiece_encode(toks: Column, vocab: Seq[String],
+      unk: String = "[UNK]"): Column =
+    toCol(WordPieceEncode(toExpr(toks), vocab, unk))
 }

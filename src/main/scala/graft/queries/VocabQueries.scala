@@ -13,7 +13,38 @@ import graft.plans.TopK
 object VocabQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** WordPiece demo vocabulary (single source of truth for the Spark
+    * expression AND the DuckDB recursive-CTE oracle): every [a-y0-9]
+    * single char as head and continuation (no 'z' — z-words go [UNK]),
+    * plus multi-char pieces tuned to the synthetic corpus so greedy
+    * longest-match genuinely multi-char-segments common words.
+    */
+  private val wpVocab: Seq[String] = {
+    val singles = "abcdefghijklmnopqrstuvwxy0123456789".map(_.toString)
+    singles ++ singles.map("##" + _) ++ Seq(
+      "ta", "sc", "val", "fa", "sp", "cu", "qu", "wi", "co",
+      "##ble", "##an", "##ue", "##st", "##ark", "##stomer", "##ery",
+      "##ndow", "##lumn")
+  }
+
   val queries: Map[String, Q] = Map(
+    // Greedy longest-match WordPiece encoding via the codegen
+    // expression: one expression call per document segments the whole
+    // token array against an executor-resident vocabulary hash — no
+    // vocab join, no UDF.  The oracle replays the greedy loop with a
+    // recursive CTE + correlated longest-prefix subquery.
+    "q_wordpiece" -> { (s, dir) =>
+      import graft.functions.wordpiece_encode
+      Tables.load(s, dir, "documents").filter(col("doc_id") < 80)
+        .select(col("doc_id"),
+          wordpiece_encode(TextAnalysis.tokens(col("text")), wpVocab)
+            .as("__p"))
+        .select(col("doc_id"),
+          size(col("__p")).cast("long").as("n_pieces"),
+          concat_ws(" ", col("__p")).as("pieces"))
+        .orderBy(col("doc_id"))
+    },
+
     // Tokenizer vocabulary induction: top-10 tokens per language by
     // frequency.  Explode → hash-agg (map-side combine collapses the
     // token stream per partition) → the custom TopKPerKey heap operator
@@ -59,6 +90,50 @@ object VocabQueries {
     })
 
   val oracle: Map[String, String] = Map(
+    "q_wordpiece" -> {
+      val values = wpVocab.map(p => s"('$p')").mkString(", ")
+      s"""WITH RECURSIVE base AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+        |  FROM documents WHERE doc_id < 80),
+        |words AS (
+        |  SELECT doc_id, widx, toks[widx] AS w FROM (
+        |    SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS widx
+        |    FROM base)),
+        |vocab(piece) AS (VALUES $values),
+        |seg(doc_id, widx, rest, pieces, step) AS (
+        |  SELECT doc_id, widx, w, CAST([] AS VARCHAR[]), 0 FROM words
+        |  UNION ALL
+        |  SELECT doc_id, widx,
+        |    CASE WHEN nxt IS NULL THEN ''
+        |         ELSE substr(rest, CASE WHEN step = 0 THEN len(nxt) + 1
+        |                                ELSE len(nxt) - 1 END, 100000) END,
+        |    CASE WHEN nxt IS NULL THEN ['[UNK]']
+        |         ELSE list_append(pieces, nxt) END,
+        |    step + 1
+        |  FROM (
+        |    SELECT doc_id, widx, rest, pieces, step,
+        |      (SELECT piece FROM vocab
+        |        WHERE CASE WHEN step = 0
+        |              THEN NOT starts_with(piece, '##')
+        |                AND starts_with(rest, piece)
+        |              ELSE starts_with(piece, '##')
+        |                AND starts_with(rest, substr(piece, 3, 100000)) END
+        |        ORDER BY len(piece) DESC, piece LIMIT 1) AS nxt
+        |    FROM seg WHERE len(rest) > 0 AND step < 64)),
+        |fin AS (
+        |  SELECT doc_id, widx, pieces FROM seg WHERE len(rest) = 0),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(len(pieces)) AS BIGINT) AS n_pieces,
+        |    string_agg(array_to_string(pieces, ' '), ' ' ORDER BY widx)
+        |      AS pieces
+        |  FROM fin GROUP BY 1)
+        |SELECT b.doc_id, CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+        |  coalesce(a.pieces, '') AS pieces
+        |FROM (SELECT DISTINCT doc_id FROM base) b
+        |LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+    },
+
     "q_vocab_topk" ->
       """SELECT lang, tok, n FROM (
         |  SELECT lang, tok, n,
