@@ -947,3 +947,92 @@ case class WordPieceEncode(child: Expression, vocab: Seq[String],
     copy(child = newChild)
   override def prettyName: String = "wordpiece_encode"
 }
+
+/** Min-cost Viterbi segmentation of a word against a unigram piece
+  * vocabulary — the inference kernel of SentencePiece's unigram LM
+  * (Kudo 2018): each piece carries an integer micro-nat cost
+  * (−log p · 10⁶) and the word splits into the piece sequence of
+  * minimal total cost.  All DP arithmetic is integer, so the optimum
+  * is engine- and partitioning-exact; cost ties break to the
+  * lexicographically smallest piece sequence (space separates pieces
+  * and sorts below every piece character, so prefix order survives
+  * concatenation and the tie rule is DP-decomposable).
+  *
+  * Returns the pieces joined by single spaces; NULL when no
+  * segmentation exists (a character outside the vocabulary).  One
+  * expression call per word against an executor-resident cost map —
+  * meant to run over the DISTINCT-word table (vocabulary-sized), not
+  * the corpus.
+  */
+case class UnigramViterbi(child: Expression, vocab: Seq[String],
+    costs: Seq[Long]) extends UnaryExpression {
+  require(vocab.nonEmpty && vocab.size == costs.size,
+    s"vocab/cost length mismatch: ${vocab.size} vs ${costs.size}")
+  require(costs.forall(c => c >= 0 && c < (1L << 40)),
+    "piece costs must be non-negative micro-nats")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"unigram_viterbi needs STRING, got ${child.dataType.sql}")
+
+  @transient private lazy val cmap: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    vocab.iterator.zip(costs.iterator).foreach { case (p, c) =>
+      val prev = m.get(p)
+      if (prev == null || c < prev) m.put(p, c)
+    }
+    m
+  }
+  @transient private lazy val maxPiece: Int =
+    vocab.iterator.map(_.length).foldLeft(1)(math.max)
+
+  def segment(w: UTF8String): UTF8String = {
+    val s = w.toString
+    val n = s.length
+    if (n == 0) return UTF8String.fromString("")
+    val INF = Long.MaxValue
+    val cost = Array.fill(n + 1)(INF)
+    val path = new Array[String](n + 1)
+    cost(0) = 0
+    path(0) = ""
+    var j = 1
+    while (j <= n) {
+      var i = math.max(0, j - maxPiece)
+      while (i < j) {
+        if (cost(i) != INF) {
+          val c = cmap.get(s.substring(i, j))
+          if (c != null) {
+            val nc = cost(i) + c
+            if (nc <= cost(j)) {
+              val np = if (i == 0) s.substring(i, j)
+                else path(i) + " " + s.substring(i, j)
+              if (nc < cost(j) || np < path(j)) {
+                cost(j) = nc
+                path(j) = np
+              }
+            }
+          }
+        }
+        i += 1
+      }
+      j += 1
+    }
+    if (cost(n) == INF) null else UTF8String.fromString(path(n))
+  }
+
+  override def nullSafeEval(v: Any): Any = segment(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramViterbi", this,
+      classOf[UnigramViterbi].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = $ref.segment($c);
+       |${ev.isNull} = (${ev.value} == null);
+     """.stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "unigram_viterbi"
+}

@@ -68,4 +68,11 @@ package object functions {
   def wordpiece_encode(toks: Column, vocab: Seq[String],
       unk: String = "[UNK]"): Column =
     toCol(WordPieceEncode(toExpr(toks), vocab, unk))
+
+  /** Min-cost unigram-LM (Viterbi) segmentation of a word column
+    * against integer micro-nat piece costs; NULL when unsegmentable.
+    */
+  def unigram_viterbi(word: Column, vocab: Seq[String],
+      costs: Seq[Long]): Column =
+    toCol(UnigramViterbi(toExpr(word), vocab, costs))
 }

@@ -92,6 +92,17 @@ object CorpusQueries {
         .orderBy(col("dsir_micro").desc, col("doc_id")).limit(50)
     },
 
+    // One Viterbi-EM round of unigram-LM tokenizer training: integer
+    // micro-nat piece costs, min-cost segmentation of the distinct-word
+    // table via the integer-DP expression (ties to the smallest piece
+    // sequence), frequency-weighted usage counts, re-derived costs.
+    // The oracle enumerates EVERY segmentation of each distinct word
+    // with a recursive CTE and picks the same (cost, path) argmin.
+    "q_unigram_em" -> { (s, dir) =>
+      graft.ops.Unigram.viterbiEmRound(
+        Tables.load(s, dir, "documents"), "text", unigramVocab)
+    },
+
     // Distributed BPE vocabulary learning: 3 merge rounds over the
     // corpus word table.  The DuckDB twin unrolls the same 3 rounds
     // with list_reduce folds — merge rules and weighted pair counts
@@ -159,7 +170,55 @@ object CorpusQueries {
       |  CAST(sum(bucket - n_chars) AS BIGINT) AS padding_waste
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Unigram-EM demo costs (micro-nats), one source of truth for the
+    * Spark expression and the DuckDB recursive-CTE oracle: every
+    * [a-z0-9] single char at cost 3.0, plus multi-char pieces priced
+    * below their single-char spellings so Viterbi genuinely prefers
+    * them on the synthetic corpus's common words.
+    */
+  private val unigramVocab: Seq[(String, Long)] =
+    "abcdefghijklmnopqrstuvwxyz0123456789".map(c => c.toString -> 3000000L) ++
+      Seq("ta" -> 2500000L, "ble" -> 3000000L, "sc" -> 2500000L,
+        "an" -> 2500000L, "val" -> 3000000L, "ue" -> 2200000L,
+        "cust" -> 3500000L, "omer" -> 3500000L, "wind" -> 3800000L,
+        "ow" -> 2400000L, "qu" -> 2500000L, "ery" -> 3000000L,
+        "fast" -> 4000000L, "st" -> 2400000L, "row" -> 3200000L,
+        "key" -> 3200000L, "agg" -> 3300000L, "spark" -> 4200000L,
+        "line" -> 3800000L, "sort" -> 3800000L, "data" -> 3800000L)
+
   val oracle: Map[String, String] = Map(
+    "q_unigram_em" -> {
+      val values = unigramVocab
+        .map { case (p, c) => s"('$p', ${c})" }.mkString(", ")
+      s"""WITH RECURSIVE words AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w
+        |    FROM documents) GROUP BY 1),
+        |vocab(piece, cost) AS (VALUES $values),
+        |paths(w, pos, cost, path) AS (
+        |  SELECT w, 0, CAST(0 AS BIGINT), '' FROM words
+        |  UNION ALL
+        |  SELECT p.w, p.pos + len(v.piece), p.cost + v.cost,
+        |    CASE WHEN p.pos = 0 THEN v.piece
+        |         ELSE p.path || ' ' || v.piece END
+        |  FROM paths p JOIN vocab v
+        |    ON substr(p.w, p.pos + 1, len(v.piece)) = v.piece
+        |  WHERE p.pos < len(p.w)),
+        |best AS (SELECT w, path FROM (
+        |  SELECT w, path,
+        |    row_number() OVER (PARTITION BY w ORDER BY cost, path) AS rn
+        |  FROM paths WHERE pos = len(w)) WHERE rn = 1),
+        |counts AS (
+        |  SELECT piece, CAST(sum(wc) AS BIGINT) AS n_uses FROM (
+        |    SELECT words.wc, unnest(string_split(best.path, ' ')) AS piece
+        |    FROM best JOIN words USING (w)) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_uses) AS BIGINT) AS t FROM counts)
+        |SELECT piece, n_uses,
+        |  CAST(round(ln(CAST(t AS DOUBLE) / n_uses) * 1000000) AS BIGINT)
+        |    AS new_cost_micro
+        |FROM counts, tot ORDER BY piece""".stripMargin
+    },
+
     "q_vocab_growth" ->
       s"""WITH toks AS (
         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
