@@ -23,6 +23,26 @@ object QualityQueries {
   private val toksSql = "regexp_extract_all(lower(text), '[a-z0-9'']+')"
 
   val queries: Map[String, Q] = Map(
+    // k-anonymity + l-diversity release screen over the customer
+    // quasi-identifiers (nation, segment) with account balance as the
+    // sensitive attribute — exact group counts, scalar summary.
+    "q_k_anonymity" -> { (s, dir) =>
+      graft.ops.Privacy.anonymityReport(Tables.load(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5L, l = 3L)
+    },
+
+    // Suppression step of the k-anonymization loop: rows in QI groups
+    // below k are dropped; survivors summarized per nation so the gate
+    // output stays bounded.
+    "q_k_suppress" -> { (s, dir) =>
+      graft.ops.Privacy.suppressBelowK(Tables.load(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 12L)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_kept"),
+          count_distinct(col("c_mktsegment")).as("n_segments"))
+        .orderBy(col("c_nationkey"))
+    },
+
     // Poisson-bootstrap 95% CI for the mean event value: one pass,
     // hash-deterministic Poisson(1) weights against integer CDF
     // thresholds, exact integer resample sums, IEEE ratio ordering of
@@ -46,6 +66,34 @@ object QualityQueries {
     })
 
   val oracle: Map[String, String] = Map(
+    "q_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |         count(DISTINCT c_acctbal) AS d
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(min(n) AS BIGINT) AS min_group_size,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_groups_below_k,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_rows_below_k,
+        |  CAST(sum(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_groups_below_l,
+        |  CAST(min(d) AS BIGINT) AS worst_diversity
+        |FROM g""".stripMargin,
+
+    "q_k_suppress" ->
+      """WITH sizes AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS group_size
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(count(DISTINCT c.c_mktsegment) AS BIGINT) AS n_segments
+        |FROM customer c JOIN sizes s
+        |  ON c.c_nationkey = s.c_nationkey
+        | AND c.c_mktsegment = s.c_mktsegment
+        |WHERE s.group_size >= 12
+        |GROUP BY 1 ORDER BY c.c_nationkey""".stripMargin,
+
     "q_bootstrap_ci" ->
       """WITH cents AS (
         |  SELECT event_id AS i, CAST(round(value * 100) AS BIGINT) AS c

@@ -168,6 +168,26 @@ class ChecksSpec extends SparkSpec {
     assert(rd.getDouble(3) == 1.0, s"Cramer's V must hit 1: $rd")
   }
 
+  test("anonymityReport + suppressBelowK: hand-computed groups, " +
+      "k and l violations, suppression keeps exactly the big groups") {
+    // groups: (a,x) size 3 / 3 distinct s; (a,y) size 2 / 1 distinct;
+    // (b,x) size 1 / 1 distinct
+    val df = Seq(
+      ("a", "x", 1.0), ("a", "x", 2.0), ("a", "x", 3.0),
+      ("a", "y", 5.0), ("a", "y", 5.0),
+      ("b", "x", 7.0))
+      .toDF("q1", "q2", "s")
+    val r = Privacy.anonymityReport(df, Seq("q1", "q2"), "s", k = 2, l = 2)
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((3L, 1L, 1L, 1L, 2L, 1L)),
+      s"report: $r")
+    val kept = Privacy.suppressBelowK(df, Seq("q1", "q2"), k = 2)
+      .select("q1", "q2").collect().map(x => (x.getString(0), x.getString(1)))
+    assert(kept.length == 5 && !kept.contains(("b", "x")),
+      s"only the singleton group is suppressed: ${kept.toSeq}")
+  }
+
   test("bootstrapMeanCI: brackets the sample mean, deterministic, " +
       "Poisson weight mass near e^-1") {
     val df = (1 to 500).map(i => (i.toLong, (i % 100) / 10.0))
