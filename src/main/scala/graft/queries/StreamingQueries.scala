@@ -341,6 +341,28 @@ object StreamingQueries {
           sum(col("mapped")).as("mapped_sum"))
     },
 
+    // Streaming twin of q_wordpiece's E-step: the codegen WordPiece
+    // expression runs inside a streaming micro-batch plan (executor-
+    // resident vocab hash, no vocab join), and the complete-mode piece
+    // counts over a 2-chunk replay must equal the batch aggregation —
+    // token counting is order-free, so the replay split cannot matter.
+    "q_stream_wordpiece" -> { (s, dir) =>
+      import graft.functions.wordpiece_encode
+      import graft.ops.TextAnalysis
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 80).select(col("doc_id"), col("text"))
+      val stream = replay(s, docs, chunks = 2)
+        .select(explode(wordpiece_encode(
+          TextAnalysis.tokens(col("text")), VocabQueries.wpVocab))
+          .as("piece"))
+        .groupBy(col("piece")).agg(count(lit(1)).as("n_uses"))
+      val name = s"wp_${runId.incrementAndGet()}"
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).orderBy(col("piece"))
+    },
+
     // transformWithState gate (Spark-4 StatefulProcessor over the
     // RocksDB state store): per-event-type running counts accumulate
     // across 2 replayed micro-batches; with non-negative adds the
@@ -641,6 +663,42 @@ object StreamingQueries {
     "q_stream_tws" ->
       """SELECT event_type, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_wordpiece" -> {
+      val values = VocabQueries.wpVocab.map(p => s"('$p')").mkString(", ")
+      s"""WITH RECURSIVE base AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+        |  FROM documents WHERE doc_id < 80),
+        |words AS (
+        |  SELECT doc_id, widx, toks[widx] AS w FROM (
+        |    SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS widx
+        |    FROM base)),
+        |vocab(piece) AS (VALUES $values),
+        |seg(doc_id, widx, rest, pieces, step) AS (
+        |  SELECT doc_id, widx, w, CAST([] AS VARCHAR[]), 0 FROM words
+        |  UNION ALL
+        |  SELECT doc_id, widx,
+        |    CASE WHEN nxt IS NULL THEN ''
+        |         ELSE substr(rest, CASE WHEN step = 0 THEN len(nxt) + 1
+        |                                ELSE len(nxt) - 1 END, 100000) END,
+        |    CASE WHEN nxt IS NULL THEN ['[UNK]']
+        |         ELSE list_append(pieces, nxt) END,
+        |    step + 1
+        |  FROM (
+        |    SELECT doc_id, widx, rest, pieces, step,
+        |      (SELECT piece FROM vocab
+        |        WHERE CASE WHEN step = 0
+        |              THEN NOT starts_with(piece, '##')
+        |                AND starts_with(rest, piece)
+        |              ELSE starts_with(piece, '##')
+        |                AND starts_with(rest, substr(piece, 3, 100000)) END
+        |        ORDER BY len(piece) DESC, piece LIMIT 1) AS nxt
+        |    FROM seg WHERE len(rest) > 0 AND step < 64)),
+        |fin AS (
+        |  SELECT doc_id, widx, pieces FROM seg WHERE len(rest) = 0)
+        |SELECT piece, CAST(count(*) AS BIGINT) AS n_uses FROM (
+        |  SELECT unnest(pieces) AS piece FROM fin)
+        |GROUP BY 1 ORDER BY piece""".stripMargin
+    },
     "q_stream_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS h,
         |  event_type, count(*) AS n,

@@ -19,7 +19,7 @@ object VocabQueries {
     * plus multi-char pieces tuned to the synthetic corpus so greedy
     * longest-match genuinely multi-char-segments common words.
     */
-  private val wpVocab: Seq[String] = {
+  private[queries] val wpVocab: Seq[String] = {
     val singles = "abcdefghijklmnopqrstuvwxy0123456789".map(_.toString)
     singles ++ singles.map("##" + _) ++ Seq(
       "ta", "sc", "val", "fa", "sp", "cu", "qu", "wi", "co",
