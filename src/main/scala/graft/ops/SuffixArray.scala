@@ -73,6 +73,11 @@ object SuffixArray {
       maxLen: Int): DataFrame = {
     require(maxLen >= 2 && maxLen <= 4096,
       s"maxLen out of range: $maxLen")
+    // seed with 8-character substring ranks — string comparison already
+    // encodes shorter-is-prefix, so starting the doubling at k=8 drops
+    // three rounds (each a full shuffle + checkpoint) with identical
+    // semantics to seeding at single characters
+    val init = 8
     val base = df
       .select(col(idCol).as("__d"),
         substring(col(textCol), 1, maxLen).as("__t"))
@@ -80,10 +85,10 @@ object SuffixArray {
       .select(col("__d"), col("__t"),
         explode(sequence(lit(1), length(col("__t")))).as("__p"))
       .select(col("__d"), col("__p"),
-        expr("substring(__t, __p, 1)").as("__c1"))
+        expr(s"substring(__t, __p, $init)").as("__c1"))
     var cur = globalDenseRank(
       base.withColumn("__z", lit(0L)), "__c1", "__z")
-    var k = 1
+    var k = init
     while (k < maxLen) {
       val nxt = cur.select(col("__d").as("__d2"),
         (col("__p") - k).as("__p2"), col("__r").as("__rn"))
