@@ -1036,3 +1036,41 @@ case class UnigramViterbi(child: Expression, vocab: Seq[String],
     copy(child = newChild)
   override def prettyName: String = "unigram_viterbi"
 }
+
+/** Length (in UTF-16 code units, ASCII = characters) of the common
+  * prefix of two strings — the LCP kernel of suffix-array repeat
+  * mining.  A pure per-pair scan bounded by the shorter operand; stays
+  * in whole-stage codegen.
+  */
+case class CommonPrefixLen(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"common_prefix_len needs two STRINGs, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+
+  def lcp(a: UTF8String, b: UTF8String): Long = {
+    val sa = a.toString
+    val sb = b.toString
+    val n = math.min(sa.length, sb.length)
+    var i = 0
+    while (i < n && sa.charAt(i) == sb.charAt(i)) i += 1
+    i.toLong
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    lcp(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("commonPrefixLen", this,
+      classOf[CommonPrefixLen].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.lcp($a, $b);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "common_prefix_len"
+}

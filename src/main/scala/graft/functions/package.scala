@@ -69,6 +69,10 @@ package object functions {
       unk: String = "[UNK]"): Column =
     toCol(WordPieceEncode(toExpr(toks), vocab, unk))
 
+  /** Common-prefix length of two string columns (the LCP kernel). */
+  def common_prefix_len(a: Column, b: Column): Column =
+    toCol(CommonPrefixLen(toExpr(a), toExpr(b)))
+
   /** Min-cost unigram-LM (Viterbi) segmentation of a word column
     * against integer micro-nat piece costs; NULL when unsegmentable.
     */

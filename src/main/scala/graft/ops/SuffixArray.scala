@@ -103,4 +103,54 @@ object SuffixArray {
     cur.select(col("__d").as(idCol), col("__p").cast("long").as("pos"),
       col("__r").as("suffix_rank"))
   }
+
+  /** Longest repeated substrings — the suffix-array payoff: the `topK`
+    * longest strings occurring at least twice in the (truncated)
+    * corpus, with a witness pair of occurrences each.  In suffix
+    * order, every repeat is the common prefix of some pair of
+    * ADJACENT suffixes, so the scan is: total-order suffixes by
+    * (rank, doc, pos) — consecutive numbering via the
+    * [[PipelineOps.globalRowNumber]] zipWithIndex device, which also
+    * pairs identical suffixes (dense ranks collapse them) — then one
+    * self equi-join on `rn+1` plus a per-pair common-prefix length.
+    * O(corpus) pairs, never all-pairs; per-pair cost is the matched
+    * length, bounded by `maxLen`.
+    *
+    * Ties (equal length) break on (substring, doc, pos) so the report
+    * is deterministic; cross-document repeats surface naturally since
+    * adjacency ignores document boundaries.
+    *
+    * @return (repeat_len, repeat, doc_a, pos_a, doc_b, pos_b) topK
+    *         rows, longest first
+    */
+  def longestRepeats(df: DataFrame, idCol: String, textCol: String,
+      maxLen: Int, topK: Int): DataFrame = {
+    require(topK >= 1 && topK <= 1000)
+    val ranks = suffixRanks(df, idCol, textCol, maxLen)
+      .join(df.select(col(idCol), substring(col(textCol), 1, maxLen)
+        .as("__t")), Seq(idCol))
+      .select(col(idCol).as("__da"), col("pos").as("__pa"),
+        expr(s"substring(__t, CAST(pos AS INT), $maxLen)").as("__sa"),
+        col("suffix_rank"))
+    val numbered = PipelineOps.globalRowNumber(ranks,
+        Seq("suffix_rank", "__da", "__pa"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nxt = numbered.select((col("rn") - 1).as("rn"),
+      col("__da").as("__db"), col("__pa").as("__pb"),
+      col("__sa").as("__sb"))
+    val pairs = numbered.join(nxt, Seq("rn"))
+      .select(graft.functions.common_prefix_len(col("__sa"), col("__sb"))
+          .as("repeat_len"),
+        col("__sa"), col("__da"), col("__pa"), col("__db"), col("__pb"))
+      .filter(col("repeat_len") >= 1)
+      .select(col("repeat_len"),
+        expr("substring(__sa, 1, CAST(repeat_len AS INT))").as("repeat"),
+        col("__da").as("doc_a"), col("__pa").as("pos_a"),
+        col("__db").as("doc_b"), col("__pb").as("pos_b"))
+    val out = pairs
+      .orderBy(col("repeat_len").desc, col("repeat"), col("doc_a"),
+        col("pos_a"))
+      .limit(topK)
+    CacheScope.releasing(out, numbered)
+  }
 }

@@ -49,6 +49,18 @@ object CurationQueries {
         .orderBy(col("doc_id"), col("pos"))
     },
 
+    // Suffix-array payoff: the 20 longest substrings occurring at
+    // least twice (cross-document included), each with a witness
+    // occurrence pair — suffixes totally ordered by (rank, doc, pos)
+    // via the zipWithIndex device, adjacent pairs equi-joined on rn+1,
+    // LCP by the codegen common_prefix_len kernel.  The oracle sorts
+    // suffixes directly and takes lead() neighbors.
+    "q_longest_repeat" -> { (s, dir) =>
+      graft.ops.SuffixArray.longestRepeats(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 120),
+        "doc_id", "text", maxLen = 96, topK = 20)
+    },
+
     // Offline retrieval evaluation over the BM25 run: graded gold
     // labels come from deterministic per-query term containment (rel 2
     // for the query's primary term, +1 for its secondary), and the
@@ -331,6 +343,35 @@ object CurationQueries {
         |    AS BIGINT) AS suffix_rank
         |FROM pos
         |ORDER BY doc_id, pos""".stripMargin,
+
+    "q_longest_repeat" ->
+      """WITH docs AS (
+        |  SELECT doc_id, substr(text, 1, 96) AS t
+        |  FROM documents WHERE doc_id < 120),
+        |suf AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS pos,
+        |         substr(t, CAST(p AS INTEGER)) AS s
+        |  FROM (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS p
+        |        FROM docs)),
+        |ord AS (
+        |  SELECT doc_id, pos, s,
+        |    lead(s) OVER w AS s2, lead(doc_id) OVER w AS d2,
+        |    lead(pos) OVER w AS p2
+        |  FROM suf WINDOW w AS (ORDER BY s, doc_id, pos)),
+        |pairs AS (
+        |  SELECT CAST(list_max(list_transform(
+        |      range(0, least(length(s), length(s2)) + 1),
+        |      k -> CASE WHEN substr(s, 1, CAST(k AS INTEGER))
+        |                     = substr(s2, 1, CAST(k AS INTEGER))
+        |                THEN k ELSE 0 END)) AS BIGINT) AS repeat_len,
+        |    s, doc_id AS doc_a, pos AS pos_a, d2 AS doc_b, p2 AS pos_b
+        |  FROM ord WHERE s2 IS NOT NULL)
+        |SELECT repeat_len,
+        |  substr(s, 1, CAST(repeat_len AS INTEGER)) AS repeat,
+        |  doc_a, pos_a, doc_b, pos_b
+        |FROM pairs WHERE repeat_len >= 1
+        |ORDER BY repeat_len DESC, repeat, doc_a, pos_a
+        |LIMIT 20""".stripMargin,
 
     "q_retrieval_eval" ->
       """WITH toks AS (

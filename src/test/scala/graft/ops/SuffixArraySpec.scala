@@ -40,6 +40,26 @@ class SuffixArraySpec extends SparkSpec {
     assert(got((4L, 1)) < got((1L, 1)))
   }
 
+  test("longestRepeats: exact top-k against a local adjacent-suffix twin") {
+    val docs = Seq((1L, "banana"), (2L, "nana"), (3L, "abab"))
+    val got = SuffixArray.longestRepeats(docs.toDF("doc_id", "text"),
+        "doc_id", "text", maxLen = 16, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // local twin: sort every suffix, LCP of adjacent pairs, same order
+    val sufs = docs.flatMap { case (d, t) =>
+      (1 to t.length).map(p => (t.substring(p - 1), d, p.toLong)) }
+      .sortBy(x => (x._1, x._2, x._3))
+    val want = sufs.zip(sufs.tail).map { case ((s1, d1, p1), (s2, d2, p2)) =>
+      val l = s1.zip(s2).takeWhile(c => c._1 == c._2).length
+      (l.toLong, s1.take(l), d1, p1, d2, p2)
+    }.filter(_._1 >= 1)
+      .sortBy(x => (-x._1, x._2, x._3, x._4)).take(5)
+    assert(got == want, s"got $got\nwant $want")
+    // the longest repeat is the cross-document 'nana'
+    assert(got.head._1 == 4L && got.head._2 == "nana", s"top: ${got.head}")
+  }
+
   test("truncation contract: ranks are exact for the truncated corpus") {
     val docs = Seq((1L, "xxxxxxxxxxa"), (2L, "xxxxxxxxxxb"))
     val got = SuffixArray.suffixRanks(docs.toDF("doc_id", "text"),

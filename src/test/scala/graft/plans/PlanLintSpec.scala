@@ -61,7 +61,8 @@ class PlanLintSpec extends SparkSpec {
     "q_more_like_this",      // tf-idf + BM25 corpus-stat scalars cross-joined into the scoring projections
     "q_hybrid_retrieval",    // semantic ranker is the documented exact brute baseline: corpus scan × 3-row broadcast query batch
     "q_retrieval_eval",      // BM25 corpus-stats 1-row broadcast cross-join inherited from the run under evaluation
-    "q_bootstrap_ci")        // 1-row totals × 1-row CI aggregate folded into the single summary row
+    "q_bootstrap_ci",        // 1-row totals × 1-row CI aggregate folded into the single summary row
+    "q_unigram_em")          // 1-row piece-count total cross-joined into the M-step cost projection
 
   /** Entries whose unpartitioned window is over an already-aggregated
     * (small) frame, or is the documented global-order requirement.
@@ -204,7 +205,9 @@ class PlanLintSpec extends SparkSpec {
     "q_hybrid_retrieval"    -> "query batch is a 3-row VALUES joined to the unique-key embedding lookup — bounded by contract, invisible to planBounded through the join",
     "q_more_like_this"      -> "BM25 query-term table is |queryIds| x mTerms rows by contract (TopKPerKey bound, opaque to planBounded)",
     "q_mixture_budget"      -> "segmented-scan offset table is shufflePartitions x |budgets| rows by construction (spark_partition_id x budgeted-domain groupBy, opaque to planBounded)",
-    "q_theil_sen"           -> "segmented-scan offset table is filtered to partition-boundary-straddling keys before the hint — at most numPartitions-1 segments straddle a range boundary, so <= parts^2 rows by construction regardless of key cardinality (opaque to planBounded)")
+    "q_theil_sen"           -> "segmented-scan offset table is filtered to partition-boundary-straddling keys before the hint — at most numPartitions-1 segments straddle a range boundary, so <= parts^2 rows by construction regardless of key cardinality (opaque to planBounded)",
+    "q_epoch_order"         -> "segmented-scan offset table over (partition, epoch) — parts x epochs rows by construction (epochs is a config constant), opaque to planBounded",
+    "q_serpentine_shards"   -> "globalRowNumber's per-partition count offsets — exactly numPartitions rows by construction (spark_partition_id groupBy), opaque to planBounded")
 
   /** A frame is plan-bounded when its row count cannot scale with the
     * input data: a limit, a scalar (no-grouping) aggregate, a literal
