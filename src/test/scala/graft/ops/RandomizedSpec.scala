@@ -316,4 +316,77 @@ class RandomizedSpec extends SparkSpec {
       assert(got == local, s"seed=$seed: ${got.size} vs ${local.size}")
     }
   }
+
+  test("wordpiece_encode == local greedy twin on random vocab+words (3 seeds)") {
+    import graft.functions.wordpiece_encode
+    for (seed <- Seq(11, 12, 13)) {
+      val rnd = new Random(seed)
+      val alpha = "abcd"
+      def piece(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(4))).mkString
+      val heads = (1 to 10).map(_ => piece(1 + rnd.nextInt(3))).distinct
+      val conts = (1 to 10).map(_ => "##" + piece(1 + rnd.nextInt(3))).distinct
+      val vocab = (heads ++ conts).distinct
+      val words = (1 to 120).map(_ => piece(1 + rnd.nextInt(8)))
+      def localGreedy(w: String): Seq[String] = {
+        val hs = vocab.filterNot(_.startsWith("##")).toSet
+        val cs = vocab.filter(_.startsWith("##")).map(_.substring(2)).toSet
+        var i = 0
+        val out = Seq.newBuilder[String]
+        while (i < w.length) {
+          val cands = (math.min(w.length, i + (if (i == 0) 3 else 3)) to (i + 1) by -1)
+            .map(j => w.substring(i, math.min(j, w.length)))
+            .filter(sub => if (i == 0) hs(sub) else cs(sub))
+          if (cands.isEmpty) return Seq("[UNK]")
+          val hit = cands.maxBy(_.length)
+          out += (if (i == 0) hit else "##" + hit)
+          i += hit.length
+        }
+        out.result()
+      }
+      val got = words.zipWithIndex.map { case (w, i) => (i.toLong, Seq(w)) }
+        .toDF("i", "toks")
+        .select(col("i"), wordpiece_encode(col("toks"), vocab).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      words.zipWithIndex.foreach { case (w, i) =>
+        assert(got(i.toLong) == localGreedy(w),
+          s"seed=$seed word=$w vocab=$vocab: ${got(i.toLong)} vs ${localGreedy(w)}")
+      }
+    }
+  }
+
+  test("unigram_viterbi == brute-force all-segmentations argmin (3 seeds)") {
+    import graft.functions.unigram_viterbi
+    for (seed <- Seq(21, 22, 23)) {
+      val rnd = new Random(seed)
+      val alpha = "abc"
+      def piece(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(3))).mkString
+      val vocab = ((1 to 12).map(_ => piece(1 + rnd.nextInt(3))) ++
+        alpha.map(_.toString)).distinct
+      val costs = vocab.map(_ => 1000000L + rnd.nextInt(5000000).toLong)
+      val cmap = vocab.zip(costs).toMap
+      val words = (1 to 80).map(_ => piece(1 + rnd.nextInt(7)))
+      def allSegs(w: String): Seq[(Long, String)] =
+        if (w.isEmpty) Seq((0L, ""))
+        else (1 to w.length).flatMap { k =>
+          val p = w.take(k)
+          cmap.get(p).toSeq.flatMap(c => allSegs(w.drop(k)).map {
+            case (rc, rp) => (c + rc, if (rp.isEmpty) p else p + " " + rp)
+          })
+        }
+      val got = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("i", "w")
+        .select(col("i"), unigram_viterbi(col("w"), vocab, costs).as("p"))
+        .collect().map(r =>
+          r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getString(1))))
+        .toMap
+      words.zipWithIndex.foreach { case (w, i) =>
+        val want = allSegs(w) match {
+          case Seq() => None
+          case segs => Some(segs.minBy(identity)._2)
+        }
+        assert(got(i.toLong) == want,
+          s"seed=$seed word=$w: ${got(i.toLong)} vs $want")
+      }
+    }
+  }
 }
