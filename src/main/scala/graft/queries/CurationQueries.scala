@@ -49,6 +49,16 @@ object CurationQueries {
         .orderBy(col("doc_id"), col("pos"))
     },
 
+    // Content-defined chunking dedup summary (FastCDC-style): chunk
+    // boundaries wherever the trailing-8-char rolling hash hits 0 mod
+    // 64, chunk identity by the same base-31 polynomial — how much
+    // storage chunk-level dedup saves on the corpus.  The oracle
+    // replays the identical integer pipeline per character.
+    "q_cdc_chunks" -> { (s, dir) =>
+      graft.ops.Cdc.dedupSummary(Tables.load(s, dir, "documents"),
+        "doc_id", "text")
+    },
+
     // Suffix-array payoff: the 20 longest substrings occurring at
     // least twice (cross-document included), each with a witness
     // occurrence pair — suffixes totally ordered by (rank, doc, pos)
@@ -343,6 +353,52 @@ object CurationQueries {
         |    AS BIGINT) AS suffix_rank
         |FROM pos
         |ORDER BY doc_id, pos""".stripMargin,
+
+    "q_cdc_chunks" ->
+      """WITH docs AS (
+        |  SELECT doc_id, substr(text, 1, 2048) AS t FROM documents
+        |  WHERE length(substr(text, 1, 2048)) >= 1),
+        |chars AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS p,
+        |         substr(t, CAST(p AS INTEGER), 1) AS c
+        |  FROM (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS p
+        |        FROM docs)),
+        |rolled AS (
+        |  SELECT doc_id, p, c,
+        |    list_reduce([CAST(0 AS BIGINT)] || list_transform(
+        |        list(c) OVER win, x -> CAST(ord(x) AS BIGINT)),
+        |      (a, x) -> (a * 31 + x) % 2147483648) AS h
+        |  FROM chars
+        |  WINDOW win AS (PARTITION BY doc_id ORDER BY p
+        |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+        |flagged AS (
+        |  SELECT doc_id, p, c,
+        |    CASE WHEN p >= 8 AND h % 64 = 0 THEN 1 ELSE 0 END AS b
+        |  FROM rolled),
+        |assigned AS (
+        |  SELECT doc_id, p, c,
+        |    coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chunk
+        |  FROM flagged),
+        |ch AS (
+        |  SELECT doc_id, chunk, count(*) AS chunk_len,
+        |    list_reduce([CAST(0 AS BIGINT)] || list_transform(
+        |        list(c ORDER BY p), x -> CAST(ord(x) AS BIGINT)),
+        |      (a, x) -> (a * 31 + x) % 2147483648) AS chunk_hash
+        |  FROM assigned GROUP BY 1, 2),
+        |d AS (SELECT chunk_hash, chunk_len, count(*) AS n
+        |      FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+        |               CAST(sum(chunk_len) AS BIGINT) AS chars_total
+        |        FROM ch),
+        |uni AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+        |               CAST(sum(chunk_len) AS BIGINT) AS chars_unique
+        |        FROM d)
+        |SELECT n_chunks, n_distinct, chars_total, chars_unique,
+        |  (chars_total - chars_unique) * 1000000 // chars_total
+        |    AS dup_ratio_micro
+        |FROM tot, uni""".stripMargin,
 
     "q_longest_repeat" ->
       """WITH docs AS (

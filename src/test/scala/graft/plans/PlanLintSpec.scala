@@ -62,7 +62,8 @@ class PlanLintSpec extends SparkSpec {
     "q_hybrid_retrieval",    // semantic ranker is the documented exact brute baseline: corpus scan × 3-row broadcast query batch
     "q_retrieval_eval",      // BM25 corpus-stats 1-row broadcast cross-join inherited from the run under evaluation
     "q_bootstrap_ci",        // 1-row totals × 1-row CI aggregate folded into the single summary row
-    "q_unigram_em")          // 1-row piece-count total cross-joined into the M-step cost projection
+    "q_unigram_em",          // 1-row piece-count total cross-joined into the M-step cost projection
+    "q_cdc_chunks")          // 1-row totals × 1-row distinct-totals folded into the single summary row
 
   /** Entries whose unpartitioned window is over an already-aggregated
     * (small) frame, or is the documented global-order requirement.
@@ -98,6 +99,7 @@ class PlanLintSpec extends SparkSpec {
     "q_span_remove"      -> "per-document span merge; bounded by document length",
     "q_span_corrupt"     -> "per-document span selection; bounded by document length",
     "q_winnow"           -> "per-document winnowing argmins; bounded by document length",
+    "q_cdc_chunks"       -> "per-document rolling-hash and boundary-count windows over character rows; bounded by (truncated) document length, the span-ops contract",
     "q_interleaved_shuffle" -> "order-restore window in the interleave device; keyed by a partition-derived bucket, partition-size-bounded by construction",
     "q_win_ignore_nulls" -> "IGNORE NULLS frame-semantics coverage gate (§2.5); per-user rows bounded by the feed contract",
     "q_window_frames"    -> "ROWS/RANGE frame coverage gate (§2.5); per-key rows bounded by the feed contract",
