@@ -164,6 +164,38 @@ object Checks {
         round(col("__hi") / 100d, 6).as("ci_hi"))
   }
 
+  /** Order-invariant dataset fingerprint — the integrity stamp two
+    * pipelines compare to prove they produced the SAME dataset without
+    * shipping it: per row an engine-agnostic base-31 polynomial hash
+    * of the '|'-joined column strings (NULL → a sentinel), combined by
+    * the commutative (count, sum mod 2⁶¹, xor) triple so partitioning
+    * and row order cannot change the stamp.  Any single-row difference
+    * flips sum and xor with overwhelming probability; a full
+    * row-by-row diff (see [[TableDiff]]) is the follow-up when stamps
+    * disagree.
+    *
+    * Contract: canonicalize columns to strings/integers first (float
+    * formatting differs across engines — money goes through cents).
+    * One scan, one scalar aggregation; the sum runs in DECIMAL(38,0)
+    * so 10¹² rows of 2³¹-bounded hashes cannot overflow before the
+    * modulus.
+    */
+  def datasetFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val joined = concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit(" NULL"))): _*)
+    df.withColumn("__s", joined)
+      .withColumn("__h", aggregate(sequence(lit(1), length(col("__s"))),
+        lit(0L), (acc, j) =>
+          (acc * 31 + ascii(col("__s").substr(j, lit(1))))
+            % lit(2147483648L)))
+      .agg(count(lit(1)).as("n_rows"),
+        pmod(sum(col("__h").cast("decimal(38,0)")),
+          lit(2305843009213693952L).cast("decimal(38,0)"))
+          .cast("long").as("hash_sum"),
+        expr("bit_xor(__h)").as("hash_xor"))
+  }
+
   def madOutliers(df: DataFrame, keyCol: String, valCol: String,
       cutoff: Double = 4.4478): DataFrame = {
     val med = df.groupBy(col(keyCol))

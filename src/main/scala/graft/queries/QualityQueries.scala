@@ -43,6 +43,14 @@ object QualityQueries {
         .orderBy(col("c_nationkey"))
     },
 
+    // Order-invariant dataset fingerprint over orders' key columns:
+    // (count, sum mod 2^61, xor) of per-row engine-agnostic hashes —
+    // the stamp two pipelines compare to prove identical output.
+    "q_dataset_fingerprint" -> { (s, dir) =>
+      Checks.datasetFingerprint(Tables.load(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+    },
+
     // Poisson-bootstrap 95% CI for the mean event value: one pass,
     // hash-deterministic Poisson(1) weights against integer CDF
     // thresholds, exact integer resample sums, IEEE ratio ordering of
@@ -93,6 +101,21 @@ object QualityQueries {
         | AND c.c_mktsegment = s.c_mktsegment
         |WHERE s.group_size >= 12
         |GROUP BY 1 ORDER BY c.c_nationkey""".stripMargin,
+
+    "q_dataset_fingerprint" ->
+      """WITH rows_h AS (
+        |  SELECT list_reduce([CAST(0 AS BIGINT)] || list_transform(
+        |      regexp_extract_all(
+        |        concat_ws('|', CAST(o_orderkey AS VARCHAR),
+        |          CAST(o_custkey AS VARCHAR), o_orderstatus,
+        |          o_orderpriority), '.'),
+        |      c -> CAST(ord(c) AS BIGINT)),
+        |    (a, x) -> (a * 31 + x) % 2147483648) AS h
+        |  FROM orders)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(h) % 2305843009213693952 AS BIGINT) AS hash_sum,
+        |  CAST(bit_xor(h) AS BIGINT) AS hash_xor
+        |FROM rows_h""".stripMargin,
 
     "q_bootstrap_ci" ->
       """WITH cents AS (

@@ -168,6 +168,28 @@ class ChecksSpec extends SparkSpec {
     assert(rd.getDouble(3) == 1.0, s"Cramer's V must hit 1: $rd")
   }
 
+  test("datasetFingerprint: order/partition-invariant, single-row " +
+      "edits flip it, null sentinel distinguishes") {
+    val df = (1 to 300).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    def fp(d: org.apache.spark.sql.DataFrame) =
+      Checks.datasetFingerprint(d, Seq("id", "v")).head() match {
+        case r => (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+    val base = fp(df)
+    assert(base._1 == 300L)
+    // invariant under reordering and repartitioning
+    assert(fp(df.orderBy(desc("v"))) == base)
+    assert(fp(df.repartition(7)) == base)
+    // a single changed row flips the stamp
+    val edited = (1 to 300).map(i =>
+      (i.toLong, if (i == 117) "vX" else s"v$i")).toDF("id", "v")
+    assert(fp(edited) != base)
+    // NULL is not the same as its sentinel-ish neighbors
+    val withNull = Seq((1L, null.asInstanceOf[String])).toDF("id", "v")
+    val withEmpty = Seq((1L, "")).toDF("id", "v")
+    assert(fp(withNull) != fp(withEmpty))
+  }
+
   test("anonymityReport + suppressBelowK: hand-computed groups, " +
       "k and l violations, suppression keeps exactly the big groups") {
     // groups: (a,x) size 3 / 3 distinct s; (a,y) size 2 / 1 distinct;
