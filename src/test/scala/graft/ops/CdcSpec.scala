@@ -57,6 +57,36 @@ class CdcSpec extends SparkSpec {
       "fixed blocks lose alignment after the insertion (sanity check)")
   }
 
+  test("randomized: chunks == local CDC twin on random docs (2 seeds)") {
+    for (seed <- Seq(41, 42)) {
+      val rnd = new Random(seed)
+      val docs = (1 to 20).map(i => (i.toLong, text(seed * 100 + i,
+        rnd.nextInt(400))))
+      val got = Cdc.chunks(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      // local twin replaying the identical integer arithmetic
+      val want = docs.filter(_._2.nonEmpty).flatMap { case (d, t0) =>
+        val t = t0.take(2048)
+        val bs = (8 to t.length).filter { p =>
+          val h = t.substring(p - 8, p).foldLeft(0L)(
+            (a, c) => (a * 31 + c.toLong) % 2147483648L)
+          h % 64 == 0
+        }
+        val edges = (0 +: bs) :+ t.length
+        edges.distinct.sliding(2).zipWithIndex.collect {
+          case (Seq(a, b), ci) if b > a =>
+            val chunk = t.substring(a, b)
+            val h = chunk.foldLeft(0L)(
+              (x, c) => (x * 31 + c.toLong) % 2147483648L)
+            (d, ci.toLong) -> ((a + 1L, (b - a).toLong, h))
+        }
+      }.toMap
+      assert(got == want, s"seed=$seed: ${got.size} vs ${want.size}")
+    }
+  }
+
   test("dedupSummary: exact duplicate docs halve unique chars") {
     val t = text(3, 500)
     val df = Seq((1L, t), (2L, t)).toDF("doc_id", "text")

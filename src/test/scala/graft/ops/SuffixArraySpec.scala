@@ -60,6 +60,22 @@ class SuffixArraySpec extends SparkSpec {
     assert(got.head._1 == 4L && got.head._2 == "nana", s"top: ${got.head}")
   }
 
+  test("randomized: ranks match the local twin on small-alphabet " +
+      "corpora (3 seeds)") {
+    // a 2-char alphabet maximizes duplicate suffixes and deep shared
+    // prefixes — the doubling rounds' and the 8-char-seed's worst case
+    for (seed <- Seq(31, 32, 33)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (1 to 30).map(i =>
+        (i.toLong, Seq.fill(rnd.nextInt(21))("ab"(rnd.nextInt(2))).mkString))
+      val got = SuffixArray.suffixRanks(docs.toDF("doc_id", "text"),
+          "doc_id", "text", maxLen = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1).toInt) -> r.getLong(2))
+        .toMap
+      assert(got == localRanks(docs, 16), s"seed=$seed")
+    }
+  }
+
   test("truncation contract: ranks are exact for the truncated corpus") {
     val docs = Seq((1L, "xxxxxxxxxxa"), (2L, "xxxxxxxxxxb"))
     val got = SuffixArray.suffixRanks(docs.toDF("doc_id", "text"),
