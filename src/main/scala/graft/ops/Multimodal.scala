@@ -145,6 +145,81 @@ object Multimodal {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** 64-bit perceptual average-hash over the stubbed decode: payload
+    * bytes deal round-robin into a 60-cell "pixel" grid (a real decoder
+    * would downsample an 8×8 thumbnail — the banding math, not the
+    * grid size, is the point; 60 bits split into four clean 15-bit
+    * bands and never touch the sign bit), a grid cell's bit is 1 when
+    * its sum exceeds the grid average
+    * (integer cross-multiplied: `cell·n_cells > total`, no division),
+    * and the bits pack into one long via `bit_or`.  Fully RELATIONAL —
+    * per-character explode, one (id, cell) aggregation, one
+    * ≤60-row-per-image pack —
+    * so unlike the mapPartitions codec path it is oracle-checkable
+    * end-to-end, and the aHash robustness property holds: small
+    * payload edits flip few bits.
+    *
+    * @return (idCol, ahash)
+    */
+  def imageAHash64(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val chars = docs
+      .select(col(idCol), col(textCol).as("__t"))
+      .filter(length(col("__t")) >= 1)
+      .select(col(idCol),
+        posexplode(split(col("__t"), "(?!^)")).as(Seq("__p", "__c")))
+      .filter(col("__c") =!= "")
+    val cells = chars
+      .groupBy(col(idCol), pmod(col("__p"), lit(60)).as("__cell"))
+      .agg(sum(ascii(col("__c"))).as("__v"))
+    val tot = cells.groupBy(col(idCol))
+      .agg(sum(col("__v")).as("__tot"), count(lit(1)).as("__nc"))
+    cells.join(tot, Seq(idCol))
+      .select(col(idCol),
+        when(col("__v") * col("__nc") > col("__tot"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(__cell AS INT))"))
+          .otherwise(0L).as("__bit"))
+      .groupBy(col(idCol))
+      .agg(expr("bit_or(__bit)").cast("long").as("ahash"))
+  }
+
+  /** Perceptual near-duplicate image pairs: aHash within `maxHamming`
+    * bits, candidates from 10×6-bit band buckets.  Pigeonhole makes
+    * the candidate set COMPLETE for maxHamming ≤ 9: at most 9
+    * differing bits cannot touch all 10 bands, so every qualifying
+    * pair shares at least one identical band bucket — a bucket
+    * equi-join, never all-pairs.  (Narrower bands = more bands =
+    * higher completeness budget but weaker per-band pruning; the
+    * standard multi-index Hamming trade.)
+    *
+    * @return (id_a, id_b, hamming) with id_a < id_b
+    */
+  def imageNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 9,
+      s"10 pigeonhole bands cover maxHamming <= 9, got $maxHamming")
+    val hashed = imageAHash64(docs, idCol, textCol)
+      .select(col(idCol).as("__id"), col("ahash"))
+    val banded = hashed.select(col("__id"), col("ahash"),
+        explode(array((0 until 10).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("ahash"), b * 6).bitwiseAND(lit(0x3FL))
+              .as("bucket"))): _*)).as("bb"))
+      .select(col("__id"), col("ahash"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val l = banded.select(col("band"), col("bucket"),
+      col("__id").as("id_a"), col("ahash").as("__ha"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("__id").as("id_b"), col("ahash").as("__hb"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.hamming64(col("__ha"), col("__hb"))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Resize STUB: a real implementation re-encodes pixels; the fake
     * keeps every stride-th byte so the payload shrinks proportionally
     * and deterministically.  Metadata (width/height) updates to the

@@ -49,6 +49,23 @@ object CurationQueries {
         .orderBy(col("doc_id"), col("pos"))
     },
 
+    // Perceptual image near-dup over the stubbed decode: payload bytes
+    // deal into a 60-cell grid, aHash bit per cell (integer cross-
+    // multiplied against the grid mean), candidates from 10x6-bit band
+    // buckets (pigeonhole-complete for Hamming <= 9), Hamming <= 6
+    // confirm.  Injected near-clones (text+'xy'
+    // under shifted ids) must pair with their originals.
+    "q_image_ahash" -> { (s, dir) =>
+      val base = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 150).select(col("doc_id"), col("text"))
+      val docs = base.unionByName(base.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit("xy")).as("text")))
+      graft.ops.Multimodal.imageNearDupPairs(docs, "doc_id", "text",
+          maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Content-defined chunking dedup summary (FastCDC-style): chunk
     // boundaries wherever the trailing-8-char rolling hash hits 0 mod
     // 64, chunk identity by the same base-31 polynomial — how much
@@ -353,6 +370,41 @@ object CurationQueries {
         |    AS BIGINT) AS suffix_rank
         |FROM pos
         |ORDER BY doc_id, pos""".stripMargin,
+
+    "q_image_ahash" ->
+      """WITH docs0 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 150),
+        |docs AS (
+        |  SELECT doc_id, text FROM docs0
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text || 'xy' FROM docs0 WHERE doc_id < 40),
+        |chars AS (
+        |  SELECT doc_id, unnest(range(1, length(text) + 1)) AS p, text
+        |  FROM docs WHERE length(text) >= 1),
+        |cells AS (
+        |  SELECT doc_id, (p - 1) % 60 AS cell,
+        |    CAST(sum(ord(substr(text, CAST(p AS INTEGER), 1))) AS BIGINT) AS v
+        |  FROM chars GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS tot,
+        |               CAST(count(*) AS BIGINT) AS nc
+        |        FROM cells GROUP BY 1),
+        |h AS (
+        |  SELECT c.doc_id,
+        |    CAST(bit_or(CASE WHEN c.v * t.nc > t.tot
+        |      THEN (CAST(1 AS BIGINT) << CAST(c.cell AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM cells c JOIN tot t USING (doc_id) GROUP BY 1),
+        |banded AS (
+        |  SELECT doc_id, ahash, b,
+        |    (ahash >> (b * 6)) & 63 AS bucket
+        |  FROM h, (VALUES (0), (1), (2), (3), (4),
+        |           (5), (6), (7), (8), (9)) bands(b))
+        |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+        |  CAST(bit_count(xor(l.ahash, r.ahash)) AS BIGINT) AS hamming
+        |FROM banded l JOIN banded r
+        |  ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+        |WHERE bit_count(xor(l.ahash, r.ahash)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_cdc_chunks" ->
       """WITH docs AS (
