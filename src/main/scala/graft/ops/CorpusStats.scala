@@ -269,4 +269,51 @@ object CorpusStats {
       .select(col("r.cut"), col("r.n_tokens"), col("r.vocab"))
       .orderBy(col("cut"))
   }
+
+  /** DoReMi-style domain reweighting round (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures"): domains whose per-token LM loss
+    * exceeds the corpus average get upweighted by the exponentiated-
+    * gradient rule `w_d ∝ exp(η · (loss_d − loss_corpus))`, normalized
+    * over domains — one multiplicative-weights step of the mixture
+    * optimization, with the repo's unigram LM standing in for the
+    * proxy model's losses.
+    *
+    * Determinism: per-token micro-nat scores aggregate as exact
+    * integers per domain; the excess loss is ONE IEEE division of
+    * exact integers per domain (the blessed signed-ratio pattern), and
+    * only the final softmax runs in doubles over the DOMAIN frame
+    * (mixture-config-sized) before 6-dp-class rounding.
+    *
+    * Scale shape: rides [[unigramLogProb]]'s shuffles; everything
+    * after the per-domain aggregation is domain-count-sized with 1-row
+    * broadcast totals.
+    *
+    * @return (domainCol, n_toks, mean_logprob_micro, weight_micro)
+    */
+  def domainReweight(docs: DataFrame, domainCol: String, idCol: String,
+      textCol: String, eta: Double): DataFrame = {
+    require(eta > 0)
+    val scored = unigramLogProb(docs, idCol, textCol)
+    val per = scored
+      .join(docs.select(col(idCol), col(domainCol)), Seq(idCol))
+      .groupBy(col(domainCol))
+      .agg(sum(col("n_tokens")).cast("long").as("n_toks"),
+        sum(col("logprob_micro")).cast("long").as("__s"))
+    val tot = per.agg(sum(col("n_toks")).cast("long").as("__tn"),
+      sum(col("__s")).cast("long").as("__ts"))
+    val ex = per.crossJoin(broadcast(tot))
+      .withColumn("__excess_nats",
+        (col("__ts").cast("double") / col("__tn").cast("double")
+          - col("__s").cast("double") / col("n_toks").cast("double"))
+          / 1000000d)
+      .withColumn("__e", exp(lit(eta) * col("__excess_nats")))
+    val z = ex.agg(sum(col("__e")).as("__z"))
+    ex.crossJoin(broadcast(z))
+      .select(col(domainCol), col("n_toks"),
+        round(col("__s").cast("double") / col("n_toks").cast("double"), 2)
+          .as("mean_logprob_micro"),
+        round(col("__e") / col("__z") * 1000000d, 0).cast("long")
+          .as("weight_micro"))
+      .orderBy(col(domainCol))
+  }
 }

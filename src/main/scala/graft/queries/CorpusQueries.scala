@@ -39,6 +39,15 @@ object CorpusQueries {
         .orderBy(col("doc_id")).limit(200)
     },
 
+    // DoReMi-style multiplicative-weights mixture step: domains with
+    // above-average per-token LM loss upweight by exp(eta * excess),
+    // softmax-normalized over the domain frame.  Integer micro-nat
+    // losses; one IEEE division per domain; oracle replays exactly.
+    "q_domain_reweight" -> { (s, dir) =>
+      CorpusStats.domainReweight(Tables.load(s, dir, "documents"),
+        "source", "doc_id", "text", eta = 0.5)
+    },
+
     "q_cooccurrence" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       CorpusStats.skipGramPairs(docs, "doc_id", "text", window = 3)
@@ -250,6 +259,35 @@ object CorpusQueries {
         |    * 1000000, 0) AS BIGINT)) AS BIGINT) AS logprob_micro
         |FROM toks JOIN freq USING (tok) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "q_domain_reweight" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |tot0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
+        |doc AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(CAST(round(ln(CAST(cnt AS DOUBLE)
+        |      / CAST(total AS DOUBLE)) * 1000000, 0) AS BIGINT)) AS BIGINT)
+        |      AS s
+        |  FROM toks JOIN freq USING (tok) CROSS JOIN tot0
+        |  GROUP BY doc_id),
+        |per AS (
+        |  SELECT d.source, CAST(sum(doc.n_tokens) AS BIGINT) AS n_toks,
+        |         CAST(sum(doc.s) AS BIGINT) AS s
+        |  FROM doc JOIN documents d USING (doc_id) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS tn,
+        |               CAST(sum(s) AS BIGINT) AS ts FROM per),
+        |ex AS (
+        |  SELECT source, n_toks, s,
+        |    exp(0.5 * ((CAST(ts AS DOUBLE) / tn
+        |      - CAST(s AS DOUBLE) / n_toks) / 1000000)) AS e
+        |  FROM per, tot),
+        |z AS (SELECT sum(e) AS z FROM ex)
+        |SELECT source, n_toks,
+        |  round(CAST(s AS DOUBLE) / n_toks, 2) AS mean_logprob_micro,
+        |  CAST(round(e / z * 1000000) AS BIGINT) AS weight_micro
+        |FROM ex, z ORDER BY source""".stripMargin,
 
     "q_cooccurrence" ->
       s"""WITH toks AS (

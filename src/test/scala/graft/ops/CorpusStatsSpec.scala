@@ -215,4 +215,24 @@ class CorpusStatsSpec extends SparkSpec {
     // disjoint pairs are absent (no shared token -> no row)
     assert(!out.contains(("s1", "s3")) && !out.contains(("s2", "s3")))
   }
+
+  test("domainReweight: the rarer-token (higher-loss) domain " +
+      "upweights; weights softmax to one") {
+    // domain A repeats one common token; domain B uses rare ones —
+    // B's per-token unigram loss is higher, so DoReMi upweights B
+    val docs = Seq(
+      (1L, "A", "x x x x x x x x"), (2L, "A", "x x x x x x x x"),
+      (3L, "B", "p q r s"), (4L, "B", "t u v w"))
+      .toDF("doc_id", "source", "text")
+    val out = CorpusStats.domainReweight(docs, "source", "doc_id",
+        "text", eta = 1.0)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3))))
+      .toMap
+    assert(out("A")._1 == 16L && out("B")._1 == 8L, s"token counts: $out")
+    assert(out("B")._2 > out("A")._2,
+      s"higher-loss domain must upweight: $out")
+    val total = out.values.map(_._2).sum
+    assert(math.abs(total - 1000000L) <= 1,
+      s"weights must softmax-normalize to 1e6 micro: $total")
+  }
 }

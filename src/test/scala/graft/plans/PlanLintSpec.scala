@@ -63,7 +63,8 @@ class PlanLintSpec extends SparkSpec {
     "q_retrieval_eval",      // BM25 corpus-stats 1-row broadcast cross-join inherited from the run under evaluation
     "q_bootstrap_ci",        // 1-row totals × 1-row CI aggregate folded into the single summary row
     "q_unigram_em",          // 1-row piece-count total cross-joined into the M-step cost projection
-    "q_cdc_chunks")          // 1-row totals × 1-row distinct-totals folded into the single summary row
+    "q_cdc_chunks",          // 1-row totals × 1-row distinct-totals folded into the single summary row
+    "q_domain_reweight")     // LM corpus-total + domain-frame softmax-Z 1-row broadcasts crossed into the weight projection
 
   /** Entries whose unpartitioned window is over an already-aggregated
     * (small) frame, or is the documented global-order requirement.
