@@ -35,6 +35,31 @@ object ContRecCollector {
   * results, dedup, late-data drop past the watermark, session state,
   * and stream-stream join output.
   */
+/** transformWithState processor whose ValueState carries a processing-
+  * time TTL; emits whether the state EXISTED on arrival so eviction is
+  * observable from the output stream.
+  */
+class TtlCounterProcessor(ttlMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Long), (String, Long, Boolean)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var total: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    total = getHandle.getValueState[Long]("total",
+      org.apache.spark.sql.Encoders.scalaLong,
+      TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+
+  override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+      timerValues: TimerValues): Iterator[(String, Long, Boolean)] = {
+    val existed = total.exists()
+    val prev = if (existed) total.get() else 0L
+    val next = prev + rows.map(_._2).sum
+    total.update(next)
+    Iterator((key, next, existed))
+  }
+}
+
 class StreamingSpec extends SparkSpec with org.scalatest.Retries {
   import spark.implicits._
   implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -712,6 +737,71 @@ class StreamingSpec extends SparkSpec with org.scalatest.Retries {
     val missing = (0L to run1.max).filterNot(union)
     assert(missing.isEmpty,
       s"values lost across the torn commit: ${missing.take(10)}")
+  }
+
+  test("transformWithState value-state TTL: expired state reads as " +
+      "absent, fresh state survives") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // ONE long-running query per case; deliveries observed through a
+      // foreach collector.  TimeMode.ProcessingTime keeps the trigger
+      // loop running empty batches to advance time (so neither
+      // processAllAvailable nor AvailableNow ever quiesces) — instead
+      // poll the collector for each delivery, then stop.
+      def run(ttlMs: Long, sleepMs: Long,
+          bucket: Int): Seq[(Long, Boolean)] = {
+        ContRecCollector.clear(bucket)
+        val in = MemoryStream[(String, Long)]
+        val q = in.toDS().groupByKey(_._1)
+          .transformWithState(new TtlCounterProcessor(ttlMs),
+            TimeMode.ProcessingTime(), OutputMode.Update())
+          .toDF("k", "total", "existed")
+          .writeStream
+          .foreach(new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+            override def open(p: Long, e: Long): Boolean = true
+            override def process(r: org.apache.spark.sql.Row): Unit =
+              ContRecCollector.add(bucket,
+                r.getLong(1) * 2 + (if (r.getBoolean(2)) 1 else 0))
+            override def close(t: Throwable): Unit = ()
+          })
+          .outputMode("update")
+          .start()
+        def awaitCount(n: Int): Unit = {
+          val deadline = System.currentTimeMillis() + 120000
+          while (ContRecCollector.values(bucket).size < n &&
+              System.currentTimeMillis() < deadline) {
+            Thread.sleep(100)
+          }
+          assert(ContRecCollector.values(bucket).size >= n,
+            s"delivery $n never arrived (query ex: ${q.exception})")
+        }
+        try {
+          in.addData(("a", 1L))
+          awaitCount(1)
+          Thread.sleep(sleepMs)
+          in.addData(("a", 1L))
+          awaitCount(2)
+        } finally q.stop()
+        ContRecCollector.values(bucket).sorted
+          .map(v => (v / 2, v % 2 == 1))
+      }
+      // TTL 500ms, 3s pause: the second phase must find NO state —
+      // the counter restarts and the processor reports existed=false
+      val evicted = run(ttlMs = 500, sleepMs = 3000, bucket = 201)
+      assert(evicted == Seq((1L, false), (1L, false)),
+        s"expired state must read as absent: $evicted")
+      // TTL 10 minutes, no pause: state survives and accumulates
+      val kept = run(ttlMs = 600000, sleepMs = 0, bucket = 202)
+      assert(kept == Seq((1L, false), (2L, true)),
+        s"fresh state must survive: $kept")
+    } finally saved match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
   }
 
   test("observe() metrics surface per micro-batch in streaming progress") {
