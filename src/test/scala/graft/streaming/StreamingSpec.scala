@@ -60,6 +60,108 @@ class TtlCounterProcessor(ttlMs: Long)
   }
 }
 
+/** Exercises the REST of the Spark-4 typed state surface beyond
+  * ValueState: a ListState event log (append / get / clear) and a
+  * MapState per-type counter, emitting one summary row per key per
+  * batch: (key, log_size_after, distinct_types, total_count).  The log
+  * clears whenever it exceeds `logCap` — the bounded-session-log
+  * pattern.
+  */
+class LogAndCountsProcessor(logCap: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, String, Long), (String, Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
+  @transient private var log: ListState[Long] = _
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    log = getHandle.getListState[Long]("log",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    counts = getHandle.getMapState[String, Long]("counts",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: String,
+      rows: Iterator[(String, String, Long)],
+      timerValues: TimerValues): Iterator[(String, Long, Long, Long)] = {
+    rows.foreach { case (_, typ, v) =>
+      log.appendValue(v)
+      val prev = if (counts.containsKey(typ)) counts.getValue(typ) else 0L
+      counts.updateValue(typ, prev + 1)
+    }
+    var n = 0L
+    val it = log.get()
+    while (it.hasNext) { it.next(); n += 1 }
+    if (n > logCap) { log.clear(); n = 0 }
+    var types = 0L
+    var total = 0L
+    val kit = counts.iterator()
+    while (kit.hasNext) { types += 1; total += kit.next()._2 }
+    Iterator((key, n, types, total))
+  }
+}
+
+/** Processing-time TIMER coverage: every input row (re)arms a timer
+  * `delayMs` ahead and bumps a counter; when the timer fires,
+  * handleExpiredTimer emits a (key, -count) flush row and clears the
+  * state — the debounced-flush pattern (emit only after a quiet
+  * period).
+  */
+class DebounceFlushProcessor(delayMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Long), (String, Long)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var n: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    n = getHandle.getValueState[Long]("n",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+      timerValues: TimerValues): Iterator[(String, Long)] = {
+    val add = rows.size.toLong
+    val next = (if (n.exists()) n.get() else 0L) + add
+    n.update(next)
+    getHandle.registerTimer(
+      timerValues.getCurrentProcessingTimeInMs() + delayMs)
+    Iterator((key, next))
+  }
+
+  override def handleExpiredTimer(key: String, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(String, Long)] = {
+    val flushed = if (n.exists()) n.get() else 0L
+    n.clear()
+    Iterator((key, -flushed))
+  }
+}
+
+/** Initial-state handover: totals bootstrap from a batch Dataset (the
+  * migration path from a batch backfill into a streaming continuation)
+  * and then accumulate normally.
+  */
+class InitTotalProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+      String, (String, Long), (String, Long), (String, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var total: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    total = getHandle.getValueState[Long]("total",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInitialState(key: String, initialState: (String, Long),
+      timerValues: TimerValues): Unit =
+    total.update(initialState._2)
+
+  override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+      timerValues: TimerValues): Iterator[(String, Long)] = {
+    val next = (if (total.exists()) total.get() else 0L) + rows.map(_._2).sum
+    total.update(next)
+    Iterator((key, next))
+  }
+}
+
 class StreamingSpec extends SparkSpec with org.scalatest.Retries {
   import spark.implicits._
   implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -737,6 +839,124 @@ class StreamingSpec extends SparkSpec with org.scalatest.Retries {
     val missing = (0L to run1.max).filterNot(union)
     assert(missing.isEmpty,
       s"values lost across the torn commit: ${missing.take(10)}")
+  }
+
+  test("transformWithState ListState + MapState: append/clear log and " +
+      "per-type counters across batches") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(String, String, Long)]
+      val out = in.toDS().groupByKey(_._1)
+        .transformWithState(new LogAndCountsProcessor(logCap = 3),
+          TimeMode.None(), OutputMode.Update())
+      val name = "lst_map_state"
+      val q = out.toDF("k", "log_n", "types", "total")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        in.addData(("u", "view", 10L), ("u", "click", 11L))
+        q.processAllAvailable()
+        in.addData(("u", "view", 12L))
+        q.processAllAvailable()
+        // 4th append exceeds cap 3 → log clears, counters keep going
+        in.addData(("u", "buy", 13L), ("u", "view", 14L))
+        q.processAllAvailable()
+        val rows = spark.table(name).orderBy("total")
+          .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSeq
+        assert(rows == Seq((2L, 2L, 2L), (3L, 2L, 3L), (0L, 3L, 5L)),
+          s"log sizes, distinct types, totals: $rows")
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  test("transformWithState with initialState: bootstrapped totals " +
+      "continue from the handed-over values") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val init = Seq(("a", 100L), ("b", 7L)).toDS().groupByKey(_._1)
+      val in = MemoryStream[(String, Long)]
+      val out = in.toDS().groupByKey(_._1)
+        .transformWithState(new InitTotalProcessor,
+          TimeMode.None(), OutputMode.Update(), init)
+      val name = "init_state_tws"
+      val q = out.toDF("k", "total")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        in.addData(("a", 1L), ("b", 2L), ("c", 3L))
+        q.processAllAvailable()
+        val rows = spark.table(name).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        // a/b continue from the migrated totals; c starts fresh —
+        // exactly the warm-handover migration path (batch backfill →
+        // streaming continuation)
+        assert(rows == Map("a" -> 101L, "b" -> 9L, "c" -> 3L),
+          s"bootstrapped totals: $rows")
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  test("transformWithState processing-time timers: the debounce flush " +
+      "fires after the quiet period with the accumulated count") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val bucket = 203
+      ContRecCollector.clear(bucket)
+      val in = MemoryStream[(String, Long)]
+      val q = in.toDS().groupByKey(_._1)
+        .transformWithState(new DebounceFlushProcessor(delayMs = 1000),
+          TimeMode.ProcessingTime(), OutputMode.Update())
+        .toDF("k", "v")
+        .writeStream
+        .foreach(new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+          override def open(p: Long, e: Long): Boolean = true
+          override def process(r: org.apache.spark.sql.Row): Unit =
+            ContRecCollector.add(bucket, r.getLong(1))
+          override def close(t: Throwable): Unit = ()
+        })
+        .outputMode("update").start()
+      def awaitValue(v: Long): Unit = {
+        val deadline = System.currentTimeMillis() + 120000
+        while (!ContRecCollector.values(bucket).contains(v) &&
+            System.currentTimeMillis() < deadline) {
+          Thread.sleep(100)
+        }
+        assert(ContRecCollector.values(bucket).contains(v),
+          s"never saw $v in ${ContRecCollector.values(bucket)} " +
+            s"(query ex: ${q.exception})")
+      }
+      try {
+        in.addData(("a", 1L), ("a", 2L))
+        awaitValue(2L)   // two rows accumulated
+        awaitValue(-2L)  // the 1s timer fires and flushes both
+        // after the flush the counter restarts from zero
+        in.addData(("a", 3L))
+        awaitValue(1L)
+        awaitValue(-1L)
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
   }
 
   test("transformWithState value-state TTL: expired state reads as " +
