@@ -130,10 +130,17 @@ object ColumnLineage {
     case l: LeafNode =>
       // a checkpointed ops pipeline surfaces as a LogicalRDD leaf; if
       // its output was captured at checkpoint time, splice the
-      // pre-checkpoint lineage in instead of naming the RDD a source
+      // pre-checkpoint lineage in instead of naming the RDD a source.
+      // Self-joined checkpoints get re-instanced with fresh ExprIds
+      // during analysis — fall back to the (rdd id, column) identity.
       val table = alias.getOrElse(leafName(l))
+      val rddId = l match {
+        case r: org.apache.spark.sql.execution.LogicalRDD => Some(r.rdd.id)
+        case _ => None
+      }
       l.output.map(a => a.exprId ->
         LineageRegistry.lookup(a.exprId)
+          .orElse(rddId.flatMap(LineageRegistry.lookupByRdd(_, a.name)))
           .getOrElse(Set(SourceColumn(table, a.name)))).toMap
 
     case p: Project =>

@@ -27,19 +27,33 @@ object LineageRegistry {
 
   private val byExprId = new java.util.concurrent.ConcurrentHashMap[
     Long, Set[ColumnLineage.SourceColumn]]()
+  // Fallback identity for SELF-JOINED checkpoints: analysis
+  // deduplication replaces one side's relation with newInstance() —
+  // same underlying RDD, FRESH output ExprIds — so the ExprId key
+  // misses.  The (rdd id, column name) pair survives the re-instancing.
+  private val byRddCol = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), Set[ColumnLineage.SourceColumn]]()
 
   /** Resolve `pre`'s output lineage and register it under `post`'s
-    * output ExprIds.  Never throws: lineage capture must not be able to
-    * fail the operator that calls it.
+    * output ExprIds (and the checkpoint RDD's (id, column) identity).
+    * Never throws: lineage capture must not be able to fail the
+    * operator that calls it.
     */
   def capture(pre: LogicalPlan, post: LogicalPlan): Unit =
     try {
       val sources = ColumnLineage.outputSources(pre)
       if (byExprId.size() > MaxEntries) byExprId.clear()
+      if (byRddCol.size() > MaxEntries) byRddCol.clear()
+      val rddId = post.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }
       post.output.zip(pre.output).foreach { case (p, b) =>
         val srcs = sources.getOrElse(b.exprId,
           Set.empty[ColumnLineage.SourceColumn])
-        if (srcs.nonEmpty) byExprId.put(p.exprId.id, srcs)
+        if (srcs.nonEmpty) {
+          byExprId.put(p.exprId.id, srcs)
+          rddId.foreach(id => byRddCol.put((id, p.name), srcs))
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => }
 
@@ -49,6 +63,12 @@ object LineageRegistry {
       : Option[Set[ColumnLineage.SourceColumn]] =
     Option(byExprId.get(exprId.id))
 
+  /** Fallback lookup by the checkpoint RDD's identity and column name
+    * (re-instanced self-join branches). */
+  def lookupByRdd(rddId: Int, column: String)
+      : Option[Set[ColumnLineage.SourceColumn]] =
+    Option(byRddCol.get((rddId, column)))
+
   /** Test hook. */
-  private[graft] def clear(): Unit = byExprId.clear()
+  private[graft] def clear(): Unit = { byExprId.clear(); byRddCol.clear() }
 }

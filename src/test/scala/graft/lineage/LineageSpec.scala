@@ -312,6 +312,23 @@ class LineageSpec extends SparkSpec {
       s"jaccard derives from shingled text only: ${g("jaccard")}")
   }
 
+  test("ops-layer checkpoint CHAIN: suffix ranks trace through every " +
+      "doubling round's materialization") {
+    // suffixRanks checkpoints after EACH doubling round — the registry
+    // must chain capture-to-capture so the final ranks still resolve
+    // to the source text, five LogicalRDD hops upstream
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") < 20)
+    val docTable = ColumnLineage.of(docs).outputs.head.sources.head.table
+    val g = ColumnLineage.of(
+      graft.ops.SuffixArray.suffixRanks(docs, "doc_id", "text", maxLen = 16))
+    assert(g("suffix_rank") == Set(src(docTable, "text")),
+      s"ranks derive from text alone, through the chain: ${g("suffix_rank")}")
+    assert(g("doc_id") == Set(src(docTable, "doc_id")))
+    assert(g("pos") == Set(src(docTable, "text")),
+      s"positions derive from text length: ${g("pos")}")
+  }
+
   test("ops-layer checkpoint: deterministicWalks paths trace to the " +
       "edge columns") {
     val edges = Seq((1L, 2L, 3L), (2L, 1L, 1L), (1L, 3L, 2L),
