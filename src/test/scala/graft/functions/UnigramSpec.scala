@@ -58,6 +58,44 @@ class UnigramSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("EM iteration is monotone: corpus Viterbi cost never increases " +
+      "across a round") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") < 150)
+    // monotonicity is the cross-entropy argument, which needs the
+    // PRIOR to be a normalized distribution (Σ e^-cost = 1) — an
+    // unnormalized prior can be "too cheap" overall and beat the
+    // re-derived normalized costs.  Uniform over the piece set:
+    val pieces0: Seq[String] =
+      "abcdefghijklmnopqrstuvwxyz0123456789".map(_.toString) ++
+        Seq("ta", "ble", "sc", "an", "val", "ue")
+    val uniform = math.round(math.log(pieces0.size.toDouble) * 1e6)
+    val v0: Seq[(String, Long)] = pieces0.map(_ -> uniform)
+    def corpusCost(vocab: Seq[(String, Long)]): Long = {
+      val cmap = vocab.toMap
+      val words = docs
+        .select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+        .withColumn("p", unigram_viterbi(col("w"),
+          vocab.map(_._1), vocab.map(_._2)))
+        .filter(col("p").isNotNull)
+        .collect().map(r => (r.getString(2), r.getLong(1)))
+      words.map { case (pieces, wc) =>
+        wc * pieces.split(' ').map(cmap).sum
+      }.sum
+    }
+    val round1 = graft.ops.Unigram.viterbiEmRound(docs, "text", v0)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // used pieces take the re-derived costs; unused keep their priors
+    // (dropping them could strand words and change the comparison set)
+    val v1 = v0.map { case (p, c) => p -> round1.getOrElse(p, c) }
+    val j0 = corpusCost(v0)
+    val j1 = corpusCost(v1)
+    assert(j1 <= j0,
+      s"hard-EM must not increase the corpus Viterbi cost: $j0 -> $j1")
+    assert(j1 < j0, s"on this corpus the round should strictly improve")
+  }
+
   test("expression stays inside whole-stage codegen") {
     val docs = graft.Tables.load(spark, sf, "documents")
     val plan = docs
