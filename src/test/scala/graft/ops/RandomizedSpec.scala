@@ -317,6 +317,28 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("serpentineShards == local rank-arithmetic twin on random sizes " +
+      "(2 seeds)") {
+    for (seed <- Seq(51, 52)) {
+      val rnd = new Random(seed)
+      val docs = (1 to 300).map(i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(40))("w").mkString(" ")))
+      val s = 8
+      val got = PipelineOps.serpentineShards(docs.toDF("doc_id", "text"),
+          "doc_id", "text", shards = s)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      val ranked = docs.map { case (id, t) => (id, t.split(" ").length.toLong) }
+        .sortBy { case (id, w) => (-w, id) }.zipWithIndex
+      val local = ranked.groupBy { case (_, i) =>
+        if ((i / s) % 2 == 0) i % s else s - 1 - i % s
+      }.map { case (sh, xs) =>
+        sh.toLong -> ((xs.size.toLong, xs.map(_._1._2).sum))
+      }
+      assert(got == local, s"seed=$seed: $got vs $local")
+    }
+  }
+
   test("wordpiece_encode == local greedy twin on random vocab+words (3 seeds)") {
     import graft.functions.wordpiece_encode
     for (seed <- Seq(11, 12, 13)) {

@@ -1024,6 +1024,48 @@ class StreamingSpec extends SparkSpec with org.scalatest.Retries {
     }
   }
 
+  test("StreamingQueryListener: start, per-batch progress, and " +
+      "termination events all fire for a query") {
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit =
+        events.add(s"started:${e.name}")
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        events.add(s"progress:${e.progress.name}:${e.progress.numInputRows}")
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        events.add("terminated")
+    }
+    spark.streams.addListener(listener)
+    try {
+      val in = MemoryStream[Event]
+      val q = in.toDF()
+        .groupBy(org.apache.spark.sql.functions.col("event_type"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .writeStream.format("memory").queryName("listener_q")
+        .outputMode("complete").start()
+      try {
+        in.addData(ev(1, 1), ev(2, 2))
+        q.processAllAvailable()
+      } finally q.stop()
+      // listener events are posted asynchronously on the bus
+      val deadline = System.currentTimeMillis() + 30000
+      def evs = {
+        val b = Seq.newBuilder[String]
+        val it = events.iterator(); while (it.hasNext) b += it.next()
+        b.result()
+      }
+      while (!evs.contains("terminated") &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val seen = evs
+      assert(seen.contains("started:listener_q"), s"no start event: $seen")
+      assert(seen.exists(_.startsWith("progress:listener_q:2")),
+        s"no progress event carrying the 2 input rows: $seen")
+      assert(seen.contains("terminated"), s"no termination event: $seen")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("observe() metrics surface per micro-batch in streaming progress") {
     // the streaming half of the q_observe gate: observed metrics
     // accumulate ON the executors during the micro-batch and land in
