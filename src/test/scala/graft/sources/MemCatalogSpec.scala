@@ -126,4 +126,30 @@ class MemCatalogSpec extends SparkSpec {
     assert(before == 1L)
     assert(spark.table(t).count() == 2L)
   }
+
+  test("DataFrameWriterV2: create, append, truncate-overwrite and " +
+      "createOrReplace through the plugin catalog") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.MemCatalog")
+    MemCatalog.clear(cat)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    val t = s"$cat.ns.wt"
+    def read: Seq[(Long, String)] = spark.table(t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").writeTo(t).create()
+    assert(read == Seq((1L, "a"), (2L, "b")))
+    // create() on an existing table must refuse, not clobber
+    intercept[Exception] {
+      Seq((9L, "x")).toDF("k", "v").writeTo(t).create()
+    }
+    Seq((3L, "c")).toDF("k", "v").writeTo(t).append()
+    assert(read == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // overwrite(true) routes through the TRUNCATE capability
+    Seq((7L, "z")).toDF("k", "v").writeTo(t).overwrite(lit(true))
+    assert(read == Seq((7L, "z")))
+    // createOrReplace drops and recreates — fresh schema-compatible data
+    Seq((5L, "r")).toDF("k", "v").writeTo(t).createOrReplace()
+    assert(read == Seq((5L, "r")))
+  }
 }
