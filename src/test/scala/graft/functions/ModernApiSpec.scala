@@ -32,4 +32,44 @@ class ModernApiSpec extends SparkSpec {
       Array(42, 2)).head().getLong(0)
     assert(positional == 40L)
   }
+
+  test("Dataset.transpose: rows become columns keyed by the index column") {
+    import spark.implicits._
+    val df = Seq(("m1", 1L, 10L), ("m2", 2L, 20L))
+      .toDF("metric", "a", "b")
+    val t = df.transpose(col("metric"))
+    assert(t.columns.toSeq == Seq("key", "m1", "m2"), t.columns.toSeq)
+    val rows = t.orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("a", 1L, 2L), ("b", 10L, 20L)), rows)
+  }
+
+  test("Dataset.lateralJoin: the right side correlates per left row") {
+    import spark.implicits._
+    val left = Seq((1L, 3), (2L, 1)).toDF("id", "n")
+    // per-left-row correlated subquery: top `n` integers for each row
+    val right = spark.range(1, 10).toDF("v")
+      .where(col("v") <= col("n").outer())
+    val out = left.lateralJoin(right)
+      .groupBy(col("id")).agg(count(lit(1)).as("k"),
+        sum(col("v")).cast("long").as("s"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 3L, 6L), (2L, 1L, 1L)), out)
+  }
+
+  test("Dataset.scalar(): a one-row frame used as a scalar subquery " +
+      "column") {
+    import spark.implicits._
+    val li = Tables.load(spark, sf, "lineitem")
+    val avgQty = li.agg(avg(col("l_quantity")))
+    val above = li.select(col("l_orderkey"), col("l_quantity"))
+      .where(col("l_quantity") > avgQty.scalar())
+      .count()
+    val expected = {
+      val a = li.agg(avg(col("l_quantity"))).head().getDouble(0)
+      li.where(col("l_quantity") > a).count()
+    }
+    assert(above == expected && above > 0, s"$above vs $expected")
+  }
 }
