@@ -58,6 +58,31 @@ class ModernApiSpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 6L), (2L, 1L, 1L)), out)
   }
 
+  test("Dataset.exists() and DataFrame-API groupingSets()") {
+    import spark.implicits._
+    // exists(): correlated EXISTS built from a frame — orders that
+    // have at least one high-quantity line
+    val li = Tables.load(spark, sf, "lineitem")
+    val ord = Tables.load(spark, sf, "orders")
+    val hasBig = li.where(col("l_orderkey") === col("o_orderkey").outer() &&
+      col("l_quantity") >= 45)
+    val viaApi = ord.where(hasBig.exists()).count()
+    val viaJoin = ord.join(li.where(col("l_quantity") >= 45)
+        .select(col("l_orderkey")).distinct(),
+      ord("o_orderkey") === col("l_orderkey"), "left_semi").count()
+    assert(viaApi == viaJoin && viaApi > 0, s"$viaApi vs $viaJoin")
+    // groupingSets(): the DataFrame-API spelling of GROUPING SETS
+    val gs = Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 4L))
+      .toDF("g1", "g2", "v")
+      .groupingSets(Seq(Seq(col("g1")), Seq(col("g2"))), col("g1"), col("g2"))
+      .agg(sum(col("v")).cast("long").as("s"))
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2))).toSet
+    assert(gs == Set(
+      (Some("a"), None, 3L), (Some("b"), None, 4L),
+      (None, Some("x"), 5L), (None, Some("y"), 2L)), gs)
+  }
+
   test("Dataset.scalar(): a one-row frame used as a scalar subquery " +
       "column") {
     import spark.implicits._
