@@ -363,6 +363,45 @@ object StreamingQueries {
       s.table(name).orderBy(col("piece"))
     },
 
+    // ListState + MapState gate: a per-user typed-state profile
+    // (bounded event log + per-type counters) accumulates across a
+    // 2-chunk replay; distinct-type and total counts are monotone, so
+    // max() per user equals the batch GROUP BY however the replay
+    // split rows — the q_stream_tws parity contract for the rest of
+    // the typed-state surface.
+    "q_stream_typed_state" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val s2 = s
+      import s2.implicits._
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val saved = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("user_id") % 7 === 0 && col("event_type").isNotNull)
+          .select(col("user_id"), col("event_type"), col("event_id"))
+        val stream = replay(s, ev, chunks = 2).as[(Long, String, Long)]
+        val out = stream.groupByKey(_._1)
+          .transformWithState(new graft.streaming.TypedProfileProcessor(8),
+            TimeMode.None(), OutputMode.Update())
+        val name = s"tps_${runId.incrementAndGet()}"
+        withStatePartitions(s) {
+          val q = out.toDF("user_id", "types", "total")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("update").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table(name).groupBy(col("user_id"))
+          .agg(max(col("types")).as("n_types"),
+            max(col("total")).as("n_events"))
+          .orderBy(col("user_id"))
+      } finally saved match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
+    },
+
     // transformWithState gate (Spark-4 StatefulProcessor over the
     // RocksDB state store): per-event-type running counts accumulate
     // across 2 replayed micro-batches; with non-negative adds the
@@ -663,6 +702,13 @@ object StreamingQueries {
     "q_stream_tws" ->
       """SELECT event_type, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_typed_state" ->
+      """SELECT user_id,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events
+        |WHERE user_id % 7 = 0 AND event_type IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_stream_wordpiece" -> {
       val values = VocabQueries.wpVocab.map(p => s"('$p')").mkString(", ")
       s"""WITH RECURSIVE base AS (

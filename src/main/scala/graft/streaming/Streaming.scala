@@ -61,6 +61,49 @@ class RunningTotalProcessor
   }
 }
 
+/** Per-user typed-state profile via ListState + MapState: the list
+  * logs recent event ids (cleared past `logCap` — the bounded-session-
+  * log pattern), the map counts events per type.  Emits
+  * (user, distinct_types, total_events) per batch; both outputs are
+  * MONOTONE under non-negative adds, so max() per key is the final
+  * state however a replay splits rows across micro-batches — the same
+  * parity contract as [[RunningTotalProcessor]].
+  */
+class TypedProfileProcessor(logCap: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String, Long), (Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
+  @transient private var log: ListState[Long] = _
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    log = getHandle.getListState[Long]("log",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    counts = getHandle.getMapState[String, Long]("counts",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, String, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    rows.foreach { case (_, typ, id) =>
+      log.appendValue(id)
+      val prev = if (counts.containsKey(typ)) counts.getValue(typ) else 0L
+      counts.updateValue(typ, prev + 1)
+    }
+    var n = 0L
+    val it = log.get()
+    while (it.hasNext) { it.next(); n += 1 }
+    if (n > logCap) log.clear()
+    var types = 0L
+    var total = 0L
+    val kit = counts.iterator()
+    while (kit.hasNext) { types += 1; total += kit.next()._2 }
+    Iterator((key, types, total))
+  }
+}
+
 object Streaming {
 
   /** Watermarked tumbling-window aggregate (append mode compatible). */
