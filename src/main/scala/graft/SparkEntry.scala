@@ -67,6 +67,7 @@ object SparkEntry {
     graft.queries.CatalogQueries.queries.toSeq ++
     graft.queries.TfIdfQueries.queries.toSeq ++
     graft.queries.StateStoreQueries.queries.toSeq ++
+    graft.queries.PrefQueries.queries.toSeq ++
     graft.queries.MixQueries.queries.toSeq)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -115,5 +116,6 @@ object SparkEntry {
     graft.queries.CatalogQueries.oracle.toSeq ++
     graft.queries.TfIdfQueries.oracle.toSeq ++
     graft.queries.StateStoreQueries.oracle.toSeq ++
+    graft.queries.PrefQueries.oracle.toSeq ++
     graft.queries.MixQueries.oracle.toSeq)
 }

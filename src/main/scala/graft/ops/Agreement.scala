@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Inter-annotator agreement — the label-quality gate of a supervised /
+  * preference-data pipeline.  Before labels train anything, the
+  * pipeline must know whether raters agree beyond chance; Cohen's κ
+  * (two raters) and Fleiss' κ (R raters) are the standard statistics
+  * (J. Cohen 1960; J. L. Fleiss 1971).
+  *
+  * Both are computed EXACTLY: every count, marginal product and
+  * cross-multiplied numerator/denominator is integer arithmetic
+  * (DECIMAL(38,0) where products can pass 2^63), and the reported ppm
+  * value uses sign-extracted integral division — `sign·(|num|·10^6 div
+  * den)` — so truncation-vs-floor never diverges across engines on
+  * negative κ (worse-than-chance agreement is a real outcome the gate
+  * must represent).  The exact rational (kappa_num, kappa_den) is
+  * returned alongside the ppm so downstream thresholds can compare
+  * without any rounding at all.
+  *
+  * Scale shape: one hash aggregation to the label-pair (resp.
+  * item×category) contingency table, one aggregation over its
+  * value-cardinality-bounded rows — the raw rating log is scanned once
+  * and never re-shuffled.
+  */
+object Agreement {
+
+  private def ppmExpr(num: String, den: String): String =
+    s"CAST(CASE WHEN $num < 0 THEN -((-($num) * 1000000) div ($den)) " +
+      s"ELSE (($num) * 1000000) div ($den) END AS BIGINT)"
+
+  /** Cohen's κ for two raters labelling the same items.
+    *
+    * `labelled` must have (labelA, labelB) columns — one row per item,
+    * both labels non-null (filter upstream; a null label is a missing
+    * rating, not a category).  Returns one row: n, n_agree, po_ppm,
+    * pe_ppm, kappa_num = n·agree − Σ_k a_k·b_k, kappa_den = n² − Σ_k
+    * a_k·b_k, kappa_ppm.
+    */
+  def cohenKappa(labelled: DataFrame): DataFrame = {
+    // (labelA, labelB) contingency cells — the only shuffle over the
+    // item-sized input; everything after is over k² cells.
+    val cells = labelled
+      .groupBy(col("labelA"), col("labelB")).agg(count(lit(1)).as("c"))
+    // Marginal products Σ_k a_k·b_k via a label-keyed self-join of the
+    // two marginal vectors (k rows each).
+    val aMarg = cells.groupBy(col("labelA").as("k")).agg(sum("c").as("a_k"))
+    val bMarg = cells.groupBy(col("labelB").as("k")).agg(sum("c").as("b_k"))
+    val peNum = aMarg.join(bMarg, "k")
+      .agg(sum(expr("CAST(a_k AS DECIMAL(38,0)) * b_k")).as("pe_num"))
+    val totals = cells.agg(
+      sum("c").as("n"),
+      sum(when(col("labelA") === col("labelB"), col("c")).otherwise(0L))
+        .as("n_agree"))
+    totals.crossJoin(peNum).selectExpr(
+      "CAST(n AS BIGINT) AS n",
+      "CAST(n_agree AS BIGINT) AS n_agree",
+      "CAST((CAST(n_agree AS DECIMAL(38,0)) * 1000000) div n AS BIGINT) AS po_ppm",
+      "CAST((pe_num * 1000000) div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT) AS pe_ppm",
+      "CAST(CAST(n AS DECIMAL(38,0)) * n_agree - pe_num AS DECIMAL(38,0)) AS kappa_num",
+      "CAST(CAST(n AS DECIMAL(38,0)) * n - pe_num AS DECIMAL(38,0)) AS kappa_den",
+      ppmExpr("CAST(n AS DECIMAL(38,0)) * n_agree - pe_num",
+        "CAST(n AS DECIMAL(38,0)) * n - pe_num") + " AS kappa_ppm")
+      .selectExpr("n", "n_agree", "po_ppm", "pe_ppm",
+        // exact rational reported as BIGINT — fine up to ~3·10^9 items
+        // (n² < 2^63 pre-division is avoided: num/den are emitted after
+        // the DECIMAL computation, cast for a hashable dtype)
+        "CAST(kappa_num AS BIGINT) AS kappa_num",
+        "CAST(kappa_den AS BIGINT) AS kappa_den",
+        "kappa_ppm")
+  }
+
+  /** Fleiss' κ for R raters per item.
+    *
+    * `ratings` must have (item, category) columns — exactly `r` rows
+    * per item (the fixed-panel contract of the statistic; enforce
+    * upstream, e.g. take the first r ratings per item).  Returns one
+    * row: n_items, r, po_ppm, pe_ppm, kappa_ppm where
+    * Po = (Σ_ik n_ik² − N·R) / (N·R·(R−1)) and Pe = Σ_k S_k² / (N·R)²
+    * and κ = (Po−Pe)/(1−Pe) cross-multiplied into integer num/den.
+    */
+  def fleissKappa(ratings: DataFrame, r: Int): DataFrame = {
+    require(r >= 2, s"need at least 2 raters per item, got $r")
+    // item×category counts n_ik — the one shuffle over the rating log.
+    val nik = ratings.groupBy(col("item"), col("category"))
+      .agg(count(lit(1)).as("n_ik"))
+    // Σ_ik n_ik² and N from one pass over the cells.
+    val sq = nik.agg(
+      sum(expr("CAST(n_ik AS DECIMAL(38,0)) * n_ik")).as("sum_sq"),
+      count_distinct(col("item")).as("n_items"))
+    // Category totals S_k, then Σ_k S_k² over the k-row frame.
+    val sk = nik.groupBy("category").agg(sum("n_ik").as("s_k"))
+      .agg(sum(expr("CAST(s_k AS DECIMAL(38,0)) * s_k")).as("sum_sk_sq"))
+    // κ = (A·D − B·C) / (B·(D − C)) with A = Σn_ik²−NR, B = NR(R−1),
+    // C = Σ S_k², D = (NR)² — all DECIMAL(38,0) exact.
+    sq.crossJoin(sk).selectExpr(
+      "CAST(n_items AS BIGINT) AS n_items",
+      s"CAST($r AS BIGINT) AS r",
+      s"CAST(((sum_sq - n_items * $r) * 1000000) div " +
+        s"(CAST(n_items AS DECIMAL(38,0)) * $r * ($r - 1)) AS BIGINT) AS po_ppm",
+      s"CAST((sum_sk_sq * 1000000) div " +
+        s"(CAST(n_items AS DECIMAL(38,0)) * $r * n_items * $r) AS BIGINT) AS pe_ppm",
+      ppmExpr(
+        s"(sum_sq - n_items * $r) * (CAST(n_items AS DECIMAL(38,0)) * $r * n_items * $r)" +
+          s" - CAST(n_items AS DECIMAL(38,0)) * $r * ($r - 1) * sum_sk_sq",
+        s"CAST(n_items AS DECIMAL(38,0)) * $r * ($r - 1) * " +
+          s"(CAST(n_items AS DECIMAL(38,0)) * $r * n_items * $r - sum_sk_sq)") +
+        " AS kappa_ppm")
+  }
+}

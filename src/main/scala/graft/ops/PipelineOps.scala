@@ -269,6 +269,29 @@ object PipelineOps {
     df.withColumn("split", expr)
   }
 
+  /** Split-leakage audit — the check a leakage-safe split pipeline runs
+    * before training.  Row-hash splits (hash each row's own id) scatter
+    * a group's rows across train/val/test, so anything group-correlated
+    * (an author's style, a user's behaviour, near-identical documents)
+    * leaks from train into test; the fix is hashing the GROUP key in
+    * [[assignSplit]] (same key → same bucket, leakage-free by
+    * construction, zero extra shuffle — the split stays a pure row
+    * expression).  This op PROVES the property from the assigned output
+    * instead of trusting the construction: per group it counts distinct
+    * splits, then reports (n_groups, n_leaky_groups, max_splits_per_
+    * group).  One group-keyed aggregation plus one scalar fold — the
+    * audit never re-shuffles row payloads, only (group, split) pairs.
+    */
+  def splitLeakage(assigned: DataFrame, groupCol: String): DataFrame = {
+    val perGroup = assigned
+      .groupBy(col(groupCol)).agg(count_distinct(col("split")).as("k"))
+    perGroup.agg(
+      count(lit(1)).as("n_groups"),
+      sum(when(col("k") > 1L, 1L).otherwise(0L)).cast("long")
+        .as("n_leaky_groups"),
+      max(col("k")).cast("long").as("max_splits_per_group"))
+  }
+
   /** Length-bucketed batching report — the padding-waste accounting
     * behind bucketed batch assembly (group sequences of similar length
     * so a batch pads to its bucket's edge, not the global max).  Each

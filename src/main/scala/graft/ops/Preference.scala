@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pairwise-preference strength estimation — the reward-model data
+  * kernel of an RLHF pipeline.  Human raters produce duels ("response A
+  * beat response B"); the Bradley–Terry model turns those duels into a
+  * per-item strength so mixtures can be weighted (or rankings audited)
+  * by preference rather than raw counts.
+  *
+  * Fitting uses Hunter's MM algorithm (D. R. Hunter, "MM algorithms for
+  * generalized Bradley-Terry models", Annals of Statistics 32(1), 2004):
+  *
+  *   s_i ← W_i / Σ_{j≠i} n_ij / (s_i + s_j)
+  *
+  * with W_i = wins of i and n_ij = duels between i and j.  All
+  * arithmetic is INTEGER fixed-point — strengths live in micro-units
+  * and every division is an integral `div` on DECIMAL(38,0) products —
+  * so a fixed round count is bit-identical under any partitioning,
+  * engine, or retry, and directly oracle-checkable against an unrolled
+  * SQL twin (same reason [[GraphOps.pageRank]] uses micro-units).
+  *
+  * Scale shape: one duel aggregation to the (i, j, n) pair table, then
+  * each MM round is two item-keyed equi-joins (scores onto each side of
+  * the pair) + one aggregation per item — shuffle bounded by the pair
+  * table, never by the duel count.  No driver state: strengths stay a
+  * DataFrame end to end.
+  */
+object Preference {
+
+  /** Fit Bradley–Terry strengths from a duel log.
+    *
+    * `duels` must have (winner, loser) columns, one row per duel.
+    * Every observed unordered pair is add-one smoothed in BOTH
+    * directions (w'_ab = w_ab + 1), the standard regularization that
+    * keeps all W_i > 0 so the MM update never divides by zero; the
+    * comparison graph should be connected for the strengths to be
+    * jointly identified (documented contract — disconnected components
+    * converge independently, which is still deterministic).
+    *
+    * Returns (item, wins, strength_micro) where `wins` is the smoothed
+    * win count and `strength_micro` the fixed-point strength after
+    * `rounds` MM rounds from a flat 10^6 start.
+    */
+  def bradleyTerry(duels: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // One aggregation collapses the (possibly huge) duel log to the
+    // bounded ordered-pair table; everything after iterates over pairs.
+    val wDir = duels
+      .groupBy(col("winner").as("a"), col("loser").as("b"))
+      .agg(count(lit(1)).as("w"))
+      // duels is typically an expensive upstream join; the pair table
+      // is consumed by the smoothing union, the win totals and every
+      // MM round — materialize it once (the PageRank edge contract).
+      .localCheckpoint()
+    // Smoothed directed wins: +1 in both directions of every observed
+    // pair (zero-filled via the reversed union so unseen directions
+    // still get their pseudo-win).
+    val wSm = wDir.select(col("a"), col("b"), col("w"))
+      .union(wDir.select(col("b").as("a"), col("a").as("b"), lit(0L).as("w")))
+      .groupBy("a", "b").agg((sum("w") + 1L).as("w"))
+      .localCheckpoint()
+    // Pair totals n_ab = w'_ab + w'_ba: self-join on the reversed key —
+    // both directions exist by construction, so an inner join is total.
+    val rev = wSm.select(col("a").as("rb"), col("b").as("ra"), col("w").as("wr"))
+    val edges = wSm.join(rev, col("a") === col("ra") && col("b") === col("rb"))
+      .select(col("a"), col("b"), (col("w") + col("wr")).as("n"))
+    val wins = wSm.groupBy(col("a").as("item")).agg(sum("w").as("wins"))
+    var s = wins.select(col("item"), lit(1000000L).as("s"))
+    for (_ <- 1 to rounds) {
+      val sa = s.select(col("item").as("ia"), col("s").as("s_a"))
+      val sb = s.select(col("item").as("ib"), col("s").as("s_b"))
+      // D_a = Σ_b floor(n_ab·10^12 / (s_a + s_b)) — DECIMAL(38,0)
+      // product so n up to 10^9 duels per pair cannot overflow, `div`
+      // (integral divide, positive operands) so floor semantics match
+      // any engine's integer division bit for bit.
+      val d = edges
+        .join(sa, col("a") === col("ia"))
+        .join(sb, col("b") === col("ib"))
+        .select(col("a"), expr(
+          "(CAST(n AS DECIMAL(38,0)) * 1000000000000) div (s_a + s_b)").as("inv"))
+        .groupBy("a").agg(sum("inv").as("d"))
+      s = wins.join(d, col("item") === col("a"))
+        .select(col("item"), expr(
+          "(CAST(wins AS DECIMAL(38,0)) * 1000000000000) div d").as("s"))
+        // cut lineage per round — same contract as PageRank: without it
+        // the plan chains 2 joins per round and any action replays all
+        // earlier rounds.  Lazy: the final action materializes once.
+        .localCheckpoint(false)
+    }
+    wins.join(s, "item")
+      .select(col("item"), col("wins").cast("long").as("wins"),
+        col("s").cast("long").as("strength_micro"))
+  }
+}

@@ -177,6 +177,22 @@ object PipelineQueries {
         .orderBy(col("split"), col("lang"))
     },
 
+    // Leakage-safe grouped split vs naive row split, audited from the
+    // OUTPUT: hashing each event's own id scatters a user across
+    // train/val/test (n_leaky_groups > 0); hashing the user id pins
+    // every user to one split (n_leaky_groups = 0, proven not assumed).
+    "q_group_split" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      def audit(method: String, keyCol: String) =
+        PipelineOps.splitLeakage(
+            PipelineOps.assignSplit(ev, keyCol, w), "user_id")
+          .select(lit(method).as("method"), col("n_groups"),
+            col("n_leaky_groups"), col("max_splits_per_group"))
+      audit("row_hash", "event_id").union(audit("group_hash", "user_id"))
+        .orderBy(col("method"))
+    },
+
     // END-TO-END curation pipeline: funnel screen → exact keep-first
     // dedup → deterministic train/val/test split → greedy packing of
     // the train shard — four operators COMPOSED, each stage feeding
@@ -473,6 +489,29 @@ object PipelineQueries {
         |             ELSE 'kept' END AS status
         |      FROM m)
         |GROUP BY source, status ORDER BY source, status""".stripMargin,
+
+    "q_group_split" ->
+      """WITH rs AS (SELECT user_id,
+        |    CASE WHEN (event_id * 2654435761) % 1000 < 800 THEN 'train'
+        |         WHEN (event_id * 2654435761) % 1000 < 900 THEN 'val'
+        |         ELSE 'test' END AS split FROM events),
+        |ra AS (SELECT user_id, count(DISTINCT split) AS k
+        |  FROM rs GROUP BY 1),
+        |gs AS (SELECT user_id,
+        |    CASE WHEN (user_id * 2654435761) % 1000 < 800 THEN 'train'
+        |         WHEN (user_id * 2654435761) % 1000 < 900 THEN 'val'
+        |         ELSE 'test' END AS split FROM events),
+        |ga AS (SELECT user_id, count(DISTINCT split) AS k
+        |  FROM gs GROUP BY 1)
+        |SELECT 'row_hash' AS method, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_leaky_groups,
+        |  CAST(max(k) AS BIGINT) AS max_splits_per_group FROM ra
+        |UNION ALL
+        |SELECT 'group_hash' AS method, CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(max(k) AS BIGINT) FROM ga
+        |ORDER BY method""".stripMargin,
 
     "q_train_split" ->
       """SELECT split, lang, count(*) AS n_docs,

@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class AgreementSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cohenKappa matches the textbook 2x2 example exactly") {
+    // 50 items: 20 yes/yes, 15 no/no, 5 yes/no, 10 no/yes.
+    // po = 35/50, a = (25, 25), b = (30, 20), pe_num = 25·30 + 25·20 =
+    // 1250, κ = (50·35 − 1250)/(2500 − 1250) = 500/1250 = 0.4.
+    val rows =
+      Seq.fill(20)(("yes", "yes")) ++ Seq.fill(15)(("no", "no")) ++
+      Seq.fill(5)(("yes", "no")) ++ Seq.fill(10)(("no", "yes"))
+    val got = Agreement.cohenKappa(rows.toDF("labelA", "labelB"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got === ((50L, 35L, 700000L, 500000L, 500L, 1250L, 400000L)))
+  }
+
+  test("cohenKappa handles worse-than-chance (negative) agreement") {
+    // Perfect disagreement on 2 items: κ = (2·0 − 2)/(4 − 2) = −1.
+    val rows = Seq(("x", "y"), ("y", "x"))
+    val got = Agreement.cohenKappa(rows.toDF("labelA", "labelB"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got._5 === -2L)          // kappa_num
+    assert(got._6 === 2L)           // kappa_den
+    assert(got._7 === -1000000L)    // kappa_ppm — sign-split exact
+  }
+
+  test("fleissKappa matches the Fleiss (1971) worked example") {
+    // The classic 10-subject × 14-rater × 5-category table (κ ≈ 0.210).
+    val table = Seq(
+      Seq(0, 0, 0, 0, 14), Seq(0, 2, 6, 4, 2), Seq(0, 0, 3, 5, 6),
+      Seq(0, 3, 9, 2, 0), Seq(2, 2, 8, 1, 1), Seq(7, 7, 0, 0, 0),
+      Seq(3, 2, 6, 3, 0), Seq(2, 5, 3, 2, 2), Seq(6, 5, 2, 1, 0),
+      Seq(0, 2, 2, 3, 7))
+    val ratings = for {
+      (row, item) <- table.zipWithIndex
+      (cnt, cat) <- row.zipWithIndex
+      _ <- 0 until cnt
+    } yield (item.toLong, s"c$cat")
+    val got = Agreement.fleissKappa(ratings.toDF("item", "category"), r = 14)
+      .as[(Long, Long, Long, Long, Long)].head()
+    // Exact integer replication: A = Σn² − NR, B = NR(R−1), C = ΣS_k²,
+    // D = (NR)², κ_ppm = trunc(10^6 · (AD − BC)/(B(D − C))).
+    val n = BigInt(10); val r = BigInt(14)
+    val sumSq = BigInt(table.flatten.map(c => c * c).sum)
+    val sk = (0 until 5).map(k => BigInt(table.map(_(k)).sum))
+    val a = sumSq - n * r; val b = n * r * (r - 1)
+    val c = sk.map(s => s * s).sum; val d = (n * r) * (n * r)
+    val kappaPpm = ((a * d - b * c) * 1000000) / (b * (d - c))
+    assert(got._1 === 10L && got._2 === 14L)
+    assert(got._3 === (a * 1000000 / b).toLong)        // po_ppm
+    assert(got._4 === (c * 1000000 / d).toLong)        // pe_ppm
+    assert(got._5 === kappaPpm.toLong)
+    // and the published value really is ~0.210
+    assert(got._5 > 200000L && got._5 < 220000L)
+  }
+
+  test("fleissKappa: unanimous panel is exactly 1") {
+    val ratings = (0 until 6).flatMap(i =>
+      Seq.fill(3)((i.toLong, if (i % 2 == 0) "a" else "b")))
+    val got = Agreement.fleissKappa(ratings.toDF("item", "category"), r = 3)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got._3 === 1000000L)     // po_ppm
+    assert(got._5 === 1000000L)     // kappa_ppm
+  }
+}

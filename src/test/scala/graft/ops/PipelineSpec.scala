@@ -186,6 +186,29 @@ class PipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("splitLeakage counts straddling groups; group-keyed split has none") {
+    // Hand-assigned frame: g1 straddles train/test, g2 is clean.
+    val assigned = Seq(
+      (1L, "train"), (1L, "test"), (1L, "train"),
+      (2L, "train"), (2L, "train"))
+      .toDF("user_id", "split")
+    val audit = PipelineOps.splitLeakage(assigned, "user_id")
+      .as[(Long, Long, Long)].head()
+    assert(audit === ((2L, 1L, 2L)))
+    // End to end: hashing the GROUP key makes the audit provably clean,
+    // hashing the row id does not (events per user span hash buckets).
+    val ev = Tables.load(spark, sf, "events")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val grp = PipelineOps.splitLeakage(
+      PipelineOps.assignSplit(ev, "user_id", w), "user_id")
+      .as[(Long, Long, Long)].head()
+    assert(grp._2 === 0L && grp._3 === 1L)
+    val row = PipelineOps.splitLeakage(
+      PipelineOps.assignSplit(ev, "event_id", w), "user_id")
+      .as[(Long, Long, Long)].head()
+    assert(row._2 > 0L, "row-hash split should leak users across splits")
+  }
+
   test("span corruption: sentinels, targets, tail clip, empty doc") {
     val docs = Seq(
       (0L, "a b c d e f g h"),        // starts at p=0 and p=7 (clipped to 1 token)

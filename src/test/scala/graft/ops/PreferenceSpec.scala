@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("single duel reaches the hand-computed MM fixed point") {
+    // A beats B once.  Smoothed: w'_AB = 2, w'_BA = 1, n = 3,
+    // W_A = 2, W_B = 1.  Round 1: inv = (3e12) div 2e6 = 1_500_000 for
+    // both sides, so s_A = 2e12 div 1.5e6 = 1_333_333 and
+    // s_B = 666_666.  Round 2: s_A + s_B = 1_999_999, inv =
+    // floor(3e12 / 1_999_999) = 1_500_000 again — fixed point.
+    val duels = Seq(("A", "B")).toDF("winner", "loser")
+    val got = Preference.bradleyTerry(duels, rounds = 3)
+      .orderBy("item").as[(String, Long, Long)].collect.toSeq
+    assert(got === Seq(("A", 2L, 1333333L), ("B", 1L, 666666L)))
+  }
+
+  test("transitive dominance orders strengths A > B > C") {
+    val duels = (
+      Seq.fill(9)(("A", "B")) ++ Seq.fill(1)(("B", "A")) ++
+      Seq.fill(9)(("B", "C")) ++ Seq.fill(1)(("C", "B")) ++
+      Seq.fill(9)(("A", "C")) ++ Seq.fill(1)(("C", "A"))
+    ).toDF("winner", "loser")
+    val s = Preference.bradleyTerry(duels, rounds = 3)
+      .collect.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(s("A") > s("B") && s("B") > s("C"),
+      s"expected A > B > C, got $s")
+  }
+
+  test("symmetric duels yield equal strengths") {
+    val duels = (Seq.fill(5)(("A", "B")) ++ Seq.fill(5)(("B", "A")))
+      .toDF("winner", "loser")
+    val s = Preference.bradleyTerry(duels, rounds = 3)
+      .collect.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(s("A") === s("B"))
+  }
+
+  test("strengths are invariant to input partitioning and row order") {
+    val duels = (0 until 200).map { i =>
+      val a = s"m${i % 7}"; val b = s"m${(i * 3 + 1) % 7}"
+      if (a != b) (a, b) else (s"m${i % 7}", s"m${(i + 1) % 7}")
+    }.filter(p => p._1 != p._2)
+    val base = Preference.bradleyTerry(
+      duels.toDF("winner", "loser"), rounds = 3)
+      .collect.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val shuffled = Preference.bradleyTerry(
+      scala.util.Random.shuffle(duels).toDF("winner", "loser")
+        .repartition(7), rounds = 3)
+      .collect.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(base === shuffled)
+  }
+}

@@ -64,7 +64,9 @@ class PlanLintSpec extends SparkSpec {
     "q_bootstrap_ci",        // 1-row totals × 1-row CI aggregate folded into the single summary row
     "q_unigram_em",          // 1-row piece-count total cross-joined into the M-step cost projection
     "q_cdc_chunks",          // 1-row totals × 1-row distinct-totals folded into the single summary row
-    "q_domain_reweight")     // LM corpus-total + domain-frame softmax-Z 1-row broadcasts crossed into the weight projection
+    "q_domain_reweight",     // LM corpus-total + domain-frame softmax-Z 1-row broadcasts crossed into the weight projection
+    "q_cohen_kappa",         // 1-row totals × 1-row marginal-product aggregate folded into the single κ row
+    "q_fleiss_kappa")        // 1-row cell aggregate × 1-row category aggregate folded into the single κ row
 
   /** Entries whose unpartitioned window is over an already-aggregated
     * (small) frame, or is the documented global-order requirement.
