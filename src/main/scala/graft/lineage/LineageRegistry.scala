@@ -50,10 +50,12 @@ object LineageRegistry {
       post.output.zip(pre.output).foreach { case (p, b) =>
         val srcs = sources.getOrElse(b.exprId,
           Set.empty[ColumnLineage.SourceColumn])
-        if (srcs.nonEmpty) {
-          byExprId.put(p.exprId.id, srcs)
-          rddId.foreach(id => byRddCol.put((id, p.name), srcs))
-        }
+        // EMPTY sets register too: a count(1)-derived column has no
+        // column sources by the engine's convention, and a checkpoint
+        // must preserve that — skipping it would make the downstream
+        // walk name the checkpoint RDD itself as a phantom source.
+        byExprId.put(p.exprId.id, srcs)
+        rddId.foreach(id => byRddCol.put((id, p.name), srcs))
       }
     } catch { case scala.util.control.NonFatal(_) => }
 

@@ -27,4 +27,17 @@ private[graft] object CacheScope {
     caches.foreach(_.unpersist(false))
     out
   }
+
+  /** A lineage-captured `localCheckpoint` with no cache release — for
+    * iterative ops that cut plan lineage each round (PageRank-style
+    * loops): the registry capture lets column lineage chain through
+    * every round's LogicalRDD instead of dead-ending at the first.
+    * `eager = false` keeps the per-round lazy-materialization contract
+    * (capture only reads the analyzed plans, never runs a job). */
+  def traced(result: DataFrame, eager: Boolean = true): DataFrame = {
+    val out = result.localCheckpoint(eager)
+    graft.lineage.LineageRegistry.capture(
+      result.queryExecution.analyzed, out.queryExecution.analyzed)
+    out
+  }
 }

@@ -34,7 +34,7 @@ object GraphOps {
     // (observed 3.5x on the trade-graph gate).  At scale this is the
     // "persist the edge list, iterate over it" contract every
     // distributed PageRank assumes.
-    val eMat = edges.localCheckpoint()
+    val eMat = CacheScope.traced(edges)
     val outW = eMat.groupBy("src").agg(sum("w").as("w_out"))
     val nodes = eMat.select(col("src").as("node"))
       .union(eMat.select(col("dst").as("node"))).distinct()
@@ -46,17 +46,20 @@ object GraphOps {
         .select(col("dst"),
           floor(col("rank_micro") * col("w") / col("w_out")).cast("long").as("c"))
         .groupBy("dst").agg(sum("c").cast("long").as("in_micro"))
-      ranks = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
-        .select(col("node"),
-          (lit(150000L) + floor(coalesce(col("in_micro"), lit(0L)) * 85 / 100)
-            .cast("long")).as("rank_micro"))
-        // cut lineage each round: without this the plan chains k joins,
-        // analysis cost grows per iteration and any action recomputes
-        // every earlier round (same reason Bpe.learnMerges checkpoints).
-        // LAZY checkpoint: eager would run one job per iteration just
-        // to materialize a node-sized frame — the final action
-        // materializes the chain once, and each round still caches.
-        .localCheckpoint(false)
+      // cut plan lineage each round: without this the plan chains k
+      // joins, analysis cost grows per iteration and any action
+      // recomputes every earlier round (same reason Bpe.learnMerges
+      // checkpoints).  LAZY checkpoint: eager would run one job per
+      // iteration just to materialize a node-sized frame — the final
+      // action materializes the chain once, and each round still
+      // caches.  `traced` keeps column lineage chaining through every
+      // round's LogicalRDD.
+      ranks = CacheScope.traced(
+        nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+          .select(col("node"),
+            (lit(150000L) + floor(coalesce(col("in_micro"), lit(0L)) * 85 / 100)
+              .cast("long")).as("rank_micro")),
+        eager = false)
     }
     ranks
   }

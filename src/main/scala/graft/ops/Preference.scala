@@ -47,20 +47,20 @@ object Preference {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     // One aggregation collapses the (possibly huge) duel log to the
     // bounded ordered-pair table; everything after iterates over pairs.
-    val wDir = duels
+    // duels is typically an expensive upstream join; the pair table is
+    // consumed by the smoothing union, the win totals and every MM
+    // round — materialize it once (the PageRank edge contract).  All
+    // checkpoints go through the lineage-captured helper so the final
+    // strengths still trace to the duel columns.
+    val wDir = CacheScope.traced(duels
       .groupBy(col("winner").as("a"), col("loser").as("b"))
-      .agg(count(lit(1)).as("w"))
-      // duels is typically an expensive upstream join; the pair table
-      // is consumed by the smoothing union, the win totals and every
-      // MM round — materialize it once (the PageRank edge contract).
-      .localCheckpoint()
+      .agg(count(lit(1)).as("w")))
     // Smoothed directed wins: +1 in both directions of every observed
     // pair (zero-filled via the reversed union so unseen directions
     // still get their pseudo-win).
-    val wSm = wDir.select(col("a"), col("b"), col("w"))
+    val wSm = CacheScope.traced(wDir.select(col("a"), col("b"), col("w"))
       .union(wDir.select(col("b").as("a"), col("a").as("b"), lit(0L).as("w")))
-      .groupBy("a", "b").agg((sum("w") + 1L).as("w"))
-      .localCheckpoint()
+      .groupBy("a", "b").agg((sum("w") + 1L).as("w")))
     // Pair totals n_ab = w'_ab + w'_ba: self-join on the reversed key —
     // both directions exist by construction, so an inner join is total.
     val rev = wSm.select(col("a").as("rb"), col("b").as("ra"), col("w").as("wr"))
@@ -81,13 +81,13 @@ object Preference {
         .select(col("a"), expr(
           "(CAST(n AS DECIMAL(38,0)) * 1000000000000) div (s_a + s_b)").as("inv"))
         .groupBy("a").agg(sum("inv").as("d"))
-      s = wins.join(d, col("item") === col("a"))
+      // cut plan lineage per round — same contract as PageRank: without
+      // it the plan chains 2 joins per round and any action replays all
+      // earlier rounds.  Lazy: the final action materializes once.
+      s = CacheScope.traced(wins.join(d, col("item") === col("a"))
         .select(col("item"), expr(
-          "(CAST(wins AS DECIMAL(38,0)) * 1000000000000) div d").as("s"))
-        // cut lineage per round — same contract as PageRank: without it
-        // the plan chains 2 joins per round and any action replays all
-        // earlier rounds.  Lazy: the final action materializes once.
-        .localCheckpoint(false)
+          "(CAST(wins AS DECIMAL(38,0)) * 1000000000000) div d").as("s")),
+        eager = false)
     }
     wins.join(s, "item")
       .select(col("item"), col("wins").cast("long").as("wins"),

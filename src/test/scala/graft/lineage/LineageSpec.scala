@@ -344,4 +344,40 @@ class LineageSpec extends SparkSpec {
     assert(g("walk_id").map(_.column) == Set("_1"),
       s"walk ids derive from start nodes: ${g("walk_id")}")
   }
+
+  test("ops-layer checkpoint CHAIN: Bradley-Terry strengths trace " +
+      "through every MM round's lazy checkpoint") {
+    // bradleyTerry checkpoints the pair table once and the score table
+    // after EACH of the 3 MM rounds (all lazy) — the final strengths
+    // must still resolve to the duel columns four LogicalRDD hops up.
+    val duels = Seq(("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"))
+      .toDF("winner", "loser")
+    val g = ColumnLineage.of(graft.ops.Preference.bradleyTerry(duels, 3))
+    // item flows from both sides of the smoothing union (_1 = winner,
+    // _2 = loser); wins/strengths are count(1)-derived, so by the
+    // engine's convention they have NO column sources — and the
+    // checkpoint chain must preserve that rather than leak a phantom
+    // LogicalRDD source (the registry registers empty sets too).
+    assert(g("item").map(_.column) == Set("_1", "_2"),
+      s"items come from both duel columns: ${g("item")}")
+    assert(g("wins").isEmpty,
+      s"wins are pure duel counts — no column sources: ${g("wins")}")
+    assert(g("strength_micro").isEmpty,
+      s"strengths derive only from counts, through the MM chain: " +
+        s"${g("strength_micro")}")
+  }
+
+  test("ops-layer checkpoint CHAIN: PageRank ranks trace the edge " +
+      "weights through every iteration's lazy checkpoint") {
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L))
+      .toDF("src", "dst", "w")
+    val g = ColumnLineage.of(graft.ops.GraphOps.pageRank(edges, 3))
+    // contribution = floor(rank·w / w_out): every iteration folds the
+    // weight column (_3) in; node ids come from both endpoints.
+    assert(g("node").map(_.column) == Set("_1", "_2"),
+      s"nodes come from both edge endpoints: ${g("node")}")
+    assert(g("rank_micro").map(_.column) == Set("_3"),
+      s"ranks derive from the weights through the iteration chain: " +
+        s"${g("rank_micro")}")
+  }
 }

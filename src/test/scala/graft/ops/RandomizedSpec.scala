@@ -411,4 +411,77 @@ class RandomizedSpec extends SparkSpec {
       }
     }
   }
+
+  test("bradleyTerry == local BigInt MM replay on random duel logs (3 seeds)") {
+    val T = BigInt("1000000000000")
+    for (seed <- Seq(3, 17, 42)) {
+      val rnd = new Random(seed)
+      val items = (0 until 4 + rnd.nextInt(6)).map(i => s"m$i")
+      val duels = Seq.fill(150 + rnd.nextInt(150)) {
+        val a = items(rnd.nextInt(items.size))
+        var b = items(rnd.nextInt(items.size))
+        while (b == a) b = items(rnd.nextInt(items.size))
+        (a, b)
+      }
+      // exact replay: add-one smoothing over observed pairs, then 3 MM
+      // rounds of truncating integer division (BigInt / == div here:
+      // every operand is positive).
+      val wdir = duels.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val observed = wdir.keySet.flatMap { case (a, b) => Set((a, b), (b, a)) }
+      val wsm = observed.map(p => p -> (wdir.getOrElse(p, 0L) + 1L)).toMap
+      val n = wsm.map { case ((a, b), w) => (a, b) -> (w + wsm((b, a))) }
+      val present = wsm.keySet.map(_._1)
+      val wins = present.map(i =>
+        i -> wsm.collect { case ((a, _), w) if a == i => w }.sum).toMap
+      var s = present.map(i => i -> BigInt(1000000)).toMap
+      for (_ <- 1 to 3) {
+        // .toSeq before collect: keySet is a Set, and collecting the
+        // inverse terms through a Set would dedup EQUAL terms pre-sum.
+        val d = present.map(i => i -> wsm.keySet.toSeq.collect {
+          case (a, b) if a == i => (BigInt(n((a, b))) * T) / (s(a) + s(b))
+        }.sum).toMap
+        s = present.map(i => i -> (BigInt(wins(i)) * T) / d(i)).toMap
+      }
+      val want = present.map(i => (i, wins(i), s(i).toLong)).toSet
+      val got = Preference.bradleyTerry(duels.toDF("winner", "loser"), 3)
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("cohen/fleiss kappa == local BigInt arithmetic on random labels (3 seeds)") {
+    for (seed <- Seq(5, 23, 61)) {
+      val rnd = new Random(seed)
+      val cats = Seq("a", "b", "c")
+      val pairs = Seq.fill(200 + rnd.nextInt(200))(
+        (cats(rnd.nextInt(3)), cats(rnd.nextInt(3))))
+      def trunc(num: BigInt, den: BigInt): Long =
+        (if (num < 0) -((-num * 1000000) / den) else (num * 1000000) / den)
+          .toLong
+      val n = BigInt(pairs.size)
+      val agree = BigInt(pairs.count(p => p._1 == p._2))
+      val peNum = cats.map(k => BigInt(pairs.count(_._1 == k)) *
+        BigInt(pairs.count(_._2 == k))).sum
+      val gotC = Agreement.cohenKappa(pairs.toDF("labelA", "labelB"))
+        .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+      assert(gotC === ((n.toLong, agree.toLong,
+        trunc(agree, n), trunc(peNum, n * n),
+        (n * agree - peNum).toLong, (n * n - peNum).toLong,
+        trunc(n * agree - peNum, n * n - peNum))), s"cohen seed=$seed")
+
+      val r = 2 + rnd.nextInt(4)
+      val nItems = 30 + rnd.nextInt(50)
+      val ratings = for (i <- 0 until nItems; _ <- 0 until r)
+        yield (i.toLong, cats(rnd.nextInt(3)))
+      val nik = ratings.groupBy(identity).view.mapValues(_.size).toMap
+      val a = BigInt(nik.values.map(c => c * c).sum) - nItems * r
+      val b = BigInt(nItems) * r * (r - 1)
+      val c = cats.map(k => BigInt(ratings.count(_._2 == k))).map(x => x * x).sum
+      val d = BigInt(nItems) * r * nItems * r
+      val gotF = Agreement.fleissKappa(ratings.toDF("item", "category"), r)
+        .as[(Long, Long, Long, Long, Long)].head()
+      assert(gotF === ((nItems.toLong, r.toLong, trunc(a, b), trunc(c, d),
+        trunc(a * d - b * c, b * (d - c)))), s"fleiss seed=$seed r=$r")
+    }
+  }
 }
