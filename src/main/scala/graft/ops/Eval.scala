@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Classifier evaluation — the model-quality gate a pipeline runs on
+  * its quality/toxicity/language filters before trusting them to
+  * curate data.  Complements [[Retrieval]]'s ranking metrics
+  * (recall@k / MRR / nDCG) with the supervised side: confusion counts,
+  * precision/recall/F1, exact AUC, and expected calibration error.
+  *
+  * Everything is integer-exact, so the whole report is bit-identical
+  * under any partitioning and directly oracle-checkable:
+  *
+  *  - AUC is the tie-corrected Mann–Whitney statistic the engine
+  *    already computes exactly ([[Drift.rankSumU]]'s integer 2U over
+  *    the merged distinct-score frame): AUC = U / (P·N), reported as
+  *    `u2·10^6 div (2·P·N)`.  No trapezoid sweep, no float ranks.
+  *  - ECE over B equal-width probability bins telescopes to
+  *    `Σ_b |Σp − 10^6·pos_b| div N` in micro-units — the per-bin
+  *    |confidence − accuracy| times n_b is an exact integer before
+  *    any division.
+  *
+  * Scale shape: one pass for the confusion row (map-side-combined
+  * aggregation), one distinct-value aggregation for AUC (shuffle
+  * bounded by score cardinality, never row count), one B-row
+  * aggregation for ECE; the three 1-row results cross-join into the
+  * single report row.
+  */
+object Eval {
+
+  /** Evaluate micro-unit probability scores against boolean labels.
+    *
+    * `probCol` must be an integer micro-unit probability in
+    * [0, 1_000_000] (squash an unbounded score upstream — a clamped
+    * affine map keeps everything integer); `labelCol` boolean.  Rows
+    * with a null score or label are dropped.  Both classes must be
+    * present for AUC (reported as -1 when one is empty, as are the
+    * P/R/F1 ratios when their denominator is zero — a sentinel, never
+    * a divide-by-zero).
+    *
+    * @return one row: (n, n_pos, tp, fp, tn, fn, precision_ppm,
+    *         recall_ppm, f1_ppm, auc_ppm, ece_ppm)
+    */
+  def classifierEval(scored: DataFrame, probCol: String, labelCol: String,
+      thresholdMicro: Long, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins out of range: $bins")
+    require(thresholdMicro >= 0L && thresholdMicro <= 1000000L,
+      s"thresholdMicro out of range: $thresholdMicro")
+    val base = scored
+      .select(col(probCol).cast("long").as("__p"),
+        col(labelCol).cast("boolean").as("__y"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+    val conf = base.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("__y") && col("__p") >= thresholdMicro, 1L)
+        .otherwise(0L)).as("tp"),
+      sum(when(!col("__y") && col("__p") >= thresholdMicro, 1L)
+        .otherwise(0L)).as("fp"),
+      sum(when(!col("__y") && col("__p") < thresholdMicro, 1L)
+        .otherwise(0L)).as("tn"),
+      sum(when(col("__y") && col("__p") < thresholdMicro, 1L)
+        .otherwise(0L)).as("fn"))
+    val auc = Drift
+      .rankSumU(base.filter(col("__y")), base.filter(!col("__y")), "__p")
+      .selectExpr(
+        "CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+          "(CAST(u2 AS DECIMAL(38,0)) * 1000000) div " +
+          "(CAST(2 AS DECIMAL(38,0)) * n_a * n_b) " +
+          "ELSE -1 END AS BIGINT) AS auc_ppm")
+    val ece = base
+      .selectExpr(s"least((__p * $bins) div 1000000, ${bins - 1}) AS __b",
+        "__p", "__y")
+      .groupBy("__b").agg(
+        count(lit(1)).as("nb"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("pb"),
+        sum(col("__p")).as("sp"))
+      .agg(sum(expr(
+        "abs(CAST(sp AS DECIMAL(38,0)) - CAST(pb AS DECIMAL(38,0)) * 1000000)"))
+        .as("num"), sum("nb").as("den"))
+      .selectExpr("CAST(num div den AS BIGINT) AS ece_ppm")
+    conf.crossJoin(auc).crossJoin(ece).selectExpr(
+      "CAST(n AS BIGINT) AS n",
+      "CAST(n_pos AS BIGINT) AS n_pos",
+      "CAST(tp AS BIGINT) AS tp", "CAST(fp AS BIGINT) AS fp",
+      "CAST(tn AS BIGINT) AS tn", "CAST(fn AS BIGINT) AS fn",
+      "CAST(CASE WHEN tp + fp > 0 THEN " +
+        "(CAST(tp AS DECIMAL(38,0)) * 1000000) div (tp + fp) " +
+        "ELSE -1 END AS BIGINT) AS precision_ppm",
+      "CAST(CASE WHEN tp + fn > 0 THEN " +
+        "(CAST(tp AS DECIMAL(38,0)) * 1000000) div (tp + fn) " +
+        "ELSE -1 END AS BIGINT) AS recall_ppm",
+      "CAST(CASE WHEN 2 * tp + fp + fn > 0 THEN " +
+        "(CAST(tp AS DECIMAL(38,0)) * 2000000) div (2 * tp + fp + fn) " +
+        "ELSE -1 END AS BIGINT) AS f1_ppm",
+      "auc_ppm", "ece_ppm")
+  }
+}

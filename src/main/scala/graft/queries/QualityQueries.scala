@@ -71,6 +71,26 @@ object QualityQueries {
       val docs = Tables.load(s, dir, "documents")
       Classifier.linearScore(docs, "doc_id", "text", buckets = 4096)
         .orderBy(col("doc_id")).limit(200)
+    },
+
+    // Supervised evaluation of the quality classifier against the
+    // is-English label: confusion row at p >= 0.5, exact rank-based
+    // AUC (Mann-Whitney 2U), 10-bin ECE — the model-quality report a
+    // pipeline reads before trusting a filter to curate data.  The raw
+    // score squashes to a [0, 1e6] micro-probability by a clamped
+    // affine map (integer-exact on both engines).
+    "q_classifier_eval" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val scored = graft.ops.Classifier
+        .linearScore(docs, "doc_id", "text", buckets = 4096)
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+          "doc_id")
+        .selectExpr(
+          "(least(greatest(score_micro, -1000000), 1000000) + 1000000) div 2" +
+            " AS p_micro",
+          "is_en")
+      graft.ops.Eval.classifierEval(scored, "p_micro", "is_en",
+        thresholdMicro = 500000L, bins = 10)
     })
 
   val oracle: Map[String, String] = Map(
@@ -196,5 +216,70 @@ object QualityQueries {
         |  coalesce(a.score_micro, 0) AS score_micro,
         |  coalesce(a.score_micro, 0) > 0 AS keep
         |FROM documents d LEFT JOIN agg a USING (doc_id)
-        |ORDER BY doc_id LIMIT 200""".stripMargin)
+        |ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "q_classifier_eval" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_reduce(
+        |    [CAST(0 AS BIGINT)] || list_transform(
+        |      regexp_extract_all(tok, '.'), c -> CAST(ord(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000003) AS hh
+        |  FROM toks),
+        |w AS (
+        |  SELECT doc_id,
+        |    ((hh % 4096) * 2654435761) % 4294967296 % 2000001 - 1000000 AS wt
+        |  FROM h),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score_micro
+        |  FROM w GROUP BY doc_id),
+        |p AS (
+        |  SELECT (least(greatest(coalesce(a.score_micro, 0), -1000000),
+        |            1000000) + 1000000) // 2 AS p,
+        |    (d.lang = 'en') AS y
+        |  FROM documents d LEFT JOIN agg a USING (doc_id)
+        |  WHERE d.lang IS NOT NULL),
+        |conf AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN y AND p >= 500000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN NOT y AND p >= 500000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN NOT y AND p < 500000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tn,
+        |    CAST(sum(CASE WHEN y AND p < 500000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fn
+        |  FROM p),
+        |cnt AS (SELECT p AS v,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN y THEN 0 ELSE 1 END) AS cb
+        |  FROM p GROUP BY 1),
+        |r AS (SELECT ca, cb,
+        |    coalesce(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS fbb
+        |  FROM cnt),
+        |u AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b,
+        |    CAST(sum(ca * (fbb * 2 + cb)) AS BIGINT) AS u2 FROM r),
+        |b AS (SELECT least((p * 10) // 1000000, 9) AS bin, count(*) AS nb,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS pb, sum(p) AS sp
+        |  FROM p GROUP BY 1),
+        |e AS (SELECT CAST(sum(abs(CAST(sp AS HUGEINT)
+        |      - CAST(pb AS HUGEINT) * 1000000)) // sum(nb) AS BIGINT)
+        |    AS ece_ppm FROM b)
+        |SELECT n, n_pos, tp, fp, tn, fn,
+        |  CAST(CASE WHEN tp + fp > 0 THEN (CAST(tp AS HUGEINT) * 1000000)
+        |    // (tp + fp) ELSE -1 END AS BIGINT) AS precision_ppm,
+        |  CAST(CASE WHEN tp + fn > 0 THEN (CAST(tp AS HUGEINT) * 1000000)
+        |    // (tp + fn) ELSE -1 END AS BIGINT) AS recall_ppm,
+        |  CAST(CASE WHEN 2 * tp + fp + fn > 0 THEN
+        |    (CAST(tp AS HUGEINT) * 2000000) // (2 * tp + fp + fn)
+        |    ELSE -1 END AS BIGINT) AS f1_ppm,
+        |  CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    (CAST(u2 AS HUGEINT) * 1000000) // (CAST(2 AS HUGEINT) * n_a * n_b)
+        |    ELSE -1 END AS BIGINT) AS auc_ppm,
+        |  ece_ppm
+        |FROM conf, u, e""".stripMargin)
 }

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eval(rows: Seq[(Long, Boolean)]) =
+    Eval.classifierEval(rows.toDF("p", "y"), "p", "y",
+        thresholdMicro = 500000L, bins = 10)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .head()
+
+  test("perfect separation: P=R=F1=AUC=1, ECE=0") {
+    val got = eval(Seq((1000000L, true), (1000000L, true), (0L, false)))
+    assert(got === ((3L, 2L, 2L, 0L, 1L, 0L,
+      1000000L, 1000000L, 1000000L, 1000000L, 0L)))
+  }
+
+  test("hand-computed four-row case: tied AUC pair, exact ECE bins") {
+    // (700000,T) (700000,F) (300000,T) (100000,F):
+    // confusion at 0.5: tp=1 fp=1 tn=1 fn=1 → P=R=F1=0.5.
+    // U = 0.5 (tie) + 1 + 0 + 1 = 2.5 of 4 pairs → AUC = 0.625.
+    // ECE bins: b7 |1400000−1000000| + b3 |300000−1000000| +
+    //           b1 |100000−0| = 1200000 over n=4 → 300000.
+    val got = eval(Seq((700000L, true), (700000L, false),
+      (300000L, true), (100000L, false)))
+    assert(got === ((4L, 2L, 1L, 1L, 1L, 1L,
+      500000L, 500000L, 500000L, 625000L, 300000L)))
+  }
+
+  test("degenerate cases report -1 sentinels, never divide by zero") {
+    // single class → AUC = -1; nothing predicted positive → P = -1
+    val got = eval(Seq((100000L, true), (200000L, true)))
+    assert(got._7 === -1L, s"precision sentinel: $got")   // tp+fp = 0
+    assert(got._10 === -1L, s"auc sentinel: $got")        // n_b = 0
+    assert(got._8 === 0L && got._9 === 0L)                // recall/f1 = 0
+  }
+
+  test("AUC equals the closed form on a random score set (2 seeds)") {
+    for (seed <- Seq(9, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.fill(300)(
+        (rnd.nextInt(21).toLong * 50000L, rnd.nextBoolean()))
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      val u2 = pos.map(p => 2L * neg.count(_ < p) + neg.count(_ == p)).sum
+      val want = (BigInt(u2) * 1000000 /
+        (BigInt(2) * pos.size * neg.size)).toLong
+      assert(eval(rows)._10 === want, s"seed=$seed")
+    }
+  }
+}

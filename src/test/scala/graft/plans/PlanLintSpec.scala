@@ -66,7 +66,8 @@ class PlanLintSpec extends SparkSpec {
     "q_cdc_chunks",          // 1-row totals × 1-row distinct-totals folded into the single summary row
     "q_domain_reweight",     // LM corpus-total + domain-frame softmax-Z 1-row broadcasts crossed into the weight projection
     "q_cohen_kappa",         // 1-row totals × 1-row marginal-product aggregate folded into the single κ row
-    "q_fleiss_kappa")        // 1-row cell aggregate × 1-row category aggregate folded into the single κ row
+    "q_fleiss_kappa",        // 1-row cell aggregate × 1-row category aggregate folded into the single κ row
+    "q_classifier_eval")     // 1-row confusion × 1-row AUC × 1-row ECE folded into the single report row
 
   /** Entries whose unpartitioned window is over an already-aggregated
     * (small) frame, or is the documented global-order requirement.
