@@ -96,4 +96,46 @@ object Eval {
         "ELSE -1 END AS BIGINT) AS f1_ppm",
       "auc_ppm", "ece_ppm")
   }
+
+  /** Precision–recall curve over every distinct score threshold — the
+    * artifact a pipeline reads to PICK the filter threshold the
+    * confusion row then reports at.
+    *
+    * One aggregation collapses the row count to the distinct-score
+    * frame (ca/cb per score); cumulative tp/fp at each threshold are
+    * window sums over that ALREADY-AGGREGATED frame (score-cardinality
+    * rows, never fact rows — same bound as [[Drift.rankSumU]]), so the
+    * sweep costs one shuffle regardless of corpus size.  All ratios
+    * are exact integral ppm.
+    *
+    * @return (threshold_micro, tp, fp, precision_ppm, recall_ppm),
+    *         descending thresholds; `recall_ppm` is -1 when there are
+    *         no positive labels at all.
+    */
+  def prCurve(scored: DataFrame, probCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = scored
+      .select(col(probCol).cast("long").as("__p"),
+        col(labelCol).cast("boolean").as("__y"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+    val cnt = base.groupBy(col("__p").as("threshold_micro")).agg(
+      sum(when(col("__y"), 1L).otherwise(0L)).as("__ca"),
+      sum(when(col("__y"), 0L).otherwise(1L)).as("__cb"))
+    val cum = Window.orderBy(col("threshold_micro").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("threshold_micro"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cnt
+      .withColumn("tp", sum(col("__ca")).over(cum).cast("long"))
+      .withColumn("fp", sum(col("__cb")).over(cum).cast("long"))
+      .withColumn("__pos", sum(col("__ca")).over(all).cast("long"))
+      .selectExpr("threshold_micro", "tp", "fp",
+        "CAST((CAST(tp AS DECIMAL(38,0)) * 1000000) div (tp + fp) AS BIGINT)" +
+          " AS precision_ppm",
+        "CAST(CASE WHEN __pos > 0 THEN " +
+          "(CAST(tp AS DECIMAL(38,0)) * 1000000) div __pos " +
+          "ELSE -1 END AS BIGINT) AS recall_ppm")
+      .orderBy(col("threshold_micro").desc)
+  }
 }

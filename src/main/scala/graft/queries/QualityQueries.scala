@@ -91,6 +91,22 @@ object QualityQueries {
           "is_en")
       graft.ops.Eval.classifierEval(scored, "p_micro", "is_en",
         thresholdMicro = 500000L, bins = 10)
+    },
+
+    // The threshold-picking artifact: exact precision/recall at EVERY
+    // distinct score threshold, swept in one window pass over the
+    // distinct-score frame.
+    "q_pr_curve" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val scored = graft.ops.Classifier
+        .linearScore(docs, "doc_id", "text", buckets = 4096)
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+          "doc_id")
+        .selectExpr(
+          "(least(greatest(score_micro, -1000000), 1000000) + 1000000) div 2" +
+            " AS p_micro",
+          "is_en")
+      graft.ops.Eval.prCurve(scored, "p_micro", "is_en")
     })
 
   val oracle: Map[String, String] = Map(
@@ -281,5 +297,47 @@ object QualityQueries {
         |    (CAST(u2 AS HUGEINT) * 1000000) // (CAST(2 AS HUGEINT) * n_a * n_b)
         |    ELSE -1 END AS BIGINT) AS auc_ppm,
         |  ece_ppm
-        |FROM conf, u, e""".stripMargin)
+        |FROM conf, u, e""".stripMargin,
+
+    "q_pr_curve" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_reduce(
+        |    [CAST(0 AS BIGINT)] || list_transform(
+        |      regexp_extract_all(tok, '.'), c -> CAST(ord(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000003) AS hh
+        |  FROM toks),
+        |w AS (
+        |  SELECT doc_id,
+        |    ((hh % 4096) * 2654435761) % 4294967296 % 2000001 - 1000000 AS wt
+        |  FROM h),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score_micro
+        |  FROM w GROUP BY doc_id),
+        |p AS (
+        |  SELECT (least(greatest(coalesce(a.score_micro, 0), -1000000),
+        |            1000000) + 1000000) // 2 AS p,
+        |    (d.lang = 'en') AS y
+        |  FROM documents d LEFT JOIN agg a USING (doc_id)
+        |  WHERE d.lang IS NOT NULL),
+        |cnt AS (SELECT p AS threshold_micro,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN y THEN 0 ELSE 1 END) AS cb
+        |  FROM p GROUP BY 1),
+        |c2 AS (SELECT threshold_micro,
+        |    CAST(sum(ca) OVER (ORDER BY threshold_micro DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS tp,
+        |    CAST(sum(cb) OVER (ORDER BY threshold_micro DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS fp,
+        |    CAST(sum(ca) OVER () AS BIGINT) AS pos
+        |  FROM cnt)
+        |SELECT threshold_micro, tp, fp,
+        |  CAST((CAST(tp AS HUGEINT) * 1000000) // (tp + fp) AS BIGINT)
+        |    AS precision_ppm,
+        |  CAST(CASE WHEN pos > 0 THEN (CAST(tp AS HUGEINT) * 1000000) // pos
+        |    ELSE -1 END AS BIGINT) AS recall_ppm
+        |FROM c2 ORDER BY threshold_micro DESC""".stripMargin)
 }

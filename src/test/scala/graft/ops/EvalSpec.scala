@@ -37,6 +37,28 @@ class EvalSpec extends SparkSpec {
     assert(got._8 === 0L && got._9 === 0L)                // recall/f1 = 0
   }
 
+  test("prCurve: hand-computed sweep, monotone tp, recall ends at 1") {
+    // scores desc: 900000(T) 700000(F) 700000(T) 300000(F):
+    //   t=900000: tp=1 fp=0 → P=1,       R=1/2
+    //   t=700000: tp=2 fp=1 → P=2/3,     R=1
+    //   t=300000: tp=2 fp=2 → P=1/2,     R=1
+    val got = Eval.prCurve(Seq((900000L, true), (700000L, false),
+        (700000L, true), (300000L, false)).toDF("p", "y"), "p", "y")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (900000L, 1L, 0L, 1000000L, 500000L),
+      (700000L, 2L, 1L, 666666L, 1000000L),
+      (300000L, 2L, 2L, 500000L, 1000000L)))
+  }
+
+  test("prCurve: no positives reports -1 recall at every threshold") {
+    val got = Eval.prCurve(Seq((800000L, false), (200000L, false))
+        .toDF("p", "y"), "p", "y")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._5).forall(_ == -1L), s"$got")
+    assert(got.map(_._4).forall(_ == 0L), "precision 0 with tp = 0")
+  }
+
   test("AUC equals the closed form on a random score set (2 seeds)") {
     for (seed <- Seq(9, 31)) {
       val rnd = new scala.util.Random(seed)
