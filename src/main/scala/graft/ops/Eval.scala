@@ -47,10 +47,16 @@ object Eval {
     require(bins >= 2 && bins <= 1000, s"bins out of range: $bins")
     require(thresholdMicro >= 0L && thresholdMicro <= 1000000L,
       s"thresholdMicro out of range: $thresholdMicro")
-    val base = scored
+    // Four consumers read the (score, label) projection — the confusion
+    // row, BOTH rankSumU sides, and the ECE bins — and `scored` is
+    // typically an expensive scoring expression (a per-character fold
+    // in the quality-classifier gate).  Materialize the 9-byte-per-row
+    // projection once instead of re-scoring the corpus four times;
+    // lineage still traces through via the captured checkpoint.
+    val base = CacheScope.traced(scored
       .select(col(probCol).cast("long").as("__p"),
         col(labelCol).cast("boolean").as("__y"))
-      .filter(col("__p").isNotNull && col("__y").isNotNull)
+      .filter(col("__p").isNotNull && col("__y").isNotNull))
     val conf = base.agg(
       count(lit(1)).as("n"),
       sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
