@@ -32,16 +32,20 @@ object Agreement {
 
   /** Cohen's κ for two raters labelling the same items.
     *
-    * `labelled` must have (labelA, labelB) columns — one row per item,
-    * both labels non-null (filter upstream; a null label is a missing
-    * rating, not a category).  Returns one row: n, n_agree, po_ppm,
+    * `labelled` must have (labelA, labelB) columns — one row per item.
+    * Rows with a null label are dropped (a null is a missing rating,
+    * not a category).  Returns one row: n, n_agree, po_ppm,
     * pe_ppm, kappa_num = n·agree − Σ_k a_k·b_k, kappa_den = n² − Σ_k
     * a_k·b_k, kappa_ppm.
     */
   def cohenKappa(labelled: DataFrame): DataFrame = {
     // (labelA, labelB) contingency cells — the only shuffle over the
-    // item-sized input; everything after is over k² cells.
+    // item-sized input; everything after is over k² cells.  Null labels
+    // are missing ratings, not categories: dropped HERE so n/agree and
+    // the marginals stay consistent (a null cell would count toward n
+    // but silently vanish from the inner marginal join).
     val cells = labelled
+      .filter(col("labelA").isNotNull && col("labelB").isNotNull)
       .groupBy(col("labelA"), col("labelB")).agg(count(lit(1)).as("c"))
     // Marginal products Σ_k a_k·b_k via a label-keyed self-join of the
     // two marginal vectors (k rows each).
@@ -83,7 +87,13 @@ object Agreement {
   def fleissKappa(ratings: DataFrame, r: Int): DataFrame = {
     require(r >= 2, s"need at least 2 raters per item, got $r")
     // item×category counts n_ik — the one shuffle over the rating log.
-    val nik = ratings.groupBy(col("item"), col("category"))
+    // A null category is a missing rating (dropping it would break the
+    // exactly-r panel contract for that item, so fail the contract
+    // upstream rather than skew Po here): filtered for consistency
+    // with cohenKappa.
+    val nik = ratings
+      .filter(col("item").isNotNull && col("category").isNotNull)
+      .groupBy(col("item"), col("category"))
       .agg(count(lit(1)).as("n_ik"))
     // Σ_ik n_ik² and N from one pass over the cells.
     val sq = nik.agg(

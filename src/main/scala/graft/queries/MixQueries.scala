@@ -548,7 +548,7 @@ object MixQueries {
         |    string_agg(substr(event_type, 1, 1), ''
         |      ORDER BY ts, event_id) AS seq
         |  FROM events GROUP BY 1)
-        |SELECT user_id, CAST(strlen(seq) AS BIGINT) AS seq_len,
+        |SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
         |  CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS BIGINT)
         |    AS n_matches
         |FROM s ORDER BY user_id""".stripMargin,
@@ -619,7 +619,7 @@ object MixQueries {
         |  SELECT user_id, props AS longest_props FROM (
         |    SELECT user_id, props, row_number() OVER (
         |      PARTITION BY user_id
-        |      ORDER BY strlen(props) DESC, props DESC) AS rn
+        |      ORDER BY length(props) DESC, props DESC) AS rn
         |    FROM events WHERE props IS NOT NULL) WHERE rn = 1),
         |mx AS (SELECT user_id, max(value) AS max_value
         |       FROM events GROUP BY 1),
