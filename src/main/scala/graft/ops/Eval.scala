@@ -103,6 +103,40 @@ object Eval {
       "auc_ppm", "ece_ppm")
   }
 
+  /** Reliability table — the per-bin view the scalar ECE summarizes:
+    * for each of B equal-width probability bins, the support, positive
+    * count, mean confidence, empirical accuracy, and the signed
+    * confidence−accuracy gap (all exact integral ppm; the gap uses the
+    * same sign-split division as [[Agreement]] so over- and
+    * under-confident bins never hit floor-vs-trunc divergence).  One
+    * map-side-combined aggregation to B rows.
+    */
+  def calibrationBins(scored: DataFrame, probCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins out of range: $bins")
+    scored
+      .select(col(probCol).cast("long").as("__p"),
+        col(labelCol).cast("boolean").as("__y"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+      .selectExpr(s"least((__p * $bins) div 1000000, ${bins - 1}) AS bin",
+        "__p", "__y")
+      .groupBy("bin").agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).cast("long").as("n_pos"),
+        sum(col("__p")).as("__sp"))
+      .selectExpr("bin", "n", "n_pos",
+        "CAST((CAST(__sp AS DECIMAL(38,0))) div n AS BIGINT) AS conf_ppm",
+        "CAST((CAST(n_pos AS DECIMAL(38,0)) * 1000000) div n AS BIGINT)" +
+          " AS acc_ppm",
+        "CAST(CASE WHEN CAST(__sp AS DECIMAL(38,0)) " +
+          "- CAST(n_pos AS DECIMAL(38,0)) * 1000000 < 0 THEN " +
+          "-((CAST(n_pos AS DECIMAL(38,0)) * 1000000 - __sp) div n) " +
+          "ELSE (CAST(__sp AS DECIMAL(38,0)) " +
+          "- CAST(n_pos AS DECIMAL(38,0)) * 1000000) div n " +
+          "END AS BIGINT) AS gap_ppm")
+      .orderBy("bin")
+  }
+
   /** Precision–recall curve over every distinct score threshold — the
     * artifact a pipeline reads to PICK the filter threshold the
     * confusion row then reports at.

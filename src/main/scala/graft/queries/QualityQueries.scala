@@ -107,6 +107,22 @@ object QualityQueries {
             " AS p_micro",
           "is_en")
       graft.ops.Eval.prCurve(scored, "p_micro", "is_en")
+    },
+
+    // The per-bin reliability table behind the scalar ECE: support,
+    // mean confidence, empirical accuracy, and the SIGNED gap per
+    // probability decile.
+    "q_calibration_bins" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val scored = graft.ops.Classifier
+        .linearScore(docs, "doc_id", "text", buckets = 4096)
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+          "doc_id")
+        .selectExpr(
+          "(least(greatest(score_micro, -1000000), 1000000) + 1000000) div 2" +
+            " AS p_micro",
+          "is_en")
+      graft.ops.Eval.calibrationBins(scored, "p_micro", "is_en", bins = 10)
     })
 
   val oracle: Map[String, String] = Map(
@@ -339,5 +355,42 @@ object QualityQueries {
         |    AS precision_ppm,
         |  CAST(CASE WHEN pos > 0 THEN (CAST(tp AS HUGEINT) * 1000000) // pos
         |    ELSE -1 END AS BIGINT) AS recall_ppm
-        |FROM c2 ORDER BY threshold_micro DESC""".stripMargin)
+        |FROM c2 ORDER BY threshold_micro DESC""".stripMargin,
+
+    "q_calibration_bins" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_reduce(
+        |    [CAST(0 AS BIGINT)] || list_transform(
+        |      regexp_extract_all(tok, '.'), c -> CAST(ord(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000003) AS hh
+        |  FROM toks),
+        |w AS (
+        |  SELECT doc_id,
+        |    ((hh % 4096) * 2654435761) % 4294967296 % 2000001 - 1000000 AS wt
+        |  FROM h),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score_micro
+        |  FROM w GROUP BY doc_id),
+        |p AS (
+        |  SELECT (least(greatest(coalesce(a.score_micro, 0), -1000000),
+        |            1000000) + 1000000) // 2 AS p,
+        |    (d.lang = 'en') AS y
+        |  FROM documents d LEFT JOIN agg a USING (doc_id)
+        |  WHERE d.lang IS NOT NULL),
+        |b AS (SELECT least((p * 10) // 1000000, 9) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    sum(p) AS sp
+        |  FROM p GROUP BY 1)
+        |SELECT bin, n, n_pos,
+        |  CAST(CAST(sp AS HUGEINT) // n AS BIGINT) AS conf_ppm,
+        |  CAST((CAST(n_pos AS HUGEINT) * 1000000) // n AS BIGINT) AS acc_ppm,
+        |  CAST(CASE WHEN CAST(sp AS HUGEINT) - CAST(n_pos AS HUGEINT)
+        |      * 1000000 < 0
+        |    THEN -((CAST(n_pos AS HUGEINT) * 1000000 - sp) // n)
+        |    ELSE (CAST(sp AS HUGEINT) - CAST(n_pos AS HUGEINT) * 1000000)
+        |      // n END AS BIGINT) AS gap_ppm
+        |FROM b ORDER BY bin""".stripMargin)
 }

@@ -51,6 +51,19 @@ class EvalSpec extends SparkSpec {
       (300000L, 2L, 2L, 500000L, 1000000L)))
   }
 
+  test("calibrationBins: per-bin conf/acc/signed gap, hand-computed") {
+    // bin 7: (700000,T)(700000,F) → conf 700000, acc 500000, gap +200000
+    // bin 3: (300000,T)           → conf 300000, acc 1000000, gap −700000
+    // bin 1: (100000,F)           → conf 100000, acc 0, gap +100000
+    val got = Eval.calibrationBins(Seq((700000L, true), (700000L, false),
+        (300000L, true), (100000L, false)).toDF("p", "y"), "p", "y")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 0L, 100000L, 0L, 100000L),
+      (3L, 1L, 1L, 300000L, 1000000L, -700000L),
+      (7L, 2L, 1L, 700000L, 500000L, 200000L)))
+  }
+
   test("prCurve: no positives reports -1 recall at every threshold") {
     val got = Eval.prCurve(Seq((800000L, false), (200000L, false))
         .toDF("p", "y"), "p", "y")
