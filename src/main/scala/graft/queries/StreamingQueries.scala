@@ -363,6 +363,43 @@ object StreamingQueries {
       s.table(name).orderBy(col("piece"))
     },
 
+    // Streaming filter monitoring: the classifier-eval confusion row
+    // accumulated live over a 2-chunk document replay — the scoring
+    // expression runs inside the micro-batch plan, the is-English label
+    // arrives via a stream-static join, and the complete-mode global
+    // aggregate equals the batch confusion row however the replay split
+    // the corpus (counts are monotone merges).
+    "q_stream_classifier_eval" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val stream = replay(s, docs.select(col("doc_id"), col("text")),
+        chunks = 2)
+      val scored = graft.ops.Classifier
+        .linearScore(stream, "doc_id", "text", buckets = 4096)
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+          "doc_id")
+        .selectExpr(
+          "(least(greatest(score_micro, -1000000), 1000000) + 1000000) div 2" +
+            " AS p",
+          "is_en")
+        .filter(col("is_en").isNotNull)
+        .groupBy().agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(when(col("is_en"), 1L).otherwise(0L)).cast("long").as("n_pos"),
+          sum(when(col("is_en") && col("p") >= 500000L, 1L).otherwise(0L))
+            .cast("long").as("tp"),
+          sum(when(!col("is_en") && col("p") >= 500000L, 1L).otherwise(0L))
+            .cast("long").as("fp"),
+          sum(when(!col("is_en") && col("p") < 500000L, 1L).otherwise(0L))
+            .cast("long").as("tn"),
+          sum(when(col("is_en") && col("p") < 500000L, 1L).otherwise(0L))
+            .cast("long").as("fn"))
+      val name = s"sce_${runId.incrementAndGet()}"
+      val q = scored.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+    },
+
     // ListState + MapState gate: a per-user typed-state profile
     // (bounded event log + per-type counters) accumulates across a
     // 2-chunk replay; distinct-type and total counts are monotone, so
@@ -709,6 +746,42 @@ object StreamingQueries {
         |FROM events
         |WHERE user_id % 7 = 0 AND event_type IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_stream_classifier_eval" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+        |    '[a-z0-9'']+')) AS tok FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_reduce(
+        |    [CAST(0 AS BIGINT)] || list_transform(
+        |      regexp_extract_all(tok, '.'), c -> CAST(ord(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000003) AS hh
+        |  FROM toks),
+        |w AS (
+        |  SELECT doc_id,
+        |    ((hh % 4096) * 2654435761) % 4294967296 % 2000001 - 1000000 AS wt
+        |  FROM h),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score_micro
+        |  FROM w GROUP BY doc_id),
+        |p AS (
+        |  SELECT (least(greatest(coalesce(a.score_micro, 0), -1000000),
+        |            1000000) + 1000000) // 2 AS p,
+        |    (d.lang = 'en') AS y
+        |  FROM documents d LEFT JOIN agg a USING (doc_id)
+        |  WHERE d.lang IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN y AND p >= 500000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS tp,
+        |  CAST(sum(CASE WHEN NOT y AND p >= 500000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS fp,
+        |  CAST(sum(CASE WHEN NOT y AND p < 500000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS tn,
+        |  CAST(sum(CASE WHEN y AND p < 500000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS fn
+        |FROM p""".stripMargin,
+
     "q_stream_wordpiece" -> {
       val values = VocabQueries.wpVocab.map(p => s"('$p')").mkString(", ")
       s"""WITH RECURSIVE base AS (
