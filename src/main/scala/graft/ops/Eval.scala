@@ -103,6 +103,62 @@ object Eval {
       "auc_ppm", "ece_ppm")
   }
 
+  /** Forecast-baseline evaluation — the sanity floor every trained
+    * forecaster must beat (the MASE denominator idea): predict each
+    * event's integer value by the key's PREVIOUS value (persistence)
+    * and report exact error sums plus R² against the global-mean
+    * predictor.
+    *
+    * All integer: per-key lag-1 residuals in value units, error sums
+    * exact, and R² = 1 − SSres/SStot cross-multiplied to
+    * `((n·Σy² − (Σy)²) − n·SSres)·10^6 div (n·Σy² − (Σy)²)` with
+    * sign-split division — persistence on anti-correlated series is
+    * legitimately WORSE than the mean, so negative R² must be exact
+    * too.  First event of each key has no prediction and is excluded
+    * from both SSres and SStot (the compared predictors see the same
+    * rows).
+    *
+    * Scale shape: one per-key lag (per-key row counts bounded by the
+    * feed contract — the rollingAnomalies bound), one
+    * map-side-combined aggregation to the report row.
+    *
+    * @return one row: (n, sum_abs_err, sum_sq_err, r2_ppm)
+    */
+  def persistenceBaseline(events: DataFrame, keyCol: String,
+      tsCol: String, tieCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(keyCol), col(tsCol), col(tieCol),
+        col(valueCol).cast("long").as("__y"))
+      .filter(col("__y").isNotNull)
+      .withColumn("__prev", lag(col("__y"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(abs(col("__y") - col("__prev"))).as("sae"),
+        sum(expr(
+          "CAST(__y - __prev AS DECIMAL(38,0)) * (__y - __prev)")).as("sse"),
+        sum(col("__y")).as("sy"),
+        sum(expr("CAST(__y AS DECIMAL(38,0)) * __y")).as("syy"))
+      .selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "CAST(sae AS BIGINT) AS sum_abs_err",
+        "CAST(sse AS BIGINT) AS sum_sq_err",
+        "CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * syy - " +
+          "CAST(sy AS DECIMAL(38,0)) * sy = 0 THEN -1000001 " +
+          "WHEN (CAST(n AS DECIMAL(38,0)) * syy - " +
+          "CAST(sy AS DECIMAL(38,0)) * sy) - n * sse < 0 THEN " +
+          "-((n * sse - (CAST(n AS DECIMAL(38,0)) * syy - " +
+          "CAST(sy AS DECIMAL(38,0)) * sy)) * 1000000 div " +
+          "(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy)) " +
+          "ELSE ((CAST(n AS DECIMAL(38,0)) * syy - " +
+          "CAST(sy AS DECIMAL(38,0)) * sy) - n * sse) * 1000000 div " +
+          "(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy) " +
+          "END AS BIGINT) AS r2_ppm")
+  }
+
   /** Reliability table — the per-bin view the scalar ECE summarizes:
     * for each of B equal-width probability bins, the support, positive
     * count, mean confidence, empirical accuracy, and the signed

@@ -123,6 +123,18 @@ object QualityQueries {
             " AS p_micro",
           "is_en")
       graft.ops.Eval.calibrationBins(scored, "p_micro", "is_en", bins = 10)
+    },
+
+    // Forecast sanity floor: persistence (lag-1) prediction of event
+    // cents per user — exact error sums and sign-split R² vs the mean
+    // predictor (the MASE-denominator baseline a trained forecaster
+    // must beat).
+    "q_persistence_baseline" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      graft.ops.Eval.persistenceBaseline(ev, "user_id", "ts", "event_id",
+        "cents")
     })
 
   val oracle: Map[String, String] = Map(
@@ -392,5 +404,27 @@ object QualityQueries {
         |    THEN -((CAST(n_pos AS HUGEINT) * 1000000 - sp) // n)
         |    ELSE (CAST(sp AS HUGEINT) - CAST(n_pos AS HUGEINT) * 1000000)
         |      // n END AS BIGINT) AS gap_ppm
-        |FROM b ORDER BY bin""".stripMargin)
+        |FROM b ORDER BY bin""".stripMargin,
+
+    "q_persistence_baseline" ->
+      """WITH t AS (SELECT user_id, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |l AS (SELECT y, lag(y) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev FROM t),
+        |f AS (SELECT y, prev FROM l WHERE prev IS NOT NULL),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(abs(y - prev)) AS BIGINT) AS sae,
+        |    sum(CAST(y - prev AS HUGEINT) * (y - prev)) AS sse,
+        |    sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM f)
+        |SELECT n, sae AS sum_abs_err, CAST(sse AS BIGINT) AS sum_sq_err,
+        |  CAST(CASE WHEN n * syy - sy * sy = 0 THEN -1000001
+        |    WHEN (n * syy - sy * sy) - n * sse < 0 THEN
+        |      -(((n * sse - (n * syy - sy * sy)) * 1000000)
+        |        // (n * syy - sy * sy))
+        |    ELSE (((n * syy - sy * sy) - n * sse) * 1000000)
+        |      // (n * syy - sy * sy) END AS BIGINT) AS r2_ppm
+        |FROM a""".stripMargin)
 }

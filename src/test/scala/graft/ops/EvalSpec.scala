@@ -72,6 +72,51 @@ class EvalSpec extends SparkSpec {
     assert(got.map(_._4).forall(_ == 0L), "precision 0 with tp = 0")
   }
 
+  test("persistenceBaseline: hand-computed negative R² and the " +
+      "constant-series sentinel") {
+    // key A: 1 → 3 → 2.  Forecast rows: (3←1, err 2), (2←3, err 1):
+    // n=2 sae=3 sse=5; targets y = (3,2): SStot·n = 2·13 − 25 = 1,
+    // n·SSres = 10 → R² = (1 − 10)/1 = −9 → −9_000_000 ppm exactly.
+    val ev = Seq((1L, 1L, 1L, 1L), (1L, 2L, 2L, 3L), (1L, 3L, 3L, 2L))
+      .toDF("k", "t", "tie", "v")
+    val got = Eval.persistenceBaseline(ev, "k", "t", "tie", "v")
+      .as[(Long, Long, Long, Long)].head()
+    assert(got === ((2L, 3L, 5L, -9000000L)))
+    // constant series: perfect persistence but R² undefined (SStot=0)
+    val const = Seq((1L, 1L, 1L, 5L), (1L, 2L, 2L, 5L), (1L, 3L, 3L, 5L))
+      .toDF("k", "t", "tie", "v")
+    val g2 = Eval.persistenceBaseline(const, "k", "t", "tie", "v")
+      .as[(Long, Long, Long, Long)].head()
+    assert(g2 === ((2L, 0L, 0L, -1000001L)))
+  }
+
+  test("persistenceBaseline == local BigInt replay on random series (2 seeds)") {
+    for (seed <- Seq(13, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = for (k <- 0L until 8L; t <- 0L until (5 + rnd.nextInt(20)))
+        yield (k, t, t, rnd.between(-500L, 500L))
+      val fc = rows.groupBy(_._1).values.toSeq.flatMap { series =>
+        series.sortBy(r => (r._2, r._3)).sliding(2).collect {
+          case Seq(a, b) => (b._4, a._4)
+        }
+      }
+      val n = BigInt(fc.size)
+      val sae = fc.map { case (y, p) => (BigInt(y) - p).abs }.sum
+      val sse = fc.map { case (y, p) => (BigInt(y) - p).pow(2) }.sum
+      val sy = fc.map(f => BigInt(f._1)).sum
+      val syy = fc.map(f => BigInt(f._1).pow(2)).sum
+      val tot = n * syy - sy * sy
+      val num = tot - n * sse
+      val want = if (tot == 0) BigInt(-1000001)
+        else if (num < 0) -((-num * 1000000) / tot)
+        else (num * 1000000) / tot
+      val got = Eval.persistenceBaseline(rows.toDF("k", "t", "tie", "v"),
+        "k", "t", "tie", "v").as[(Long, Long, Long, Long)].head()
+      assert(got === ((n.toLong, sae.toLong, sse.toLong, want.toLong)),
+        s"seed=$seed")
+    }
+  }
+
   test("AUC equals the closed form on a random score set (2 seeds)") {
     for (seed <- Seq(9, 31)) {
       val rnd = new scala.util.Random(seed)
