@@ -75,6 +75,46 @@ object Agreement {
         "kappa_ppm")
   }
 
+  /** Linear-weighted Cohen's κ for ORDINAL labels — near-misses on a
+    * rating scale count partially (weight v_ij = |i−j|), so a rater
+    * pair that is consistently one notch apart scores far better than
+    * one scattering across the scale; unweighted κ cannot tell them
+    * apart.  With disagreement weights the statistic collapses to
+    * κ_w = 1 − n·So/Se = (Se − n·So)/Se with So = Σ|i−j|·o_ij (observed
+    * weighted disagreement) and Se = Σ|i−j|·a_i·b_j (chance) — both
+    * exact integers, ppm via the shared sign-split division.
+    *
+    * `labelled` must have integer-ordinal (labelA, labelB) columns;
+    * null labels are dropped as in [[cohenKappa]].  Returns one row:
+    * (n, so, se, kappa_ppm) with kappa_ppm = -1000001 when Se = 0
+    * (fewer than two distinct marginal levels — κ_w undefined).
+    */
+  def cohenKappaWeighted(labelled: DataFrame): DataFrame = {
+    val cells = labelled
+      .filter(col("labelA").isNotNull && col("labelB").isNotNull)
+      .groupBy(col("labelA").cast("long").as("la"),
+        col("labelB").cast("long").as("lb"))
+      .agg(count(lit(1)).as("c"))
+    val aMarg = cells.groupBy(col("la").as("i")).agg(sum("c").as("a_i"))
+    val bMarg = cells.groupBy(col("lb").as("j")).agg(sum("c").as("b_j"))
+    // Se folds over the FULL ka×kb marginal grid (weight applies to
+    // zero-observed cells too) — the category-cardinality cross, the
+    // same bounded shape as chiSquared's contingency grid.
+    val se = aMarg.crossJoin(bMarg)
+      .agg(sum(expr(
+        "abs(i - j) * CAST(a_i AS DECIMAL(38,0)) * b_j")).as("se"))
+    val obs = cells.agg(
+      sum("c").as("n"),
+      sum(expr("abs(la - lb) * CAST(c AS DECIMAL(38,0))")).as("so"))
+    obs.crossJoin(se).selectExpr(
+      "CAST(n AS BIGINT) AS n",
+      "CAST(so AS BIGINT) AS so",
+      "CAST(se AS BIGINT) AS se",
+      "CAST(CASE WHEN se = 0 THEN -1000001 ELSE " +
+        ppmExpr("se - CAST(n AS DECIMAL(38,0)) * so", "se") +
+        " END AS BIGINT) AS kappa_ppm")
+  }
+
   /** Fleiss' κ for R raters per item.
     *
     * `ratings` must have (item, category) columns — exactly `r` rows

@@ -64,6 +64,18 @@ object PrefQueries {
         d.join(d2, "doc_id").select(col("lang").as("labelA"), col("labelB")))
     },
 
+    // Ordinal agreement: adjacent documents rated on a 10-level length
+    // scale — linear weights make one-notch misses count partially,
+    // which plain κ (q_cohen_kappa) cannot express.
+    "q_weighted_kappa" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), expr("least(n_chars div 200, 9)").as("lv"))
+      val b = d.select((col("doc_id") - 1L).as("doc_id"),
+        col("lv").as("labelB"))
+      Agreement.cohenKappaWeighted(
+        d.join(b, "doc_id").select(col("lv").as("labelA"), col("labelB")))
+    },
+
     // Fixed panel of R=3 "raters" per item: each user's first three
     // event types (by ts, event_id — unique tiebreak) rate the item
     // `user_id`; users with fewer than three typed events drop out.
@@ -152,6 +164,27 @@ object PrefQueries {
         |          // (CAST(n AS HUGEINT) * n - pe_num)) END AS BIGINT)
         |    AS kappa_ppm
         |FROM t, pe""".stripMargin,
+
+    "q_weighted_kappa" ->
+      """WITH l AS (SELECT least(a.n_chars // 200, 9) AS la,
+        |    least(b.n_chars // 200, 9) AS lb
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+        |cells AS (SELECT la, lb, count(*) AS c FROM l GROUP BY 1, 2),
+        |am AS (SELECT la AS i, CAST(sum(c) AS BIGINT) AS a_i
+        |  FROM cells GROUP BY 1),
+        |bm AS (SELECT lb AS j, CAST(sum(c) AS BIGINT) AS b_j
+        |  FROM cells GROUP BY 1),
+        |sec AS (SELECT sum(abs(i - j) * CAST(a_i AS HUGEINT) * b_j) AS se
+        |  FROM am, bm),
+        |obs AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(abs(la - lb)) AS BIGINT) AS so FROM l)
+        |SELECT n, so, CAST(se AS BIGINT) AS se,
+        |  CAST(CASE WHEN se = 0 THEN -1000001
+        |    WHEN se - CAST(n AS HUGEINT) * so < 0 THEN
+        |      -(((CAST(n AS HUGEINT) * so - se) * 1000000) // se)
+        |    ELSE ((se - CAST(n AS HUGEINT) * so) * 1000000) // se
+        |    END AS BIGINT) AS kappa_ppm
+        |FROM obs, sec""".stripMargin,
 
     "q_fleiss_kappa" ->
       """WITH r AS (SELECT user_id, event_type, row_number() OVER (

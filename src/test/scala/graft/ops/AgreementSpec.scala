@@ -27,6 +27,37 @@ class AgreementSpec extends SparkSpec {
     assert(got._7 === -1000000L)    // kappa_ppm — sign-split exact
   }
 
+  test("cohenKappaWeighted: hand-computed ordinal case, perfect, sentinel") {
+    // (0,0) (1,2) (2,2): So = 1, n = 3, Se = Σ|i−j|·a_i·b_j = 9 →
+    // κ_w = (9 − 3)/9 = 2/3 = 666666 ppm exactly.
+    val got = Agreement.cohenKappaWeighted(
+        Seq((0L, 0L), (1L, 2L), (2L, 2L)).toDF("labelA", "labelB"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(got === ((3L, 1L, 9L, 666666L)))
+    // perfect agreement on a 2-level scale → exactly 1
+    val perfect = Agreement.cohenKappaWeighted(
+        Seq((0L, 0L), (5L, 5L)).toDF("labelA", "labelB"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(perfect === ((2L, 0L, 10L, 1000000L)))
+    // single marginal level → Se = 0 → undefined sentinel
+    val degen = Agreement.cohenKappaWeighted(
+        Seq((3L, 3L), (3L, 3L)).toDF("labelA", "labelB"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(degen._4 === -1000001L)
+  }
+
+  test("cohenKappaWeighted rewards near-misses plain kappa cannot see") {
+    // raters ALWAYS one notch apart on a 5-level scale: unweighted κ is
+    // deeply negative (zero agreement), weighted κ is much closer to 0.
+    val rows = (0L until 4L).map(i => (i, i + 1))
+    val plain = Agreement.cohenKappa(rows.toDF("labelA", "labelB"))
+      .select("kappa_ppm").as[Long].head()
+    val weighted = Agreement.cohenKappaWeighted(rows.toDF("labelA", "labelB"))
+      .select("kappa_ppm").as[Long].head()
+    assert(weighted > plain,
+      s"weighted $weighted should exceed plain $plain on near-miss raters")
+  }
+
   test("fleissKappa matches the Fleiss (1971) worked example") {
     // The classic 10-subject × 14-rater × 5-category table (κ ≈ 0.210).
     val table = Seq(

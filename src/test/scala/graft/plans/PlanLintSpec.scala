@@ -67,7 +67,8 @@ class PlanLintSpec extends SparkSpec {
     "q_domain_reweight",     // LM corpus-total + domain-frame softmax-Z 1-row broadcasts crossed into the weight projection
     "q_cohen_kappa",         // 1-row totals × 1-row marginal-product aggregate folded into the single κ row
     "q_fleiss_kappa",        // 1-row cell aggregate × 1-row category aggregate folded into the single κ row
-    "q_classifier_eval")     // 1-row confusion × 1-row AUC × 1-row ECE folded into the single report row
+    "q_classifier_eval",     // 1-row confusion × 1-row AUC × 1-row ECE folded into the single report row
+    "q_weighted_kappa")      // ka×kb marginal grid (chiSquared's contingency shape) + 1-row obs × 1-row Se fold
 
   /** Entries whose unpartitioned window is over an already-aggregated
     * (small) frame, or is the documented global-order requirement.
