@@ -86,4 +86,55 @@ object Augment {
         coalesce(col("n_spans"), lit(0L)).cast("long").as("n_spans"),
         coalesce(col("n_masked"), lit(0L)).cast("long").as("n_masked"))
   }
+
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle") —
+    * the code-model data prep: a deterministic fraction of documents
+    * is split character-wise into prefix|middle|suffix and re-emitted
+    * with the middle moved to the end, so a left-to-right model learns
+    * infilling.  Both canonical orderings are produced (PSM
+    * `<PRE>p<SUF>s<MID>m`, SPM `<SUF>s<PRE>p<MID>m`), chosen per doc.
+    *
+    * Everything is hash-arithmetic on the doc id — selection, both
+    * split points, the format bit — so re-running the job reproduces
+    * byte-identical examples (the [[spanCorrupt]] determinism
+    * contract) and an oracle can replay the exact rule.
+    *
+    * Scale shape: a PURE per-row projection — three substrings and a
+    * concat, no explode, no shuffle, whole-stage codegen end to end.
+    *
+    * @return (idCol, format 'plain'|'psm'|'spm', fim_text); documents
+    *         shorter than 2 chars (or not selected) pass through as
+    *         'plain'.
+    */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+      ratePpm: Long = 500000L, seed: Long = 0L): DataFrame = {
+    require(ratePpm >= 0L && ratePpm <= 1000000L,
+      s"ratePpm out of range: $ratePpm")
+    docs
+      .select(col(idCol), col(textCol).as("__t"))
+      .withColumn("__len", length(col("__t")))
+      .withColumn("__sel",
+        pmod(col(idCol) * lit(2654435761L) + lit(seed), lit(1000000L))
+          < ratePpm && col("__len") >= 2)
+      // split points: p1 uniform in [0, len], p2 uniform in [p1, len]
+      .withColumn("__p1", pmod(col(idCol) * 31L + 7L, col("__len") + 1L))
+      .withColumn("__p2",
+        col("__p1") + pmod(col(idCol) * 17L + 3L,
+          col("__len") - col("__p1") + 1L))
+      .withColumn("__pre", expr("substring(__t, 1, __p1)"))
+      .withColumn("__mid", expr("substring(__t, __p1 + 1, __p2 - __p1)"))
+      .withColumn("__suf", expr("substring(__t, __p2 + 1, __len - __p2)"))
+      .select(col(idCol),
+        when(!col("__sel"), lit("plain"))
+          .when(pmod(col(idCol), lit(2L)) === 1L, lit("spm"))
+          .otherwise(lit("psm")).as("format"),
+        when(!col("__sel"), col("__t"))
+          .when(pmod(col(idCol), lit(2L)) === 1L,
+            concat(lit("<SUF>"), col("__suf"), lit("<PRE>"), col("__pre"),
+              lit("<MID>"), col("__mid")))
+          .otherwise(
+            concat(lit("<PRE>"), col("__pre"), lit("<SUF>"), col("__suf"),
+              lit("<MID>"), col("__mid"))).as("fim_text"))
+  }
 }

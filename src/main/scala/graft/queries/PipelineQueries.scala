@@ -230,6 +230,15 @@ object PipelineQueries {
       graft.ops.Augment.spanCorrupt(Tables.load(s, dir, "documents"),
           "doc_id", "text", every = 7, spanLen = 3)
         .orderBy(col("doc_id"))
+    },
+
+    // Fill-in-the-middle transform (Bavarian et al. 2022): half the
+    // corpus hash-selected, deterministic char splits, PSM/SPM chosen
+    // per doc — byte-exact on both engines, pure map-only projection.
+    "q_fim" -> { (s, dir) =>
+      graft.ops.Augment.fimTransform(Tables.load(s, dir, "documents"),
+          "doc_id", "text", ratePpm = 500000L, seed = 0L)
+        .orderBy(col("doc_id"))
     })
 
   /** DuckDB twin of TextAnalysis.tokens (same as OpsQueries). */
@@ -489,6 +498,28 @@ object PipelineQueries {
         |             ELSE 'kept' END AS status
         |      FROM m)
         |GROUP BY source, status ORDER BY source, status""".stripMargin,
+
+    "q_fim" ->
+      """WITH s1 AS (SELECT doc_id, text, length(text) AS l,
+        |    (doc_id * 31 + 7) % (length(text) + 1) AS p1
+        |  FROM documents),
+        |s2 AS (SELECT doc_id, text, l, p1,
+        |    p1 + (doc_id * 17 + 3) % (l - p1 + 1) AS p2 FROM s1),
+        |s3 AS (SELECT doc_id, text,
+        |    ((doc_id * 2654435761) % 1000000 < 500000 AND l >= 2) AS sel,
+        |    (doc_id % 2 = 1) AS spm,
+        |    substr(text, 1, p1) AS pre,
+        |    substr(text, p1 + 1, p2 - p1) AS mid,
+        |    substr(text, p2 + 1, l - p2) AS suf
+        |  FROM s2)
+        |SELECT doc_id,
+        |  CASE WHEN NOT sel THEN 'plain' WHEN spm THEN 'spm'
+        |    ELSE 'psm' END AS format,
+        |  CASE WHEN NOT sel THEN text
+        |    WHEN spm THEN '<SUF>' || suf || '<PRE>' || pre || '<MID>' || mid
+        |    ELSE '<PRE>' || pre || '<SUF>' || suf || '<MID>' || mid
+        |  END AS fim_text
+        |FROM s3 ORDER BY doc_id""".stripMargin,
 
     "q_group_split" ->
       """WITH rs AS (SELECT user_id,

@@ -209,6 +209,44 @@ class PipelineSpec extends SparkSpec {
     assert(row._2 > 0L, "row-hash split should leak users across splits")
   }
 
+  test("fimTransform: hand-computed splits, passthrough, reconstruction") {
+    val docs = Seq((0L, "abcdef"), (1L, "abcdef"), (2L, "abcdef"))
+      .toDF("doc_id", "text")
+    val got = Augment.fimTransform(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    // id 0: selected, psm, p1 = 7%7 = 0, p2 = 0 + 3%7 = 3
+    assert(got(0) === ((0L, "psm", "<PRE><SUF>def<MID>abc")))
+    // id 1: selected, spm, p1 = 38%7 = 3, p2 = 3 + 20%4 = 3 (empty mid)
+    assert(got(1) === ((1L, "spm", "<SUF>def<PRE>abc<MID>")))
+    // id 2: hash 871522 >= 500000 → plain passthrough
+    assert(got(2) === ((2L, "plain", "abcdef")))
+  }
+
+  test("fimTransform reconstruction: segments reassemble the original " +
+      "for every format (random docs)") {
+    val rnd = new scala.util.Random(19)
+    val docs = (0L until 60L).map(i =>
+      (i, rnd.alphanumeric.take(rnd.nextInt(30)).mkString))
+    val got = Augment.fimTransform(docs.toDF("doc_id", "text"),
+      "doc_id", "text").as[(Long, String, String)].collect()
+    val byId = docs.toMap
+    got.foreach { case (id, fmt, t) =>
+      fmt match {
+        case "plain" => assert(t == byId(id))
+        case "psm" =>
+          val m = "(?s)<PRE>(.*)<SUF>(.*)<MID>(.*)".r
+          val m(pre, suf, mid) = t
+          assert(pre + mid + suf == byId(id), s"doc $id")
+        case "spm" =>
+          val m = "(?s)<SUF>(.*)<PRE>(.*)<MID>(.*)".r
+          val m(suf, pre, mid) = t
+          assert(pre + mid + suf == byId(id), s"doc $id")
+      }
+    }
+    assert(got.map(_._2).distinct.sorted.toSeq == Seq("plain", "psm", "spm"),
+      "all three formats should occur across 60 docs")
+  }
+
   test("span corruption: sentinels, targets, tail clip, empty doc") {
     val docs = Seq(
       (0L, "a b c d e f g h"),        // starts at p=0 and p=7 (clipped to 1 token)
