@@ -68,6 +68,7 @@ object SparkEntry {
     graft.queries.TfIdfQueries.queries.toSeq ++
     graft.queries.StateStoreQueries.queries.toSeq ++
     graft.queries.PrefQueries.queries.toSeq ++
+    graft.queries.ChatQueries.queries.toSeq ++
     graft.queries.MixQueries.queries.toSeq)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -117,5 +118,6 @@ object SparkEntry {
     graft.queries.TfIdfQueries.oracle.toSeq ++
     graft.queries.StateStoreQueries.oracle.toSeq ++
     graft.queries.PrefQueries.oracle.toSeq ++
+    graft.queries.ChatQueries.oracle.toSeq ++
     graft.queries.MixQueries.oracle.toSeq)
 }

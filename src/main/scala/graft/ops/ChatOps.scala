@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.TopK
+
+/** Conversation / preference-data preparation: the turn-structured
+  * half of an instruction-tuning pipeline.  A conversation is a keyed,
+  * time-ordered sequence of turns; the two passes every chat-SFT prep
+  * runs are (a) context-window truncation — keep the most recent
+  * suffix of turns that fits a token budget — and (b) best-of-n
+  * candidate selection over scored responses (rejection sampling).
+  *
+  * Scale design: truncation is one window partitioned by conversation
+  * (per-key rows bounded by the conversation-length contract — the
+  * same bound [[TimeSeries]] and the streaming GroupState ops rely
+  * on); selection funnels through the bounded-heap
+  * [[graft.plans.TopKPerKey]], never a window over all candidates.
+  */
+object ChatOps {
+
+  /** Suffix-under-budget context truncation with turn-structure QA.
+    *
+    * Keeps, per conversation, the LONGEST suffix of turns (most recent
+    * first) whose cumulative `costCol` stays ≤ budget — the standard
+    * "drop oldest turns until the prompt fits" policy.  Also reports
+    * role-alternation violations (adjacent turns with the same role —
+    * malformed transcripts that SFT collators reject).
+    *
+    * Costs must be non-negative (the suffix-keep property relies on a
+    * monotone running sum); enforced per row so a bad feed fails loudly
+    * instead of silently keeping a non-suffix.
+    *
+    * @return one row per conversation: (convCol, n_turns, n_kept,
+    *         kept_cost, first_kept_event = min tieCol among kept turns
+    *         (null when nothing fits), n_role_repeats)
+    */
+  def contextTruncate(turns: DataFrame, convCol: String, tsCol: String,
+      tieCol: String, roleCol: String, costCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    val cost = when(col(costCol) >= 0L, col(costCol).cast("long"))
+      .otherwise(raise_error(concat(lit(s"negative $costCol for turn "),
+        col(tieCol).cast("string"))))
+    val fromEnd = Window.partitionBy(col(convCol))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col(convCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val marked = turns
+      .withColumn("__cost", cost)
+      .withColumn("__tail", sum(col("__cost")).over(fromEnd))
+      .withColumn("__keep", col("__tail") <= budget)
+      .withColumn("__rep",
+        when(lag(col(roleCol), 1).over(fwd) === col(roleCol), 1L)
+          .otherwise(0L))
+    marked.groupBy(col(convCol))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).cast("long")
+          .as("n_kept"),
+        sum(when(col("__keep"), col("__cost")).otherwise(0L)).cast("long")
+          .as("kept_cost"),
+        min(when(col("__keep"), col(tieCol))).as("first_kept_event"),
+        sum(col("__rep")).cast("long").as("n_role_repeats"))
+  }
+
+  /** Best-of-n selection with acceptance accounting (rejection
+    * sampling, Bai et al. 2022 / RFT-style): per prompt, the single
+    * best-scoring candidate (deterministic tiebreak: smaller id wins)
+    * plus how many candidates existed and how many cleared the
+    * acceptance threshold.
+    *
+    * The winner comes from the bounded-heap [[graft.plans.TopKPerKey]]
+    * (k=1 — one row ever held per prompt per task); the counts are one
+    * map-side-combined aggregation.  Nothing shuffles candidate
+    * payloads twice and no window sees the full candidate set.
+    *
+    * @return one row per prompt: (keyCol, best_id, best_score,
+    *         n_candidates, n_accepted)
+    */
+  def bestOfN(cands: DataFrame, keyCol: String, idCol: String,
+      scoreCol: String, threshold: Double): DataFrame = {
+    val best = TopK.perKey(
+        cands.select(col(keyCol), col(idCol), col(scoreCol)),
+        Seq(col(keyCol)), Seq(col(scoreCol).desc, col(idCol).asc), k = 1)
+      .select(col(keyCol), col(idCol).as("best_id"),
+        col(scoreCol).as("best_score"))
+    val stats = cands.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col(scoreCol) >= threshold, 1L).otherwise(0L))
+          .cast("long").as("n_accepted"))
+    best.join(stats, Seq(keyCol))
+  }
+}

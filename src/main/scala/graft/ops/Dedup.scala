@@ -488,4 +488,59 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
     CacheScope.releasing(pairs, sigs)
   }
+
+  // ------------------------------------------------- frequent-unit scrub
+
+  /** Corpus-frequency boilerplate removal at UNIT granularity — the
+    * Dolma / RefinedWeb "line dedup" pass (Soldaini et al. 2024;
+    * Penedo et al. 2023): a unit (line, sentence, paragraph — anything
+    * a delimiter bounds) that occurs in at least `minDocs` DISTINCT
+    * documents is boilerplate (nav bars, cookie banners, license
+    * headers) and is cut from every document; survivors re-join in
+    * order.  This removes repeated LINES from documents that are not
+    * themselves duplicates — the pass exact/MinHash doc-level dedup
+    * cannot do, and the complement of [[SpanDedup]]'s keep-first
+    * policy (here NO occurrence survives: the unit is noise, not
+    * content).
+    *
+    * Scale design: units collapse to 64-bit xxhash at the scan, so the
+    * distinct-doc count shuffles (hash, id) 16-byte pairs — two
+    * map-side-combined aggregations, never unit text.  The frequent
+    * set is ≤ totalUnits/minDocs rows by construction (AQE broadcasts
+    * it when small).  Rebuild is one groupBy(id) whose collect_list is
+    * bounded by document length — the span-ops contract.  Counts are
+    * exact up to 64-bit hash collisions (the [[SpanDedup]] birthday
+    * bound).
+    *
+    * @param delim literal (non-regex) unit delimiter, e.g. "\n"
+    * @return one row per input doc: (idCol, clean_text, n_units,
+    *         n_removed); a fully-boilerplate doc yields clean_text ""
+    */
+  def frequentUnitRemoval(docs: DataFrame, idCol: String, textCol: String,
+      delim: String, minDocs: Int): DataFrame = {
+    require(delim.nonEmpty, "delimiter must be non-empty")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val units = docs.select(col(idCol),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(delim))).as(Seq("__pos", "__u")))
+      .withColumn("__h", xxhash64(col("__u")))
+    val frequent = units.select(col("__h"), col(idCol)).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__h"), lit(1L).as("__rm"))
+    val rebuilt = units.join(frequent, Seq("__h"), "left")
+      .groupBy(idCol)
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__rm").isNull,
+            struct(col("__pos"), col("__u"))))),
+          x => x.getField("__u")), delim).as("clean_text"),
+        count(lit(1)).as("n_units"),
+        sum(coalesce(col("__rm"), lit(0L))).cast("long").as("n_removed"))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_units"), lit(0L)).as("n_units"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
 }

@@ -271,4 +271,45 @@ object Similarity {
         col("neg_cos"), col("pos_cos"),
         round(col("pos_cos") - col("neg_cos"), 6).as("margin"))
   }
+
+  /** Matryoshka truncation fidelity (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): how faithfully the first `m` dims of
+    * an embedding preserve the full-dim neighbor structure — the
+    * go/no-go measurement before shrinking a 100 TB vector store.
+    *
+    * Per query: overlap@k between the exact top-k under full-dim
+    * cosine and under first-`m`-dim cosine (both deterministic,
+    * corpus-id tiebreak), plus the squared-norm energy the prefix
+    * retains.  Two brute passes over the corpus with a broadcast query
+    * set — same single-scan contract as [[bruteForceTopK]]; the
+    * overlap join is k·|queries| rows.
+    *
+    * @return one row per query: (query_id, n_overlap ∈ [0,k],
+    *         energy_ratio = ‖v[:m]‖²/‖v‖² rounded to 6)
+    */
+  def truncationOverlap(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1, s"truncation dim must be >= 1, got $m")
+    val full = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+    def truncated(df: DataFrame): DataFrame =
+      df.withColumn(vecCol, slice(col(vecCol), 1, m))
+    val trunc = bruteForceTopK(truncated(corpus), truncated(queries),
+      k, idCol, vecCol)
+    val overlap = full.as("f").join(trunc.as("t"),
+        col("f.query_id") === col("t.query_id") &&
+          col("f.corpus_id") === col("t.corpus_id"))
+      .groupBy(col("f.query_id").as("query_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    def sumSq(v: Column): Column =
+      aggregate(transform(v, x => x.cast("double")), lit(0.0d),
+        (acc, x) => acc + x * x)
+    val energy = queries.select(col(idCol).as("query_id"),
+      round(sumSq(slice(col(vecCol), 1, m)) / sumSq(col(vecCol)), 6)
+        .as("energy_ratio"))
+    energy.join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        col("energy_ratio"))
+  }
 }

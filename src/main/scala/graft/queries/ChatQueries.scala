@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{ChatOps, Similarity}
+
+/** Conversation-prep and embedding-fidelity gates — the instruction-
+  * tuning corner of the training-data pipeline:
+  *
+  *  - context-window turn truncation + role-alternation QA
+  *    (suffix-under-budget keep policy)             q_chat_truncate
+  *  - best-of-n candidate selection with acceptance
+  *    accounting (rejection sampling, heap top-1)   q_best_of_n
+  *  - Matryoshka truncation fidelity (overlap@k of
+  *    full-dim vs prefix-dim exact neighbors)       q_matryoshka
+  *
+  * Conversations are played by the events feed (user = conversation,
+  * event = turn, event_type = role, cost = rendered-turn length);
+  * candidates by (user = prompt, event = candidate, value = score).
+  */
+object ChatQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Keep the most recent turns that fit a 200-char context budget;
+    // count adjacent same-role turns (malformed transcripts).  The
+    // suffix property and the per-conversation window bound are the
+    // ChatOps.contextTruncate contract.
+    "q_chat_truncate" -> { (s, dir) =>
+      val turns = Tables.load(s, dir, "events")
+        .withColumn("cost",
+          (coalesce(length(col("props")), lit(0)) +
+            length(col("event_type"))).cast("long"))
+      ChatOps.contextTruncate(turns, "user_id", "ts", "event_id",
+          "event_type", "cost", budget = 200L)
+        .orderBy(col("user_id"))
+    },
+
+    // Top-1 candidate per prompt through the bounded-heap TopKPerKey
+    // (score desc, id asc tiebreak) + acceptance counts at score >= 10.
+    "q_best_of_n" -> { (s, dir) =>
+      ChatOps.bestOfN(Tables.load(s, dir, "events"),
+          "user_id", "event_id", "value", threshold = 10.0)
+        .orderBy(col("user_id"))
+    },
+
+    // Matryoshka check: do the first 16 of 64 dims preserve the exact
+    // top-5 neighbors?  20 deterministic queries (vec_id % 25 = 0);
+    // overlap@5 is an integer so the gate is tie-break-exact, and the
+    // prefix energy ratio replays the same double fold in DuckDB.
+    "q_matryoshka" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.truncationOverlap(emb,
+          emb.filter(pmod(col("vec_id"), lit(25L)) === 0L), k = 5, m = 16)
+        .orderBy(col("query_id"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q_chat_truncate" ->
+      """WITH t AS (SELECT user_id, event_id, ts, event_type,
+        |    coalesce(length(props), 0) + length(event_type) AS cost
+        |  FROM events),
+        |w AS (SELECT *,
+        |    CAST(sum(cost) OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS tail,
+        |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) = event_type THEN 1 ELSE 0 END AS rep
+        |  FROM t)
+        |SELECT user_id, count(*) AS n_turns,
+        |  CAST(sum(CASE WHEN tail <= 200 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN tail <= 200 THEN cost ELSE 0 END) AS BIGINT)
+        |    AS kept_cost,
+        |  min(CASE WHEN tail <= 200 THEN event_id END) AS first_kept_event,
+        |  CAST(sum(rep) AS BIGINT) AS n_role_repeats
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_best_of_n" ->
+      """WITH r AS (SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rn
+        |  FROM events),
+        |s AS (SELECT user_id, count(*) AS n_candidates,
+        |    CAST(sum(CASE WHEN value >= 10.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_accepted
+        |  FROM events GROUP BY 1)
+        |SELECT r.user_id, r.event_id AS best_id, r.value AS best_score,
+        |  s.n_candidates, s.n_accepted
+        |FROM r JOIN s USING (user_id) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q_matryoshka" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 25 = 0),
+        |f AS (SELECT query_id, corpus_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |          CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        |    FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.vec_id)
+        |  WHERE rank <= 5),
+        |t AS (SELECT query_id, corpus_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_cosine_similarity(CAST(q.embedding[1:16] AS DOUBLE[]),
+        |          CAST(c.embedding[1:16] AS DOUBLE[])) DESC, c.vec_id)
+        |        AS rank
+        |    FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.vec_id)
+        |  WHERE rank <= 5),
+        |o AS (SELECT f.query_id, count(*) AS n_overlap FROM f JOIN t
+        |    ON f.query_id = t.query_id AND f.corpus_id = t.corpus_id
+        |  GROUP BY 1),
+        |e AS (SELECT vec_id AS query_id,
+        |    round(list_sum(list_transform(CAST(embedding[1:16] AS DOUBLE[]),
+        |        x -> x * x))
+        |      / list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |        x -> x * x)), 6) AS energy_ratio
+        |  FROM q)
+        |SELECT e.query_id, coalesce(o.n_overlap, 0) AS n_overlap,
+        |  e.energy_ratio
+        |FROM e LEFT JOIN o USING (query_id) ORDER BY query_id""".stripMargin)
+}

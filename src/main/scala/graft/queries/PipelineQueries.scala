@@ -239,6 +239,16 @@ object PipelineQueries {
       graft.ops.Augment.fimTransform(Tables.load(s, dir, "documents"),
           "doc_id", "text", ratePpm = 500000L, seed = 0L)
         .orderBy(col("doc_id"))
+    },
+
+    // Dolma/RefinedWeb-style frequent-unit scrub: any unit occurring
+    // in >= 390 of the 500 docs is boilerplate and is cut from EVERY
+    // doc (space-delimited units here — the corpus has no newlines;
+    // the op is delimiter-generic and the "\n" path is spec-tested).
+    "q_line_scrub" -> { (s, dir) =>
+      graft.ops.Dedup.frequentUnitRemoval(Tables.load(s, dir, "documents"),
+          "doc_id", "text", delim = " ", minDocs = 390)
+        .orderBy(col("doc_id"))
     })
 
   /** DuckDB twin of TextAnalysis.tokens (same as OpsQueries). */
@@ -520,6 +530,23 @@ object PipelineQueries {
         |    ELSE '<PRE>' || pre || '<SUF>' || suf || '<MID>' || mid
         |  END AS fim_text
         |FROM s3 ORDER BY doc_id""".stripMargin,
+
+    "q_line_scrub" ->
+      """WITH l AS (SELECT doc_id, string_split(text, ' ') AS u
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(range(1, len(u) + 1)) AS pos, u
+        |  FROM l),
+        |e2 AS (SELECT doc_id, pos, u[pos] AS unit FROM e),
+        |f AS (SELECT unit FROM (SELECT unit, count(DISTINCT doc_id) AS df
+        |    FROM e2 GROUP BY 1) WHERE df >= 390),
+        |k AS (SELECT e2.doc_id, e2.pos, e2.unit, f.unit IS NOT NULL AS rm
+        |  FROM e2 LEFT JOIN f USING (unit))
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN NOT rm THEN unit END,
+        |    ' ' ORDER BY pos), '') AS clean_text,
+        |  count(*) AS n_units,
+        |  CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_group_split" ->
       """WITH rs AS (SELECT user_id,

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ChatOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def turns(rows: (Long, Long, Long, String, Long)*) =
+    rows.toDF("conv", "ts", "turn", "role", "cost")
+
+  test("contextTruncate keeps the longest suffix under budget, exact fit") {
+    // conv 1: costs oldest->newest 50, 100, 60, 40; budget 200 keeps
+    // the last three exactly (100+60+40 = 200), drops the oldest.
+    val df = turns(
+      (1L, 10L, 1L, "user", 50L), (1L, 20L, 2L, "assistant", 100L),
+      (1L, 30L, 3L, "user", 60L), (1L, 40L, 4L, "assistant", 40L))
+    val r = ChatOps.contextTruncate(df, "conv", "ts", "turn", "role",
+      "cost", budget = 200L).as[(Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    assert(r === ((1L, 4L, 3L, 200L, 2L, 0L)))
+  }
+
+  test("contextTruncate: nothing fits -> zero kept, null first turn; " +
+      "role repeats counted on the FULL transcript") {
+    val df = turns(
+      (7L, 1L, 1L, "user", 300L), (7L, 2L, 2L, "user", 400L))
+    val r = ChatOps.contextTruncate(df, "conv", "ts", "turn", "role",
+      "cost", budget = 200L).collect().head
+    assert(r.getLong(1) === 2L)            // n_turns
+    assert(r.getLong(2) === 0L)            // n_kept
+    assert(r.getLong(3) === 0L)            // kept_cost
+    assert(r.isNullAt(4))                  // first_kept_event
+    assert(r.getLong(5) === 1L)            // user,user adjacency
+  }
+
+  test("contextTruncate: ts ties broken by turn id; suffix is by the " +
+      "combined order") {
+    val df = turns(
+      (2L, 5L, 1L, "user", 80L), (2L, 5L, 2L, "assistant", 80L),
+      (2L, 5L, 3L, "user", 80L))
+    val r = ChatOps.contextTruncate(df, "conv", "ts", "turn", "role",
+      "cost", budget = 160L).as[(Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    // keeps turns 2 and 3 (the suffix under the tie-broken order)
+    assert(r === ((2L, 3L, 2L, 160L, 2L, 0L)))
+  }
+
+  test("contextTruncate rejects a negative cost loudly") {
+    val df = turns((3L, 1L, 1L, "user", -5L))
+    val e = intercept[Exception] {
+      ChatOps.contextTruncate(df, "conv", "ts", "turn", "role",
+        "cost", budget = 10L).collect()
+    }
+    assert(e.getMessage.contains("negative cost"))
+  }
+
+  test("bestOfN: score tie goes to the smaller id; acceptance counts " +
+      "use >= threshold") {
+    val cands = Seq(
+      (1L, 11L, 0.9), (1L, 10L, 0.9), (1L, 12L, 0.2),
+      (2L, 20L, 0.1), (2L, 21L, 0.5))
+      .toDF("prompt", "cand", "score")
+    val r = ChatOps.bestOfN(cands, "prompt", "cand", "score",
+      threshold = 0.5).orderBy("prompt")
+      .as[(Long, Long, Double, Long, Long)].collect().toSeq
+    assert(r === Seq((1L, 10L, 0.9, 3L, 2L), (2L, 21L, 0.5, 2L, 1L)))
+  }
+
+  test("bestOfN plans the bounded-heap TopKPerKey, not a window") {
+    val cands = Seq((1L, 1L, 0.5)).toDF("prompt", "cand", "score")
+    val plan = ChatOps.bestOfN(cands, "prompt", "cand", "score", 0.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan.take(500))
+    assert(!plan.contains("Window"), plan.take(500))
+  }
+
+  test("frequentUnitRemoval cuts corpus-frequent lines, keeps rare " +
+      "ones, preserves order, handles the all-boilerplate doc") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nreal content one\nfooter"),
+      (2L, "COOKIE BANNER\nreal content two\nfooter"),
+      (3L, "COOKIE BANNER\nfooter"),
+      (4L, "unique only"))
+      .toDF("doc_id", "text")
+    val r = Dedup.frequentUnitRemoval(docs, "doc_id", "text",
+      delim = "\n", minDocs = 3).orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(r === Seq(
+      (1L, "real content one", 3L, 2L),
+      (2L, "real content two", 3L, 2L),
+      (3L, "", 2L, 2L),
+      (4L, "unique only", 1L, 0L)))
+  }
+
+  test("frequentUnitRemoval counts DISTINCT docs: within-doc repeats " +
+      "don't reach the threshold, but all repeats are cut together") {
+    val docs = Seq(
+      (1L, "spam\nspam\nspam\nkeep"),   // 3 in-doc repeats, 1 doc
+      (2L, "spam\nother"))               // 2nd distinct doc
+      .toDF("doc_id", "text")
+    // threshold 3 distinct docs: 'spam' appears in only 2 -> kept
+    val keep = Dedup.frequentUnitRemoval(docs, "doc_id", "text",
+      "\n", minDocs = 3).orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(keep.head === ((1L, "spam\nspam\nspam\nkeep", 4L, 0L)))
+    // threshold 2: both docs contain it -> every occurrence cut
+    val cut = Dedup.frequentUnitRemoval(docs, "doc_id", "text",
+      "\n", minDocs = 2).orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(cut === Seq((1L, "keep", 4L, 3L), (2L, "other", 2L, 1L)))
+  }
+
+  test("truncationOverlap: identical prefixes -> full overlap and " +
+      "exact energy ratio") {
+    // 4 vectors whose first 2 dims fully determine cosine order.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.1f, 0.9f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.truncationOverlap(vecs,
+        vecs.filter(col("vec_id") === 0L), k = 2, m = 2)
+      .as[(Long, Long, Double)].collect().head
+    assert(r._1 === 0L && r._2 === 2L)
+    assert(r._3 === 1.0)                    // all energy in dims 1-2
+  }
+
+  test("truncationOverlap detects neighbor churn when the tail dims " +
+      "carry the signal") {
+    // Query q: prefix says (a) is nearest; full says (b) is.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 1.0f)),            // q
+      (1L, Array(1.0f, 0.0f, -1.0f)),           // a: prefix-close, full-far
+      (2L, Array(0.6f, 0.8f, 0.75f)))           // b: full-close
+      .toDF("vec_id", "embedding")
+    val r = Similarity.truncationOverlap(vecs,
+        vecs.filter(col("vec_id") === 0L), k = 1, m = 2)
+      .as[(Long, Long, Double)].collect().head
+    assert(r._2 === 0L, s"expected zero overlap, got $r")
+    assert(r._3 === 0.5)                    // 1.0 of 2.0 squared norm
+  }
+}
