@@ -1074,3 +1074,74 @@ case class CommonPrefixLen(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "common_prefix_len"
 }
+
+/** Exact longest-common-subsequence LENGTH of two token arrays — the
+  * ROUGE-L kernel (Lin 2004: LCS-based recall/precision, order-aware
+  * where the clipped n-gram overlap is not).  Classic two-row dynamic
+  * program, O(|a|·|b|) time and O(|b|) space per row, entirely inside
+  * whole-stage codegen via a reference-object call (the
+  * [[CommonPrefixLen]] device).
+  *
+  * Scale contract: per-row cost is quadratic in token count, so both
+  * sides must be bounded upstream (`slice` to a token cap — the gate
+  * uses 16); a side longer than 4096 tokens fails LOUDLY rather than
+  * silently burning 16M+ comparisons per row.  Null SLOTS match
+  * nothing (a nullable source column marks derived arrays containsNull
+  * even when no null occurs).
+  */
+case class LcsLen(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"lcs_len needs two array<string>, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  def lcs(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements(); val m = b.numElements()
+    if (n > 4096 || m > 4096)
+      throw new IllegalArgumentException(
+        s"lcs_len: token array longer than 4096 ($n x $m) — slice both " +
+          "sides to a cap upstream (quadratic per-row DP)")
+    if (n == 0 || m == 0) return 0L
+    // no mutable state on the expression instance: plans are shared
+    // across local-mode tasks, so the DP rows are per-call locals.
+    val bs = new Array[UTF8String](m)
+    var j = 0
+    while (j < m) { bs(j) = if (b.isNullAt(j)) null else b.getUTF8String(j); j += 1 }
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      val ta = if (a.isNullAt(i - 1)) null else a.getUTF8String(i - 1)
+      j = 1
+      while (j <= m) {
+        val tb = bs(j - 1)
+        cur(j) =
+          if (ta != null && tb != null && ta.equals(tb)) prev(j - 1) + 1
+          else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      cur(0) = 0
+      i += 1
+    }
+    prev(m).toLong
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    lcs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lcsLen", this, classOf[LcsLen].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.lcs($a, $b);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "lcs_len"
+}

@@ -73,6 +73,12 @@ package object functions {
   def common_prefix_len(a: Column, b: Column): Column =
     toCol(CommonPrefixLen(toExpr(a), toExpr(b)))
 
+  /** Exact LCS length of two token-array columns (the ROUGE-L
+    * kernel); both sides must be capped upstream (quadratic DP).
+    */
+  def lcs_len(a: Column, b: Column): Column =
+    toCol(LcsLen(toExpr(a), toExpr(b)))
+
   /** Min-cost unigram-LM (Viterbi) segmentation of a word column
     * against integer micro-nat piece costs; NULL when unsegmentable.
     */

@@ -158,4 +158,71 @@ object Agreement {
           s"(CAST(n_items AS DECIMAL(38,0)) * $r * n_items * $r - sum_sk_sq)") +
         " AS kappa_ppm")
   }
+
+  /** Krippendorff's α (nominal) — the agreement statistic for the
+    * messy real case [[cohenKappa]] and [[fleissKappa]] exclude:
+    * VARIABLE raters per unit and missing ratings (Krippendorff 2004).
+    * Units with fewer than 2 ratings are unpairable and drop out, as
+    * the statistic defines.
+    *
+    * Exactness device: α = 1 − (N−1)·Σ_u P_u/(m_u−1) / (N² − Σ_c n_c²)
+    * where m_u = ratings in unit u, P_u = m_u² − Σ_c n_uc² (disagreeing
+    * ordered pairs in u), N = Σ m_u, n_c = category totals.  The only
+    * fractions are the per-unit 1/(m_u−1) weights; scaling every term
+    * by L = lcm(1..12) = 27720 makes them integers EXACTLY, provided
+    * m_u ≤ 13 — enforced loudly per unit (bound the panel upstream with
+    * a [[graft.plans.TopKPerKey]] take, the [[fleissKappa]] contract).
+    * Everything then runs in DECIMAL(38,0): at N = 10¹², R = 13 the
+    * worst term (N−1)·Σ P_u·L/(m_u−1) ≤ N²·R·L ≈ 4·10³⁰ — five digits
+    * of headroom before the ppm multiply.
+    *
+    * @param ratings one row per rating with (unitCol, labelCol); null
+    *        labels are missing ratings and drop (the statistic's own
+    *        convention — that is its point)
+    * @return one row: (n_units, n_pairable, n_categories, alpha_ppm) —
+    *         alpha_ppm is the sentinel −2000000 when De = 0 (a single
+    *         observed category: α undefined).  The scaled rationals
+    *         stay internal (DECIMAL(38,0) exceeds a BIGINT report
+    *         column); the exactness is in the ppm itself.
+    */
+  def krippendorffAlpha(ratings: DataFrame, unitCol: String,
+      labelCol: String): DataFrame = {
+    val L = 27720L // lcm(1..12): exact per-unit weights for m_u <= 13
+    // unit×category counts — the one shuffle over the rating log.
+    val nuc = ratings
+      .filter(col(unitCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(unitCol).as("__u"), col(labelCol).as("__c"))
+      .agg(count(lit(1)).as("__n"))
+    // Per-unit m_u and Σ n_uc²; pairable units only (m_u >= 2).
+    val units = nuc.groupBy(col("__u"))
+      .agg(sum(col("__n")).as("__m"),
+        sum(expr("CAST(__n AS DECIMAL(38,0)) * __n")).as("__sq"))
+      .filter(col("__m") >= 2L)
+      .withColumn("__m", when(col("__m") <= 13L, col("__m"))
+        .otherwise(raise_error(concat(
+          lit("krippendorffAlpha: unit with > 13 ratings (m_u = "),
+          col("__m").cast("string"),
+          lit(") — bound the panel upstream (TopKPerKey)")))))
+    val doN = units.agg(
+      count(lit(1)).as("n_units"),
+      sum(col("__m")).as("__bign"),
+      sum((expr("CAST(__m AS DECIMAL(38,0)) * __m") - col("__sq")) *
+        expr(s"CAST($L div (__m - 1) AS DECIMAL(38,0))")).as("do_num"))
+    // Category totals over PAIRABLE units only, then Σ n_c².
+    val sk = nuc.join(units.select(col("__u")), Seq("__u"))
+      .groupBy(col("__c")).agg(sum(col("__n")).as("__nc"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(expr("CAST(__nc AS DECIMAL(38,0)) * __nc")).as("__sk"))
+    doN.crossJoin(sk).selectExpr(
+      "CAST(n_units AS BIGINT) AS n_units",
+      "CAST(__bign AS BIGINT) AS n_pairable",
+      "CAST(n_categories AS BIGINT) AS n_categories",
+      "CAST(CASE WHEN CAST(__bign AS DECIMAL(38,0)) * __bign - __sk = 0 " +
+        "THEN -2000000 ELSE " +
+        ppmExpr(
+          s"$L * (CAST(__bign AS DECIMAL(38,0)) * __bign - __sk) " +
+            "- (__bign - 1) * do_num",
+          s"$L * (CAST(__bign AS DECIMAL(38,0)) * __bign - __sk)") +
+        " END AS BIGINT) AS alpha_ppm")
+  }
 }

@@ -234,4 +234,135 @@ object Eval {
           "ELSE -1 END AS BIGINT) AS recall_ppm")
       .orderBy(col("threshold_micro").desc)
   }
+
+  /** Corpus-level clipped n-gram overlap between candidate and
+    * reference token sequences — the shared kernel of BLEU (Papineni
+    * et al. 2002: modified n-gram PRECISION with per-gram clipping)
+    * and ROUGE-n (Lin 2004: the same clipped matches read as RECALL
+    * against the reference), evaluated for every n in 1..maxN at once.
+    *
+    * `matched_n = Σ_pair Σ_gram min(cand_count, ref_count)` — the
+    * clipping is per (pair, gram), so a candidate repeating a rare
+    * reference gram cannot farm precision.  All three corpus sums are
+    * exact integers; precision/recall/F1 are exact ppm via integral
+    * division (F1 = 2·matched/(cand_total+ref_total) shares the
+    * matched numerator, so it needs no float composition either).
+    *
+    * Scale shape: ONE scan — each pair row expands to its tagged
+    * (n, gram-hash, side) units inside a single generator projection,
+    * then one map-side-combined aggregation to (pair, n, hash) cells
+    * and one maxN-row rollup.  Grams shuffle as 64-bit xxhash keys,
+    * never text (exact up to the birthday bound, the [[Dedup]]
+    * contract).  No join: candidate and reference live on the same
+    * row, so clipping happens inside the cell aggregation.
+    *
+    * @param pairs one row per (candidate, reference) pair
+    * @return maxN rows: (n, matched, cand_total, ref_total, prec_ppm,
+    *         recall_ppm, f1_ppm); ppm are -1 when their denominator
+    *         is 0
+    */
+  def ngramOverlap(pairs: DataFrame, idCol: String, candToksCol: String,
+      refToksCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in 1..8, got $maxN")
+    def sideUnits(toks: String, c: Int, r: Int) =
+      flatten(array((1 to maxN).map { n =>
+        transform(PipelineOps.wordNgrams(col(toks), n),
+          g => struct(lit(n).as("n"), xxhash64(g).as("h"),
+            lit(c.toLong).as("c"), lit(r.toLong).as("r")))
+      }: _*))
+    val units = pairs
+      .select(col(idCol).as("__id"), col(candToksCol).as("__ct"),
+        col(refToksCol).as("__rt"))
+      .select(col("__id"), explode(concat(
+        sideUnits("__ct", 1, 0), sideUnits("__rt", 0, 1))).as("__u"))
+      .select(col("__id"), col("__u.n").as("n"), col("__u.h").as("__h"),
+        col("__u.c").as("__c"), col("__u.r").as("__r"))
+    units
+      .groupBy(col("__id"), col("n"), col("__h"))
+      .agg(sum(col("__c")).as("__cc"), sum(col("__r")).as("__rc"))
+      .groupBy(col("n"))
+      .agg(sum(least(col("__cc"), col("__rc"))).cast("long").as("matched"),
+        sum(col("__cc")).cast("long").as("cand_total"),
+        sum(col("__rc")).cast("long").as("ref_total"))
+      .selectExpr("n", "matched", "cand_total", "ref_total",
+        "CAST(CASE WHEN cand_total > 0 THEN " +
+          "(CAST(matched AS DECIMAL(38,0)) * 1000000) div cand_total " +
+          "ELSE -1 END AS BIGINT) AS prec_ppm",
+        "CAST(CASE WHEN ref_total > 0 THEN " +
+          "(CAST(matched AS DECIMAL(38,0)) * 1000000) div ref_total " +
+          "ELSE -1 END AS BIGINT) AS recall_ppm",
+        "CAST(CASE WHEN cand_total + ref_total > 0 THEN " +
+          "(CAST(matched AS DECIMAL(38,0)) * 2000000) div " +
+          "(cand_total + ref_total) ELSE -1 END AS BIGINT) AS f1_ppm")
+  }
+
+  /** Corpus ROUGE-L (Lin 2004): micro-averaged LCS recall / precision /
+    * F1 over (candidate, reference) token pairs — the ORDER-AWARE
+    * complement of [[ngramOverlap]] (a shuffled candidate keeps its
+    * clipped unigram overlap but loses its LCS).  The per-pair LCS
+    * length comes from the codegen [[graft.functions.LcsLen]] dynamic
+    * program, so the whole metric is ONE scan: pair row → lcs/|c|/|r|
+    * in the projection → one map-side-combined aggregation to a single
+    * report row.  All sums are exact integers; ppm ratios are integral
+    * division (non-negative, so floor == truncate in any engine).
+    *
+    * Scale contract (inherited from the kernel): token arrays must be
+    * capped upstream — per-row DP cost is |c|·|r|; the kernel fails
+    * loudly past 4096 a side.
+    *
+    * @return one row: (lcs_total, cand_total, ref_total, prec_ppm,
+    *         recall_ppm, f1_ppm); ppm are -1 when their denominator is 0
+    */
+  def rougeL(pairs: DataFrame, candToksCol: String,
+      refToksCol: String): DataFrame =
+    pairs
+      .select(
+        graft.functions.lcs_len(col(candToksCol), col(refToksCol))
+          .as("__lcs"),
+        size(col(candToksCol)).cast("long").as("__nc"),
+        size(col(refToksCol)).cast("long").as("__nr"))
+      .agg(sum(col("__lcs")).cast("long").as("lcs_total"),
+        sum(col("__nc")).cast("long").as("cand_total"),
+        sum(col("__nr")).cast("long").as("ref_total"))
+      .selectExpr("lcs_total", "cand_total", "ref_total",
+        "CAST(CASE WHEN cand_total > 0 THEN " +
+          "(CAST(lcs_total AS DECIMAL(38,0)) * 1000000) div cand_total " +
+          "ELSE -1 END AS BIGINT) AS prec_ppm",
+        "CAST(CASE WHEN ref_total > 0 THEN " +
+          "(CAST(lcs_total AS DECIMAL(38,0)) * 1000000) div ref_total " +
+          "ELSE -1 END AS BIGINT) AS recall_ppm",
+        "CAST(CASE WHEN cand_total + ref_total > 0 THEN " +
+          "(CAST(lcs_total AS DECIMAL(38,0)) * 2000000) div " +
+          "(cand_total + ref_total) ELSE -1 END AS BIGINT) AS f1_ppm")
+
+  /** Corpus BLEU-4 (Papineni et al. 2002): geometric mean of the four
+    * clipped n-gram precisions times the brevity penalty
+    * `BP = min(1, e^(1 − r/c))`.  Composed from [[ngramOverlap]]'s
+    * exact integer sums, so the only floating-point is the single
+    * final exp/ln composition over one 4-row frame (rounded to 6 dp;
+    * each ln argument is a ratio of two exact integers, identical in
+    * any engine).  BLEU is 0 when any order has zero matches — the
+    * standard uncomforted definition.
+    *
+    * @return one row: (c_len, r_len, m1..m4, t1..t4, bleu)
+    */
+  def corpusBleu(pairs: DataFrame, idCol: String, candToksCol: String,
+      refToksCol: String): DataFrame = {
+    val per = ngramOverlap(pairs, idCol, candToksCol, refToksCol, maxN = 4)
+    def at(n: Int, c: String) = max(when(col("n") === n, col(c)))
+    per.agg(
+        at(1, "cand_total").as("c_len"), at(1, "ref_total").as("r_len"),
+        at(1, "matched").as("m1"), at(2, "matched").as("m2"),
+        at(3, "matched").as("m3"), at(4, "matched").as("m4"),
+        at(1, "cand_total").as("t1"), at(2, "cand_total").as("t2"),
+        at(3, "cand_total").as("t3"), at(4, "cand_total").as("t4"))
+      .selectExpr("c_len", "r_len", "m1", "m2", "m3", "m4",
+        "t1", "t2", "t3", "t4",
+        "CASE WHEN m1 > 0 AND m2 > 0 AND m3 > 0 AND m4 > 0 THEN " +
+          "round(least(CAST(1.0 AS DOUBLE), " +
+          "exp(1.0 - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE))) * " +
+          "exp((ln(CAST(m1 AS DOUBLE) / t1) + ln(CAST(m2 AS DOUBLE) / t2)" +
+          " + ln(CAST(m3 AS DOUBLE) / t3) + ln(CAST(m4 AS DOUBLE) / t4))" +
+          " / 4.0), 6) ELSE CAST(0.0 AS DOUBLE) END AS bleu")
+  }
 }

@@ -636,4 +636,45 @@ object PipelineOps {
           .orderBy(desc("__key"), col(idCol))))
       .drop("__key")
   }
+
+  /** Exact-proportion stratified split — the complement of
+    * [[assignSplit]]'s hash buckets.  Hash splits are leakage-safe and
+    * stateless but only hit the target fractions in EXPECTATION; a
+    * small or skewed stratum can land val/test counts far off target
+    * (a 50-doc language getting 2 val docs instead of 5).  Here every
+    * stratum gets EXACTLY ⌊n_s·val_ppm/10⁶⌋ val rows and
+    * ⌊n_s·(val+test)_ppm/10⁶⌋−⌊n_s·val_ppm/10⁶⌋ test rows — the first
+    * ranks of the caller's deterministic order (pass a hash-derived
+    * order for randomization; pass time for a chronological holdout).
+    *
+    * Scale shape: the within-stratum rank comes from
+    * [[segmentedPrefixSum]] — cumulative work bounded by PARTITION
+    * size even when one stratum is most of the corpus (a
+    * stratum-partitioned window would pin it to one task) — and the
+    * stratum sizes join back on the stratum key.  Cut points are pure
+    * integer arithmetic, so the assignment is bit-identical under any
+    * partitioning.
+    *
+    * @param orderCols deterministic total order within a stratum (must
+    *        be unique per row — include a unique id as tiebreak)
+    * @return the input rows plus a `split` column ∈ {val, test, train}
+    */
+  def stratifiedExactSplit(df: DataFrame, strataCols: Seq[String],
+      orderCols: Seq[String], valPpm: Long, testPpm: Long): DataFrame = {
+    require(valPpm >= 0 && testPpm >= 0 && valPpm + testPpm <= 1000000L,
+      s"val + test ppm must be within [0, 1000000], got $valPpm + $testPpm")
+    val sizes = df.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("__ns"))
+    segmentedPrefixSum(df.withColumn("__one", lit(1L)), strataCols,
+        orderCols, "__one")
+      .join(sizes, strataCols)
+      .withColumn("split",
+        when(col("__before") <
+            expr(s"CAST(__ns AS DECIMAL(38,0)) * $valPpm div 1000000"), "val")
+          .when(col("__before") <
+            expr(s"CAST(__ns AS DECIMAL(38,0)) * ${valPpm + testPpm} " +
+              "div 1000000"), "test")
+          .otherwise("train"))
+      .drop("__one", "__before", "__ns")
+  }
 }

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.plans.TopK
+
 /** Pairwise-preference strength estimation — the reward-model data
   * kernel of an RLHF pipeline.  Human raters produce duels ("response A
   * beat response B"); the Bradley–Terry model turns those duels into a
@@ -92,5 +94,51 @@ object Preference {
     wins.join(s, "item")
       .select(col("item"), col("wins").cast("long").as("wins"),
         col("s").cast("long").as("strength_micro"))
+  }
+
+  /** DPO / reward-model pair mining: per prompt, the (chosen, rejected)
+    * response pair — chosen = best-scoring candidate, rejected =
+    * worst-scoring — kept only when the margin clears `minMargin`
+    * (Rafailov et al. 2023 train on exactly such max-margin pairs; a
+    * near-tie pair teaches nothing and a same-response pair is
+    * degenerate).
+    *
+    * Determinism contract: scores are integer fixed-point (cents /
+    * micro-units, the repo-wide exactness device).  Tiebreaks are
+    * total: chosen = (score DESC, id ASC), rejected = (score ASC,
+    * id DESC) — the OPPOSITE id direction, so even an all-tied prompt
+    * yields two DISTINCT candidate rows (then margin 0, dropped by any
+    * `minMargin >= 1`).
+    *
+    * Scale shape: both extremes come from the bounded-heap
+    * [[graft.plans.TopKPerKey]] (k = 1 — one row ever held per prompt
+    * per task, never a candidate-set window); the candidate count is
+    * one map-side-combined aggregation; the three per-prompt frames
+    * join on the prompt key.  Null scores are excluded up front (a
+    * null never trains a pair).
+    *
+    * @return one row per kept prompt: (keyCol, chosen_id, chosen_score,
+    *         rejected_id, rejected_score, margin, n_candidates)
+    */
+  def dpoPairs(cands: DataFrame, keyCol: String, idCol: String,
+      scoreCol: String, minMargin: Long): DataFrame = {
+    require(minMargin >= 0, s"minMargin must be >= 0, got $minMargin")
+    val c = cands.filter(col(keyCol).isNotNull && col(scoreCol).isNotNull)
+      .select(col(keyCol), col(idCol), col(scoreCol))
+    val chosen = TopK.perKey(c, Seq(col(keyCol)),
+        Seq(col(scoreCol).desc, col(idCol).asc), k = 1)
+      .select(col(keyCol), col(idCol).as("chosen_id"),
+        col(scoreCol).as("chosen_score"))
+    val rejected = TopK.perKey(c, Seq(col(keyCol)),
+        Seq(col(scoreCol).asc, col(idCol).desc), k = 1)
+      .select(col(keyCol), col(idCol).as("rejected_id"),
+        col(scoreCol).as("rejected_score"))
+    val n = c.groupBy(col(keyCol)).agg(count(lit(1)).as("n_candidates"))
+    chosen.join(rejected, Seq(keyCol)).join(n, Seq(keyCol))
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+      .filter(col("n_candidates") >= 2L && col("margin") >= minMargin)
+      .select(col(keyCol), col("chosen_id"), col("chosen_score"),
+        col("rejected_id"), col("rejected_score"), col("margin"),
+        col("n_candidates"))
   }
 }

@@ -47,13 +47,16 @@ object ChatQueries {
     },
 
     // Matryoshka check: do the first 16 of 64 dims preserve the exact
-    // top-5 neighbors?  20 deterministic queries (vec_id % 25 = 0);
-    // overlap@5 is an integer so the gate is tie-break-exact, and the
-    // prefix energy ratio replays the same double fold in DuckDB.
+    // top-5 neighbors?  Deterministic ≤ 20-query batch (vec_id < 500,
+    // % 25 = 0; the limit makes the brute passes' broadcast
+    // plan-bounded, the q_knn_brute device); overlap@5 is an integer
+    // so the gate is tie-break-exact, and the prefix energy ratio
+    // replays the same double fold in DuckDB.
     "q_matryoshka" -> { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
-      Similarity.truncationOverlap(emb,
-          emb.filter(pmod(col("vec_id"), lit(25L)) === 0L), k = 5, m = 16)
+      val q = emb.filter(col("vec_id") < 500L &&
+        pmod(col("vec_id"), lit(25L)) === 0L).limit(20)
+      Similarity.truncationOverlap(emb, q, k = 5, m = 16)
         .orderBy(col("query_id"))
     })
 
@@ -95,7 +98,7 @@ object ChatQueries {
 
     "q_matryoshka" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings
-        |  WHERE vec_id % 25 = 0),
+        |  WHERE vec_id < 500 AND vec_id % 25 = 0),
         |f AS (SELECT query_id, corpus_id FROM (
         |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY

@@ -249,6 +249,24 @@ object PipelineQueries {
       graft.ops.Dedup.frequentUnitRemoval(Tables.load(s, dir, "documents"),
           "doc_id", "text", delim = " ", minDocs = 390)
         .orderBy(col("doc_id"))
+    },
+
+    // Exact-proportion stratified split: every source gets EXACTLY
+    // ⌊n_s/10⌋ val and ⌊n_s/4⌋−⌊n_s/10⌋ test docs (doc_id order) — the
+    // guarantee the hash split (q_group_split) only hits in
+    // expectation.  Rank via segmentedPrefixSum, never a per-source
+    // window; the gate reports per-(source, split) counts and id
+    // ranges so the cut points are pinned exactly.
+    "q_stratified_split" -> { (s, dir) =>
+      graft.ops.PipelineOps.stratifiedExactSplit(
+          Tables.load(s, dir, "documents").select(col("doc_id"),
+            col("source")),
+          Seq("source"), Seq("doc_id"),
+          valPpm = 100000L, testPpm = 150000L)
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("source"), col("split"))
     })
 
   /** DuckDB twin of TextAnalysis.tokens (same as OpsQueries). */
@@ -547,6 +565,23 @@ object PipelineQueries {
         |  count(*) AS n_units,
         |  CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_stratified_split" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+        |      AS b,
+        |    count(*) OVER (PARTITION BY source) AS ns
+        |  FROM documents),
+        |a AS (SELECT doc_id, source,
+        |    CASE WHEN b < (CAST(ns AS HUGEINT) * 100000) // 1000000
+        |           THEN 'val'
+        |         WHEN b < (CAST(ns AS HUGEINT) * 250000) // 1000000
+        |           THEN 'test'
+        |         ELSE 'train' END AS split
+        |  FROM r)
+        |SELECT source, split, count(*) AS n_docs,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_group_split" ->
       """WITH rs AS (SELECT user_id,

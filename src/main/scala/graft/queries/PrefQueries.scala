@@ -92,6 +92,37 @@ object PrefQueries {
       val ratings = top3.join(full, "user_id")
         .select(col("user_id").as("item"), col("event_type").as("category"))
       Agreement.fleissKappa(ratings, r = 3)
+    },
+
+    // Variable-panel agreement: each user's first ≤ 12 typed events
+    // (by ts, event_id) rate the unit `user_id` — units keep however
+    // many ratings they have (single-rating units drop as unpairable),
+    // the case Fleiss' fixed-panel contract excludes.  The ≤ 12 bound
+    // comes from the bounded-heap TopKPerKey and is what licenses the
+    // exact lcm(1..12) weight scaling.
+    "q_krippendorff" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .where(col("event_type").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val top12 = TopK.perKey(ev, Seq(col("user_id")),
+        Seq(col("ts"), col("event_id")), 12)
+      Agreement.krippendorffAlpha(top12, "user_id", "event_type")
+    },
+
+    // DPO pair mining: prompts are user cohorts (user_id mod 500),
+    // candidates their events scored in integer cents; chosen/rejected
+    // are the exact per-prompt extremes (opposite-direction id
+    // tiebreaks so even all-tied prompts pair two DISTINCT rows) via
+    // two k=1 bounded-heap TopKPerKey passes, margin gate at 50 cents.
+    "q_dpo_pairs" -> { (s, dir) =>
+      val cands = Tables.load(s, dir, "events")
+        .where(col("value").isNotNull)
+        .select(pmod(col("user_id"), lit(500L)).as("prompt_id"),
+          col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      Preference.dpoPairs(cands, "prompt_id", "event_id", "cents",
+          minMargin = 50L)
+        .orderBy(col("prompt_id"))
     })
 
   private val btMmRound = (i: Int) => {
@@ -221,5 +252,62 @@ object PrefQueries {
         |          // (CAST(n_items AS HUGEINT) * 3 * 2
         |             * (CAST(n_items AS HUGEINT) * 3 * n_items * 3
         |                - sum_sk_sq))) END AS BIGINT) AS kappa_ppm
-        |FROM sq, skt""".stripMargin)
+        |FROM sq, skt""".stripMargin,
+
+    "q_krippendorff" ->
+      """WITH r AS (SELECT user_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type IS NOT NULL),
+        |t AS (SELECT user_id, event_type FROM r WHERE rn <= 12),
+        |nuc AS (SELECT user_id, event_type, count(*) AS n
+        |  FROM t GROUP BY 1, 2),
+        |u AS (SELECT user_id, sum(n) AS m,
+        |    sum(CAST(n AS HUGEINT) * n) AS sq
+        |  FROM nuc GROUP BY 1 HAVING sum(n) >= 2),
+        |don AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+        |    CAST(sum(m) AS BIGINT) AS bign,
+        |    sum((CAST(m AS HUGEINT) * m - sq) * (27720 // (m - 1)))
+        |      AS do_num
+        |  FROM u),
+        |sk AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+        |    sum(CAST(nc AS HUGEINT) * nc) AS sksq FROM (
+        |    SELECT nuc.event_type, sum(nuc.n) AS nc
+        |    FROM nuc JOIN u USING (user_id) GROUP BY 1))
+        |SELECT n_units, bign AS n_pairable, n_categories,
+        |  CAST(CASE WHEN CAST(bign AS HUGEINT) * bign - sksq = 0
+        |    THEN -2000000
+        |    WHEN 27720 * (CAST(bign AS HUGEINT) * bign - sksq)
+        |        - (bign - 1) * do_num < 0 THEN
+        |      -((((bign - 1) * do_num
+        |          - 27720 * (CAST(bign AS HUGEINT) * bign - sksq))
+        |         * 1000000)
+        |        // (27720 * (CAST(bign AS HUGEINT) * bign - sksq)))
+        |    ELSE ((27720 * (CAST(bign AS HUGEINT) * bign - sksq)
+        |           - (bign - 1) * do_num) * 1000000)
+        |      // (27720 * (CAST(bign AS HUGEINT) * bign - sksq))
+        |    END AS BIGINT) AS alpha_ppm
+        |FROM don, sk""".stripMargin,
+
+    "q_dpo_pairs" ->
+      """WITH t AS (SELECT user_id % 500 AS prompt_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |ch AS (SELECT prompt_id, event_id AS chosen_id,
+        |    cents AS chosen_score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY prompt_id
+        |      ORDER BY cents DESC, event_id ASC) AS rn FROM t)
+        |  WHERE rn = 1),
+        |rj AS (SELECT prompt_id, event_id AS rejected_id,
+        |    cents AS rejected_score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY prompt_id
+        |      ORDER BY cents ASC, event_id DESC) AS rn FROM t)
+        |  WHERE rn = 1),
+        |n AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_candidates
+        |  FROM t GROUP BY 1)
+        |SELECT prompt_id, chosen_id, chosen_score, rejected_id,
+        |  rejected_score, chosen_score - rejected_score AS margin,
+        |  n_candidates
+        |FROM ch JOIN rj USING (prompt_id) JOIN n USING (prompt_id)
+        |WHERE n_candidates >= 2 AND chosen_score - rejected_score >= 50
+        |ORDER BY prompt_id""".stripMargin)
 }

@@ -135,7 +135,50 @@ object QualityQueries {
           expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       graft.ops.Eval.persistenceBaseline(ev, "user_id", "ts", "event_id",
         "cents")
+    },
+
+    // Clipped n-gram overlap (the BLEU/ROUGE kernel) between each doc
+    // and a deterministic "hypothesis" of itself with every 7th token
+    // dropped — realistic high-but-imperfect overlap that exercises
+    // the per-gram clipping at every n.  Space-split on BOTH engines
+    // so the gram strings are byte-identical.
+    "q_ngram_overlap" -> { (s, dir) =>
+      graft.ops.Eval.ngramOverlap(bleuPairs(s, dir), "doc_id",
+        "cand_toks", "ref_toks").orderBy(col("n"))
+    },
+
+    // Corpus BLEU-4 composed from the same integer sums: brevity
+    // penalty × geometric mean of the four clipped precisions, the
+    // single final exp/ln on one row.
+    "q_bleu" -> { (s, dir) =>
+      graft.ops.Eval.corpusBleu(bleuPairs(s, dir), "doc_id",
+        "cand_toks", "ref_toks")
+    },
+
+    // ROUGE-L over a candidate that both DROPS (every 5th token) and
+    // CORRUPTS (every 3rd survivor -> "_"): deletions shorten the LCS
+    // path and corruptions force the DP to re-match via duplicate
+    // tokens — the order-aware case clipped n-gram overlap can't see.
+    // Both sides capped at 16 tokens (the quadratic-kernel contract);
+    // the DuckDB twin replays the identical DP as a recursive CTE.
+    "q_rouge_l" -> { (s, dir) =>
+      val p = Tables.load(s, dir, "documents")
+        .select(slice(split(col("text"), " "), 1, 16).as("ref_toks"))
+        .withColumn("cand_toks",
+          transform(filter(col("ref_toks"), (_, i) => i % 5 =!= 0),
+            (x, i) => when(i % 3 === 0, lit("_")).otherwise(x)))
+      graft.ops.Eval.rougeL(p, "cand_toks", "ref_toks")
     })
+
+  /** (candidate, reference) token pairs for the BLEU/ROUGE gates:
+    * reference = space-split doc text, candidate = the same tokens
+    * with 0-based positions ≡ 0 (mod 7) removed.
+    */
+  private def bleuPairs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ref_toks"))
+      .withColumn("cand_toks",
+        filter(col("ref_toks"), (_, i) => i % 7 =!= 0))
 
   val oracle: Map[String, String] = Map(
     "q_k_anonymity" ->
@@ -426,5 +469,114 @@ object QualityQueries {
         |        // (n * syy - sy * sy))
         |    ELSE (((n * syy - sy * sy) - n * sse) * 1000000)
         |      // (n * syy - sy * sy) END AS BIGINT) AS r2_ppm
-        |FROM a""".stripMargin)
+        |FROM a""".stripMargin,
+
+    "q_ngram_overlap" ->
+      (bleuPerSql + """
+        |SELECT n, matched, cand_total, ref_total,
+        |  CAST(CASE WHEN cand_total > 0 THEN
+        |    (CAST(matched AS HUGEINT) * 1000000) // cand_total
+        |    ELSE -1 END AS BIGINT) AS prec_ppm,
+        |  CAST(CASE WHEN ref_total > 0 THEN
+        |    (CAST(matched AS HUGEINT) * 1000000) // ref_total
+        |    ELSE -1 END AS BIGINT) AS recall_ppm,
+        |  CAST(CASE WHEN cand_total + ref_total > 0 THEN
+        |    (CAST(matched AS HUGEINT) * 2000000) // (cand_total + ref_total)
+        |    ELSE -1 END AS BIGINT) AS f1_ppm
+        |FROM per ORDER BY n""".stripMargin),
+
+    "q_bleu" ->
+      (bleuPerSql + """,
+        |s AS (SELECT
+        |    CAST(sum(CASE WHEN n = 1 THEN cand_total END) AS BIGINT)
+        |      AS c_len,
+        |    CAST(sum(CASE WHEN n = 1 THEN ref_total END) AS BIGINT)
+        |      AS r_len,
+        |    CAST(sum(CASE WHEN n = 1 THEN matched END) AS BIGINT) AS m1,
+        |    CAST(sum(CASE WHEN n = 2 THEN matched END) AS BIGINT) AS m2,
+        |    CAST(sum(CASE WHEN n = 3 THEN matched END) AS BIGINT) AS m3,
+        |    CAST(sum(CASE WHEN n = 4 THEN matched END) AS BIGINT) AS m4,
+        |    CAST(sum(CASE WHEN n = 1 THEN cand_total END) AS BIGINT) AS t1,
+        |    CAST(sum(CASE WHEN n = 2 THEN cand_total END) AS BIGINT) AS t2,
+        |    CAST(sum(CASE WHEN n = 3 THEN cand_total END) AS BIGINT) AS t3,
+        |    CAST(sum(CASE WHEN n = 4 THEN cand_total END) AS BIGINT) AS t4
+        |  FROM per)
+        |SELECT c_len, r_len, m1, m2, m3, m4, t1, t2, t3, t4,
+        |  CASE WHEN m1 > 0 AND m2 > 0 AND m3 > 0 AND m4 > 0 THEN
+        |    round(least(CAST(1.0 AS DOUBLE),
+        |        exp(1.0 - CAST(r_len AS DOUBLE) / c_len)) *
+        |      exp((ln(CAST(m1 AS DOUBLE) / t1) + ln(CAST(m2 AS DOUBLE) / t2)
+        |        + ln(CAST(m3 AS DOUBLE) / t3) + ln(CAST(m4 AS DOUBLE) / t4))
+        |        / 4.0), 6)
+        |  ELSE 0.0 END AS bleu
+        |FROM s""".stripMargin),
+
+    // The running-max LCS recurrence: L[i][j] = max(L[i-1][j],
+    // max_{k<=j, cand[i]=ref[k]} L[i-1][k-1]+1) — left-dependency-free,
+    // so each DP row is ONE list_transform and the recursive CTE only
+    // iterates over candidate positions.
+    "q_rouge_l" ->
+      """WITH RECURSIVE p AS (SELECT doc_id,
+        |    string_split(text, ' ')[1:16] AS ref,
+        |    list_transform(
+        |      list_filter(string_split(text, ' ')[1:16],
+        |        (x, i) -> (i-1) % 5 != 0),
+        |      (x, i) -> CASE WHEN (i-1) % 3 = 0 THEN '_' ELSE x END)
+        |      AS cand
+        |  FROM documents),
+        |rec AS (
+        |  SELECT doc_id, ref, cand, 1 AS i,
+        |    list_transform(ref, x -> 0) AS dp FROM p
+        |  UNION ALL
+        |  SELECT doc_id, ref, cand, i + 1,
+        |    list_transform(range(1, len(ref)+1), j ->
+        |      greatest(dp[j], coalesce(list_max(
+        |        list_transform(range(1, j+1), k ->
+        |          CASE WHEN cand[i] = ref[k]
+        |            THEN (CASE WHEN k = 1 THEN 0 ELSE dp[k-1] END) + 1
+        |          END)), 0))) AS dp
+        |  FROM rec WHERE i <= len(cand)),
+        |per AS (SELECT doc_id, len(cand) AS nc, len(ref) AS nr,
+        |    CASE WHEN len(ref) = 0 THEN 0 ELSE dp[len(ref)] END AS lcs
+        |  FROM rec WHERE i = len(cand) + 1)
+        |SELECT CAST(sum(lcs) AS BIGINT) AS lcs_total,
+        |  CAST(sum(nc) AS BIGINT) AS cand_total,
+        |  CAST(sum(nr) AS BIGINT) AS ref_total,
+        |  CAST(CASE WHEN sum(nc) > 0 THEN
+        |    (CAST(sum(lcs) AS HUGEINT) * 1000000) // sum(nc)
+        |    ELSE -1 END AS BIGINT) AS prec_ppm,
+        |  CAST(CASE WHEN sum(nr) > 0 THEN
+        |    (CAST(sum(lcs) AS HUGEINT) * 1000000) // sum(nr)
+        |    ELSE -1 END AS BIGINT) AS recall_ppm,
+        |  CAST(CASE WHEN sum(nc) + sum(nr) > 0 THEN
+        |    (CAST(sum(lcs) AS HUGEINT) * 2000000) // (sum(nc) + sum(nr))
+        |    ELSE -1 END AS BIGINT) AS f1_ppm
+        |FROM per""".stripMargin)
+
+  /** Shared DuckDB prelude for the BLEU-kernel gates: the per-n clipped
+    * match / total sums over the (candidate = drop-every-7th-token,
+    * reference = full) pairs, replayed with byte-identical space-joined
+    * gram strings.
+    */
+  private def bleuPerSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tr
+      |  FROM documents),
+      |p AS (SELECT doc_id,
+      |    list_filter(tr, (x, i) -> (i - 1) % 7 != 0) AS tc, tr FROM d),
+      |nn AS (SELECT unnest([1, 2, 3, 4]) AS n),
+      |ci AS (SELECT doc_id, n, tc,
+      |    unnest(range(1, len(tc) - n + 2)) AS i FROM p CROSS JOIN nn),
+      |cg AS (SELECT doc_id, n, array_to_string(tc[i:i+n-1], ' ') AS g,
+      |    1 AS c, 0 AS r FROM ci),
+      |ri AS (SELECT doc_id, n, tr,
+      |    unnest(range(1, len(tr) - n + 2)) AS i FROM p CROSS JOIN nn),
+      |rg AS (SELECT doc_id, n, array_to_string(tr[i:i+n-1], ' ') AS g,
+      |    0 AS c, 1 AS r FROM ri),
+      |cnt AS (SELECT doc_id, n, g, sum(c) AS cc, sum(r) AS rc
+      |  FROM (SELECT * FROM cg UNION ALL SELECT * FROM rg)
+      |  GROUP BY 1, 2, 3),
+      |per AS (SELECT n, CAST(sum(least(cc, rc)) AS BIGINT) AS matched,
+      |    CAST(sum(cc) AS BIGINT) AS cand_total,
+      |    CAST(sum(rc) AS BIGINT) AS ref_total
+      |  FROM cnt GROUP BY 1)""".stripMargin
 }

@@ -96,4 +96,50 @@ class AgreementSpec extends SparkSpec {
     assert(got._3 === 1000000L)     // po_ppm
     assert(got._5 === 1000000L)     // kappa_ppm
   }
+
+  private def alpha(rows: (Long, String)*) =
+    Agreement.krippendorffAlpha(rows.toDF("u", "l"), "u", "l")
+      .as[(Long, Long, Long, Long)].head()
+
+  test("krippendorffAlpha: hand-computed variable-panel case") {
+    // u1 {a,a} u2 {a,b} u3 {b,b,b}: N=7, Σ P_u·L/(m_u−1) = 2L,
+    // n_a=3 n_b=4 → De core = 49−25 = 24, α = 1 − 6·2/24 = 0.5.
+    val got = alpha((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b"), (3L, "b"))
+    assert(got === ((3L, 7L, 2L, 500000L)))
+  }
+
+  test("krippendorffAlpha: single-rating units drop as unpairable; " +
+      "null labels are missing ratings") {
+    val got = alpha((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b"), (3L, "b"),
+      (9L, "zzz"),            // 1 rating: unpairable, must not shift α
+      (10L, null.asInstanceOf[String]))
+    assert(got === ((3L, 7L, 2L, 500000L)))
+  }
+
+  test("krippendorffAlpha: perfect agreement on 2+ categories is 1; " +
+      "a single observed category is the undefined sentinel") {
+    val one = alpha((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+    assert(one._4 === 1000000L)
+    val degenerate = alpha((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"))
+    assert(degenerate._4 === -2000000L)
+  }
+
+  test("krippendorffAlpha: systematic disagreement goes negative " +
+      "exactly") {
+    // u1 {a,b} u2 {a,b}: N=4, P_u = 4−2 = 2 each → Σ = 4L (m_u−1=1),
+    // n_a=n_b=2 → core 16−8=8, α = 1 − 3·4/8 = −0.5.
+    val got = alpha((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
+    assert(got._4 === -500000L)
+  }
+
+  test("krippendorffAlpha fails loudly on a unit with > 13 ratings") {
+    val big = (1 to 14).map(i => (1L, if (i % 2 == 0) "a" else "b")) ++
+      Seq((2L, "a"), (2L, "b"))
+    val e = intercept[Exception] {
+      Agreement.krippendorffAlpha(big.toDF("u", "l"), "u", "l").collect()
+    }
+    assert(e.getMessage.contains("13"))
+  }
 }

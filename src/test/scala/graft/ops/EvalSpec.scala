@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class EvalSpec extends SparkSpec {
   import spark.implicits._
@@ -129,5 +130,98 @@ class EvalSpec extends SparkSpec {
         (BigInt(2) * pos.size * neg.size)).toLong
       assert(eval(rows)._10 === want, s"seed=$seed")
     }
+  }
+
+  private def pairs(rows: (Long, String, String)*) =
+    rows.toDF("id", "cand", "ref")
+      .selectExpr("id", "split(cand, ' ') AS c", "split(ref, ' ') AS r")
+
+  test("ngramOverlap: the Papineni clipping example — repeated gram " +
+      "cannot farm precision") {
+    // cand "the the the" vs ref "the cat": unigram matched clips to 1
+    // of 3 (not 3); bigram "the the"×2 matches nothing.
+    val got = Eval.ngramOverlap(pairs((1L, "the the the", "the cat")),
+        "id", "c", "r", maxN = 2)
+      .orderBy("n").as[(Int, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got === Seq(
+      (1, 1L, 3L, 2L, 333333L, 500000L, 400000L),
+      (2, 0L, 2L, 1L, 0L, 0L, 0L)))
+  }
+
+  test("ngramOverlap clips per pair, not across the corpus") {
+    // Two pairs each with one 'a' in cand and ref: per-pair clip gives
+    // matched=2; a corpus-level clip would give 2 as well, so add a
+    // third pair where cand repeats: per-pair clipping caps it at 1.
+    val got = Eval.ngramOverlap(pairs(
+        (1L, "a", "a"), (2L, "a", "a"), (3L, "a a", "a b")),
+        "id", "c", "r", maxN = 1)
+      .as[(Int, Long, Long, Long, Long, Long, Long)].head()
+    assert(got._2 === 3L && got._3 === 4L && got._4 === 4L)
+  }
+
+  test("corpusBleu: identical corpus scores exactly 1.0; any zero " +
+      "order zeroes BLEU; brevity penalty bites a short candidate") {
+    val same = "one two three four five six"
+    assert(Eval.corpusBleu(pairs((1L, same, same)), "id", "c", "r")
+      .select("bleu").as[Double].head() === 1.0)
+    // 3-token candidate has no 4-grams -> m4 = 0 -> BLEU = 0.
+    assert(Eval.corpusBleu(pairs((1L, "one two three", same)),
+      "id", "c", "r").select("bleu").as[Double].head() === 0.0)
+    // 5-of-6-token perfect prefix: all precisions 1, BP = e^(1-6/5).
+    val bp = Eval.corpusBleu(pairs((1L, "one two three four five", same)),
+      "id", "c", "r").select("bleu").as[Double].head()
+    assert(bp === BigDecimal(math.exp(1.0 - 6.0 / 5.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  private def localLcs(a: Seq[String], b: Seq[String]): Long = {
+    val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+        else math.max(dp(i - 1)(j), dp(i)(j - 1))
+    dp(a.length)(b.length).toLong
+  }
+
+  private def rouge(rows: (String, String)*) =
+    Eval.rougeL(pairs(rows.zipWithIndex.map { case ((c, r), i) =>
+        (i.toLong, c, r) }: _*), "c", "r")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+
+  test("rougeL: hand-computed corpus sums, crossing duplicate " +
+      "re-match, and empty-side sentinels") {
+    // ("the cat sat" vs "the dog sat" -> LCS 2) + ("a" vs "b a" -> 1):
+    // totals 3/4/5 -> P 750000, R 600000, F1 2*3e6/9 = 666666.
+    assert(rouge(("the cat sat", "the dog sat"), ("a", "b a")) ===
+      ((3L, 4L, 5L, 750000L, 600000L, 666666L)))
+    // the corrupted middle token must re-match ACROSS: [x a] vs
+    // [a x a] keeps "x a" (2), not the positional 1.
+    assert(rouge(("x a", "a x a"))._1 === 2L)
+    // split("") yields [""], so build genuinely empty arrays directly.
+    val empty = Seq((Array.empty[String], Array("a", "b")))
+      .toDF("c", "r")
+    assert(Eval.rougeL(empty, "c", "r")
+      .as[(Long, Long, Long, Long, Long, Long)].head() ===
+      ((0L, 0L, 2L, -1L, 0L, 0L)))
+  }
+
+  test("rougeL kernel matches a local DP on randomized token arrays") {
+    val rnd = new scala.util.Random(42)
+    val cases = (1 to 60).map { _ =>
+      def arr() = Seq.fill(rnd.nextInt(12))(s"t${rnd.nextInt(4)}")
+      (arr(), arr())
+    }
+    val got = cases.toDF("c", "r")
+      .select(graft.functions.lcs_len(col("c"), col("r")))
+      .as[Long].collect().toSeq
+    assert(got === cases.map { case (c, r) => localLcs(c, r) })
+  }
+
+  test("lcs_len fails loudly past the 4096-token cap") {
+    val big = Seq((Seq.fill(4097)("x"), Seq("x"))).toDF("c", "r")
+    val e = intercept[Exception] {
+      big.select(graft.functions.lcs_len(col("c"), col("r"))).collect()
+    }
+    assert(e.getMessage.contains("4096"))
   }
 }

@@ -317,4 +317,40 @@ class PipelineSpec extends SparkSpec {
     assert(again.sortBy(r => (r._1, r._3)).toSeq ==
       out.sortBy(r => (r._1, r._3)).toSeq, "must be reproducible")
   }
+
+  test("stratifiedExactSplit: exact floor counts per stratum, first " +
+      "ranks to val then test, tiny strata starve in the right order") {
+    val df = ((1L to 10L).map(i => (i, "big")) ++
+      (11L to 13L).map(i => (i, "small"))).toDF("id", "s")
+    val got = PipelineOps.stratifiedExactSplit(df, Seq("s"), Seq("id"),
+        valPpm = 200000L, testPpm = 300000L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("split"))).toMap
+    // big (n=10): val = ids 1-2, test = 3-5, train = 6-10
+    assert((1L to 2L).forall(got(_) == "val"))
+    assert((3L to 5L).forall(got(_) == "test"))
+    assert((6L to 10L).forall(got(_) == "train"))
+    // small (n=3): floor(0.6)=0 val, floor(1.5)=1 test, 2 train —
+    // val starves before test, test before train
+    assert(got(11L) == "test" && got(12L) == "train" && got(13L) == "train")
+  }
+
+  test("stratifiedExactSplit is bit-identical under repartitioning") {
+    val rows = (1L to 97L).map(i => (i, s"s${i % 5}"))
+    val a = PipelineOps.stratifiedExactSplit(rows.toDF("id", "s"),
+      Seq("s"), Seq("id"), 100000L, 100000L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("split"))).toMap
+    val b = PipelineOps.stratifiedExactSplit(
+      rows.toDF("id", "s").repartition(13), Seq("s"), Seq("id"),
+      100000L, 100000L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("split"))).toMap
+    assert(a === b)
+    // exact proportions: each stratum has 19-20 rows -> 1-2 val
+    val perStratum = rows.groupBy(_._2).map { case (s, rs) =>
+      s -> rs.count(r => a(r._1) == "val")
+    }
+    perStratum.foreach { case (s, nVal) =>
+      val n = rows.count(_._2 == s)
+      assert(nVal === n / 10, s"stratum $s")
+    }
+  }
 }

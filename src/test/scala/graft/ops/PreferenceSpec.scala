@@ -52,4 +52,32 @@ class PreferenceSpec extends SparkSpec {
       .collect.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(base === shuffled)
   }
+
+  private def mine(minMargin: Long, rows: (String, Long, java.lang.Long)*) =
+    Preference.dpoPairs(rows.toDF("p", "id", "s"), "p", "id", "s", minMargin)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+
+  test("dpoPairs picks the exact extremes with min-id / max-id " +
+      "tiebreaks and computes the margin") {
+    // Max score 30 is tied between ids 2 and 3 → chosen = 2 (min id);
+    // unique min 5 at id 4 → rejected = 4.
+    val got = mine(0L, ("P", 1L, 10L), ("P", 2L, 30L), ("P", 3L, 30L),
+      ("P", 4L, 5L))
+    assert(got === Set(("P", 2L, 30L, 4L, 5L, 25L, 4L)))
+  }
+
+  test("dpoPairs pairs two DISTINCT rows even on an all-tied prompt") {
+    val got = mine(0L, ("P", 1L, 7L), ("P", 2L, 7L), ("P", 3L, 7L))
+    assert(got === Set(("P", 1L, 7L, 3L, 7L, 0L, 3L)))
+  }
+
+  test("dpoPairs drops below-margin prompts, single-candidate " +
+      "prompts, and null-scored candidates") {
+    val got = mine(26L,
+      ("A", 1L, 10L), ("A", 2L, 30L),            // margin 20 < 26
+      ("B", 1L, 0L), ("B", 2L, 100L),            // margin 100: kept
+      ("C", 1L, 50L),                            // single candidate
+      ("D", 1L, 50L), ("D", 2L, null))           // null drops -> single
+    assert(got === Set(("B", 2L, 100L, 1L, 0L, 100L, 2L)))
+  }
 }

@@ -19,6 +19,7 @@ class PlanLintSpec extends SparkSpec {
     "q_dedup_jaccard",       // same brute twin, capped
     "q_embed_neardup",       // exact-pair refine over a capped bucket
     "q_knn_brute",           // brute-force ANN baseline (broadcast query side)
+    "q_matryoshka",          // two brute baselines (full + prefix dims) over the limit-bounded query batch
     "q_hard_negatives",      // same shape: corpus scan × broadcast 8-query batch
     "q_skew_report",         // two 1-row aggregates cross-joined into the summary row
     "q_target_encode",       // 1-row global-total broadcast cross-joined into the category table
@@ -68,7 +69,8 @@ class PlanLintSpec extends SparkSpec {
     "q_cohen_kappa",         // 1-row totals × 1-row marginal-product aggregate folded into the single κ row
     "q_fleiss_kappa",        // 1-row cell aggregate × 1-row category aggregate folded into the single κ row
     "q_classifier_eval",     // 1-row confusion × 1-row AUC × 1-row ECE folded into the single report row
-    "q_weighted_kappa")      // ka×kb marginal grid (chiSquared's contingency shape) + 1-row obs × 1-row Se fold
+    "q_weighted_kappa",      // ka×kb marginal grid (chiSquared's contingency shape) + 1-row obs × 1-row Se fold
+    "q_krippendorff")        // 1-row pairable-unit totals × 1-row category aggregate folded into the single α row
 
   /** Entries whose unpartitioned window is over an already-aggregated
     * (small) frame, or is the documented global-order requirement.
@@ -216,7 +218,8 @@ class PlanLintSpec extends SparkSpec {
     "q_mixture_budget"      -> "segmented-scan offset table is shufflePartitions x |budgets| rows by construction (spark_partition_id x budgeted-domain groupBy, opaque to planBounded)",
     "q_theil_sen"           -> "segmented-scan offset table is filtered to partition-boundary-straddling keys before the hint — at most numPartitions-1 segments straddle a range boundary, so <= parts^2 rows by construction regardless of key cardinality (opaque to planBounded)",
     "q_epoch_order"         -> "segmented-scan offset table over (partition, epoch) — parts x epochs rows by construction (epochs is a config constant), opaque to planBounded",
-    "q_serpentine_shards"   -> "globalRowNumber's per-partition count offsets — exactly numPartitions rows by construction (spark_partition_id groupBy), opaque to planBounded")
+    "q_serpentine_shards"   -> "globalRowNumber's per-partition count offsets — exactly numPartitions rows by construction (spark_partition_id groupBy), opaque to planBounded",
+    "q_stratified_split"    -> "segmentedPrefixSum's boundary-straddling offset table — at most numPartitions-1 strata straddle a range boundary, so <= parts^2 rows by construction regardless of stratum cardinality (the q_theil_sen bound, opaque to planBounded)")
 
   /** A frame is plan-bounded when its row count cannot scale with the
     * input data: a limit, a scalar (no-grouping) aggregate, a literal
