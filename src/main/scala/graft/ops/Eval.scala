@@ -296,6 +296,48 @@ object Eval {
           "(cand_total + ref_total) ELSE -1 END AS BIGINT) AS f1_ppm")
   }
 
+  /** Corpus chrF (Popović 2015): character n-gram F-β over
+    * (candidate, reference) string pairs — the tokenization-free
+    * metric that credits morphological near-misses BLEU's word grams
+    * score zero.  Whitespace is stripped first (the chrF convention:
+    * spaces are segmentation, not content), then the clipped-overlap
+    * kernel of [[ngramOverlap]] runs on character arrays for
+    * n = 1..`maxN`.
+    *
+    * Exactness device: per order, F-β reduces over the exact integer
+    * corpus sums to `(1+β²)·m / (β²·r + c)` — ONE integral division —
+    * so unlike float-composed P·R/(βP+R) the whole metric (and its
+    * order-mean, if the caller averages the ppm column) stays
+    * bit-exact across engines.
+    *
+    * @return maxN rows: (n, matched, cand_total, ref_total, fbeta_ppm);
+    *         fbeta_ppm is -1 when β²·r + c = 0 (no grams on either side)
+    */
+  def chrF(pairs: DataFrame, idCol: String, candStrCol: String,
+      refStrCol: String, maxN: Int = 6, beta: Int = 2): DataFrame = {
+    require(beta >= 1 && beta <= 10, s"beta must be in 1..10, got $beta")
+    // whitespace-strip in its OWN projection, char explode in the
+    // next — a regexp captured inside the transform lambda would
+    // re-evaluate per character (the repo-wide HOF gotcha).
+    val cleaned = pairs.select(col(idCol),
+      regexp_replace(col(candStrCol), "\\s+", "").as("__cs"),
+      regexp_replace(col(refStrCol), "\\s+", "").as("__rs"))
+    def chars(c: String) = when(length(col(c)) > 0,
+      transform(sequence(lit(1), length(col(c))),
+        i => substring(col(c), i, lit(1))))
+      .otherwise(array().cast("array<string>"))
+    val b2 = beta.toLong * beta
+    ngramOverlap(
+        cleaned.select(col(idCol), chars("__cs").as("__cch"),
+          chars("__rs").as("__rch")),
+        idCol, "__cch", "__rch", maxN)
+      .selectExpr("n", "matched", "cand_total", "ref_total",
+        s"CAST(CASE WHEN $b2 * ref_total + cand_total > 0 THEN " +
+          s"(CAST(matched AS DECIMAL(38,0)) * ${(1 + b2) * 1000000L}) " +
+          s"div ($b2 * ref_total + cand_total) " +
+          "ELSE -1 END AS BIGINT) AS fbeta_ppm")
+  }
+
   /** Corpus ROUGE-L (Lin 2004): micro-averaged LCS recall / precision /
     * F1 over (candidate, reference) token pairs — the ORDER-AWARE
     * complement of [[ngramOverlap]] (a shuffled candidate keeps its

@@ -94,6 +94,48 @@ object Profile {
         signals.map(c => col(s"b_$c")).reduce(_ + _).as("fused"): _*)
   }
 
+  /** Per-group quantile normalization: each row's integer score is
+    * mapped to its WITHIN-GROUP quantile bucket 1..`buckets` by the
+    * same cumulative-count arithmetic as [[decileFusion]] —
+    * `1 + ⌊(#group rows below value)·buckets / n_group⌋` — so scores
+    * from sources with incomparable scales (one grader's 0–5 vs
+    * another's 0–100) land on one calibrated axis before mixing or
+    * thresholding.  All-integer edges: engine- and partitioning-exact,
+    * ties share a bucket by construction.
+    *
+    * Contract: rows with a NULL group or value are excluded by an
+    * EXPLICIT up-front filter (never silently by a join miss).
+    *
+    * Scale shape: the bucket map is built on the (group, value)
+    * DISTINCT frame — the cumulative window below partitions by group
+    * over that frame, so its per-partition row count is bounded by the
+    * VALUE DOMAIN (an integer score scale), never by group row count —
+    * then equi-joins back on (group, value).  No window touches the
+    * row frame.
+    *
+    * @return the surviving input rows plus a `bucket` column ∈ [1,buckets]
+    */
+  def groupQuantileNormalize(df: DataFrame, groupCol: String,
+      valueCol: String, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val clean = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+    val maps = clean
+      .groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__m"))
+      .withColumn("__below", coalesce(sum(col("__m")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__m")).over(
+        Window.partitionBy(col(groupCol))))
+      .select(col(groupCol).as("__g"), col("__v"),
+        expr(s"CAST(1 + __below * $buckets div __n AS BIGINT)")
+          .as("bucket"))
+    clean.join(maps, col(groupCol) === col("__g") &&
+        col(valueCol).cast("long") === col("__v"))
+      .drop("__g", "__v")
+  }
+
   /** Key-skew diagnosis for a prospective join/aggregation key — the
     * report you read BEFORE deciding between a plain shuffle, a
     * broadcast, AQE skew handling, or [[PipelineOps]] salting.  One

@@ -312,4 +312,45 @@ object Similarity {
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         col("energy_ratio"))
   }
+
+  /** kNN label agreement — the embedding-space label-noise audit (the
+    * cheap, exact cousin of confident learning): does each query
+    * vector's own label match the majority label of its k exact
+    * nearest neighbors?  Disagreements flag mislabeled rows, duplicate
+    * collisions, or an embedding space that doesn't separate the
+    * classes — the go/no-go read BEFORE training a filter model on
+    * those labels.
+    *
+    * Majority is deterministic: most votes first, then the SMALLER
+    * label — and comes from a k-row-per-query vote frame through the
+    * bounded-heap [[graft.plans.TopKPerKey]], never a window over
+    * candidates.
+    *
+    * Scale shape: inherits [[bruteForceTopK]]'s contract — the query
+    * batch must be bounded (it broadcasts; evaluation-sized batches),
+    * the corpus streams in one scan.  The neighbor-label join is
+    * k·|queries| rows against the (id, label) projection.
+    *
+    * @return one row per query: (query_id, own_label, majority_label,
+    *         n_votes ∈ [1,k], agree)
+    */
+  def knnLabelAgreement(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val top = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+    val lbl = corpus.select(col(idCol).as("corpus_id"),
+      col(labelCol).cast("long").as("__nl"))
+    val votes = top.join(lbl, "corpus_id")
+      .groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("n_votes"))
+    val best = graft.plans.TopK.perKey(votes, Seq(col("query_id")),
+        Seq(col("n_votes").desc, col("__nl").asc), k = 1)
+      .select(col("query_id"), col("__nl").as("majority_label"),
+        col("n_votes"))
+    best.join(queries.select(col(idCol).as("query_id"),
+        col(labelCol).cast("long").as("own_label")), Seq("query_id"))
+      .select(col("query_id"), col("own_label"), col("majority_label"),
+        col("n_votes"),
+        (col("majority_label") === col("own_label")).as("agree"))
+  }
 }

@@ -58,6 +58,19 @@ object ChatQueries {
         pmod(col("vec_id"), lit(25L)) === 0L).limit(20)
       Similarity.truncationOverlap(emb, q, k = 5, m = 16)
         .orderBy(col("query_id"))
+    },
+
+    // kNN label-noise audit over the same bounded query batch: does a
+    // vector's own label match its 5 exact nearest neighbors' majority
+    // vote (most votes, then smaller label)?  Disagreements flag
+    // mislabels / non-separating embeddings before a filter model
+    // trains on them.
+    "q_knn_label_agree" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 500L &&
+        pmod(col("vec_id"), lit(25L)) === 0L).limit(20)
+      Similarity.knnLabelAgreement(emb, q, k = 5)
+        .orderBy(col("query_id"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -125,5 +138,29 @@ object ChatQueries {
         |  FROM q)
         |SELECT e.query_id, coalesce(o.n_overlap, 0) AS n_overlap,
         |  e.energy_ratio
-        |FROM e LEFT JOIN o USING (query_id) ORDER BY query_id""".stripMargin)
+        |FROM e LEFT JOIN o USING (query_id) ORDER BY query_id""".stripMargin,
+
+    "q_knn_label_agree" ->
+      """WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE vec_id < 500 AND vec_id % 25 = 0),
+        |nb AS (SELECT query_id, corpus_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |          CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        |    FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.vec_id)
+        |  WHERE rank <= 5),
+        |v AS (SELECT nb.query_id, CAST(e.label AS BIGINT) AS nl,
+        |    count(*) AS n
+        |  FROM nb JOIN embeddings e ON e.vec_id = nb.corpus_id
+        |  GROUP BY 1, 2),
+        |m AS (SELECT query_id, nl AS majority_label,
+        |    CAST(n AS BIGINT) AS n_votes
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY n DESC, nl ASC) AS rn FROM v) WHERE rn = 1)
+        |SELECT m.query_id, CAST(q.label AS BIGINT) AS own_label,
+        |  m.majority_label, m.n_votes,
+        |  m.majority_label = CAST(q.label AS BIGINT) AS agree
+        |FROM m JOIN q ON q.vec_id = m.query_id
+        |ORDER BY m.query_id""".stripMargin)
 }

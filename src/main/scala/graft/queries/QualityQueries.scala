@@ -155,6 +155,34 @@ object QualityQueries {
         "cand_toks", "ref_toks")
     },
 
+    // Per-source quantile normalization of doc length onto a shared
+    // 1..10 bucket axis (integer cumulative-count edges, ties share a
+    // bucket); reported as per-(source, bucket) counts + value ranges
+    // so every cut point is pinned exactly.
+    "q_quantile_norm" -> { (s, dir) =>
+      graft.ops.Profile.groupQuantileNormalize(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "n_chars", buckets = 10)
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_v"), max(col("n_chars")).as("max_v"))
+        .orderBy(col("source"), col("bucket"))
+    },
+
+    // chrF over a vowel-stripped candidate — the morphological
+    // near-miss case word-gram BLEU scores zero but char grams credit.
+    // Text capped at 48 chars (unit volume bound); per-order F-2 is
+    // ONE integral division over the exact corpus sums.
+    "q_chrf" -> { (s, dir) =>
+      val p = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 48).as("ref_txt"))
+        .withColumn("cand_txt",
+          regexp_replace(col("ref_txt"), "[aeiou]", ""))
+      graft.ops.Eval.chrF(p, "doc_id", "cand_txt", "ref_txt")
+        .orderBy(col("n"))
+    },
+
     // ROUGE-L over a candidate that both DROPS (every 5th token) and
     // CORRUPTS (every 3rd survivor -> "_"): deletions shorten the LCS
     // path and corruptions force the DP to re-match via duplicate
@@ -510,6 +538,53 @@ object QualityQueries {
         |        / 4.0), 6)
         |  ELSE 0.0 END AS bleu
         |FROM s""".stripMargin),
+
+    "q_quantile_norm" ->
+      """WITH b AS (SELECT doc_id, source, n_chars,
+        |    count(*) OVER (PARTITION BY source) AS n,
+        |    count(*) OVER (PARTITION BY source ORDER BY n_chars
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS below
+        |  FROM documents),
+        |a AS (SELECT source, 1 + (below * 10) // n AS bucket, n_chars
+        |  FROM b)
+        |SELECT source, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(n_chars) AS min_v, max(n_chars) AS max_v
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_chrf" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(substring(text, 1, 48), '\s+', '', 'g') AS rs
+        |  FROM documents),
+        |p AS (SELECT doc_id, rs,
+        |    regexp_replace(rs, '[aeiou]', '', 'g') AS cs FROM d),
+        |ch AS (SELECT doc_id,
+        |    list_transform(range(1, length(cs)+1), i -> cs[i:i]) AS cch,
+        |    list_transform(range(1, length(rs)+1), i -> rs[i:i]) AS rch
+        |  FROM p),
+        |nn AS (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n),
+        |cg AS (SELECT doc_id, n, array_to_string(cch[i:i+n-1], ' ') AS g,
+        |    1 AS c, 0 AS r FROM (SELECT doc_id, n, cch,
+        |      unnest(range(1, len(cch) - n + 2)) AS i
+        |    FROM ch CROSS JOIN nn)),
+        |rg AS (SELECT doc_id, n, array_to_string(rch[i:i+n-1], ' ') AS g,
+        |    0 AS c, 1 AS r FROM (SELECT doc_id, n, rch,
+        |      unnest(range(1, len(rch) - n + 2)) AS i
+        |    FROM ch CROSS JOIN nn)),
+        |cnt AS (SELECT doc_id, n, g, sum(c) AS cc, sum(r) AS rc
+        |  FROM (SELECT * FROM cg UNION ALL SELECT * FROM rg)
+        |  GROUP BY 1, 2, 3),
+        |per AS (SELECT n, CAST(sum(least(cc, rc)) AS BIGINT) AS matched,
+        |    CAST(sum(cc) AS BIGINT) AS cand_total,
+        |    CAST(sum(rc) AS BIGINT) AS ref_total
+        |  FROM cnt GROUP BY 1)
+        |SELECT n, matched, cand_total, ref_total,
+        |  CAST(CASE WHEN 4 * ref_total + cand_total > 0 THEN
+        |    (CAST(matched AS HUGEINT) * 5000000)
+        |      // (4 * ref_total + cand_total)
+        |    ELSE -1 END AS BIGINT) AS fbeta_ppm
+        |FROM per ORDER BY n""".stripMargin,
 
     // The running-max LCS recurrence: L[i][j] = max(L[i-1][j],
     // max_{k<=j, cand[i]=ref[k]} L[i-1][k-1]+1) — left-dependency-free,

@@ -142,4 +142,31 @@ class ChatOpsSpec extends SparkSpec {
     assert(r._2 === 0L, s"expected zero overlap, got $r")
     assert(r._3 === 0.5)                    // 1.0 of 2.0 squared norm
   }
+
+  test("knnLabelAgreement: clean point agrees, mislabeled point is " +
+      "flagged, majority tie goes to the smaller label") {
+    // cluster A (label 0) at x-axis, cluster B (label 1) at y-axis;
+    // id 7 sits IN cluster A but carries label 1 (the mislabel).
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.00f), 0), (2L, Array(1.0f, 0.01f), 0),
+      (3L, Array(1.0f, 0.02f), 0),
+      (4L, Array(0.0f, 1.00f), 1), (5L, Array(0.01f, 1.0f), 1),
+      (6L, Array(0.02f, 1.0f), 1),
+      (7L, Array(1.0f, 0.03f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabelAgreement(corpus,
+        corpus.filter(col("vec_id").isin(1L, 7L)), k = 3)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // query 1: neighbors {2,3,7} -> labels {0,0,1} -> majority 0 agree
+    assert(got(1L) === ((1L, 0L, 0L, 2L, true)))
+    // query 7: neighbors {3,2,1} -> all label 0 -> own label 1 flagged
+    assert(got(7L) === ((7L, 1L, 0L, 3L, false)))
+    // real tie: query 1 at k=4 sees labels {0,0,1,1} (neighbors
+    // 2,3,7 then 6, the nearest of cluster B) -> 2-2 tie -> the
+    // SMALLER label (0) wins deterministically.
+    val tie = Similarity.knnLabelAgreement(corpus,
+        corpus.filter(col("vec_id") === 1L), k = 4)
+      .as[(Long, Long, Long, Long, Boolean)].collect().head
+    assert(tie === ((1L, 0L, 0L, 2L, true)))
+  }
 }

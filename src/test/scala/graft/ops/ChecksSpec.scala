@@ -119,6 +119,24 @@ class ChecksSpec extends SparkSpec {
     assert(tb == Set(1L), s"equal values must share the lowest bucket: $tb")
   }
 
+  test("groupQuantileNormalize: per-group edges, incomparable scales " +
+      "land on one axis, nulls excluded") {
+    // group A scores 1..4 (n=4, b=4 -> buckets 1..4); group B scores
+    // 10,20,30,40 — SAME buckets despite the 10x scale; a null-score
+    // row and a null-group row vanish by the explicit filter.
+    val df = (Seq((1L, "A", 1L), (2L, "A", 2L), (3L, "A", 3L),
+        (4L, "A", 4L), (5L, "B", 10L), (6L, "B", 20L), (7L, "B", 30L),
+        (8L, "B", 40L))
+        .map { case (i, g, v) => (i, g, java.lang.Long.valueOf(v)) } ++
+      Seq((9L, "A", null.asInstanceOf[java.lang.Long]),
+        (10L, null.asInstanceOf[String], java.lang.Long.valueOf(5L))))
+      .toDF("id", "g", "v")
+    val out = Profile.groupQuantileNormalize(df, "g", "v", buckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L,
+      5L -> 1L, 6L -> 2L, 7L -> 3L, 8L -> 4L))
+  }
+
   test("ksStatistic: exact D on hand-built samples; identical -> 0") {
     val a = Seq(1L, 2L, 3L, 4L).toDF("v")
     val b = Seq(3L, 4L, 5L, 6L).toDF("v")

@@ -175,6 +175,23 @@ class EvalSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("chrF: whitespace stripped, per-order clipped sums, exact " +
+      "one-division F2, absent orders absent") {
+    // cand "ab" vs ref "ab c" -> stripped "abc".  n=1: m=2,c=2,r=3,
+    // F2 = 5e6*2/(4*3+2) = 714285; n=2: m=1,c=1,r=2 -> 5e6/9 = 555555;
+    // n=3: cand empty -> m=0,c=0,r=1 -> 0; n>=4: no units, row absent.
+    val got = Eval.chrF(Seq((1L, "ab", "ab c")).toDF("id", "c", "r"),
+        "id", "c", "r")
+      .orderBy("n").as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1, 2L, 2L, 3L, 714285L),
+      (2, 1L, 1L, 2L, 555555L), (3, 0L, 0L, 1L, 0L)))
+    // identical sides: F2 = 1e6 at every order.
+    val same = Eval.chrF(Seq((1L, "abcd", "abcd")).toDF("id", "c", "r"),
+        "id", "c", "r")
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(same.length === 4 && same.forall(_._5 === 1000000L))
+  }
+
   private def localLcs(a: Seq[String], b: Seq[String]): Long = {
     val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
     for (i <- 1 to a.length; j <- 1 to b.length)
