@@ -1145,3 +1145,71 @@ case class LcsLen(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "lcs_len"
 }
+
+/** Clipped multiset-intersection size of two token arrays:
+  * `Σ_gram min(count_left(gram), count_right(gram))` — the per-pair
+  * clipping kernel of BLEU / ROUGE-n ([[graft.ops.Eval.ngramOverlap]]).
+  * Doing the clip INSIDE the row (candidate and reference grams live on
+  * the same pair row) turns the metric's former O(corpus-grams)
+  * (pair, n, gram) shuffle into a zero-shuffle scan + a maxN-row
+  * aggregate.  One hash map of the right side per call — O(|a|+|b|)
+  * time, O(|b|) transient memory, bounded by the pair's own length.
+  * Null SLOTS match nothing.
+  */
+case class ClippedMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"clipped_match_count needs two array<string>, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  def clipped(a: ArrayData, b: ArrayData): Long = {
+    val nb = b.numElements()
+    // per-call map, never expression state: plans are shared across
+    // local-mode tasks.
+    val counts =
+      new java.util.HashMap[UTF8String, java.lang.Integer](nb * 2)
+    var j = 0
+    while (j < nb) {
+      if (!b.isNullAt(j)) {
+        val t = b.getUTF8String(j)
+        val c = counts.get(t)
+        counts.put(t, if (c == null) 1 else c.intValue() + 1)
+      }
+      j += 1
+    }
+    val na = a.numElements()
+    var m = 0L
+    var i = 0
+    while (i < na) {
+      if (!a.isNullAt(i)) {
+        val t = a.getUTF8String(i)
+        val c = counts.get(t)
+        if (c != null && c.intValue() > 0) {
+          m += 1L
+          counts.put(t, c.intValue() - 1)
+        }
+      }
+      i += 1
+    }
+    m
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    clipped(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("clippedMatchCount", this,
+      classOf[ClippedMatchCount].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.clipped($a, $b);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "clipped_match_count"
+}

@@ -79,6 +79,12 @@ package object functions {
   def lcs_len(a: Column, b: Column): Column =
     toCol(LcsLen(toExpr(a), toExpr(b)))
 
+  /** Clipped multiset-intersection size of two token-array columns
+    * (the per-pair BLEU/ROUGE-n clipping kernel).
+    */
+  def clipped_match_count(a: Column, b: Column): Column =
+    toCol(ClippedMatchCount(toExpr(a), toExpr(b)))
+
   /** Min-cost unigram-LM (Viterbi) segmentation of a word column
     * against integer micro-nat piece costs; NULL when unsegmentable.
     */

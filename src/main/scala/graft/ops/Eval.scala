@@ -248,13 +248,13 @@ object Eval {
     * division (F1 = 2·matched/(cand_total+ref_total) shares the
     * matched numerator, so it needs no float composition either).
     *
-    * Scale shape: ONE scan — each pair row expands to its tagged
-    * (n, gram-hash, side) units inside a single generator projection,
-    * then one map-side-combined aggregation to (pair, n, hash) cells
-    * and one maxN-row rollup.  Grams shuffle as 64-bit xxhash keys,
-    * never text (exact up to the birthday bound, the [[Dedup]]
-    * contract).  No join: candidate and reference live on the same
-    * row, so clipping happens inside the cell aggregation.
+    * Scale shape: ZERO-shuffle scan — candidate and reference live on
+    * the same pair row, so the per-gram clip happens inside the row
+    * via the codegen [[graft.functions.ClippedMatchCount]] hash-count
+    * kernel (O(|c|+|r|) per order, exact string equality — no hash
+    * collisions even in principle), and the only exchange is the
+    * final maxN-row scalar aggregate.  Nothing gram-shaped ever
+    * shuffles.
     *
     * @param pairs one row per (candidate, reference) pair
     * @return maxN rows: (n, matched, cand_total, ref_total, prec_ppm,
@@ -264,26 +264,38 @@ object Eval {
   def ngramOverlap(pairs: DataFrame, idCol: String, candToksCol: String,
       refToksCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN must be in 1..8, got $maxN")
-    def sideUnits(toks: String, c: Int, r: Int) =
-      flatten(array((1 to maxN).map { n =>
-        transform(PipelineOps.wordNgrams(col(toks), n),
-          g => struct(lit(n).as("n"), xxhash64(g).as("h"),
-            lit(c.toLong).as("c"), lit(r.toLong).as("r")))
-      }: _*))
-    val units = pairs
-      .select(col(idCol).as("__id"), col(candToksCol).as("__ct"),
-        col(refToksCol).as("__rt"))
-      .select(col("__id"), explode(concat(
-        sideUnits("__ct", 1, 0), sideUnits("__rt", 0, 1))).as("__u"))
-      .select(col("__id"), col("__u.n").as("n"), col("__u.h").as("__h"),
-        col("__u.c").as("__c"), col("__u.r").as("__r"))
-    units
-      .groupBy(col("__id"), col("n"), col("__h"))
-      .agg(sum(col("__c")).as("__cc"), sum(col("__r")).as("__rc"))
-      .groupBy(col("n"))
-      .agg(sum(least(col("__cc"), col("__rc"))).cast("long").as("matched"),
-        sum(col("__cc")).cast("long").as("cand_total"),
-        sum(col("__rc")).cast("long").as("ref_total"))
+    // gram arrays materialized in their own projection; the clip
+    // happens INSIDE each row (both sides live there) via the codegen
+    // [[graft.functions.ClippedMatchCount]] hash-count kernel, so the
+    // whole metric is a zero-shuffle scan + one maxN-row aggregate —
+    // the former (pair, n, gram) cell aggregation shuffled O(corpus
+    // grams) for nothing.
+    val grams = pairs.select(
+      (1 to maxN).flatMap { n =>
+        Seq(PipelineOps.wordNgrams(col(candToksCol), n).as(s"__c$n"),
+          PipelineOps.wordNgrams(col(refToksCol), n).as(s"__r$n"))
+      }: _*)
+    val aggs = (1 to maxN).flatMap { n =>
+      Seq(
+        coalesce(sum(graft.functions.clipped_match_count(
+          col(s"__c$n"), col(s"__r$n"))), lit(0L))
+          .cast("long").as(s"__m$n"),
+        coalesce(sum(size(col(s"__c$n")).cast("long")), lit(0L))
+          .cast("long").as(s"__ct$n"),
+        coalesce(sum(size(col(s"__r$n")).cast("long")), lit(0L))
+          .cast("long").as(s"__rt$n"))
+    }
+    grams.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array((1 to maxN).map { n =>
+        struct(lit(n).as("n"), col(s"__m$n").as("matched"),
+          col(s"__ct$n").as("cand_total"), col(s"__rt$n").as("ref_total"))
+      }: _*)).as("__p"))
+      .select(col("__p.n").as("n"), col("__p.matched").as("matched"),
+        col("__p.cand_total").as("cand_total"),
+        col("__p.ref_total").as("ref_total"))
+      // an order with no grams on EITHER side never existed as a row
+      // in the cell-aggregation formulation — keep that contract.
+      .filter(col("cand_total") + col("ref_total") > 0L)
       .selectExpr("n", "matched", "cand_total", "ref_total",
         "CAST(CASE WHEN cand_total > 0 THEN " +
           "(CAST(matched AS DECIMAL(38,0)) * 1000000) div cand_total " +
