@@ -677,4 +677,66 @@ object PipelineOps {
           .otherwise("train"))
       .drop("__one", "__before", "__ns")
   }
+
+  /** Greedy maximum-coverage selection — the submodular data-selection
+    * kernel (facility location's set-cover cousin; the greedy is the
+    * classic (1−1/e)-approximation): pick `k` documents one at a time,
+    * each round the document adding the most NOT-YET-COVERED distinct
+    * tokens, ties to the smaller id.  This is how a diverse seed /
+    * eval / annotation subset is cut from a candidate pool — pure
+    * frequency ranking picks k near-duplicates; coverage greedy
+    * penalizes overlap by construction.
+    *
+    * Determinism: token sets are exact distinct unigrams; every argmax
+    * is (gain DESC, id ASC)-total.  A round where no remaining
+    * document adds ANY new token stops early (the standard greedy
+    * termination — selecting a zero-gain doc is noise).
+    *
+    * Scale contract: selection is inherently k-SEQUENTIAL, so `docs`
+    * is the bounded candidate pool an upstream ranking/sampling step
+    * produced (the [[graft.ops.Bpe]] round contract).  Each round is
+    * one token-keyed anti-join + one per-doc aggregation + a 1-row
+    * TakeOrdered argmax — the only driver traffic is that single row
+    * per round; the covered-token frame is checkpointed through the
+    * lineage-captured helper and never collected.
+    *
+    * @param docs candidate pool with a BIGINT id column
+    * @return one row per selected doc: (round, doc_id, new_grams,
+    *         covered_total), round ascending
+    */
+  def greedyCoverageSelect(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in 1..64, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = CacheScope.traced(docs
+      .select(col(idCol).cast("long").as("__id"),
+        explode(array_distinct(split(col(textCol), " "))).as("__tok")))
+    var covered = grams.select(col("__tok")).limit(0)
+    var chosen = List.empty[(Int, Long, Long, Long)]
+    var selected = List.empty[Long]
+    var total = 0L
+    var done = false
+    for (r <- 1 to k if !done) {
+      val remaining =
+        if (selected.isEmpty) grams
+        else grams.filter(!col("__id").isin(selected: _*))
+      val win = remaining.join(covered, Seq("__tok"), "left_anti")
+        .groupBy(col("__id")).agg(count(lit(1)).as("__gain"))
+        .orderBy(col("__gain").desc, col("__id").asc)
+        .limit(1).collect()
+      if (win.isEmpty) done = true
+      else {
+        val id = win(0).getLong(0)
+        val gain = win(0).getLong(1)
+        total += gain
+        selected ::= id
+        chosen ::= ((r, id, gain, total))
+        if (r < k) covered = CacheScope.traced(covered.union(
+          grams.filter(col("__id") === id).select(col("__tok"))))
+      }
+    }
+    chosen.reverse
+      .toDF("round", "doc_id", "new_grams", "covered_total")
+  }
 }

@@ -267,6 +267,17 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy(col("source"), col("split"))
+    },
+
+    // Greedy max-coverage selection of 3 docs from the %17 candidate
+    // pool: each round the doc adding the most uncovered distinct
+    // tokens (ties to smaller id) — the submodular diverse-subset
+    // kernel; the DuckDB twin unrolls the 3 greedy rounds exactly.
+    "q_coverage_select" -> { (s, dir) =>
+      graft.ops.PipelineOps.greedyCoverageSelect(
+        Tables.load(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(17L)) === 0L),
+        "doc_id", "text", k = 3)
     })
 
   /** DuckDB twin of TextAnalysis.tokens (same as OpsQueries). */
@@ -582,6 +593,36 @@ object PipelineQueries {
         |SELECT source, split, count(*) AS n_docs,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_coverage_select" ->
+      """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' '))
+        |    AS g FROM documents WHERE doc_id % 17 = 0),
+        |t AS (SELECT doc_id, unnest(g) AS tok FROM d),
+        |w1 AS (SELECT doc_id, count(*) AS gain FROM t GROUP BY 1
+        |  ORDER BY gain DESC, doc_id LIMIT 1),
+        |c1 AS (SELECT DISTINCT tok FROM t JOIN w1 USING (doc_id)),
+        |w2 AS (SELECT doc_id, count(*) AS gain FROM t
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM w1)
+        |    AND tok NOT IN (SELECT tok FROM c1)
+        |  GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+        |c2 AS (SELECT tok FROM c1 UNION
+        |       SELECT tok FROM t JOIN w2 USING (doc_id)),
+        |w3 AS (SELECT doc_id, count(*) AS gain FROM t
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM w1
+        |      UNION ALL SELECT doc_id FROM w2)
+        |    AND tok NOT IN (SELECT tok FROM c2)
+        |  GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS round, doc_id, CAST(gain AS BIGINT) AS new_grams,
+        |    CAST((SELECT count(*) FROM c1) AS BIGINT) AS covered_total
+        |  FROM w1
+        |  UNION ALL
+        |  SELECT 2, doc_id, CAST(gain AS BIGINT),
+        |    CAST((SELECT count(*) FROM c2) AS BIGINT) FROM w2
+        |  UNION ALL
+        |  SELECT 3, doc_id, CAST(gain AS BIGINT),
+        |    CAST((SELECT count(*) FROM c2) + gain AS BIGINT) FROM w3)
+        |ORDER BY round""".stripMargin,
 
     "q_group_split" ->
       """WITH rs AS (SELECT user_id,

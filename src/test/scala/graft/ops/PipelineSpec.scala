@@ -353,4 +353,26 @@ class PipelineSpec extends SparkSpec {
       assert(nVal === n / 10, s"stratum $s")
     }
   }
+
+  test("greedyCoverageSelect: biggest set first, overlap penalized, " +
+      "gain-ties to smaller id, zero-gain round stops early") {
+    val docs = Seq(
+      (1L, "a b c"),      // 3 distinct
+      (2L, "a b"),        // subset of 1
+      (3L, "c d e f"),    // 4 distinct -> round-1 winner
+      (4L, "x"))          // disjoint singleton
+      .toDF("doc_id", "text")
+    val got = PipelineOps.greedyCoverageSelect(docs, "doc_id", "text", 3)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    // r1: 3 wins (4 new); r2: docs 1 and 2 both add {a,b} -> tie at 2,
+    // smaller id 1 wins (covered 6); r3: doc 2 adds NOTHING, doc 4
+    // adds 1 -> 4 wins (covered 7).
+    assert(got === Seq((1, 3L, 4L, 4L), (2, 1L, 2L, 6L), (3, 4L, 1L, 7L)))
+    // early stop: after the winner covers everything, no remaining doc
+    // has a positive gain -> the greedy returns fewer than k rows.
+    val dup = Seq((1L, "a b"), (2L, "a b"), (3L, "b")).toDF("doc_id", "text")
+    val stopped = PipelineOps.greedyCoverageSelect(dup, "doc_id", "text", 3)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(stopped === Seq((1, 1L, 2L, 2L)))
+  }
 }

@@ -484,4 +484,26 @@ class RandomizedSpec extends SparkSpec {
         trunc(a * d - b * c, b * (d - c)))), s"fleiss seed=$seed r=$r")
     }
   }
+
+  test("clipped_match_count == local multiset intersection on random " +
+      "token arrays (3 seeds)") {
+    import org.apache.spark.sql.functions.col
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val cases = (1 to 80).map { _ =>
+        def arr() = Seq.fill(rnd.nextInt(20))(s"t${rnd.nextInt(5)}")
+        (arr(), arr())
+      }
+      val got = cases.toDF("a", "b")
+        .select(graft.functions.clipped_match_count(col("a"), col("b")))
+        .as[Long].collect().toSeq
+      val want = cases.map { case (a, b) =>
+        val bc = b.groupBy(identity).view.mapValues(_.size).toMap
+        a.groupBy(identity).map { case (t, xs) =>
+          math.min(xs.size, bc.getOrElse(t, 0)).toLong
+        }.sum
+      }
+      assert(got === want, s"seed=$seed")
+    }
+  }
 }
