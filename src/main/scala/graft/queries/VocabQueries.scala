@@ -45,6 +45,38 @@ object VocabQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Tokenizer fertility by source over the DISTINCT-WORD frame —
+    // each distinct (source, word) segments ONCE via the codegen
+    // expression (vocabulary-sized work, never corpus-sized) and the
+    // word counts weight the report: pieces-per-1k-words and UNK rate
+    // are the read before committing a tokenizer to a domain mixture.
+    "q_wp_fertility" -> { (s, dir) =>
+      import graft.functions.wordpiece_encode
+      val words = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+      words
+        .withColumn("__p", wordpiece_encode(array(col("w")), wpVocab))
+        .select(col("source"), col("n"),
+          size(col("__p")).cast("long").as("np"),
+          array_contains(col("__p"), "[UNK]").as("unk"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).cast("long").as("n_words"),
+          sum(col("n") * col("np")).cast("long").as("n_pieces"),
+          sum(when(col("unk"), col("n")).otherwise(0L)).cast("long")
+            .as("n_unk"),
+          count(lit(1)).as("n_distinct_words"))
+        .selectExpr("source", "n_words", "n_pieces", "n_unk",
+          "n_distinct_words",
+          "CAST((CAST(n_pieces AS DECIMAL(38,0)) * 1000) div n_words " +
+            "AS BIGINT) AS pieces_per_kword",
+          "CAST((CAST(n_unk AS DECIMAL(38,0)) * 1000000) div n_words " +
+            "AS BIGINT) AS unk_ppm")
+        .orderBy(col("source"))
+    },
+
     // Tokenizer vocabulary induction: top-10 tokens per language by
     // frequency.  Explode → hash-agg (map-side combine collapses the
     // token stream per partition) → the custom TopKPerKey heap operator
@@ -132,6 +164,50 @@ object VocabQueries {
         |FROM (SELECT DISTINCT doc_id FROM base) b
         |LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_wp_fertility" -> {
+      val values = wpVocab.map(p => s"('$p')").mkString(", ")
+      s"""WITH RECURSIVE base AS (
+        |  SELECT source, regexp_extract_all(lower(text), '[a-z0-9'']+')
+        |    AS toks
+        |  FROM documents WHERE doc_id < 200),
+        |wc AS (SELECT source, w, count(*) AS n FROM (
+        |    SELECT source, unnest(toks) AS w FROM base) GROUP BY 1, 2),
+        |dw AS (SELECT DISTINCT w FROM wc),
+        |vocab(piece) AS (VALUES $values),
+        |seg(w, rest, np, unk, step) AS (
+        |  SELECT w, w, 0, FALSE, 0 FROM dw
+        |  UNION ALL
+        |  SELECT w,
+        |    CASE WHEN nxt IS NULL THEN ''
+        |         ELSE substr(rest, CASE WHEN step = 0 THEN len(nxt) + 1
+        |                                ELSE len(nxt) - 1 END, 100000) END,
+        |    CASE WHEN nxt IS NULL THEN 1 ELSE np + 1 END,
+        |    nxt IS NULL OR unk, step + 1
+        |  FROM (
+        |    SELECT w, rest, np, unk, step,
+        |      (SELECT piece FROM vocab
+        |        WHERE CASE WHEN step = 0
+        |              THEN NOT starts_with(piece, '##')
+        |                AND starts_with(rest, piece)
+        |              ELSE starts_with(piece, '##')
+        |                AND starts_with(rest, substr(piece, 3, 100000)) END
+        |        ORDER BY len(piece) DESC, piece LIMIT 1) AS nxt
+        |    FROM seg WHERE len(rest) > 0 AND step < 64)),
+        |fin AS (SELECT w, np, unk FROM seg WHERE len(rest) = 0),
+        |a AS (SELECT wc.source, CAST(sum(wc.n) AS BIGINT) AS n_words,
+        |    CAST(sum(wc.n * fin.np) AS BIGINT) AS n_pieces,
+        |    CAST(sum(CASE WHEN fin.unk THEN wc.n ELSE 0 END) AS BIGINT)
+        |      AS n_unk,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_words
+        |  FROM wc JOIN fin ON wc.w = fin.w GROUP BY 1)
+        |SELECT source, n_words, n_pieces, n_unk, n_distinct_words,
+        |  CAST((CAST(n_pieces AS HUGEINT) * 1000) // n_words AS BIGINT)
+        |    AS pieces_per_kword,
+        |  CAST((CAST(n_unk AS HUGEINT) * 1000000) // n_words AS BIGINT)
+        |    AS unk_ppm
+        |FROM a ORDER BY source""".stripMargin
     },
 
     "q_vocab_topk" ->
