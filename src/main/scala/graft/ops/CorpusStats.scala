@@ -316,4 +316,56 @@ object CorpusStats {
           .as("weight_micro"))
       .orderBy(col(domainCol))
   }
+
+  /** Vocabulary coverage-at-V curve — the vocab-SIZE decision report
+    * (what fraction of corpus tokens does a top-V vocabulary cover?),
+    * the complement of [[vocabGrowth]]'s Heaps curve (which grows the
+    * corpus, not the vocabulary).  For each requested V: the exact
+    * token mass of the V most frequent types (ties by token string)
+    * over the total mass, in ppm.
+    *
+    * Scale shape: one explode + map-side-combined count to the
+    * distinct-type frame; the top-max(V) types come through
+    * TakeOrderedAndProject (a BOUNDED global top-k — V is a config
+    * constant, never data-sized), so no window or sort ever sees the
+    * full vocabulary; ranks are assigned inside the limit-bounded
+    * frame.  Total mass is one scalar aggregate.
+    *
+    * @param cuts strictly ascending vocabulary sizes
+    * @return one row per cut: (vocab_size, covered, total,
+    *         coverage_ppm), vocab_size ascending
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+      cuts: Seq[Int]): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(_ >= 1) &&
+      cuts == cuts.sorted.distinct && cuts.last <= 1000000,
+      s"cuts must be strictly ascending, within [1, 10^6]: $cuts")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__n"))
+    val total = counts.agg(sum(col("__n")).cast("long").as("total"))
+    val top = counts.orderBy(col("__n").desc, col("__tok").asc)
+      .limit(cuts.last)
+      .withColumn("__rank", row_number().over(
+        Window.orderBy(col("__n").desc, col("__tok").asc)))
+    val cutAggs = cuts.map(v =>
+      sum(when(col("__rank") <= v, col("__n")).otherwise(0L))
+        .cast("long").as(s"__c$v"))
+    val perCut = top.crossJoin(total)
+      .select(col("__rank"), col("__n"), col("total"))
+      .groupBy(col("total"))
+      .agg(cutAggs.head, cutAggs.tail: _*)
+    perCut.select(explode(array(cuts.map(v => struct(
+        lit(v.toLong).as("vocab_size"), col(s"__c$v").as("covered"),
+        col("total").as("total"))): _*)).as("__r"))
+      .selectExpr("__r.vocab_size AS vocab_size", "__r.covered AS covered",
+        "__r.total AS total",
+        "CAST(CASE WHEN total > 0 THEN " +
+          "(CAST(covered AS DECIMAL(38,0)) * 1000000) div total " +
+          "ELSE -1 END AS BIGINT) AS coverage_ppm")
+      .orderBy(col("vocab_size"))
+  }
 }

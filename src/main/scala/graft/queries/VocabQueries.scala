@@ -77,6 +77,14 @@ object VocabQueries {
         .orderBy(col("source"))
     },
 
+    // Vocabulary coverage-at-V: what token mass do the top-50/200/1000
+    // types cover?  The vocab-size decision curve — top-max(V) types
+    // come through the bounded TakeOrdered, never a vocab-wide window.
+    "q_vocab_coverage" -> { (s, dir) =>
+      graft.ops.CorpusStats.vocabCoverage(
+        Tables.load(s, dir, "documents"), "text", Seq(50, 200, 1000))
+    },
+
     // Tokenizer vocabulary induction: top-10 tokens per language by
     // frequency.  Explode → hash-agg (map-side combine collapses the
     // token stream per partition) → the custom TopKPerKey heap operator
@@ -165,6 +173,24 @@ object VocabQueries {
         |LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin
     },
+
+    "q_vocab_coverage" ->
+      """WITH c AS (SELECT w, count(*) AS n FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text),
+        |      '[a-z0-9'']+')) AS w FROM documents) GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, w ASC)
+        |    AS rk FROM c),
+        |v(vocab_size) AS (VALUES (50), (200), (1000)),
+        |a AS (SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+        |    CAST(sum(CASE WHEN rk <= vocab_size THEN n ELSE 0 END)
+        |      AS BIGINT) AS covered
+        |  FROM r CROSS JOIN v GROUP BY 1)
+        |SELECT vocab_size, covered, total,
+        |  CAST(CASE WHEN total > 0 THEN
+        |    (CAST(covered AS HUGEINT) * 1000000) // total
+        |    ELSE -1 END AS BIGINT) AS coverage_ppm
+        |FROM a CROSS JOIN t ORDER BY vocab_size""".stripMargin,
 
     "q_wp_fertility" -> {
       val values = wpVocab.map(p => s"('$p')").mkString(", ")

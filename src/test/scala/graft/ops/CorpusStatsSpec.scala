@@ -235,4 +235,15 @@ class CorpusStatsSpec extends SparkSpec {
     assert(math.abs(total - 1000000L) <= 1,
       s"weights must softmax-normalize to 1e6 micro: $total")
   }
+
+  test("vocabCoverage: exact mass at each cut, count-ties by token " +
+      "string, oversized cut covers everything") {
+    import spark.implicits._
+    // counts: a=3, b=1, c=1 (tie broken b<c); total 5.
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("id", "text")
+    val got = CorpusStats.vocabCoverage(docs, "text", Seq(1, 2, 10))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 3L, 5L, 600000L), (2L, 4L, 5L, 800000L),
+      (10L, 5L, 5L, 1000000L)))
+  }
 }
