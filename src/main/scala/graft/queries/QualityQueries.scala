@@ -633,7 +633,7 @@ object QualityQueries {
     * reference = full) pairs, replayed with byte-identical space-joined
     * gram strings.
     */
-  private def bleuPerSql: String =
+  private[queries] def bleuPerSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tr
       |  FROM documents),
       |p AS (SELECT doc_id,

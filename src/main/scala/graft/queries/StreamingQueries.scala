@@ -346,6 +346,58 @@ object StreamingQueries {
     // resident vocab hash, no vocab join), and the complete-mode piece
     // counts over a 2-chunk replay must equal the batch aggregation —
     // token counting is order-free, so the replay split cannot matter.
+    // Live n-gram-overlap monitoring: the zero-shuffle clipped-match
+    // kernel runs INSIDE the micro-batch projection and the 12 corpus
+    // sums accumulate in one complete-mode global aggregate — monotone
+    // merges, so the final row equals the batch q_ngram_overlap sums
+    // however the replay chunks the corpus; ppm ratios are derived
+    // from the final table (same oracle as the batch gate).
+    "q_stream_ngram_overlap" -> { (s, dir) =>
+      import graft.functions.clipped_match_count
+      import graft.ops.PipelineOps.wordNgrams
+      val stream = replay(s,
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("text")), chunks = 2)
+        .select(split(col("text"), " ").as("ref_toks"))
+        .withColumn("cand_toks",
+          filter(col("ref_toks"), (_, i) => i % 7 =!= 0))
+      val aggs = (1 to 4).flatMap { n =>
+        Seq(
+          sum(clipped_match_count(wordNgrams(col("cand_toks"), n),
+            wordNgrams(col("ref_toks"), n))).cast("long").as(s"__m$n"),
+          sum(size(wordNgrams(col("cand_toks"), n)).cast("long"))
+            .cast("long").as(s"__ct$n"),
+          sum(size(wordNgrams(col("ref_toks"), n)).cast("long"))
+            .cast("long").as(s"__rt$n"))
+      }
+      val agg1 = stream.groupBy().agg(aggs.head, aggs.tail: _*)
+      val name = s"sngram_${runId.incrementAndGet()}"
+      val q = agg1.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+        .select(explode(array((1 to 4).map { n =>
+          struct(lit(n).as("n"), col(s"__m$n").as("matched"),
+            col(s"__ct$n").as("cand_total"),
+            col(s"__rt$n").as("ref_total"))
+        }: _*)).as("__p"))
+        .select(col("__p.n").as("n"), col("__p.matched").as("matched"),
+          col("__p.cand_total").as("cand_total"),
+          col("__p.ref_total").as("ref_total"))
+        .filter(col("cand_total") + col("ref_total") > 0L)
+        .selectExpr("n", "matched", "cand_total", "ref_total",
+          "CAST(CASE WHEN cand_total > 0 THEN " +
+            "(CAST(matched AS DECIMAL(38,0)) * 1000000) div cand_total " +
+            "ELSE -1 END AS BIGINT) AS prec_ppm",
+          "CAST(CASE WHEN ref_total > 0 THEN " +
+            "(CAST(matched AS DECIMAL(38,0)) * 1000000) div ref_total " +
+            "ELSE -1 END AS BIGINT) AS recall_ppm",
+          "CAST(CASE WHEN cand_total + ref_total > 0 THEN " +
+            "(CAST(matched AS DECIMAL(38,0)) * 2000000) div " +
+            "(cand_total + ref_total) ELSE -1 END AS BIGINT) AS f1_ppm")
+        .orderBy(col("n"))
+    },
+
     "q_stream_wordpiece" -> { (s, dir) =>
       import graft.functions.wordpiece_encode
       import graft.ops.TextAnalysis
@@ -781,6 +833,21 @@ object StreamingQueries {
         |  CAST(sum(CASE WHEN y AND p < 500000 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS fn
         |FROM p""".stripMargin,
+
+    // identical oracle to the batch q_ngram_overlap — stream==batch.
+    "q_stream_ngram_overlap" ->
+      (QualityQueries.bleuPerSql + """
+        |SELECT n, matched, cand_total, ref_total,
+        |  CAST(CASE WHEN cand_total > 0 THEN
+        |    (CAST(matched AS HUGEINT) * 1000000) // cand_total
+        |    ELSE -1 END AS BIGINT) AS prec_ppm,
+        |  CAST(CASE WHEN ref_total > 0 THEN
+        |    (CAST(matched AS HUGEINT) * 1000000) // ref_total
+        |    ELSE -1 END AS BIGINT) AS recall_ppm,
+        |  CAST(CASE WHEN cand_total + ref_total > 0 THEN
+        |    (CAST(matched AS HUGEINT) * 2000000) // (cand_total + ref_total)
+        |    ELSE -1 END AS BIGINT) AS f1_ppm
+        |FROM per ORDER BY n""".stripMargin),
 
     "q_stream_wordpiece" -> {
       val values = VocabQueries.wpVocab.map(p => s"('$p')").mkString(", ")
