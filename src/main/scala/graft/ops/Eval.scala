@@ -308,6 +308,81 @@ object Eval {
           "(cand_total + ref_total) ELSE -1 END AS BIGINT) AS f1_ppm")
   }
 
+  /** Paired bootstrap comparison of two per-item scores — THE standard
+    * "is system A actually better than system B?" test (Koehn 2004 for
+    * MT; same mechanics for any paired metric): resample the ITEMS
+    * with deterministic Poisson(1) weights (Chamandy et al. one-pass
+    * bootstrap, the [[Checks.bootstrapMeanCI]] device) and read off
+    * (a) the CI of the mean paired difference and (b) how many
+    * resamples each system wins — the win fraction IS the bootstrap
+    * p-value's complement.
+    *
+    * Exactness: per-resample Σw·d sums are exact integers in cents, so
+    * wins/ties/losses are exact; only the b quantile means divide (the
+    * same double division both engines replay identically).
+    *
+    * Scale shape: one scan explodes each pair row to its b weighted
+    * copies (b is a config constant), one map-side-combined aggregation
+    * to b rows, one window over that b-row frame.  No driver state, no
+    * per-item global rank.
+    *
+    * @return one row: (n_rows, b_eff, mean_diff, ci_lo, ci_hi, wins_a,
+    *         ties, wins_b); diff = a − b in the caller's money units
+    */
+  def pairedBootstrap(df: DataFrame, idCol: String, aCol: String,
+      bCol: String, b: Int, seed: Long, loP: Double = 0.025,
+      hiP: Double = 0.975): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(b >= 2 && b <= 10000, s"resample count out of range: $b")
+    require(seed >= 0 && loP > 0 && hiP < 1 && loP < hiP)
+    val rLo = math.ceil(loP * b).toLong
+    val rHi = math.ceil(hiP * b).toLong
+    val cents = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(idCol).cast("long").as("__i"),
+        (round(col(aCol) * 100).cast("long") -
+          round(col(bCol) * 100).cast("long")).as("__d"))
+    val res = cents
+      .select(col("__i"), col("__d"),
+        explode(sequence(lit(0), lit(b - 1))).as("__j"))
+      .withColumn("__u1", pmod(
+        col("__i") * 2654435761L + col("__j") * 40503L + seed,
+        lit(2147483648L)))
+      .withColumn("__u", pmod(col("__u1") * 48271L + col("__j"),
+        lit(2147483648L)))
+      .withColumn("__w", when(col("__u") < 790015084L, 0L)
+        .when(col("__u") < 1580030169L, 1L)
+        .when(col("__u") < 1975037711L, 2L)
+        .when(col("__u") < 2106706892L, 3L)
+        .when(col("__u") < 2139624187L, 4L)
+        .otherwise(5L))
+      .groupBy(col("__j"))
+      .agg(sum(col("__w") * col("__d")).as("__s"),
+        sum(col("__w")).as("__n"))
+      .filter(col("__n") > 0)
+    val ranked = res
+      .select(col("__j"), col("__s"),
+        (col("__s").cast("double") / col("__n").cast("double")).as("__mv"))
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("__mv"), col("__j"))))
+    val ci = ranked.agg(count(lit(1)).as("b_eff"),
+      max(when(col("__r") === rLo, col("__mv"))).as("__lo"),
+      max(when(col("__r") === rHi, col("__mv"))).as("__hi"),
+      sum(when(col("__s") > 0L, 1L).otherwise(0L)).cast("long")
+        .as("wins_a"),
+      sum(when(col("__s") === 0L, 1L).otherwise(0L)).cast("long")
+        .as("ties"),
+      sum(when(col("__s") < 0L, 1L).otherwise(0L)).cast("long")
+        .as("wins_b"))
+    cents.agg(count(lit(1)).as("n_rows"), sum(col("__d")).as("__ts"))
+      .crossJoin(ci)
+      .select(col("n_rows"), col("b_eff"),
+        round(col("__ts").cast("double") / 100d / col("n_rows"), 6)
+          .as("mean_diff"),
+        round(col("__lo") / 100d, 6).as("ci_lo"),
+        round(col("__hi") / 100d, 6).as("ci_hi"),
+        col("wins_a"), col("ties"), col("wins_b"))
+  }
+
   /** Corpus chrF (Popović 2015): character n-gram F-β over
     * (candidate, reference) string pairs — the tokenization-free
     * metric that credits morphological near-misses BLEU's word grams

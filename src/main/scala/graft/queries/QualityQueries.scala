@@ -61,6 +61,20 @@ object QualityQueries {
         "event_id", "value", b = 200, seed = 7L)
     },
 
+    // Paired bootstrap system comparison over consecutive-event pairs
+    // (the q_bradley_terry pairing device): CI of the mean paired
+    // value difference + exact resample win counts — "does the first
+    // of each pair systematically exceed the second?"
+    "q_paired_bootstrap" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events").where(col("value").isNotNull)
+      val e1 = ev.where(pmod(col("event_id"), lit(2L)) === 0L)
+        .select(col("event_id").as("pid"), col("value").as("va"))
+      val e2 = ev.select((col("event_id") - 1L).as("pid"),
+        col("value").as("vb"))
+      graft.ops.Eval.pairedBootstrap(e1.join(e2, "pid"), "pid",
+        "va", "vb", b = 200, seed = 11L)
+    },
+
     "q_bigram_lm" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       CorpusStats.bigramLogProb(docs, "doc_id", "text")
@@ -285,6 +299,51 @@ object QualityQueries {
         |  round(CAST(t.ts AS DOUBLE) / 100 / t.n_rows, 6) AS mean,
         |  round((SELECT mv FROM ranked WHERE r = 5) / 100, 6) AS ci_lo,
         |  round((SELECT mv FROM ranked WHERE r = 195) / 100, 6) AS ci_hi
+        |FROM tot t""".stripMargin,
+
+    "q_paired_bootstrap" ->
+      """WITH ev AS (SELECT event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |cents AS (
+        |  SELECT e1.event_id AS i, e1.c - e2.c AS d
+        |  FROM ev e1 JOIN ev e2 ON e2.event_id = e1.event_id + 1
+        |  WHERE e1.event_id % 2 = 0),
+        |drawn AS (
+        |  SELECT i, d, r.j,
+        |    (i * 2654435761 + r.j * 40503 + 11) % 2147483648 AS u1
+        |  FROM cents, range(0, 200) r(j)),
+        |weighted AS (
+        |  SELECT j, d,
+        |    CASE WHEN u < 790015084 THEN 0
+        |         WHEN u < 1580030169 THEN 1
+        |         WHEN u < 1975037711 THEN 2
+        |         WHEN u < 2106706892 THEN 3
+        |         WHEN u < 2139624187 THEN 4
+        |         ELSE 5 END AS w
+        |  FROM (SELECT i, d, j, (u1 * 48271 + j) % 2147483648 AS u
+        |        FROM drawn)),
+        |res AS (
+        |  SELECT j, CAST(sum(w * d) AS BIGINT) AS s,
+        |         CAST(sum(w) AS BIGINT) AS n
+        |  FROM weighted GROUP BY 1 HAVING sum(w) > 0),
+        |ranked AS (
+        |  SELECT j, s, CAST(s AS DOUBLE) / n AS mv,
+        |    row_number() OVER (ORDER BY CAST(s AS DOUBLE) / n, j) AS r
+        |  FROM res),
+        |tot AS (SELECT count(*) AS n_rows, CAST(sum(d) AS BIGINT) AS ts
+        |        FROM cents)
+        |SELECT t.n_rows,
+        |  (SELECT count(*) FROM ranked) AS b_eff,
+        |  round(CAST(t.ts AS DOUBLE) / 100 / t.n_rows, 6) AS mean_diff,
+        |  round((SELECT mv FROM ranked WHERE r = 5) / 100, 6) AS ci_lo,
+        |  round((SELECT mv FROM ranked WHERE r = 195) / 100, 6) AS ci_hi,
+        |  (SELECT CAST(count(*) FILTER (s > 0) AS BIGINT) FROM ranked)
+        |    AS wins_a,
+        |  (SELECT CAST(count(*) FILTER (s = 0) AS BIGINT) FROM ranked)
+        |    AS ties,
+        |  (SELECT CAST(count(*) FILTER (s < 0) AS BIGINT) FROM ranked)
+        |    AS wins_b
         |FROM tot t""".stripMargin,
 
     "q_bigram_lm" ->

@@ -175,6 +175,22 @@ class EvalSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("pairedBootstrap: all-positive diffs give unanimous wins and a " +
+      "positive CI; swapping systems mirrors the verdict") {
+    val df = (1 to 50).map(i => (i.toLong, 10.0 + (i % 3), 1.0))
+      .toDF("id", "a", "b")
+    val r = Eval.pairedBootstrap(df, "id", "a", "b", b = 50, seed = 3L)
+      .as[(Long, Long, Double, Double, Double, Long, Long, Long)].head()
+    assert(r._1 === 50L)
+    assert(r._6 === r._2 && r._7 === 0L && r._8 === 0L,
+      s"every resample of strictly positive diffs must favor A: $r")
+    assert(r._4 > 0 && r._4 <= r._5, s"CI must be positive-ordered: $r")
+    val m = Eval.pairedBootstrap(df, "id", "b", "a", b = 50, seed = 3L)
+      .as[(Long, Long, Double, Double, Double, Long, Long, Long)].head()
+    assert(m._3 === -r._3 && m._6 === 0L && m._8 === r._6,
+      s"swapped systems must mirror: $m vs $r")
+  }
+
   test("chrF: whitespace stripped, per-order clipped sums, exact " +
       "one-division F2, absent orders absent") {
     // cand "ab" vs ref "ab c" -> stripped "abc".  n=1: m=2,c=2,r=3,
