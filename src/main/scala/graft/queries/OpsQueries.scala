@@ -193,6 +193,28 @@ object OpsQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Cross-source duplicate-flow matrix: which source PAIRS share
+    // near-duplicate content (who copies from whom) — the curation
+    // read behind per-source dedup budgets.  Built on the EXACT
+    // prefix-filtered pair table (so the DuckDB all-pairs twin replays
+    // it exactly), sources joined per side, unordered pair normalized
+    // by least/greatest.
+    "q_dup_flow" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+      val pairs = Dedup.prefixFilteredJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.5)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+          "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+          "id_b")
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
     // Winnowing fingerprints (MOSS): per-doc sketch of window-min gram
     // hashes.  Selection depends on hash ORDER, so the gate uses an
     // engine-agnostic base-31 mod-2^31 gram hash and the DuckDB twin
@@ -759,6 +781,26 @@ object OpsQueries {
     "q_lang_id" -> langIdOracle,
     "q_dedup_jaccard" -> jaccardOracle,
     "q_prefix_jaccard" -> jaccardOracle,
+
+    "q_dup_flow" -> {
+      s"""WITH sh AS (
+        |  SELECT doc_id, source, list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(generate_series(0, len(toks) - 3),
+        |         i -> hash(toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |           toks[i+3]))
+        |    ELSE [hash(array_to_string(toks, ' '))] END) AS s
+        |  FROM (SELECT doc_id, source, string_split($normSql, ' ')
+        |          AS toks
+        |        FROM documents WHERE doc_id < 200)),
+        |p AS (SELECT least(a.source, b.source) AS source_a,
+        |    greatest(a.source, b.source) AS source_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+        |    AND len(list_intersect(a.s, b.s))::DOUBLE /
+        |        len(list_distinct(list_concat(a.s, b.s))) >= 0.5)
+        |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     // precision envelope: exact-pair count on the capped subset; the
     // found-but-not-exact anti-join count is 0 by construction
     "q_dedup_minhash" ->
