@@ -313,6 +313,57 @@ object Similarity {
         col("energy_ratio"))
   }
 
+  /** Rank-aware truncation fidelity: EXACT average overlap (Webber et
+    * al. 2010's AO — the p→1 limit of rank-biased overlap) between the
+    * full-dim and prefix-dim exact top-k rankings, per query.  Where
+    * [[truncationOverlap]] counts set overlap at depth k only, AO
+    * averages the overlap at EVERY depth 1..k, so it penalizes a
+    * prefix index that finds the right k neighbors in the wrong order.
+    *
+    * Exactness device: AO = (1/k)·Σ_d X_d/d where X_d is the common
+    * count at depth d; a common doc at ranks (ra, rb) contributes to
+    * every d ≥ max(ra, rb), so its weight is the INTEGER suffix sum
+    * c(m) = Σ_{d=m..k} L/d with L = lcm(1..k) — the whole score is one
+    * integral division (the Krippendorff weight-scaling device).
+    *
+    * Scale shape: two broadcast-query brute passes (the
+    * [[truncationOverlap]] contract — bounded query batch, corpus
+    * streams), one k·|Q|-row equi-join, one per-query aggregation.
+    *
+    * @return one row per query: (query_id, n_common, ao_ppm)
+    */
+  def rankedTruncationOverlap(corpus: DataFrame, queries: DataFrame,
+      k: Int, m: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= 12, s"k must be in 1..12, got $k")
+    require(m >= 1, s"truncation dim must be >= 1, got $m")
+    val L = (1 to k).foldLeft(BigInt(1))((a, d) =>
+      a * d / a.gcd(BigInt(d))).toLong
+    // c(rank) = sum_{d=rank..k} L/d — integer by construction.
+    val suffix = (1 to k).map(r => (r to k).map(L / _).sum)
+    val full = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"), col("rank").as("__ra"))
+    def truncated(df: DataFrame): DataFrame =
+      df.withColumn(vecCol, slice(col(vecCol), 1, m))
+    val trunc = bruteForceTopK(truncated(corpus), truncated(queries),
+        k, idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"), col("rank").as("__rb"))
+    val weighted = full.join(trunc, Seq("query_id", "corpus_id"))
+      .select(col("query_id"),
+        element_at(
+          array(suffix.map(lit): _*),
+          greatest(col("__ra"), col("__rb")).cast("int")).as("__w"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("__w")).cast("long").as("__ws"))
+    queries.select(col(idCol).as("query_id"))
+      .join(weighted, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        expr(s"CAST(coalesce(__ws, 0) * 1000000 div ${L * k} AS BIGINT)")
+          .as("ao_ppm"))
+  }
+
   /** kNN label agreement — the embedding-space label-noise audit (the
     * cheap, exact cousin of confident learning): does each query
     * vector's own label match the majority label of its k exact

@@ -60,6 +60,19 @@ object ChatQueries {
         .orderBy(col("query_id"))
     },
 
+    // Rank-aware matryoshka fidelity: exact average overlap (AO, the
+    // RBO p->1 limit) between full-dim and 16-dim top-5 rankings over
+    // the same bounded query batch — integer lcm(1..5)-weighted, so
+    // wrong ORDER is penalized where q_matryoshka's set overlap
+    // wouldn't see it.
+    "q_ranked_overlap" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 500L &&
+        pmod(col("vec_id"), lit(25L)) === 0L).limit(20)
+      Similarity.rankedTruncationOverlap(emb, q, k = 5, m = 16)
+        .orderBy(col("query_id"))
+    },
+
     // kNN label-noise audit over the same bounded query batch: does a
     // vector's own label match its 5 exact nearest neighbors' majority
     // vote (most votes, then smaller label)?  Disagreements flag
@@ -139,6 +152,38 @@ object ChatQueries {
         |SELECT e.query_id, coalesce(o.n_overlap, 0) AS n_overlap,
         |  e.energy_ratio
         |FROM e LEFT JOIN o USING (query_id) ORDER BY query_id""".stripMargin,
+
+    // suffix weights c(m) = sum_{d=m..5} 60/d = [137, 77, 47, 27, 12];
+    // ao_ppm = 1e6 * sum(c(max(ra, rb))) // (60 * 5).
+    "q_ranked_overlap" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id < 500 AND vec_id % 25 = 0),
+        |f AS (SELECT query_id, corpus_id, rank AS ra FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |          CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        |    FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.vec_id)
+        |  WHERE rank <= 5),
+        |t AS (SELECT query_id, corpus_id, rank AS rb FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_cosine_similarity(CAST(q.embedding[1:16] AS DOUBLE[]),
+        |          CAST(c.embedding[1:16] AS DOUBLE[])) DESC, c.vec_id)
+        |        AS rank
+        |    FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.vec_id)
+        |  WHERE rank <= 5),
+        |w AS (SELECT f.query_id, count(*) AS n_common,
+        |    sum(CASE greatest(f.ra, t.rb) WHEN 1 THEN 137 WHEN 2 THEN 77
+        |      WHEN 3 THEN 47 WHEN 4 THEN 27 ELSE 12 END) AS ws
+        |  FROM f JOIN t ON f.query_id = t.query_id
+        |    AND f.corpus_id = t.corpus_id
+        |  GROUP BY 1)
+        |SELECT q.vec_id AS query_id,
+        |  CAST(coalesce(w.n_common, 0) AS BIGINT) AS n_common,
+        |  CAST((coalesce(w.ws, 0) * 1000000) // 300 AS BIGINT) AS ao_ppm
+        |FROM q LEFT JOIN w ON w.query_id = q.vec_id
+        |ORDER BY query_id""".stripMargin,
 
     "q_knn_label_agree" ->
       """WITH q AS (SELECT vec_id, embedding, label FROM embeddings

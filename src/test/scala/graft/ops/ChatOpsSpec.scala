@@ -143,6 +143,32 @@ class ChatOpsSpec extends SparkSpec {
     assert(r._3 === 0.5)                    // 1.0 of 2.0 squared norm
   }
 
+  test("rankedTruncationOverlap: identical order scores exactly 1e6; " +
+      "a rank SWAP drops AO while set overlap stays full") {
+    // prefix-identical vectors -> AO = 1.0 exactly.
+    val same = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.8f, 0.2f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.rankedTruncationOverlap(same,
+        same.filter(col("vec_id") === 0L), k = 2, m = 2)
+      .as[(Long, Long, Long)].collect().head
+    assert(a === ((0L, 2L, 1000000L)))
+    // tail dims swap ranks 1 and 2: full order (1, 2), prefix order
+    // (2, 1).  X_1 = 0, X_2 = 2 -> AO = (0/1 + 2/2)/2 = 1/2 exactly;
+    // plain set overlap at k=2 is still 2/2.
+    val churn = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.90f, 0.10f, 0.30f, 0.0f)),
+      (2L, Array(0.89f, 0.11f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val c = Similarity.rankedTruncationOverlap(churn,
+        churn.filter(col("vec_id") === 0L), k = 2, m = 2)
+      .as[(Long, Long, Long)].collect().head
+    assert(c === ((0L, 2L, 500000L)), s"swap must halve AO: $c")
+  }
+
   test("knnLabelAgreement: clean point agrees, mislabeled point is " +
       "flagged, majority tie goes to the smaller label") {
     // cluster A (label 0) at x-axis, cluster B (label 1) at y-axis;

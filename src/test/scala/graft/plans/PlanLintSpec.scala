@@ -21,7 +21,9 @@ class PlanLintSpec extends SparkSpec {
     "q_knn_brute",           // brute-force ANN baseline (broadcast query side)
     "q_matryoshka",          // two brute baselines (full + prefix dims) over the limit-bounded query batch
     "q_knn_label_agree",     // brute kNN baseline over the same limit-bounded query batch
+    "q_ranked_overlap",      // two brute baselines (full + prefix dims) over the limit-bounded query batch
     "q_vocab_coverage",      // 1-row total-mass aggregate cross-joined into the limit-bounded top-V frame
+    "q_paired_bootstrap",    // 1-row totals x 1-row CI aggregate folded into the single verdict row (the q_bootstrap_ci shape)
     "q_hard_negatives",      // same shape: corpus scan × broadcast 8-query batch
     "q_skew_report",         // two 1-row aggregates cross-joined into the summary row
     "q_target_encode",       // 1-row global-total broadcast cross-joined into the category table
