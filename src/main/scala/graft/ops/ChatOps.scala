@@ -94,4 +94,59 @@ object ChatOps {
           .cast("long").as("n_accepted"))
     best.join(stats, Seq(keyCol))
   }
+
+  /** Conversation-TREE linearization: branched chat logs (several
+    * candidate replies per turn — the shape preference data arrives
+    * in) flattened to one root-to-leaf PATH per leaf, the unit an SFT
+    * pipeline actually trains on.  `parentCol` is null at roots; a
+    * leaf is a node no row points at.
+    *
+    * Determinism: the path is the payloads joined by `sep` in
+    * root→leaf order — no ordering choices exist (each node has ONE
+    * parent).
+    *
+    * Scale shape: breadth-first frontier extension — one parent-keyed
+    * equi-join per depth level, frontier checkpointed per round,
+    * leaves peeled off as they complete.  Depth is bounded by the
+    * transcript contract: a frontier still alive at `maxDepth` fails
+    * LOUDLY (deeper tree than contract).  Nodes unreachable from any
+    * root — orphans, and parent cycles (necessarily unrooted, since
+    * every node has ONE parent) — drop like any unreachable branch.
+    * The per-round driver action is one emptiness probe; paths never
+    * collect.
+    *
+    * @return one row per leaf: (leaf_id, depth, path)
+    */
+  def linearizeTree(nodes: DataFrame, idCol: String, parentCol: String,
+      payloadCol: String, maxDepth: Int, sep: String = ">"): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 32,
+      s"maxDepth must be in 1..32, got $maxDepth")
+    val n = CacheScope.traced(nodes.select(
+      col(idCol).cast("long").as("__id"),
+      col(parentCol).cast("long").as("__par"),
+      col(payloadCol).cast("string").as("__pl")))
+    // a node is a leaf when no row names it as parent.
+    val leaves = CacheScope.traced(n.select(col("__id"))
+      .join(n.select(col("__par").as("__id")).filter(col("__id").isNotNull)
+        .distinct(), Seq("__id"), "left_anti"))
+    var frontier = CacheScope.traced(n.filter(col("__par").isNull)
+      .select(col("__id"), lit(1L).as("depth"), col("__pl").as("path")))
+    var out = frontier.join(leaves, Seq("__id"))
+    var depth = 1
+    while (depth < maxDepth && !frontier.isEmpty) {
+      val next = CacheScope.traced(frontier
+        .select(col("__id").as("__fid"), col("depth"), col("path"))
+        .join(n, col("__par") === col("__fid"))
+        .select(col("__id"), (col("depth") + 1L).as("depth"),
+          concat(col("path"), lit(sep), col("__pl")).as("path")))
+      out = out.union(next.join(leaves, Seq("__id")))
+      frontier = next.join(leaves, Seq("__id"), "left_anti")
+      depth += 1
+    }
+    if (!frontier.isEmpty)
+      throw new IllegalStateException(
+        s"linearizeTree: frontier still alive at maxDepth=$maxDepth — " +
+          "tree deeper than the transcript contract")
+    out.select(col("__id").as("leaf_id"), col("depth"), col("path"))
+  }
 }

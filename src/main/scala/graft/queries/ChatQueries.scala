@@ -60,6 +60,23 @@ object ChatQueries {
         .orderBy(col("query_id"))
     },
 
+    // Conversation-tree linearization: a deterministic ternary tree
+    // over the first 2000 events (parent = id div 3, root 0) flattens
+    // to one root-to-leaf path per leaf — the branched-chat-log →
+    // SFT-paths prep; breadth-first frontier joins, depth bounded 12.
+    "q_chat_tree" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") < 2000L)
+        .select(col("event_id"),
+          when(col("event_id") === 0L, lit(null).cast("long"))
+            .otherwise(expr("CAST(event_id div 3 AS BIGINT)"))
+            .as("parent_id"),
+          coalesce(col("event_type"), lit("-")).as("payload"))
+      ChatOps.linearizeTree(ev, "event_id", "parent_id", "payload",
+          maxDepth = 12)
+        .orderBy(col("leaf_id"))
+    },
+
     // Rank-aware matryoshka fidelity: exact average overlap (AO, the
     // RBO p->1 limit) between full-dim and 16-dim top-5 rankings over
     // the same bounded query batch — integer lcm(1..5)-weighted, so
@@ -152,6 +169,22 @@ object ChatQueries {
         |SELECT e.query_id, coalesce(o.n_overlap, 0) AS n_overlap,
         |  e.energy_ratio
         |FROM e LEFT JOIN o USING (query_id) ORDER BY query_id""".stripMargin,
+
+    "q_chat_tree" ->
+      """WITH RECURSIVE n AS (SELECT event_id AS id,
+        |    CASE WHEN event_id = 0 THEN NULL
+        |         ELSE event_id // 3 END AS par,
+        |    coalesce(event_type, '-') AS pl
+        |  FROM events WHERE event_id < 2000),
+        |p AS (
+        |  SELECT id, 1 AS depth, pl AS path FROM n WHERE par IS NULL
+        |  UNION ALL
+        |  SELECT n.id, p.depth + 1, p.path || '>' || n.pl
+        |  FROM p JOIN n ON n.par = p.id)
+        |SELECT p.id AS leaf_id, CAST(depth AS BIGINT) AS depth, path
+        |FROM p WHERE p.id NOT IN
+        |  (SELECT par FROM n WHERE par IS NOT NULL)
+        |ORDER BY leaf_id""".stripMargin,
 
     // suffix weights c(m) = sum_{d=m..5} 60/d = [137, 77, 47, 27, 12];
     // ao_ppm = 1e6 * sum(c(max(ra, rb))) // (60 * 5).

@@ -81,6 +81,29 @@ object QualityQueries {
         .orderBy(col("doc_id")).limit(200)
     },
 
+    // Per-source classifier parity: the segment-QA read a filter model
+    // gets BEFORE deployment — accuracy per source, so one domain
+    // silently misclassified (and so over/under-filtered in the
+    // mixture) is visible as a per-source gap, not averaged away.
+    "q_classifier_parity" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Classifier.linearScore(docs, "doc_id", "text",
+          buckets = 4096)
+        .join(docs.filter(col("lang").isNotNull)
+          .select(col("doc_id"), col("source"),
+            (col("lang") === "en").as("__y")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__y"), 1L).otherwise(0L)).cast("long")
+            .as("n_pos"),
+          sum(when((col("score_micro") >= 0L) === col("__y"), 1L)
+            .otherwise(0L)).cast("long").as("n_correct"))
+        .selectExpr("source", "n_docs", "n_pos", "n_correct",
+          "CAST((CAST(n_correct AS DECIMAL(38,0)) * 1000000) div n_docs " +
+            "AS BIGINT) AS acc_ppm")
+        .orderBy(col("source"))
+    },
+
     "q_linear_classifier" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       Classifier.linearScore(docs, "doc_id", "text", buckets = 4096)
@@ -300,6 +323,36 @@ object QualityQueries {
         |  round((SELECT mv FROM ranked WHERE r = 5) / 100, 6) AS ci_lo,
         |  round((SELECT mv FROM ranked WHERE r = 195) / 100, 6) AS ci_hi
         |FROM tot t""".stripMargin,
+
+    "q_classifier_parity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+        |    '[a-z0-9'']+')) AS tok FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_reduce(
+        |    [CAST(0 AS BIGINT)] || list_transform(
+        |      regexp_extract_all(tok, '.'), c -> CAST(ord(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000003) AS hh
+        |  FROM toks),
+        |w AS (
+        |  SELECT doc_id,
+        |    ((hh % 4096) * 2654435761) % 4294967296 % 2000001 - 1000000
+        |      AS wt
+        |  FROM h),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score_micro
+        |  FROM w GROUP BY doc_id),
+        |d AS (SELECT doc_id, source, (lang = 'en') AS y
+        |  FROM documents WHERE lang IS NOT NULL),
+        |j AS (SELECT d.source, d.y, coalesce(a.score_micro, 0) AS sm
+        |  FROM d LEFT JOIN agg a USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN (sm >= 0) = y THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  CAST((CAST(sum(CASE WHEN (sm >= 0) = y THEN 1 ELSE 0 END)
+        |      AS HUGEINT) * 1000000) // count(*) AS BIGINT) AS acc_ppm
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_paired_bootstrap" ->
       """WITH ev AS (SELECT event_id,

@@ -143,6 +143,26 @@ class ChatOpsSpec extends SparkSpec {
     assert(r._3 === 0.5)                    // 1.0 of 2.0 squared norm
   }
 
+  test("linearizeTree: branched chat flattens to one path per leaf; " +
+      "root-leaf included; orphans drop; depth overflow fails loudly") {
+    def opt(l: Long): java.lang.Long = java.lang.Long.valueOf(l)
+    val nodes = Seq(
+      (1L, null.asInstanceOf[java.lang.Long], "sys"),
+      (2L, opt(1L), "a1"), (3L, opt(1L), "a2"),   // branch point
+      (4L, opt(2L), "u1"),
+      (9L, null.asInstanceOf[java.lang.Long], "lonely"),  // root-leaf
+      (7L, opt(99L), "orphan"))                   // unreachable
+      .toDF("id", "par", "pl")
+    val got = ChatOps.linearizeTree(nodes, "id", "par", "pl", 5)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === Set((3L, 2L, "sys>a2"), (4L, 3L, "sys>a1>u1"),
+      (9L, 1L, "lonely")))
+    val e = intercept[IllegalStateException] {
+      ChatOps.linearizeTree(nodes, "id", "par", "pl", 2)
+    }
+    assert(e.getMessage.contains("maxDepth=2"))
+  }
+
   test("rankedTruncationOverlap: identical order scores exactly 1e6; " +
       "a rank SWAP drops AO while set overlap stays full") {
     // prefix-identical vectors -> AO = 1.0 exactly.
