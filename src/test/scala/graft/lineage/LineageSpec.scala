@@ -367,6 +367,35 @@ class LineageSpec extends SparkSpec {
         s"${g("strength_micro")}")
   }
 
+  test("round-10 ops: lineage through dpoPairs' twin TopKPerKey heaps " +
+      "and ngramOverlap's clipped-match kernel") {
+    // dpoPairs routes BOTH extremes through custom TopKPerKey nodes
+    // then joins them — margin must still resolve to the score column
+    // alone, ids to the id column.
+    val cands = Seq(("p", 1L, 5L), ("p", 2L, 9L))
+      .toDF("prompt", "cid", "score")
+    val g = ColumnLineage.of(graft.ops.Preference.dpoPairs(
+      cands, "prompt", "cid", "score", 0L))
+    assert(g("margin").map(_.column) == Set("_3"),
+      s"margin derives from the score column only: ${g("margin")}")
+    assert(g("chosen_id").map(_.column) == Set("_2"),
+      s"chosen_id is the candidate id: ${g("chosen_id")}")
+    // ngramOverlap's matched comes from the ClippedMatchCount codegen
+    // expression over both token arrays — the generic references walk
+    // must see through it, the struct-array explode, and the rollup.
+    val pairs = Seq((1L, Seq("a", "b"), Seq("a", "c")))
+      .toDF("id", "c", "r")
+    val g2 = ColumnLineage.of(graft.ops.Eval.ngramOverlap(
+      pairs, "id", "c", "r", maxN = 2))
+    assert(g2("matched").map(_.column) == Set("_2", "_3"),
+      s"matched clips both sides: ${g2("matched")}")
+    // struct fields re-split by the final explode are attributed to
+    // the WHOLE struct array's references — the engine's documented
+    // conservative convention (over-approximate, never drop a source).
+    assert(g2("cand_total").map(_.column) == Set("_2", "_3"),
+      s"explode-of-struct unions conservatively: ${g2("cand_total")}")
+  }
+
   test("ops-layer checkpoint CHAIN: PageRank ranks trace the edge " +
       "weights through every iteration's lazy checkpoint") {
     val edges = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L))
