@@ -95,6 +95,53 @@ object ChatOps {
     best.join(stats, Seq(keyCol))
   }
 
+  /** Chat-template audit — the structural QA gate a transcript must
+    * pass before templating into SFT examples: per conversation, the
+    * violation counts that silently corrupt training if unchecked
+    * (role repeats break alternation; empty turns train the template
+    * tokens alone; unknown roles crash the renderer; a late system
+    * turn leaks instructions mid-dialogue; a conversation must open
+    * with system or user).
+    *
+    * Scale shape: one per-conversation forward window (rows per key
+    * bounded by the transcript contract — the [[contextTruncate]]
+    * bound) and one aggregation to a row per conversation.
+    *
+    * @return (convCol, n_turns, first_role, n_role_repeats,
+    *         n_empty_turns, n_bad_roles, n_late_system, ok)
+    */
+  def templateAudit(turns: DataFrame, convCol: String, tsCol: String,
+      tieCol: String, roleCol: String, textCol: String): DataFrame = {
+    val fwd = Window.partitionBy(col(convCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val marked = turns
+      .withColumn("__rn", row_number().over(fwd))
+      .withColumn("__rep",
+        when(lag(col(roleCol), 1).over(fwd) === col(roleCol), 1L)
+          .otherwise(0L))
+      .withColumn("__empty",
+        when(col(textCol).isNull ||
+          length(trim(col(textCol))) === 0, 1L).otherwise(0L))
+      .withColumn("__bad",
+        when(col(roleCol).isin("system", "user", "assistant"), 0L)
+          .otherwise(1L))
+      .withColumn("__late",
+        when(col(roleCol) === "system" && col("__rn") > 1, 1L)
+          .otherwise(0L))
+    marked.groupBy(col(convCol))
+      .agg(count(lit(1)).as("n_turns"),
+        max(when(col("__rn") === 1, col(roleCol))).as("first_role"),
+        sum(col("__rep")).cast("long").as("n_role_repeats"),
+        sum(col("__empty")).cast("long").as("n_empty_turns"),
+        sum(col("__bad")).cast("long").as("n_bad_roles"),
+        sum(col("__late")).cast("long").as("n_late_system"))
+      .withColumn("ok", coalesce(
+        col("n_role_repeats") === 0L && col("n_empty_turns") === 0L &&
+          col("n_bad_roles") === 0L && col("n_late_system") === 0L &&
+          col("first_role").isin("system", "user"),
+        lit(false)))
+  }
+
   /** Conversation-TREE linearization: branched chat logs (several
     * candidate replies per turn — the shape preference data arrives
     * in) flattened to one root-to-leaf PATH per leaf, the unit an SFT

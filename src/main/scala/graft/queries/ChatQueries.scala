@@ -60,6 +60,24 @@ object ChatQueries {
         .orderBy(col("query_id"))
     },
 
+    // Chat-template audit over event-derived transcripts: per
+    // conversation the violation counts (role repeats, empty turns,
+    // unknown roles, late system, bad opener) that corrupt SFT
+    // templating if unchecked — the unmapped event types double as
+    // realistic bad-role hits.
+    "q_chat_audit" -> { (s, dir) =>
+      val turns = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "view", "user")
+            .when(col("event_type") === "click", "assistant")
+            .when(col("event_type") === "purchase", "system")
+            .otherwise(col("event_type")).as("role"),
+          col("props").as("text"))
+      ChatOps.templateAudit(turns, "user_id", "ts", "event_id",
+          "role", "text")
+        .orderBy(col("user_id"))
+    },
+
     // Conversation-tree linearization: a deterministic ternary tree
     // over the first 2000 events (parent = id div 3, root 0) flattens
     // to one root-to-leaf path per leaf — the branched-chat-log →
@@ -169,6 +187,39 @@ object ChatQueries {
         |SELECT e.query_id, coalesce(o.n_overlap, 0) AS n_overlap,
         |  e.energy_ratio
         |FROM e LEFT JOIN o USING (query_id) ORDER BY query_id""".stripMargin,
+
+    "q_chat_audit" ->
+      """WITH t AS (SELECT user_id,
+        |    CASE event_type WHEN 'view' THEN 'user'
+        |      WHEN 'click' THEN 'assistant'
+        |      WHEN 'purchase' THEN 'system'
+        |      ELSE event_type END AS role,
+        |    props AS text, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events),
+        |m AS (SELECT user_id, role, text,
+        |    row_number() OVER w AS rn, lag(role) OVER w AS prev
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_turns,
+        |  max(CASE WHEN rn = 1 THEN role END) AS first_role,
+        |  CAST(sum(CASE WHEN prev = role THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_role_repeats,
+        |  CAST(sum(CASE WHEN text IS NULL OR length(trim(text)) = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_turns,
+        |  CAST(sum(CASE WHEN role IN ('system', 'user', 'assistant')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_bad_roles,
+        |  CAST(sum(CASE WHEN role = 'system' AND rn > 1 THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_late_system,
+        |  coalesce(
+        |    sum(CASE WHEN prev = role THEN 1 ELSE 0 END) = 0
+        |    AND sum(CASE WHEN text IS NULL OR length(trim(text)) = 0
+        |      THEN 1 ELSE 0 END) = 0
+        |    AND sum(CASE WHEN role IN ('system', 'user', 'assistant')
+        |      THEN 0 ELSE 1 END) = 0
+        |    AND sum(CASE WHEN role = 'system' AND rn > 1 THEN 1 ELSE 0
+        |      END) = 0
+        |    AND max(CASE WHEN rn = 1 THEN role END)
+        |      IN ('system', 'user'), FALSE) AS ok
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_chat_tree" ->
       """WITH RECURSIVE n AS (SELECT event_id AS id,

@@ -143,6 +143,24 @@ class ChatOpsSpec extends SparkSpec {
     assert(r._3 === 0.5)                    // 1.0 of 2.0 squared norm
   }
 
+  test("templateAudit: every violation class counted once; a clean " +
+      "transcript is ok") {
+    val turns = Seq(
+      ("A", 1L, 1L, "user", "hi"), ("A", 2L, 2L, "assistant", "yo"),
+      ("A", 3L, 3L, "assistant", "dup"),      // role repeat
+      ("A", 4L, 4L, "weird", ""),             // bad role + empty text
+      ("A", 5L, 5L, "system", "late"),        // late system
+      ("B", 1L, 1L, "system", "s"), ("B", 2L, 2L, "user", "q"),
+      ("B", 3L, 3L, "assistant", "a"))
+      .toDF("conv", "ts", "tie", "role", "text")
+    val got = ChatOps.templateAudit(turns, "conv", "ts", "tie",
+        "role", "text")
+      .as[(String, Long, String, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("A") === (("A", 5L, "user", 1L, 1L, 1L, 1L, false)))
+    assert(got("B") === (("B", 3L, "system", 0L, 0L, 0L, 0L, true)))
+  }
+
   test("linearizeTree: branched chat flattens to one path per leaf; " +
       "root-leaf included; orphans drop; depth overflow fails loudly") {
     def opt(l: Long): java.lang.Long = java.lang.Long.valueOf(l)
