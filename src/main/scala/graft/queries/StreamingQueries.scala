@@ -361,14 +361,21 @@ object StreamingQueries {
         .select(split(col("text"), " ").as("ref_toks"))
         .withColumn("cand_toks",
           filter(col("ref_toks"), (_, i) => i % 7 =!= 0))
+        // gram arrays materialized ONCE per row (the batch
+        // ngramOverlap shape) so the clip and the size sums don't
+        // re-derive them per aggregate
+        .select((1 to 4).flatMap { n =>
+          Seq(wordNgrams(col("cand_toks"), n).as(s"__c$n"),
+            wordNgrams(col("ref_toks"), n).as(s"__r$n"))
+        }: _*)
       val aggs = (1 to 4).flatMap { n =>
         Seq(
-          sum(clipped_match_count(wordNgrams(col("cand_toks"), n),
-            wordNgrams(col("ref_toks"), n))).cast("long").as(s"__m$n"),
-          sum(size(wordNgrams(col("cand_toks"), n)).cast("long"))
-            .cast("long").as(s"__ct$n"),
-          sum(size(wordNgrams(col("ref_toks"), n)).cast("long"))
-            .cast("long").as(s"__rt$n"))
+          sum(clipped_match_count(col(s"__c$n"), col(s"__r$n")))
+            .cast("long").as(s"__m$n"),
+          sum(size(col(s"__c$n")).cast("long")).cast("long")
+            .as(s"__ct$n"),
+          sum(size(col(s"__r$n")).cast("long")).cast("long")
+            .as(s"__rt$n"))
       }
       val agg1 = stream.groupBy().agg(aggs.head, aggs.tail: _*)
       val name = s"sngram_${runId.incrementAndGet()}"
