@@ -678,6 +678,99 @@ object PipelineOps {
       .drop("__one", "__before", "__ns")
   }
 
+  /** Water-filling token-budget allocation across domains — the
+    * mixture-assembly step that [[tokenBudgetMixture]] consumes:
+    * distribute `budget` proportionally to `weightCol` but never give
+    * a domain more than `capCol` (its available tokens after dedup /
+    * filtering).  Domains whose fair share exceeds their cap are
+    * capped and their surplus re-flows to the rest — the classic
+    * water-filling fixed point, computed in ONE pass over the sorted
+    * domain frame instead of iterating.
+    *
+    * Exactness: domains sort by cap/weight (the one IEEE-double key —
+    * identical in any engine; ties by domain); the capped set is the
+    * running-AND prefix where `c_k·W_k ≤ R_k·w_k` holds with EXACT
+    * DECIMAL(38,0) cross-multiplication (R_k, W_k = budget and weight
+    * remaining after the earlier prefix).  Uncapped domains get
+    * `⌊R*·w_d/W*⌋` plus largest-remainder +1s (remainder DESC, domain
+    * ASC), so Σ alloc = min(budget, Σ caps) EXACTLY and the result is
+    * bit-identical under any partitioning.
+    *
+    * Scale contract: the input is the DOMAIN frame (one row per
+    * source — mixture-config-sized, the [[tokenBudgetMixture]]
+    * contract), so its windows are bounded by construction.  Weights
+    * must be positive, caps non-negative — enforced loudly.
+    *
+    * @return one row per domain: (domainCol, weight, cap, alloc,
+    *         capped)
+    */
+  def waterFillBudget(domains: DataFrame, domainCol: String,
+      weightCol: String, capCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val d = domains.select(col(domainCol).as("__dom"),
+        col(weightCol).cast("long").as("__w"),
+        col(capCol).cast("long").as("__c"))
+      .withColumn("__w", when(col("__w") > 0L, col("__w"))
+        .otherwise(raise_error(concat(
+          lit("waterFillBudget: non-positive weight for domain "),
+          col("__dom").cast("string")))))
+      .withColumn("__c", when(col("__c") >= 0L, col("__c"))
+        .otherwise(raise_error(concat(
+          lit("waterFillBudget: negative cap for domain "),
+          col("__dom").cast("string")))))
+    val ord = Window.orderBy(
+      (col("__c").cast("double") / col("__w").cast("double")).asc,
+      col("__dom").asc)
+    val pre = d
+      .withColumn("__cumC", coalesce(sum(col("__c")).over(
+        ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__cumW", coalesce(sum(col("__w")).over(
+        ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = d.agg(sum(col("__w")).as("__totW"))
+    val cond = pre.crossJoin(tot)
+      .withColumn("__hold", when(
+        expr(s"CAST(__c AS DECIMAL(38,0)) * (__totW - __cumW) <= " +
+          s"CAST($budget - __cumC AS DECIMAL(38,0)) * __w"), 1L)
+        .otherwise(0L))
+      // capped set = the maximal PREFIX where the condition holds.
+      .withColumn("capped", sum(lit(1L) - col("__hold")).over(
+        ord.rowsBetween(Window.unboundedPreceding, 0)) === 0L)
+    val line = cond.agg(
+      sum(when(col("capped"), col("__c")).otherwise(0L)).as("__cappedC"),
+      sum(when(col("capped"), lit(0L)).otherwise(col("__w"))).as("__wStar"))
+    val based = cond.crossJoin(line)
+      .withColumn("__rStar",
+        greatest(lit(0L), lit(budget) - col("__cappedC")))
+      .withColumn("__base", when(col("capped"), col("__c")).otherwise(
+        expr("CAST(CAST(__rStar AS DECIMAL(38,0)) * __w div __wStar " +
+          "AS BIGINT)")))
+      .withColumn("__rem", when(col("capped"), lit(-1L)).otherwise(
+        expr("CAST(CAST(__rStar AS DECIMAL(38,0)) * __w % __wStar " +
+          "AS BIGINT)")))
+    val extra = based.agg(
+      max(col("__rStar")).as("__r2"),
+      sum(when(col("capped"), 0L).otherwise(col("__base"))).as("__baseSum"))
+    based.crossJoin(extra)
+      .withColumn("__rnk", row_number().over(
+        Window.orderBy(col("__rem").desc, col("__dom").asc)))
+      .withColumn("__alloc", when(col("capped"), col("__c"))
+        .otherwise(col("__base") +
+          when(col("__rnk") <= col("__r2") - col("__baseSum"), 1L)
+            .otherwise(0L)))
+      // waterline invariant: an uncapped domain's proportional share
+      // is strictly below its cap (+1 can only reach it) — violated
+      // only if the ratio order were wrong; fail LOUDLY, never
+      // over-allocate silently.
+      .withColumn("__alloc", when(col("__alloc") <= col("__c"),
+        col("__alloc")).otherwise(raise_error(concat(
+          lit("waterFillBudget: allocation above cap for domain "),
+          col("__dom").cast("string")))))
+      .select(col("__dom").as(domainCol),
+        col("__w").as("weight"), col("__c").as("cap"),
+        col("__alloc").as("alloc"), col("capped"))
+  }
+
   /** Greedy maximum-coverage selection — the submodular data-selection
     * kernel (facility location's set-cover cousin; the greedy is the
     * classic (1−1/e)-approximation): pick `k` documents one at a time,

@@ -269,6 +269,20 @@ object PipelineQueries {
         .orderBy(col("source"), col("split"))
     },
 
+    // Water-filling budget allocation across sources: 30k chars
+    // distributed by doc-count weight but capped at a third of each
+    // source's available chars — capped sources' surplus re-flows
+    // exactly (one pass over the sorted domain frame, no iteration).
+    "q_budget_waterfill" -> { (s, dir) =>
+      val domains = Tables.load(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("CAST(sum(n_chars) div 3 AS BIGINT)").as("cap_chars"))
+      graft.ops.PipelineOps.waterFillBudget(domains, "source",
+          "n_docs", "cap_chars", budget = 48000L)
+        .orderBy(col("source"))
+    },
+
     // Greedy max-coverage selection of 3 docs from the %17 candidate
     // pool: each round the doc adding the most uncovered distinct
     // tokens (ties to smaller id) — the submodular diverse-subset
@@ -593,6 +607,54 @@ object PipelineQueries {
         |SELECT source, split, count(*) AS n_docs,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_budget_waterfill" ->
+      """WITH d AS (SELECT source AS dom, CAST(count(*) AS BIGINT) AS w,
+        |    CAST(sum(n_chars) // 3 AS BIGINT) AS c
+        |  FROM documents GROUP BY 1),
+        |o AS (SELECT dom, w, c,
+        |    coalesce(sum(c) OVER (ORDER BY CAST(c AS DOUBLE) / w, dom
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumc,
+        |    coalesce(sum(w) OVER (ORDER BY CAST(c AS DOUBLE) / w, dom
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumw
+        |  FROM d),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS totw FROM d),
+        |h AS (SELECT o.*, CASE WHEN CAST(c AS HUGEINT) * (t.totw - cumw)
+        |      <= CAST(48000 - cumc AS HUGEINT) * w THEN 1 ELSE 0 END
+        |      AS hold
+        |  FROM o, t),
+        |cp AS (SELECT *, sum(1 - hold) OVER (
+        |      ORDER BY CAST(c AS DOUBLE) / w, dom
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0
+        |      AS capped
+        |  FROM h),
+        |l AS (SELECT
+        |    CAST(sum(CASE WHEN capped THEN c ELSE 0 END) AS BIGINT)
+        |      AS cappedc,
+        |    CAST(sum(CASE WHEN capped THEN 0 ELSE w END) AS BIGINT)
+        |      AS wstar
+        |  FROM cp),
+        |b2 AS (SELECT cp.*,
+        |    greatest(0, 48000 - l.cappedc) AS rstar, l.wstar,
+        |    CASE WHEN capped THEN c ELSE
+        |      CAST((CAST(greatest(0, 48000 - l.cappedc) AS HUGEINT) * w)
+        |        // l.wstar AS BIGINT) END AS base,
+        |    CASE WHEN capped THEN -1 ELSE
+        |      CAST((CAST(greatest(0, 48000 - l.cappedc) AS HUGEINT) * w)
+        |        % l.wstar AS BIGINT) END AS rem
+        |  FROM cp, l),
+        |e AS (SELECT max(rstar) AS r2,
+        |    CAST(sum(CASE WHEN capped THEN 0 ELSE base END) AS BIGINT)
+        |      AS basesum
+        |  FROM b2)
+        |SELECT dom AS source, w AS weight, c AS cap,
+        |  CASE WHEN capped THEN c ELSE base +
+        |    (CASE WHEN row_number() OVER (ORDER BY rem DESC, dom ASC)
+        |       <= e.r2 - e.basesum THEN 1 ELSE 0 END) END AS alloc,
+        |  capped
+        |FROM b2, e ORDER BY source""".stripMargin,
 
     "q_coverage_select" ->
       """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' '))

@@ -354,6 +354,39 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  private def fill(budget: Long, rows: (String, Long, Long)*) =
+    PipelineOps.waterFillBudget(rows.toDF("d", "w", "c"), "d", "w", "c",
+        budget)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+
+  test("waterFillBudget: capped surplus re-flows, largest-remainder " +
+      "+1s are deterministic, all-capped leaves budget unallocated") {
+    // A's fair share (5) exceeds nothing... A caps at 2, surplus flows
+    // to B: A=2, B=8.
+    assert(fill(10L, ("A", 1L, 2L), ("B", 1L, 100L)) ===
+      Map("A" -> ((2L, true)), "B" -> ((8L, false))))
+    // 10 over three equal weights: base 3 each, one remainder -> the
+    // smallest domain id gets the +1.
+    assert(fill(10L, ("A", 1L, 100L), ("B", 1L, 100L), ("C", 1L, 100L))
+      === Map("A" -> ((4L, false)), "B" -> ((3L, false)),
+        "C" -> ((3L, false))))
+    // sum(caps) < budget: everyone capped, leftover stays unallocated.
+    assert(fill(100L, ("A", 1L, 3L), ("B", 1L, 4L)) ===
+      Map("A" -> ((3L, true)), "B" -> ((4L, true))))
+    // weighted proportional: w 3:1 over budget 8, no caps binding.
+    assert(fill(8L, ("A", 3L, 100L), ("B", 1L, 100L)) ===
+      Map("A" -> ((6L, false)), "B" -> ((2L, false))))
+  }
+
+  test("waterFillBudget fails loudly on non-positive weights") {
+    val e = intercept[Exception] {
+      PipelineOps.waterFillBudget(Seq(("A", 0L, 5L)).toDF("d", "w", "c"),
+        "d", "w", "c", 10L).collect()
+    }
+    assert(e.getMessage.contains("non-positive weight"))
+  }
+
   test("greedyCoverageSelect: biggest set first, overlap penalized, " +
       "gain-ties to smaller id, zero-gain round stops early") {
     val docs = Seq(
