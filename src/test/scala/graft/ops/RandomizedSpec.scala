@@ -485,6 +485,53 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("waterFillBudget == iterative fixed-point reference on random " +
+      "domain frames (3 seeds)") {
+    import org.apache.spark.sql.functions.col
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(100 + seed)
+      val doms = (0 until 12).map(i =>
+        (f"d$i%02d", 1L + rnd.nextInt(9), rnd.nextInt(400).toLong))
+      val budget = 500L + rnd.nextInt(2000)
+      // reference: iterate "cap everyone whose fair share of the
+      // remaining budget exceeds their cap" to the fixed point with
+      // exact BigInt cross-multiplication, then floor + largest
+      // remainder on the uncapped rest.
+      var capped = Set.empty[String]
+      var changed = true
+      while (changed) {
+        val r = BigInt(budget) -
+          doms.filter(d => capped(d._1)).map(d => BigInt(d._3)).sum
+        val w = doms.filterNot(d => capped(d._1)).map(d => BigInt(d._2)).sum
+        val add = doms.filterNot(d => capped(d._1))
+          .filter(d => BigInt(d._3) * w <= r * d._2).map(_._1).toSet
+        changed = add.nonEmpty
+        capped ++= add
+      }
+      val rStar = (BigInt(budget) -
+        doms.filter(d => capped(d._1)).map(d => BigInt(d._3)).sum)
+        .max(BigInt(0))
+      val wStar = doms.filterNot(d => capped(d._1)).map(d => BigInt(d._2)).sum
+      val base = doms.filterNot(d => capped(d._1)).map { d =>
+        d._1 -> (rStar * d._2 / wStar, rStar * d._2 % wStar)
+      }
+      val extras = (rStar - base.map(_._2._1).sum).toInt
+      val plusOne = base.sortBy { case (n, (_, rem)) => (-rem, BigInt(n.drop(1))) }
+        .take(extras).map(_._1).toSet
+      val want = doms.map { d =>
+        d._1 -> (if (capped(d._1)) d._3
+          else (base.toMap.apply(d._1)._1 +
+            (if (plusOne(d._1)) 1 else 0)).toLong)
+      }.toMap
+      val got = PipelineOps.waterFillBudget(
+          doms.toDF("d", "w", "c").repartition(5), "d", "w", "c", budget)
+        .as[(String, Long, Long, Long, Boolean)].collect()
+      assert(got.map(r => r._1 -> r._4).toMap === want,
+        s"seed=$seed budget=$budget capped=$capped")
+      assert(got.filter(_._5).map(_._1).toSet === capped, s"seed=$seed")
+    }
+  }
+
   test("clipped_match_count == local multiset intersection on random " +
       "token arrays (3 seeds)") {
     import org.apache.spark.sql.functions.col
