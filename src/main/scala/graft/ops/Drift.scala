@@ -65,6 +65,26 @@ object Drift {
       .orderBy(col("bin"))
   }
 
+  /** [[psi]] over PRE-AGGREGATED bin counts — the form a live drift
+    * monitor needs, where the "b" side arrives as a continuously
+    * updated count table (e.g. a streaming `groupBy(bin).count`
+    * sink) rather than as raw rows.  `ha`/`hb` are (bin, n_a) /
+    * (bin, n_b) frames with every bin present ([[histogram]]'s
+    * contract); totals are the bin-count sums, so the output is
+    * bit-identical to running [[psi]] over the raw frames.
+    */
+  def psiFromHistograms(ha: DataFrame, hb: DataFrame,
+      floorP: Double = 1e-6): DataFrame = {
+    val joined = ha.join(hb, Seq("bin"))
+      .crossJoin(ha.agg(sum(col("n_a")).as("tot_a")))
+      .crossJoin(hb.agg(sum(col("n_b")).as("tot_b")))
+    val pa = greatest(col("n_a") / col("tot_a"), lit(floorP))
+    val pb = greatest(col("n_b") / col("tot_b"), lit(floorP))
+    joined.select(col("bin"), col("n_a"), col("n_b"),
+        round((pa - pb) * log(pa / pb), 6).as("psi_contrib"))
+      .orderBy(col("bin"))
+  }
+
   /** EXACT two-sample Kolmogorov–Smirnov statistic — the
     * distribution-free drift test that needs no bin edges (PSI's blind
     * spot: drift WITHIN a bin).  D = max over values of

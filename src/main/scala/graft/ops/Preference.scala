@@ -141,4 +141,58 @@ object Preference {
         col("rejected_id"), col("rejected_score"), col("margin"),
         col("n_candidates"))
   }
+
+  /** Group-relative reward normalization — the advantage kernel of
+    * GRPO-style policy optimization (Shao et al., "DeepSeekMath",
+    * arXiv:2402.03300 §4.1): each sampled response is scored relative
+    * to its OWN prompt's candidate group,
+    * `A_i = (r_i − mean(r)) / std(r)`, so prompts with easy/hard
+    * reward scales contribute comparably and a constant-reward prompt
+    * contributes nothing.
+    *
+    * Exactness: rewards arrive as integer fixed-point (`centsCol`, the
+    * repo-wide device); per-group moments are exact DECIMAL(38,0)
+    * sums, and the advantage is evaluated as the cross-multiplied form
+    * `(r·n − Σr) / √(n·Σr² − (Σr)²)` — ONE division and ONE IEEE sqrt
+    * of exact integers (both correctly rounded by IEEE-754, hence
+    * engine-identical), rounded to 6 dp.  Note √(n·Σr²−(Σr)²) = n·σ
+    * with σ the population std, matching the population-normalized
+    * GRPO estimator.
+    *
+    * Degenerate groups — a single sample or zero variance — carry no
+    * learning signal: they are KEPT (flagged `degenerate`, advantage
+    * 0.0) so rows never silently vanish and the caller decides whether
+    * to drop them.
+    *
+    * Scale shape: one map-side-combined aggregation to the per-group
+    * moment table (one row per prompt), then one equi-join of that
+    * tiny frame back onto the samples on the group key — no window
+    * over the candidate set, no driver state; group cardinality is the
+    * only shuffle key.
+    *
+    * @return one row per sample: (groupCol, idCol, centsCol, n,
+    *         degenerate, advantage)
+    */
+  def grpoAdvantage(samples: DataFrame, groupCol: String, idCol: String,
+      centsCol: String): DataFrame = {
+    def d38(c: String) = s"CAST($c AS DECIMAL(38,0))"
+    val s = samples.filter(col(groupCol).isNotNull && col(centsCol).isNotNull)
+      .select(col(groupCol), col(idCol), col(centsCol))
+    val stats = s.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(expr(d38(centsCol))).as("__s1"),
+        sum(expr(s"${d38(centsCol)} * ${d38(centsCol)}")).as("__s2"))
+    s.join(stats, Seq(groupCol))
+      .withColumn("__num",
+        expr(s"CAST(n AS DECIMAL(38,0)) * $centsCol - __s1"))
+      .withColumn("__rad",
+        expr("CAST(n AS DECIMAL(38,0)) * __s2 - __s1 * __s1"))
+      .withColumn("degenerate",
+        (col("n") < 2L) || (col("__rad") === 0))
+      .withColumn("advantage", when(col("degenerate"), lit(0.0))
+        .otherwise(round(col("__num").cast("double") /
+          sqrt(col("__rad").cast("double")), 6)))
+      .select(col(groupCol), col(idCol), col(centsCol), col("n"),
+        col("degenerate"), col("advantage"))
+  }
 }

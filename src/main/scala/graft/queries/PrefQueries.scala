@@ -123,6 +123,22 @@ object PrefQueries {
       Preference.dpoPairs(cands, "prompt_id", "event_id", "cents",
           minMargin = 50L)
         .orderBy(col("prompt_id"))
+    },
+
+    // GRPO group-relative advantages: prompts are user cohorts
+    // (user_id mod 200), candidate rewards their event values in
+    // integer cents; the advantage is the cross-multiplied
+    // (r·n − Σr)/√(n·Σr² − (Σr)²) — exact integer moments, one IEEE
+    // sqrt — with degenerate (single-sample / zero-variance) groups
+    // kept and flagged rather than dropped.
+    "q_grpo_advantage" -> { (s, dir) =>
+      val samples = Tables.load(s, dir, "events")
+        .where(col("value").isNotNull)
+        .select(pmod(col("user_id"), lit(200L)).as("prompt_id"),
+          col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      Preference.grpoAdvantage(samples, "prompt_id", "event_id", "cents")
+        .orderBy(col("prompt_id"), col("event_id"))
     })
 
   private val btMmRound = (i: Int) => {
@@ -309,5 +325,22 @@ object PrefQueries {
         |  n_candidates
         |FROM ch JOIN rj USING (prompt_id) JOIN n USING (prompt_id)
         |WHERE n_candidates >= 2 AND chosen_score - rejected_score >= 50
-        |ORDER BY prompt_id""".stripMargin)
+        |ORDER BY prompt_id""".stripMargin,
+
+    "q_grpo_advantage" ->
+      """WITH t AS (SELECT user_id % 200 AS prompt_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(cents AS HUGEINT)) AS s1,
+        |    sum(CAST(cents AS HUGEINT) * cents) AS s2
+        |  FROM t GROUP BY 1)
+        |SELECT t.prompt_id, t.event_id, t.cents, g.n,
+        |  (g.n < 2 OR g.n * g.s2 - g.s1 * g.s1 = 0) AS degenerate,
+        |  CASE WHEN g.n < 2 OR g.n * g.s2 - g.s1 * g.s1 = 0 THEN 0.0
+        |    ELSE round(CAST(g.n * t.cents - g.s1 AS DOUBLE)
+        |      / sqrt(CAST(g.n * g.s2 - g.s1 * g.s1 AS DOUBLE)), 6)
+        |  END AS advantage
+        |FROM t JOIN g USING (prompt_id)
+        |ORDER BY prompt_id, event_id""".stripMargin)
 }

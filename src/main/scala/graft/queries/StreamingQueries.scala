@@ -162,6 +162,40 @@ object StreamingQueries {
       s.table(name).orderBy(col("source"), col("doc_id"))
     },
 
+    // Live drift monitor: the reference window's histogram is static
+    // batch; the comparison window streams in (3 unordered chunks —
+    // bin counting is order-free) through a complete-mode
+    // groupBy(bin).count whose sink is the continuously-updated count
+    // table a production monitor would read.  PSI over the drained
+    // counts must equal the all-batch q_drift_psi computation, which
+    // the DuckDB oracle recomputes from raw rows.
+    "q_stream_drift" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val edges = Seq(1000.0, 2000.0, 4000.0, 8000.0, 16000.0,
+        32000.0, 64000.0)
+      val early = li.filter(
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val late = li.filter(
+        col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+      val stream = replay(s, late.select(col("l_extendedprice")), chunks = 3)
+      val name = s"stream_drift_${runId.incrementAndGet()}"
+      val counts = stream
+        .select(graft.ops.Drift.binOf(col("l_extendedprice"), edges).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      withStatePartitions(s) {
+        val q = counts.writeStream.format("memory").queryName(name)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val ha = graft.ops.Drift.histogram(early, "l_extendedprice", edges)
+        .withColumnRenamed("n", "n_a")
+      val bins = s.range(0, edges.size + 1)
+        .select(col("id").cast("int").as("bin"))
+      val hb = bins.join(s.table(name), Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("n"), lit(0L)).as("n_b"))
+      graft.ops.Drift.psiFromHistograms(ha, hb)
+    },
+
     "q_stream_dedup" -> { (s, dir) =>
       // only the dedup key is projected: the state store then holds a
       // key per user and nothing else
@@ -751,6 +785,43 @@ object StreamingQueries {
     })
 
   val oracle: Map[String, String] = Map(
+    // the drained complete-mode count table must reproduce the
+    // all-batch PSI — same oracle arithmetic as q_drift_psi
+    "q_stream_drift" ->
+      """WITH bins AS (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS bin),
+        |a AS (SELECT CASE WHEN l_extendedprice < 1000 THEN 0
+        |                  WHEN l_extendedprice < 2000 THEN 1
+        |                  WHEN l_extendedprice < 4000 THEN 2
+        |                  WHEN l_extendedprice < 8000 THEN 3
+        |                  WHEN l_extendedprice < 16000 THEN 4
+        |                  WHEN l_extendedprice < 32000 THEN 5
+        |                  WHEN l_extendedprice < 64000 THEN 6
+        |                  ELSE 7 END AS bin
+        |      FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01 00:00:00'),
+        |b AS (SELECT CASE WHEN l_extendedprice < 1000 THEN 0
+        |                  WHEN l_extendedprice < 2000 THEN 1
+        |                  WHEN l_extendedprice < 4000 THEN 2
+        |                  WHEN l_extendedprice < 8000 THEN 3
+        |                  WHEN l_extendedprice < 16000 THEN 4
+        |                  WHEN l_extendedprice < 32000 THEN 5
+        |                  WHEN l_extendedprice < 64000 THEN 6
+        |                  ELSE 7 END AS bin
+        |      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'),
+        |ca AS (SELECT bin, count(*) AS n FROM a GROUP BY bin),
+        |cb AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
+        |ta AS (SELECT count(*) AS t FROM a),
+        |tb AS (SELECT count(*) AS t FROM b)
+        |SELECT bins.bin,
+        |  COALESCE(ca.n, 0) AS n_a, COALESCE(cb.n, 0) AS n_b,
+        |  round((greatest(COALESCE(ca.n, 0) * 1.0 / ta.t, 1e-6)
+        |         - greatest(COALESCE(cb.n, 0) * 1.0 / tb.t, 1e-6))
+        |    * ln(greatest(COALESCE(ca.n, 0) * 1.0 / ta.t, 1e-6)
+        |         / greatest(COALESCE(cb.n, 0) * 1.0 / tb.t, 1e-6)), 6) AS psi_contrib
+        |FROM bins
+        |LEFT JOIN ca ON bins.bin = ca.bin
+        |LEFT JOIN cb ON bins.bin = cb.bin, ta, tb
+        |ORDER BY bins.bin""".stripMargin,
+
     // closed-form version history of the three deterministic batches
     "q_stream_scd2" ->
       """WITH c AS (

@@ -137,6 +137,21 @@ class ChecksSpec extends SparkSpec {
       5L -> 1L, 6L -> 2L, 7L -> 3L, 8L -> 4L))
   }
 
+  test("psiFromHistograms == psi over the raw frames (incl. empty bins)") {
+    val edges = Seq(10.0, 20.0, 30.0)
+    val a = Seq(1L, 5L, 15L, 25L, 25L, 40L).toDF("v")
+    val b = Seq(2L, 15L, 15L, 15L, 35L, 50L, 60L).toDF("v")
+    val raw = Drift.psi(a, b, "v", edges).collect().toSeq
+    val viaHist = Drift.psiFromHistograms(
+      Drift.histogram(a, "v", edges).withColumnRenamed("n", "n_a"),
+      Drift.histogram(b, "v", edges).withColumnRenamed("n", "n_b"))
+      .collect().toSeq
+    assert(raw.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))) ===
+      viaHist.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))))
+  }
+
   test("ksStatistic: exact D on hand-built samples; identical -> 0") {
     val a = Seq(1L, 2L, 3L, 4L).toDF("v")
     val b = Seq(3L, 4L, 5L, 6L).toDF("v")

@@ -80,4 +80,42 @@ class PreferenceSpec extends SparkSpec {
       ("D", 1L, 50L), ("D", 2L, null))           // null drops -> single
     assert(got === Set(("B", 2L, 100L, 1L, 0L, 100L, 2L)))
   }
+
+  test("grpoAdvantage matches the hand-computed cross-multiplied " +
+      "normalization; degenerate groups are kept at 0") {
+    // Group G: rewards 100/200/300 cents.  n=3, Σr=600, Σr²=140000,
+    // radicand = 3·140000 − 600² = 60000, √60000 = 244.9489742783178.
+    // A(100) = (300−600)/√60000 = −1.224745 (6 dp), A(200) = 0,
+    // A(300) = +1.224745.  Group S is a single sample, group Z has
+    // zero variance — both flagged degenerate with advantage 0.
+    val rows = Seq(("G", 1L, 100L), ("G", 2L, 200L), ("G", 3L, 300L),
+      ("S", 4L, 999L), ("Z", 5L, 7L), ("Z", 6L, 7L))
+      .toDF("p", "id", "cents")
+    val got = Preference.grpoAdvantage(rows, "p", "id", "cents")
+      .as[(String, Long, Long, Long, Boolean, Double)].collect().toSet
+    assert(got === Set(
+      ("G", 1L, 100L, 3L, false, -1.224745),
+      ("G", 2L, 200L, 3L, false, 0.0),
+      ("G", 3L, 300L, 3L, false, 1.224745),
+      ("S", 4L, 999L, 1L, true, 0.0),
+      ("Z", 5L, 7L, 2L, true, 0.0),
+      ("Z", 6L, 7L, 2L, true, 0.0)))
+  }
+
+  test("grpoAdvantage advantages sum to ~0 per non-degenerate group " +
+      "and are partitioning-invariant") {
+    val rows = (0 until 400).map(i =>
+      (s"p${i % 13}", i.toLong, ((i * 37) % 500 + 1).toLong))
+    val df = rows.toDF("p", "id", "cents")
+    val a = Preference.grpoAdvantage(df, "p", "id", "cents")
+    val sums = a.filter(!col("degenerate")).groupBy("p")
+      .agg(sum("advantage").as("s")).as[(String, Double)].collect()
+    sums.foreach { case (p, s) =>
+      assert(math.abs(s) < 1e-3, s"group $p advantage sum $s")
+    }
+    val b = Preference.grpoAdvantage(df.repartition(7), "p", "id", "cents")
+      .as[(String, Long, Long, Long, Boolean, Double)].collect().toSet
+    assert(b === a.as[(String, Long, Long, Long, Boolean, Double)]
+      .collect().toSet)
+  }
 }
