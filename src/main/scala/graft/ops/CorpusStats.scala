@@ -368,4 +368,62 @@ object CorpusStats {
           "ELSE -1 END AS BIGINT) AS coverage_ppm")
       .orderBy(col("vocab_size"))
   }
+
+  /** Zipf power-law fit of the rank-frequency curve — the corpus
+    * health check (natural text sits near slope −1; a much flatter or
+    * steeper tail flags boilerplate flooding or truncated diversity).
+    * Fits `ln(count) = ln_c + slope·ln(rank)` by least squares over
+    * the top-`topV` types.
+    *
+    * Determinism: each point's ln(rank)/ln(count) is rounded to
+    * integer micro-nats PER ROW (the [[unigramLogProb]] device), the
+    * OLS moments accumulate in exact DECIMAL(38,0), and slope and
+    * intercept are each ONE double division chain over exact integers
+    * (IEEE-identical on any engine/partitioning), rounded to 6 dp.
+    *
+    * Scale shape: one tokenize + map-side-combined groupBy to the
+    * vocabulary-sized count table; the top-V types come through the
+    * bounded TakeOrdered ([[vocabCoverage]]'s contract), so the
+    * row_number window and the moment aggregation run over ≤ topV
+    * rows.  Output is a single row.
+    *
+    * @return (n_points, zipf_slope, ln_c) — ln_c in nats
+    */
+  def zipfFit(docs: DataFrame, textCol: String, topV: Int): DataFrame = {
+    require(topV >= 3 && topV <= 1000000,
+      s"topV must be in [3, 10^6], got $topV")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__n"))
+    val top = counts.orderBy(col("__n").desc, col("__tok").asc)
+      .limit(topV)
+      .withColumn("__rank", row_number().over(
+        Window.orderBy(col("__n").desc, col("__tok").asc)))
+    val d = "CAST(%s AS DECIMAL(38,0))"
+    top
+      .select(
+        round(log(col("__rank").cast("double")) * lit(1000000d), 0)
+          .cast("long").as("__x"),
+        round(log(col("__n").cast("double")) * lit(1000000d), 0)
+          .cast("long").as("__y"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(expr(d.format("__x"))).as("__sx"),
+        sum(expr(d.format("__y"))).as("__sy"),
+        sum(expr(d.format("__x") + " * " + d.format("__y"))).as("__sxy"),
+        sum(expr(d.format("__x") + " * " + d.format("__x"))).as("__sxx"))
+      .withColumn("__num",
+        expr("CAST(n_points AS DECIMAL(38,0)) * __sxy - __sx * __sy"))
+      .withColumn("__den",
+        expr("CAST(n_points AS DECIMAL(38,0)) * __sxx - __sx * __sx"))
+      .filter(col("__den") =!= 0)
+      .select(col("n_points"),
+        round(col("__num").cast("double") / col("__den").cast("double"), 6)
+          .as("zipf_slope"),
+        round((col("__sy").cast("double")
+            - col("__num").cast("double") / col("__den").cast("double")
+              * col("__sx").cast("double"))
+          / col("n_points").cast("double") / lit(1000000d), 6)
+          .as("ln_c"))
+  }
 }

@@ -197,6 +197,46 @@ object TextAnalysis {
             / sum(col("__cnt")).cast("double"), 4).as("entropy"))
   }
 
+  /** Flesch reading-ease report per group — the readability screen a
+    * curation funnel runs next to [[qualityMetrics]] (very low scores
+    * flag OCR noise / codey text, implausibly high ones flag
+    * template spam).  `206.835 − 1.015·(W/S) − 84.6·(Y/W)` over the
+    * group's EXACT integer totals: W = word tokens, S = sentence
+    * marks (runs of `.!?`, clamped to ≥ 1 per doc), Y = syllable
+    * proxy (runs of `aeiouy` — the standard vowel-group heuristic).
+    *
+    * Determinism: the three counts are exact integers from per-row
+    * regex extraction (codegen, one pass, no shuffle before the
+    * group agg); the score is one fixed IEEE expression over the
+    * integer sums, rounded to 6 dp — engine- and
+    * partitioning-identical.  Zero-token docs are excluded (a
+    * documented contract: no words → no readability).
+    *
+    * @return (groupCol, n_docs, words, sentences, syllables, flesch)
+    */
+  def readability(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val w = size(tokens(col(textCol))).cast("long")
+    val marks = size(regexp_extract_all(col(textCol),
+      lit("[.!?]+"), lit(0))).cast("long")
+    val y = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    df.select(col(groupCol), w.as("__w"),
+        greatest(marks, lit(1L)).as("__s"), y.as("__y"))
+      .filter(col("__w") > 0L)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__w")).cast("long").as("words"),
+        sum(col("__s")).cast("long").as("sentences"),
+        sum(col("__y")).cast("long").as("syllables"))
+      .select(col(groupCol), col("n_docs"), col("words"),
+        col("sentences"), col("syllables"),
+        round(lit(206.835d)
+          - lit(1.015d) * col("words").cast("double")
+            / col("sentences").cast("double")
+          - lit(84.6d) * col("syllables").cast("double")
+            / col("words").cast("double"), 6).as("flesch"))
+  }
+
   /** Attach all text-analysis columns at once (single projection). */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -233,6 +233,16 @@ object QualityQueries {
           transform(filter(col("ref_toks"), (_, i) => i % 5 =!= 0),
             (x, i) => when(i % 3 === 0, lit("_")).otherwise(x)))
       graft.ops.Eval.rougeL(p, "cand_toks", "ref_toks")
+    },
+
+    // Flesch reading-ease per source: exact integer word/sentence/
+    // syllable-proxy totals from one codegen regex pass, one fixed
+    // IEEE formula over the sums — the readability screen next to the
+    // quality-metrics funnel.
+    "q_readability" -> { (s, dir) =>
+      graft.ops.TextAnalysis.readability(
+          Tables.load(s, dir, "documents"), "source", "text")
+        .orderBy(col("source"))
     })
 
   /** (candidate, reference) token pairs for the BLEU/ROUGE gates:
@@ -738,7 +748,23 @@ object QualityQueries {
         |  CAST(CASE WHEN sum(nc) + sum(nr) > 0 THEN
         |    (CAST(sum(lcs) AS HUGEINT) * 2000000) // (sum(nc) + sum(nr))
         |    ELSE -1 END AS BIGINT) AS f1_ppm
-        |FROM per""".stripMargin)
+        |FROM per""".stripMargin,
+
+    "q_readability" ->
+      """WITH d AS (SELECT source,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS words,
+        |  CAST(sum(s) AS BIGINT) AS sentences,
+        |  CAST(sum(y) AS BIGINT) AS syllables,
+        |  round(206.835
+        |    - 1.015 * CAST(sum(w) AS DOUBLE) / CAST(sum(s) AS DOUBLE)
+        |    - 84.6 * CAST(sum(y) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6)
+        |    AS flesch
+        |FROM d WHERE w > 0 GROUP BY source ORDER BY source""".stripMargin)
 
   /** Shared DuckDB prelude for the BLEU-kernel gates: the per-n clipped
     * match / total sums over the (candidate = drop-every-7th-token,

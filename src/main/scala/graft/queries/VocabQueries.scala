@@ -85,6 +85,15 @@ object VocabQueries {
         Tables.load(s, dir, "documents"), "text", Seq(50, 200, 1000))
     },
 
+    // Zipf power-law fit over the top-500 rank-frequency points:
+    // per-point integer micro-nat logs, exact DECIMAL(38,0) OLS
+    // moments, one double division chain — natural text lands near
+    // slope −1; the gate pins the fit bit-for-bit vs DuckDB.
+    "q_zipf_fit" -> { (s, dir) =>
+      graft.ops.CorpusStats.zipfFit(
+        Tables.load(s, dir, "documents"), "text", topV = 500)
+    },
+
     // Tokenizer vocabulary induction: top-10 tokens per language by
     // frequency.  Explode → hash-agg (map-side combine collapses the
     // token stream per partition) → the custom TopKPerKey heap operator
@@ -191,6 +200,33 @@ object VocabQueries {
         |    (CAST(covered AS HUGEINT) * 1000000) // total
         |    ELSE -1 END AS BIGINT) AS coverage_ppm
         |FROM a CROSS JOIN t ORDER BY vocab_size""".stripMargin,
+
+    "q_zipf_fit" ->
+      """WITH c AS (SELECT w, count(*) AS n FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text),
+        |      '[a-z0-9'']+')) AS w FROM documents) GROUP BY 1),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, w ASC)
+        |    AS rk FROM c ORDER BY n DESC, w ASC LIMIT 500),
+        |p AS (SELECT
+        |    CAST(round(ln(CAST(rk AS DOUBLE)) * 1000000, 0) AS BIGINT)
+        |      AS x,
+        |    CAST(round(ln(CAST(n AS DOUBLE)) * 1000000, 0) AS BIGINT)
+        |      AS y
+        |  FROM r),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM p)
+        |SELECT n_points,
+        |  round(CAST(n_points * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n_points * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+        |  round((CAST(sy AS DOUBLE)
+        |      - CAST(n_points * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n_points * sxx - sx * sx AS DOUBLE)
+        |        * CAST(sx AS DOUBLE))
+        |    / CAST(n_points AS DOUBLE) / 1000000, 6) AS ln_c
+        |FROM m WHERE n_points * sxx - sx * sx <> 0""".stripMargin,
 
     "q_wp_fertility" -> {
       val values = wpVocab.map(p => s"('$p')").mkString(", ")

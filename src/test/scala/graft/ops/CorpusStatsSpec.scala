@@ -246,4 +246,22 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got === Seq((1L, 3L, 5L, 600000L), (2L, 4L, 5L, 800000L),
       (10L, 5L, 5L, 1000000L)))
   }
+
+  test("zipfFit: an exact 1/r corpus fits slope -1; partitioning-" +
+      "invariant; all-equal counts have zero x-spread handled by OLS") {
+    import spark.implicits._
+    // counts 24/12/8/6 for ranks 1..4 = 24/r exactly: ln-ln points on
+    // the line y = ln 24 - x, so slope = -1 and ln_c = ln 24 up to the
+    // per-point micro-nat rounding (≤ 0.5e-6 per coordinate).
+    val text = (Seq.fill(24)("a") ++ Seq.fill(12)("b") ++
+      Seq.fill(8)("c") ++ Seq.fill(6)("d")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("id", "text")
+    val r = CorpusStats.zipfFit(docs, "text", topV = 500).head()
+    assert(r.getLong(0) === 4L)
+    assert(math.abs(r.getDouble(1) + 1.0) < 1e-4, r)
+    assert(math.abs(r.getDouble(2) - math.log(24.0)) < 1e-4, r)
+    val shuf = CorpusStats.zipfFit(docs.repartition(5), "text", 500).head()
+    assert(shuf.getDouble(1) === r.getDouble(1) &&
+      shuf.getDouble(2) === r.getDouble(2))
+  }
 }

@@ -468,4 +468,22 @@ class OpsSpec extends SparkSpec {
     assert(s3.select("doc_id").as[Long].collect().toSet == Set(12L),
       "threshold governs the near-dup boundary")
   }
+
+  test("readability: hand-computed Flesch from exact counts; " +
+      "mark-free docs clamp to one sentence; empty docs drop") {
+    // "The cat sat. The dog ran!": W=6, S=2 (". " and "!"),
+    // Y=6 single-vowel runs -> 206.835 - 1.015*3 - 84.6*1 = 119.19.
+    val docs = Seq(
+      ("s1", "The cat sat. The dog ran!"),
+      ("s2", "no marks here"),         // S clamps to 1; W=3, Y=4
+      ("s2", "!!! ... ???"))           // zero words: dropped
+      .toDF("source", "text")
+    val got = TextAnalysis.readability(docs, "source", "text")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    val f2 = BigDecimal(206.835 - 1.015 * 3.0 / 1.0 - 84.6 * 4.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq(("s1", 1L, 6L, 2L, 6L, 119.19),
+      ("s2", 1L, 3L, 1L, 4L, f2)))
+  }
 }
