@@ -400,13 +400,48 @@ object CorpusStats {
       .limit(topV)
       .withColumn("__rank", row_number().over(
         Window.orderBy(col("__n").desc, col("__tok").asc)))
-    val d = "CAST(%s AS DECIMAL(38,0))"
-    top
+    microNatOlsFit(top
       .select(
         round(log(col("__rank").cast("double")) * lit(1000000d), 0)
           .cast("long").as("__x"),
         round(log(col("__n").cast("double")) * lit(1000000d), 0)
-          .cast("long").as("__y"))
+          .cast("long").as("__y")),
+      "zipf_slope", "ln_c")
+  }
+
+  /** Heaps-law exponent fit: `vocab ≈ K·T^β` over the exact
+    * [[vocabGrowth]] curve — the companion read to [[zipfFit]] (β ~
+    * 0.4–0.6 for natural text; β near 1 means near-random strings, β
+    * near 0 a closed template vocabulary).  Same exactness device:
+    * per-point integer micro-nat logs, DECIMAL(38,0) OLS moments, one
+    * IEEE division chain, 6 dp.  Cuts with an empty prefix (or a
+    * degenerate all-equal x spread) drop out of the fit; the output is
+    * empty if fewer than two distinct points remain.
+    *
+    * @return (n_points, heaps_beta, ln_k) — ln_k in nats
+    */
+  def heapsFit(docs: DataFrame, idCol: String, textCol: String,
+      cuts: Seq[Long]): DataFrame =
+    microNatOlsFit(vocabGrowth(docs, idCol, textCol, cuts)
+      .filter(col("n_tokens") > 0L && col("vocab") > 0L)
+      .select(
+        round(log(col("n_tokens").cast("double")) * lit(1000000d), 0)
+          .cast("long").as("__x"),
+        round(log(col("vocab").cast("double")) * lit(1000000d), 0)
+          .cast("long").as("__y")),
+      "heaps_beta", "ln_k")
+
+  /** Shared micro-nat log-log OLS: `pts` carries integer micro-nat
+    * (__x, __y); moments accumulate in exact DECIMAL(38,0) and the
+    * slope/intercept are each ONE IEEE double division chain over
+    * exact integers (engine- and partitioning-identical), rounded to
+    * 6 dp.  A zero x-spread (den = 0) yields an EMPTY frame rather
+    * than a NaN row.
+    */
+  private def microNatOlsFit(pts: DataFrame, slopeAlias: String,
+      interceptAlias: String): DataFrame = {
+    val d = "CAST(%s AS DECIMAL(38,0))"
+    pts
       .agg(count(lit(1)).as("n_points"),
         sum(expr(d.format("__x"))).as("__sx"),
         sum(expr(d.format("__y"))).as("__sy"),
@@ -419,11 +454,11 @@ object CorpusStats {
       .filter(col("__den") =!= 0)
       .select(col("n_points"),
         round(col("__num").cast("double") / col("__den").cast("double"), 6)
-          .as("zipf_slope"),
+          .as(slopeAlias),
         round((col("__sy").cast("double")
             - col("__num").cast("double") / col("__den").cast("double")
               * col("__sx").cast("double"))
           / col("n_points").cast("double") / lit(1000000d), 6)
-          .as("ln_c"))
+          .as(interceptAlias))
   }
 }

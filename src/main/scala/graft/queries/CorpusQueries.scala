@@ -33,6 +33,14 @@ object CorpusQueries {
       graft.ops.CorpusStats.vocabGrowth(Tables.load(s, dir, "documents"),
         "doc_id", "text", cuts = Seq(100L, 250L, 1000000000L))
     },
+
+    // Heaps-law exponent over five corpus prefixes: the vocab ≈ K·T^β
+    // fit (β ~ 0.4-0.6 for natural text) — micro-nat logs + exact
+    // DECIMAL OLS moments, bit-identical vs the DuckDB replay.
+    "q_heaps_fit" -> { (s, dir) =>
+      graft.ops.CorpusStats.heapsFit(Tables.load(s, dir, "documents"),
+        "doc_id", "text", cuts = Seq(25L, 50L, 100L, 200L, 400L))
+    },
     "q_lm_score" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       CorpusStats.unigramLogProb(docs, "doc_id", "text")
@@ -249,6 +257,50 @@ object CorpusQueries {
         |  SELECT 1000000000, CAST(sum(nall) AS BIGINT),
         |    CAST(count(*) AS BIGINT) FROM f)
         |ORDER BY cut""".stripMargin,
+
+    "q_heaps_fit" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |f AS (
+        |  SELECT tok, min(doc_id) AS fst,
+        |    sum(CASE WHEN doc_id < 25 THEN 1 ELSE 0 END) AS n25,
+        |    sum(CASE WHEN doc_id < 50 THEN 1 ELSE 0 END) AS n50,
+        |    sum(CASE WHEN doc_id < 100 THEN 1 ELSE 0 END) AS n100,
+        |    sum(CASE WHEN doc_id < 200 THEN 1 ELSE 0 END) AS n200,
+        |    sum(CASE WHEN doc_id < 400 THEN 1 ELSE 0 END) AS n400
+        |  FROM toks GROUP BY tok),
+        |g AS (
+        |  SELECT CAST(sum(n25) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN fst < 25 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS vocab FROM f
+        |  UNION ALL SELECT CAST(sum(n50) AS BIGINT),
+        |    CAST(sum(CASE WHEN fst < 50 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+        |  UNION ALL SELECT CAST(sum(n100) AS BIGINT),
+        |    CAST(sum(CASE WHEN fst < 100 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+        |  UNION ALL SELECT CAST(sum(n200) AS BIGINT),
+        |    CAST(sum(CASE WHEN fst < 200 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+        |  UNION ALL SELECT CAST(sum(n400) AS BIGINT),
+        |    CAST(sum(CASE WHEN fst < 400 THEN 1 ELSE 0 END) AS BIGINT) FROM f),
+        |p AS (SELECT
+        |    CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000, 0)
+        |      AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000, 0)
+        |      AS BIGINT) AS y
+        |  FROM g WHERE n_tokens > 0 AND vocab > 0),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM p)
+        |SELECT n_points,
+        |  round(CAST(n_points * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n_points * sxx - sx * sx AS DOUBLE), 6) AS heaps_beta,
+        |  round((CAST(sy AS DOUBLE)
+        |      - CAST(n_points * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n_points * sxx - sx * sx AS DOUBLE)
+        |        * CAST(sx AS DOUBLE))
+        |    / CAST(n_points AS DOUBLE) / 1000000, 6) AS ln_k
+        |FROM m WHERE n_points * sxx - sx * sx <> 0""".stripMargin,
     "q_lm_score" ->
       s"""WITH toks AS (
         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),

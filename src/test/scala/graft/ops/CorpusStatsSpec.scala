@@ -264,4 +264,28 @@ class CorpusStatsSpec extends SparkSpec {
     assert(shuf.getDouble(1) === r.getDouble(1) &&
       shuf.getDouble(2) === r.getDouble(2))
   }
+
+  test("heapsFit: all-new-tokens corpus fits beta = 1, fixed-template " +
+      "corpus fits beta = 0; empty prefixes drop from the fit") {
+    import spark.implicits._
+    // every doc contributes 4 NEW tokens: vocab == n_tokens at every
+    // cut -> y = x exactly -> beta = 1, ln_k = 0.
+    val fresh = (0L until 64L).map(i =>
+      (i, (0 until 4).map(j => s"w${i}x$j").mkString(" "))).toDF("id", "text")
+    val f = CorpusStats.heapsFit(fresh, "id", "text",
+      cuts = Seq(4L, 8L, 16L, 32L)).head()
+    assert(f.getLong(0) === 4L)
+    assert(math.abs(f.getDouble(1) - 1.0) < 1e-6 &&
+      math.abs(f.getDouble(2)) < 1e-6, f)
+    // the same 3 tokens in every doc: vocab constant -> beta = 0 and
+    // ln_k = ln 3; a cut below the first doc id contributes no point.
+    val tmpl = (0L until 64L).map(i => (i, "a b c")).toDF("id", "text")
+    val t = CorpusStats.heapsFit(tmpl, "id", "text",
+      cuts = Seq(4L, 8L, 16L, 32L)).head()
+    assert(math.abs(t.getDouble(1)) < 1e-6 &&
+      math.abs(t.getDouble(2) - math.log(3.0)) < 1e-4, t)
+    val skipEmpty = CorpusStats.heapsFit(
+      tmpl.filter(col("id") >= 8L), "id", "text", Seq(4L, 16L, 32L)).head()
+    assert(skipEmpty.getLong(0) === 2L, skipEmpty)
+  }
 }
