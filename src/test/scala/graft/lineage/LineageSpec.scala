@@ -409,4 +409,31 @@ class LineageSpec extends SparkSpec {
       s"ranks derive from the weights through the iteration chain: " +
         s"${g("rank_micro")}")
   }
+
+  test("round-10 continuation ops: grpoAdvantage's self-join and " +
+      "zipfFit's limit+window+agg funnel keep exact column provenance") {
+    // grpoAdvantage joins the sample frame to its own moment
+    // aggregation on the group key: advantage must resolve to the
+    // cents column only, the group key to the group column only —
+    // the self-join must not smear provenance across columns.
+    val samples = Seq(("p", 1L, 10L), ("p", 2L, 20L))
+      .toDF("prompt", "sid", "cents")
+    val g = ColumnLineage.of(graft.ops.Preference.grpoAdvantage(
+      samples, "prompt", "sid", "cents"))
+    assert(g("advantage").map(_.column) == Set("_3"),
+      s"advantage derives from cents only: ${g("advantage")}")
+    assert(g("prompt").map(_.column) == Set("_1"),
+      s"group key stays the group column: ${g("prompt")}")
+    assert(g("sid").map(_.column) == Set("_2"), g("sid").toString)
+    // zipfFit: tokenize → groupBy → TakeOrdered limit → row_number
+    // window → moment agg; both fit outputs must still reach the text
+    // column through the whole funnel (rank is synthesized FROM the
+    // count order, whose only source is the text).
+    val docs = Seq((1L, "a a b")).toDF("id", "text")
+    val g2 = ColumnLineage.of(graft.ops.CorpusStats.zipfFit(
+      docs, "text", topV = 10))
+    assert(g2("zipf_slope").map(_.column) == Set("_2"),
+      s"slope traces to the text column: ${g2("zipf_slope")}")
+    assert(g2("ln_c").map(_.column) == Set("_2"), g2("ln_c").toString)
+  }
 }
