@@ -85,6 +85,58 @@ object Drift {
       .orderBy(col("bin"))
   }
 
+  /** Embedding-distribution drift between two corpus snapshots — the
+    * encoder-skew monitor (a silent encoder upgrade or a shifted
+    * domain mix moves per-dimension means/variances long before any
+    * scalar metric notices).  Per dimension: exact micro-unit integer
+    * first/second moments on each side ([[Whitening.momentsMicro]]'s
+    * quantization device), then `mean_shift` via ONE cross-multiplied
+    * IEEE division and each population variance via one more — all
+    * deterministic on any engine/partitioning, 6 dp.
+    *
+    * Scale shape: each side is one scan exploding d (dim, v, v²)
+    * cells per row into a map-side-combined aggregation — shuffle
+    * carries d rows per partition per side; the join is on the
+    * d-row dimension tables.  DECIMAL(38,0) headroom: n·Σv² stays
+    * below 10³⁸ for n·‖x‖∞² up to ~10²⁶ micro² — petabyte-safe.
+    *
+    * @return one row per dimension: (dim, n_a, n_b, mean_shift,
+    *         var_a, var_b), mean/variance in original vector units
+    */
+  def embedDrift(a: DataFrame, b: DataFrame, vecCol: String,
+      d: Int): DataFrame = {
+    require(d >= 1, s"dimension must be >= 1, got $d")
+    def diag(df: DataFrame, suf: String): DataFrame = {
+      val q = s"CAST(round(CAST(element_at($vecCol, i + 1) AS DOUBLE)" +
+        s" * 1000000.0, 0) AS BIGINT)"
+      df.select(explode(expr(
+          s"""transform(sequence(0, ${d - 1}), i -> named_struct(
+             |  'dim', CAST(i AS BIGINT), 'v', $q, 'vv', $q * $q))"""
+            .stripMargin)).as("p"))
+        .select(col("p.dim").as("dim"), col("p.v").as("v"),
+          col("p.vv").as("vv"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as(s"n_$suf"),
+          sum(col("v").cast("decimal(38,0)")).as(s"__s_$suf"),
+          sum(col("vv").cast("decimal(38,0)")).as(s"__ss_$suf"))
+    }
+    diag(a, "a").join(diag(b, "b"), Seq("dim"))
+      .select(col("dim"), col("n_a"), col("n_b"),
+        round((col("__s_a") * col("n_b") - col("__s_b") * col("n_a"))
+            .cast("double")
+          / (col("n_a").cast("double") * col("n_b") * lit(1000000.0d)), 6)
+          .as("mean_shift"),
+        round((col("n_a") * col("__ss_a") - col("__s_a") * col("__s_a"))
+            .cast("double")
+          / (col("n_a").cast("double") * col("n_a") * lit(1.0e12d)), 6)
+          .as("var_a"),
+        round((col("n_b") * col("__ss_b") - col("__s_b") * col("__s_b"))
+            .cast("double")
+          / (col("n_b").cast("double") * col("n_b") * lit(1.0e12d)), 6)
+          .as("var_b"))
+      .orderBy(col("dim"))
+  }
+
   /** EXACT two-sample Kolmogorov–Smirnov statistic — the
     * distribution-free drift test that needs no bin edges (PSI's blind
     * spot: drift WITHIN a bin).  D = max over values of

@@ -230,6 +230,17 @@ object MixQueries {
         .select(lit(1L).as("rank"), col("vec_id"))
     },
 
+    // Embedding-distribution drift between the even/odd snapshot
+    // halves: per-dimension exact micro-unit moments each side, one
+    // IEEE division per statistic — the encoder-skew monitor, bit-
+    // identical vs the DuckDB replay.
+    "q_embed_drift" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.ops.Drift.embedDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), "embedding", d = 16)
+    },
+
     // Negative sampling: 500 deterministic draws from the
     // unigram^0.75 distribution via the integer inverse-CDF + binned
     // range join (no driver alias table).
@@ -576,6 +587,34 @@ object MixQueries {
     "q_embed_outlier" ->
       """SELECT CAST(1 AS BIGINT) AS rank,
         |  CAST(1000000 AS BIGINT) AS vec_id""".stripMargin,
+
+    "q_embed_drift" ->
+      """WITH dims AS (
+        |  SELECT CAST(unnest(generate_series(0, 15)) AS BIGINT) AS dim),
+        |qa AS (SELECT dim,
+        |    CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * 1000000.0,
+        |      0) AS BIGINT) AS v
+        |  FROM embeddings CROSS JOIN dims WHERE vec_id % 2 = 0),
+        |qb AS (SELECT dim,
+        |    CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * 1000000.0,
+        |      0) AS BIGINT) AS v
+        |  FROM embeddings CROSS JOIN dims WHERE vec_id % 2 = 1),
+        |ca AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_a,
+        |    sum(CAST(v AS HUGEINT)) AS s_a,
+        |    sum(CAST(v AS HUGEINT) * v) AS ss_a
+        |  FROM qa GROUP BY dim),
+        |cb AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_b,
+        |    sum(CAST(v AS HUGEINT)) AS s_b,
+        |    sum(CAST(v AS HUGEINT) * v) AS ss_b
+        |  FROM qb GROUP BY dim)
+        |SELECT dim, n_a, n_b,
+        |  round(CAST(s_a * n_b - s_b * n_a AS DOUBLE)
+        |    / (CAST(n_a AS DOUBLE) * n_b * 1000000.0), 6) AS mean_shift,
+        |  round(CAST(n_a * ss_a - s_a * s_a AS DOUBLE)
+        |    / (CAST(n_a AS DOUBLE) * n_a * 1e12), 6) AS var_a,
+        |  round(CAST(n_b * ss_b - s_b * s_b AS DOUBLE)
+        |    / (CAST(n_b AS DOUBLE) * n_b * 1e12), 6) AS var_b
+        |FROM ca JOIN cb USING (dim) ORDER BY dim""".stripMargin,
 
     "q_negative_sampling" ->
       s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),

@@ -152,6 +152,20 @@ class ChecksSpec extends SparkSpec {
         r.getDouble(3))))
   }
 
+  test("embedDrift: hand-computed per-dimension mean shift and " +
+      "population variances") {
+    // side a: (1,0) and (3,0) -> dim0 mean 2 var 1, dim1 mean 0 var 0
+    // side b: (2,2) twice     -> dim0 mean 2 var 0, dim1 mean 2 var 0
+    val a = Seq(Tuple1(Seq(1.0f, 0.0f)), Tuple1(Seq(3.0f, 0.0f)))
+      .toDF("embedding")
+    val b = Seq(Tuple1(Seq(2.0f, 2.0f)), Tuple1(Seq(2.0f, 2.0f)))
+      .toDF("embedding")
+    val got = Drift.embedDrift(a, b, "embedding", d = 2)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got === Seq((0L, 2L, 2L, 0.0, 1.0, 0.0),
+      (1L, 2L, 2L, -2.0, 0.0, 0.0)))
+  }
+
   test("ksStatistic: exact D on hand-built samples; identical -> 0") {
     val a = Seq(1L, 2L, 3L, 4L).toDF("v")
     val b = Seq(3L, 4L, 5L, 6L).toDF("v")
