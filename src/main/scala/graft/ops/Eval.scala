@@ -308,6 +308,68 @@ object Eval {
           "(cand_total + ref_total) ELSE -1 END AS BIGINT) AS f1_ppm")
   }
 
+  /** Self-BLEU-style within-group n-gram overlap — the DIVERSITY read
+    * on a corpus slice (Zhu et al. 2018, "Texygen", arXiv:1802.01886):
+    * how much of each document's n-gram mass reappears in its sibling
+    * documents.  High self-overlap flags templated/boilerplate
+    * sources that token-level dedup misses; low overlap means the
+    * slice is genuinely diverse.
+    *
+    * Each group contributes its first `k` docs by id (a bounded-heap
+    * [[graft.plans.TopKPerKey]] pass — never a per-group window), all
+    * k·(k−1) ordered (candidate, reference) pairs are formed by a
+    * group-keyed equi-join, and per n the clipped multiset match runs
+    * INSIDE each pair row via the codegen
+    * [[graft.functions.ClippedMatchCount]] kernel — zero gram
+    * shuffling, one aggregation per group.  All counts exact integers;
+    * the ratio is one integral ppm division.
+    *
+    * @return per (groupCol, n): (matched, cand_total, self_ppm) —
+    *         self_ppm = ⌊10⁶·matched/cand_total⌋; orders with no
+    *         candidate grams in the whole group are absent
+    */
+  def selfOverlap(docs: DataFrame, groupCol: String, idCol: String,
+      textCol: String, k: Int, maxN: Int): DataFrame = {
+    require(k >= 2 && k <= 64, s"k must be in [2, 64], got $k")
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in 1..8, got $maxN")
+    val sample = graft.plans.TopK.perKey(
+      docs.select(col(groupCol).as("__g"), col(idCol).as("__id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks")),
+      Seq(col("__g")), Seq(col("__id").asc), k)
+    val a = sample.select(col("__g"), col("__id").as("__ca"),
+      col("__toks").as("__ct"))
+    val b = sample.select(col("__g").as("__g2"), col("__id").as("__rb"),
+      col("__toks").as("__rt"))
+    val pairs = a.join(b,
+      col("__g") === col("__g2") && col("__ca") =!= col("__rb"))
+    val grams = pairs.select(col("__g") +: (1 to maxN).flatMap { n =>
+      Seq(PipelineOps.wordNgrams(col("__ct"), n).as(s"__c$n"),
+        PipelineOps.wordNgrams(col("__rt"), n).as(s"__r$n"))
+    }: _*)
+    val aggs = (1 to maxN).flatMap { n =>
+      Seq(
+        coalesce(sum(graft.functions.clipped_match_count(
+          col(s"__c$n"), col(s"__r$n"))), lit(0L))
+          .cast("long").as(s"__m$n"),
+        coalesce(sum(size(col(s"__c$n")).cast("long")), lit(0L))
+          .cast("long").as(s"__t$n"))
+    }
+    grams.groupBy(col("__g"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("__g").as(groupCol),
+        explode(array((1 to maxN).map { n =>
+          struct(lit(n).as("n"), col(s"__m$n").as("matched"),
+            col(s"__t$n").as("cand_total"))
+        }: _*)).as("__p"))
+      .select(col(groupCol), col("__p.n").as("n"),
+        col("__p.matched").as("matched"),
+        col("__p.cand_total").as("cand_total"))
+      .filter(col("cand_total") > 0L)
+      .withColumn("self_ppm", expr(
+        "CAST((CAST(matched AS DECIMAL(38,0)) * 1000000) div cand_total " +
+          "AS BIGINT)"))
+  }
+
   /** Paired bootstrap comparison of two per-item scores — THE standard
     * "is system A actually better than system B?" test (Koehn 2004 for
     * MT; same mechanics for any paired metric): resample the ITEMS

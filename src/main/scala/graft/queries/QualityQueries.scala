@@ -243,6 +243,16 @@ object QualityQueries {
       graft.ops.TextAnalysis.readability(
           Tables.load(s, dir, "documents"), "source", "text")
         .orderBy(col("source"))
+    },
+
+    // Self-BLEU diversity per source: each source's first 6 docs (via
+    // the bounded TopKPerKey heap) pair all-vs-all and the clipped
+    // 1/2-gram overlap runs in-row through the codegen kernel — high
+    // self_ppm flags templated sources that exact dedup misses.
+    "q_self_bleu" -> { (s, dir) =>
+      graft.ops.Eval.selfOverlap(Tables.load(s, dir, "documents"),
+          "source", "doc_id", "text", k = 6, maxN = 2)
+        .orderBy(col("source"), col("n"))
     })
 
   /** (candidate, reference) token pairs for the BLEU/ROUGE gates:
@@ -764,7 +774,42 @@ object QualityQueries {
         |    - 1.015 * CAST(sum(w) AS DOUBLE) / CAST(sum(s) AS DOUBLE)
         |    - 84.6 * CAST(sum(y) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6)
         |    AS flesch
-        |FROM d WHERE w > 0 GROUP BY source ORDER BY source""".stripMargin)
+        |FROM d WHERE w > 0 GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_self_bleu" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS rn
+        |  FROM documents),
+        |s AS (SELECT source, doc_id, toks FROM d WHERE rn <= 6),
+        |p AS (SELECT a.source AS src, a.doc_id AS ca, b.doc_id AS rb,
+        |    a.toks AS ct, b.toks AS rt
+        |  FROM s a JOIN s b
+        |    ON b.source = a.source AND b.doc_id <> a.doc_id),
+        |nn AS (SELECT unnest([1, 2]) AS n),
+        |ci AS (SELECT src, ca, rb, n, ct,
+        |    unnest(range(1, len(ct) - n + 2)) AS i FROM p CROSS JOIN nn),
+        |cg AS (SELECT src, ca, rb, n,
+        |    array_to_string(ct[i:i+n-1], ' ') AS g, 1 AS c, 0 AS r
+        |  FROM ci),
+        |ri AS (SELECT src, ca, rb, n, rt,
+        |    unnest(range(1, len(rt) - n + 2)) AS i FROM p CROSS JOIN nn),
+        |rg AS (SELECT src, ca, rb, n,
+        |    array_to_string(rt[i:i+n-1], ' ') AS g, 0 AS c, 1 AS r
+        |  FROM ri),
+        |cnt AS (SELECT src, ca, rb, n, g, sum(c) AS cc, sum(r) AS rc
+        |  FROM (SELECT * FROM cg UNION ALL SELECT * FROM rg)
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |per AS (SELECT src AS source, n,
+        |    CAST(sum(least(cc, rc)) AS BIGINT) AS matched,
+        |    CAST(sum(cc) AS BIGINT) AS cand_total
+        |  FROM cnt GROUP BY 1, 2)
+        |SELECT source, CAST(n AS INT) AS n, matched, cand_total,
+        |  CAST((CAST(matched AS HUGEINT) * 1000000) // cand_total
+        |    AS BIGINT) AS self_ppm
+        |FROM per WHERE cand_total > 0
+        |ORDER BY source, n""".stripMargin)
 
   /** Shared DuckDB prelude for the BLEU-kernel gates: the per-n clipped
     * match / total sums over the (candidate = drop-every-7th-token,

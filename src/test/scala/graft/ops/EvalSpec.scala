@@ -257,4 +257,23 @@ class EvalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("4096"))
   }
+
+  test("selfOverlap: hand-computed pairwise clipped overlap, k cap by " +
+      "id, gram-free orders absent") {
+    // Group X: "a b" vs "a c" both directions — unigram matched 2 of
+    // 4, bigram 0 of 2.  Group Y has 3 docs but k = 2 keeps ids 1, 2
+    // ("x" vs "x": matched 2 of 2); the single-token docs produce no
+    // bigrams, so Y's n = 2 row must be ABSENT, not zero.
+    val docs = Seq(
+      ("X", 1L, "a b"), ("X", 2L, "a c"),
+      ("Y", 1L, "x"), ("Y", 2L, "x"), ("Y", 3L, "z z z"))
+      .toDF("src", "id", "text")
+    val got = Eval.selfOverlap(docs, "src", "id", "text", k = 2, maxN = 2)
+      .orderBy("src", "n")
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("X", 1, 2L, 4L, 500000L),
+      ("X", 2, 0L, 2L, 0L),
+      ("Y", 1, 2L, 2L, 1000000L)))
+  }
 }
