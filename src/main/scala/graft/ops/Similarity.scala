@@ -404,4 +404,64 @@ object Similarity {
         col("n_votes"),
         (col("majority_label") === col("own_label")).as("agree"))
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings",
+    * ACL) — the parallel-pair miner for multilingual curation.  Raw
+    * cosine retrieval suffers hubness (some vectors are near
+    * everything); the RATIO margin divides each candidate cosine by
+    * the mean of both endpoints' top-k neighborhoods,
+    * `margin(x,y) = cos(x,y) / ((avgK(x) + avgK(y)) / 2)`, and a pair
+    * is mined when x and y pick each other (mutual best).
+    *
+    * Exactness: cosines quantize to integer micro per pair, the
+    * neighborhood penalties are exact integer sums over bounded-heap
+    * [[graft.plans.TopKPerKey]] top-k (never a corpus-wide window),
+    * and the margin is a sign-split integral ppm division — every
+    * ranking and the mutual test are integer-total and
+    * engine-identical.  A non-positive combined penalty yields the
+    * −2·10⁹ sentinel (margin undefined; such a pair is never mined in
+    * practice).
+    *
+    * Scale contract: `sideA` is the bounded probe batch (broadcast —
+    * the [[bruteForceTopK]] contract); sideB streams in one scan.  At
+    * corpus×corpus scale, bucket with [[lshTopK]]/[[ivfTopK]] first
+    * and feed each bucket through this kernel.
+    *
+    * @return one row per probe: (a_id, b_id = forward-best candidate,
+    *         cos_micro, margin_ppm, mutual)
+    */
+  def bitextMargin(sideA: DataFrame, sideB: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    val a = sideA.select(col(idCol).as("a_id"), col(vecCol).as("__av"))
+    val b = sideB.select(col(idCol).as("b_id"), col(vecCol).as("__bv"))
+    val scored = b.crossJoin(broadcast(a))
+      .select(col("a_id"), col("b_id"),
+        round(cosine_sim(col("__av"), col("__bv")) * lit(1000000d), 0)
+          .cast("long").as("cos_micro"))
+    val penA = graft.plans.TopK.perKey(scored, Seq(col("a_id")),
+        Seq(col("cos_micro").desc, col("b_id").asc), k)
+      .groupBy(col("a_id")).agg(sum(col("cos_micro")).as("__pa"))
+    val penB = graft.plans.TopK.perKey(scored, Seq(col("b_id")),
+        Seq(col("cos_micro").desc, col("a_id").asc), k)
+      .groupBy(col("b_id")).agg(sum(col("cos_micro")).as("__pb"))
+    val margins = scored.join(penA, Seq("a_id")).join(penB, Seq("b_id"))
+      .withColumn("margin_ppm", expr(
+        s"""CASE WHEN __pa + __pb <= 0 THEN CAST(-2000000000 AS BIGINT)
+           |  WHEN cos_micro < 0 THEN CAST(
+           |    -((CAST(-cos_micro AS DECIMAL(38,0)) * ${2 * k} * 1000000)
+           |      div (__pa + __pb)) AS BIGINT)
+           |  ELSE CAST(
+           |    (CAST(cos_micro AS DECIMAL(38,0)) * ${2 * k} * 1000000)
+           |      div (__pa + __pb) AS BIGINT) END""".stripMargin))
+    val fwd = graft.plans.TopK.perKey(margins, Seq(col("a_id")),
+      Seq(col("margin_ppm").desc, col("b_id").asc), k = 1)
+    val bwd = graft.plans.TopK.perKey(margins, Seq(col("b_id")),
+        Seq(col("margin_ppm").desc, col("a_id").asc), k = 1)
+      .select(col("a_id"), col("b_id"), lit(true).as("__mut"))
+    fwd.join(bwd, Seq("a_id", "b_id"), "left")
+      .select(col("a_id"), col("b_id"), col("cos_micro"),
+        col("margin_ppm"), coalesce(col("__mut"), lit(false)).as("mutual"))
+  }
 }

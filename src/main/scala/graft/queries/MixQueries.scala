@@ -241,6 +241,18 @@ object MixQueries {
         emb.filter(col("vec_id") % 2 === 1), "embedding", d = 16)
     },
 
+    // Margin-based bitext mining over the even/odd embedding halves:
+    // integer-micro cosines, bounded-heap top-4 neighborhood
+    // penalties, sign-split ppm margins, mutual-best pairing — all
+    // integer-total, replayed exactly by the DuckDB twin.
+    "q_bitext_margin" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.ops.Similarity.bitextMargin(
+          emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 16),
+          emb.filter(col("vec_id") % 2 === 1), k = 4)
+        .orderBy(col("a_id"))
+    },
+
     // Negative sampling: 500 deterministic draws from the
     // unigram^0.75 distribution via the integer inverse-CDF + binned
     // range join (no driver alias table).
@@ -615,6 +627,43 @@ object MixQueries {
         |  round(CAST(n_b * ss_b - s_b * s_b AS DOUBLE)
         |    / (CAST(n_b AS DOUBLE) * n_b * 1e12), 6) AS var_b
         |FROM ca JOIN cb USING (dim) ORDER BY dim""".stripMargin,
+
+    "q_bitext_margin" ->
+      """WITH a AS (SELECT vec_id AS a_id, embedding AS av
+        |  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 16),
+        |b AS (SELECT vec_id AS b_id, embedding AS bv
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |s AS (SELECT a_id, b_id,
+        |    CAST(round(list_cosine_similarity(CAST(av AS DOUBLE[]),
+        |      CAST(bv AS DOUBLE[])) * 1000000, 0) AS BIGINT) AS cosm
+        |  FROM a CROSS JOIN b),
+        |pa AS (SELECT a_id, CAST(sum(cosm) AS BIGINT) AS pa FROM (
+        |    SELECT a_id, cosm, row_number() OVER (PARTITION BY a_id
+        |      ORDER BY cosm DESC, b_id) AS r FROM s)
+        |  WHERE r <= 4 GROUP BY 1),
+        |pb AS (SELECT b_id, CAST(sum(cosm) AS BIGINT) AS pb FROM (
+        |    SELECT b_id, cosm, row_number() OVER (PARTITION BY b_id
+        |      ORDER BY cosm DESC, a_id) AS r FROM s)
+        |  WHERE r <= 4 GROUP BY 1),
+        |m AS (SELECT s.a_id, s.b_id, s.cosm,
+        |    CASE WHEN pa.pa + pb.pb <= 0 THEN CAST(-2000000000 AS BIGINT)
+        |      WHEN s.cosm < 0 THEN CAST(
+        |        -((CAST(-s.cosm AS HUGEINT) * 8000000) // (pa.pa + pb.pb))
+        |        AS BIGINT)
+        |      ELSE CAST((CAST(s.cosm AS HUGEINT) * 8000000)
+        |        // (pa.pa + pb.pb) AS BIGINT) END AS margin_ppm
+        |  FROM s JOIN pa USING (a_id) JOIN pb USING (b_id)),
+        |fwd AS (SELECT a_id, b_id, cosm, margin_ppm FROM (
+        |    SELECT m.*, row_number() OVER (PARTITION BY a_id
+        |      ORDER BY margin_ppm DESC, b_id) AS r FROM m) WHERE r = 1),
+        |bwd AS (SELECT a_id, b_id FROM (
+        |    SELECT a_id, b_id, row_number() OVER (PARTITION BY b_id
+        |      ORDER BY margin_ppm DESC, a_id) AS r FROM m) WHERE r = 1)
+        |SELECT f.a_id, f.b_id, f.cosm AS cos_micro, f.margin_ppm,
+        |  (bwd.a_id IS NOT NULL) AS mutual
+        |FROM fwd f LEFT JOIN bwd
+        |  ON bwd.a_id = f.a_id AND bwd.b_id = f.b_id
+        |ORDER BY f.a_id""".stripMargin,
 
     "q_negative_sampling" ->
       s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),

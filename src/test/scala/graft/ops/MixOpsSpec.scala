@@ -35,6 +35,37 @@ class MixOpsSpec extends SparkSpec {
     assert(!out.map(_.getAs[Long]("corpus_id")).contains(2L))
   }
 
+  test("bitextMargin: mutual best pairs on orthogonal clusters; " +
+      "hub candidate loses on margin; sign-split + sentinel paths") {
+    val a = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // b5 = (1,1)/sqrt2 is a HUB — decently close to both probes — but
+    // the margin normalization by its own crowded neighborhood keeps
+    // the axis-aligned true matches on top.
+    val b = Seq((11L, Array(1.0f, 0.0f)), (13L, Array(0.0f, 1.0f)),
+      (15L, Array(0.7071f, 0.7071f))).toDF("vec_id", "embedding")
+    val out = Similarity.bitextMargin(a, b, k = 2)
+      .orderBy("a_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+        .toSeq === Seq((0L, 11L, true), (1L, 13L, true)),
+      out.mkString("; "))
+    // all-negative geometry: combined penalty <= 0 -> sentinel margin
+    val neg = Similarity.bitextMargin(
+      Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding"),
+      Seq((1L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding"), k = 1)
+      .head()
+    assert(neg.getLong(3) === -2000000000L, neg)
+    // negative cosine over a positive combined penalty exercises the
+    // sign-split division: margin strictly negative, not sentinel
+    val mixed = Similarity.bitextMargin(
+      Seq((0L, Array(1.0f, 0.0f)), (2L, Array(-0.1f, 0.995f)))
+        .toDF("vec_id", "embedding"),
+      Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding"), k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(mixed(0L) > 0L && mixed(2L) < 0L &&
+      mixed(2L) > -2000000000L, mixed.toString)
+  }
+
   test("charEntropy: uniform text hits ln(k), constant text hits 0") {
     val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"), (4L, ""))
       .toDF("doc_id", "text")

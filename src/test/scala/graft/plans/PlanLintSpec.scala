@@ -25,6 +25,7 @@ class PlanLintSpec extends SparkSpec {
     "q_vocab_coverage",      // 1-row total-mass aggregate cross-joined into the limit-bounded top-V frame
     "q_paired_bootstrap",    // 1-row totals x 1-row CI aggregate folded into the single verdict row (the q_bootstrap_ci shape)
     "q_hard_negatives",      // same shape: corpus scan × broadcast 8-query batch
+    "q_bitext_margin",       // same shape: corpus side × broadcast 8-probe batch
     "q_skew_report",         // two 1-row aggregates cross-joined into the summary row
     "q_target_encode",       // 1-row global-total broadcast cross-joined into the category table
     "q_ks_test",             // 1-row sample-size aggregate cross-joined into the integer-D max
