@@ -431,6 +431,81 @@ object CorpusStats {
           .cast("long").as("__y")),
       "heaps_beta", "ln_k")
 
+  /** Pairwise Jensen–Shannon divergence between per-domain unigram
+    * distributions — the source-redundancy read mixture design needs
+    * (two sources with JS ≈ 0 are interchangeable; budgeting both at
+    * full weight double-counts the same distribution).
+    *
+    * JS(p,q) = ½KL(p‖m) + ½KL(q‖m), m = (p+q)/2, in nats.  Shared
+    * tokens contribute `c_a·ln(2c_aT_b/(c_aT_b + c_bT_a))` with the
+    * ln rounded to integer micro-nats PER TOKEN (the repo-wide
+    * device) and summed exactly; tokens private to one side
+    * contribute exactly `ln 2` each — folded in closed form as
+    * `693147·(T − shared_mass)`, so the whole statistic reduces to
+    * ONE sign-split integral ppm division of exact integers
+    * (`(N_a·T_b + N_b·T_a) div (2·T_a·T_b)`), bit-identical on any
+    * engine and partitioning.
+    *
+    * Scale shape: one tokenize to the (domain, token) count table
+    * (map-side combined), a token-keyed self-join bounded by
+    * S²·vocab (S = #domains, a config constant), then an S²-row
+    * aggregation.  Nothing corpus-sized ever shuffles twice.
+    *
+    * @return per unordered pair WITH at least one shared token:
+    *         (src_a, src_b, shared_types, t_a, t_b, js_ppm) —
+    *         js_ppm = ⌊10⁶·JS⌋ nats.  A pair sharing NO tokens is
+    *         absent (its JS is exactly ln 2 = 693147 ppm by
+    *         definition — the documented maximal-divergence case)
+    */
+  def sourceJsd(docs: DataFrame, domainCol: String,
+      textCol: String): DataFrame = {
+    val counts = docs
+      .select(col(domainCol).as("__d"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .groupBy(col("__d"), col("__tok")).agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy(col("__d"))
+      .agg(sum(col("__c")).cast("long").as("__t"))
+    val ct = counts.join(totals, Seq("__d"))
+    val a = ct.select(col("__d").as("src_a"), col("__tok"),
+      col("__c").as("__ca"), col("__t").as("__ta"))
+    val b = ct.select(col("__d").as("src_b"), col("__tok"),
+      col("__c").as("__cb"), col("__t").as("__tb"))
+    val d38 = (e: String) => s"CAST($e AS DECIMAL(38,0))"
+    val shared = a.join(b, Seq("__tok"))
+      .filter(col("src_a") < col("src_b"))
+      .withColumn("__la", round(log(
+          expr(d38("2") + " * __ca * __tb").cast("double")
+            / expr(d38("__ca") + " * __tb + " + d38("__cb") + " * __ta")
+                .cast("double"))
+          * lit(1000000d), 0).cast("long"))
+      .withColumn("__lb", round(log(
+          expr(d38("2") + " * __cb * __ta").cast("double")
+            / expr(d38("__ca") + " * __tb + " + d38("__cb") + " * __ta")
+                .cast("double"))
+          * lit(1000000d), 0).cast("long"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_types"),
+        max(col("__ta")).as("t_a"), max(col("__tb")).as("t_b"),
+        sum(expr(d38("__ca") + " * __la")).as("__sa"),
+        sum(expr(d38("__cb") + " * __lb")).as("__sb"),
+        sum(col("__ca")).cast("long").as("__sha"),
+        sum(col("__cb")).cast("long").as("__shb"))
+    shared
+      .withColumn("__na",
+        expr("__sa + CAST(693147 AS DECIMAL(38,0)) * (t_a - __sha)"))
+      .withColumn("__nb",
+        expr("__sb + CAST(693147 AS DECIMAL(38,0)) * (t_b - __shb)"))
+      .withColumn("__num", expr("__na * t_b + __nb * t_a"))
+      .withColumn("__den",
+        expr("CAST(2 AS DECIMAL(38,0)) * t_a * t_b"))
+      .select(col("src_a"), col("src_b"), col("shared_types"),
+        col("t_a"), col("t_b"),
+        expr("""CAST(CASE WHEN __num < 0
+               |  THEN -((-__num) div __den)
+               |  ELSE __num div __den END AS BIGINT)""".stripMargin)
+          .as("js_ppm"))
+  }
+
   /** Shared micro-nat log-log OLS: `pts` carries integer micro-nat
     * (__x, __y); moments accumulate in exact DECIMAL(38,0) and the
     * slope/intercept are each ONE IEEE double division chain over

@@ -41,6 +41,16 @@ object CorpusQueries {
       graft.ops.CorpusStats.heapsFit(Tables.load(s, dir, "documents"),
         "doc_id", "text", cuts = Seq(25L, 50L, 100L, 200L, 400L))
     },
+
+    // Pairwise Jensen-Shannon divergence between source unigram
+    // distributions — the source-redundancy matrix mixture design
+    // reads; per-token micro-nat ln terms, closed-form ln2 private
+    // mass, one sign-split integral ppm division per pair.
+    "q_source_jsd" -> { (s, dir) =>
+      graft.ops.CorpusStats.sourceJsd(
+          Tables.load(s, dir, "documents"), "source", "text")
+        .orderBy(col("src_a"), col("src_b"))
+    },
     "q_lm_score" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       CorpusStats.unigramLogProb(docs, "doc_id", "text")
@@ -301,6 +311,43 @@ object CorpusQueries {
         |        * CAST(sx AS DOUBLE))
         |    / CAST(n_points AS DOUBLE) / 1000000, 6) AS ln_k
         |FROM m WHERE n_points * sxx - sx * sx <> 0""".stripMargin,
+
+    "q_source_jsd" ->
+      s"""WITH toks AS (
+        |  SELECT source, unnest($toksSql) AS tok FROM documents),
+        |c AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS t
+        |  FROM c GROUP BY 1),
+        |ct AS (SELECT c.source, c.tok, c.c, t.t
+        |  FROM c JOIN t USING (source)),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    a.c AS ca, a.t AS ta, b.c AS cb, b.t AS tb
+        |  FROM ct a JOIN ct b ON b.tok = a.tok AND a.source < b.source),
+        |l AS (SELECT src_a, src_b, ca, ta, cb, tb,
+        |    CAST(round(ln(CAST(2 * CAST(ca AS HUGEINT) * tb AS DOUBLE)
+        |      / CAST(CAST(ca AS HUGEINT) * tb + CAST(cb AS HUGEINT) * ta
+        |          AS DOUBLE)) * 1000000, 0) AS BIGINT) AS la,
+        |    CAST(round(ln(CAST(2 * CAST(cb AS HUGEINT) * ta AS DOUBLE)
+        |      / CAST(CAST(ca AS HUGEINT) * tb + CAST(cb AS HUGEINT) * ta
+        |          AS DOUBLE)) * 1000000, 0) AS BIGINT) AS lb
+        |  FROM p),
+        |g AS (SELECT src_a, src_b,
+        |    CAST(count(*) AS BIGINT) AS shared_types,
+        |    max(ta) AS t_a, max(tb) AS t_b,
+        |    sum(CAST(ca AS HUGEINT) * la) AS sa,
+        |    sum(CAST(cb AS HUGEINT) * lb) AS sb,
+        |    CAST(sum(ca) AS BIGINT) AS sha,
+        |    CAST(sum(cb) AS BIGINT) AS shb
+        |  FROM l GROUP BY 1, 2),
+        |n AS (SELECT src_a, src_b, shared_types, t_a, t_b,
+        |    (sa + 693147 * CAST(t_a - sha AS HUGEINT)) * t_b
+        |      + (sb + 693147 * CAST(t_b - shb AS HUGEINT)) * t_a AS num,
+        |    2 * CAST(t_a AS HUGEINT) * t_b AS den
+        |  FROM g)
+        |SELECT src_a, src_b, shared_types, t_a, t_b,
+        |  CAST(CASE WHEN num < 0 THEN -((-num) // den)
+        |    ELSE num // den END AS BIGINT) AS js_ppm
+        |FROM n ORDER BY src_a, src_b""".stripMargin,
     "q_lm_score" ->
       s"""WITH toks AS (
         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),

@@ -288,4 +288,22 @@ class CorpusStatsSpec extends SparkSpec {
       tmpl.filter(col("id") >= 8L), "id", "text", Seq(4L, 16L, 32L)).head()
     assert(skipEmpty.getLong(0) === 2L, skipEmpty)
   }
+
+  test("sourceJsd: identical sources -> 0; half-overlap pair hits the " +
+      "hand-computed ln2/2; disjoint-vocab pair absent") {
+    import spark.implicits._
+    // A = {x, y}, B = {x, z} (uniform, T = 2 each): JS = ln2/2 nats
+    // -> 346573 ppm after the floor.  C duplicates A exactly -> 0.
+    // D shares nothing with anyone -> no D rows at all.
+    val docs = Seq(
+      ("A", "x y"), ("B", "x z"), ("C", "x y"), ("D", "qq ww"))
+      .toDF("source", "text")
+    val got = CorpusStats.sourceJsd(docs, "source", "text")
+      .orderBy("src_a", "src_b")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("A", "B", 1L, 2L, 2L, 346573L),
+      ("A", "C", 2L, 2L, 2L, 0L),
+      ("B", "C", 1L, 2L, 2L, 346573L)))
+  }
 }
