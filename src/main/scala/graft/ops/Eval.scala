@@ -370,6 +370,42 @@ object Eval {
           "AS BIGINT)"))
   }
 
+  /** Distinct-n diversity ratio per group (Li et al. 2016, "A
+    * Diversity-Promoting Objective Function for Neural Conversation
+    * Models" — the distinct-1/distinct-2 metrics): distinct n-grams
+    * over total n-grams.  The cheap corpus-wide complement to
+    * [[selfOverlap]] (which is pairwise and sample-bounded): a
+    * templated slice shows a low ratio long before pairwise overlap
+    * is computed.
+    *
+    * Exact distinct by construction (count-distinct over the (group,
+    * n, gram) frame — gram-cardinality shuffle; at whole-corpus scale
+    * swap in the HLL sketch ops for the approximate read).  Counts
+    * exact integers; the ratio is one integral ppm division.
+    *
+    * @return per (groupCol, n): (total_grams, distinct_grams,
+    *         distinct_ppm); (group, n) slices with zero grams are
+    *         absent
+    */
+  def distinctNgramRatio(docs: DataFrame, groupCol: String,
+      textCol: String, maxN: Int): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in 1..8, got $maxN")
+    val toks = docs.select(col(groupCol).as("__g"),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val grams = toks.select(col("__g"), explode(flatten(array(
+        (1 to maxN).map(n =>
+          transform(PipelineOps.wordNgrams(col("__toks"), n),
+            g => struct(lit(n).as("n"), g.as("gram")))): _*))).as("__p"))
+      .select(col("__g"), col("__p.n").as("n"), col("__p.gram").as("__gram"))
+    grams.groupBy(col("__g"), col("n"))
+      .agg(count(lit(1)).as("total_grams"),
+        countDistinct(col("__gram")).as("distinct_grams"))
+      .select(col("__g").as(groupCol), col("n"),
+        col("total_grams"), col("distinct_grams"),
+        expr("CAST((CAST(distinct_grams AS DECIMAL(38,0)) * 1000000) " +
+          "div total_grams AS BIGINT)").as("distinct_ppm"))
+  }
+
   /** Paired bootstrap comparison of two per-item scores — THE standard
     * "is system A actually better than system B?" test (Koehn 2004 for
     * MT; same mechanics for any paired metric): resample the ITEMS

@@ -253,6 +253,15 @@ object QualityQueries {
       graft.ops.Eval.selfOverlap(Tables.load(s, dir, "documents"),
           "source", "doc_id", "text", k = 6, maxN = 2)
         .orderBy(col("source"), col("n"))
+    },
+
+    // Distinct-1/distinct-2 diversity ratios per source: the
+    // corpus-wide templating screen — exact distinct over total grams,
+    // one integral ppm division.
+    "q_distinct_n" -> { (s, dir) =>
+      graft.ops.Eval.distinctNgramRatio(Tables.load(s, dir, "documents"),
+          "source", "text", maxN = 2)
+        .orderBy(col("source"), col("n"))
     })
 
   /** (candidate, reference) token pairs for the BLEU/ROUGE gates:
@@ -809,6 +818,24 @@ object QualityQueries {
         |  CAST((CAST(matched AS HUGEINT) * 1000000) // cand_total
         |    AS BIGINT) AS self_ppm
         |FROM per WHERE cand_total > 0
+        |ORDER BY source, n""".stripMargin,
+
+    "q_distinct_n" ->
+      """WITH d AS (SELECT source,
+        |    regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+        |  FROM documents),
+        |nn AS (SELECT unnest([1, 2]) AS n),
+        |gi AS (SELECT source, n, toks,
+        |    unnest(range(1, len(toks) - n + 2)) AS i
+        |  FROM d CROSS JOIN nn),
+        |g AS (SELECT source, n,
+        |    array_to_string(toks[i:i+n-1], ' ') AS gram FROM gi)
+        |SELECT source, CAST(n AS INT) AS n,
+        |  CAST(count(*) AS BIGINT) AS total_grams,
+        |  CAST(count(DISTINCT gram) AS BIGINT) AS distinct_grams,
+        |  CAST((CAST(count(DISTINCT gram) AS HUGEINT) * 1000000)
+        |    // count(*) AS BIGINT) AS distinct_ppm
+        |FROM g GROUP BY source, n
         |ORDER BY source, n""".stripMargin)
 
   /** Shared DuckDB prelude for the BLEU-kernel gates: the per-n clipped

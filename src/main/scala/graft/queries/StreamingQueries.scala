@@ -135,6 +135,37 @@ object StreamingQueries {
       s.table(name).orderBy(col("user_id"), col("event_id"))
     },
 
+    // Live integer-EWMA level monitor: one long of state per user,
+    // arithmetic-shift floor recurrence over a time-ordered 3-chunk
+    // replay; the full trace equals the DuckDB recursive-CTE replay
+    // bit for bit (floored // == >> 3, including negatives).
+    "q_stream_ewma" -> { (s, dir) =>
+      val s2 = s
+      import s2.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id") % 7 === 3)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val b = ev.agg(min(col("ts").cast("long")).as("lo"),
+        max(col("ts").cast("long")).as("hi")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      val stream = orderedReplay(s, Seq(
+        ev.filter(col("ts").cast("long") <= t1),
+        ev.filter(col("ts").cast("long") > t1 &&
+          col("ts").cast("long") <= t2),
+        ev.filter(col("ts").cast("long") > t2)))
+      val name = s"stream_ewma_${runId.incrementAndGet()}"
+      val trace = graft.streaming.Streaming.ewmaTrace(
+        stream.as[graft.streaming.Event])
+      withStatePartitions(s) {
+        val q = trace.toDF().writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(name).orderBy(col("user_id"), col("event_id"))
+    },
+
     // Streaming mixture intake: per-domain token budgets fill
     // incrementally across three id-ordered micro-batches (one long of
     // state per domain); the admitted set equals the batch greedy
@@ -785,6 +816,22 @@ object StreamingQueries {
     })
 
   val oracle: Map[String, String] = Map(
+    // the streamed EWMA trace must equal the batch recursion exactly:
+    // DuckDB's floored // is the same floor-by-8 as the op's >> 3
+    "q_stream_ewma" ->
+      """WITH RECURSIVE t AS (SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id % 7 = 3),
+        |r(user_id, event_id, c, rn, ew) AS (
+        |  SELECT user_id, event_id, c, rn, c FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.user_id, t.event_id, t.c, t.rn, (7 * r.ew + t.c) // 8
+        |  FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1)
+        |SELECT user_id, event_id, c AS cents, ew AS ewma FROM r
+        |ORDER BY user_id, event_id""".stripMargin,
+
     // the drained complete-mode count table must reproduce the
     // all-batch PSI — same oracle arithmetic as q_drift_psi
     "q_stream_drift" ->

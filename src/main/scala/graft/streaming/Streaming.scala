@@ -29,6 +29,8 @@ case class SessionState(start: Long, last: Long, n: Int, total: Double)
 case class AnomalyOut(user_id: Long, event_id: Long, cents: Long,
     dev_sq: Long, bound: Long)
 
+case class EwmaOut(user_id: Long, event_id: Long, cents: Long, ewma: Long)
+
 case class DocTokens(doc_id: Long, source: String, n_tok: Long)
 
 case class BudgetTake(doc_id: Long, source: String, n_tok: Long,
@@ -244,6 +246,40 @@ object Streaming {
             win = (win :+ c).takeRight(n)
           }
           state.update(win)
+          out.result().iterator
+      }
+  }
+
+  /** Per-key integer fixed-point EWMA trace — the live rate/level
+    * monitor (α = 1/8): `e_t = (7·e_{t−1} + x_t) >> 3`, seeded
+    * `e_0 = x_0`, over integer cents.  The arithmetic right shift IS
+    * floor division by 8 in two's complement — identical to DuckDB's
+    * floored `//` on negatives (where a truncating `div` would
+    * diverge), so the whole trace is bit-exact cross-engine with ONE
+    * long of state per key.  Order-sensitive by nature: feed it an
+    * ordered replay; within each batch rows sort by (ts, event_id).
+    */
+  def ewmaTrace(events: Dataset[Event]): Dataset[EwmaOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[Long]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var prev: Option[Long] = state.getOption
+          val out = Seq.newBuilder[EwmaOut]
+          sorted.foreach { e =>
+            val c = BigDecimal(e.value * 100)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            val ew = prev match {
+              case None => c
+              case Some(p) => (7 * p + c) >> 3
+            }
+            out += EwmaOut(userId, e.event_id, c, ew)
+            prev = Some(ew)
+          }
+          prev.foreach(state.update)
           out.result().iterator
       }
   }

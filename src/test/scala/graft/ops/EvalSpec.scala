@@ -258,6 +258,20 @@ class EvalSpec extends SparkSpec {
     assert(e.getMessage.contains("4096"))
   }
 
+  test("distinctNgramRatio: hand counts on a repetitive doc; " +
+      "gram-free slices absent") {
+    // "a b a b": 4 unigrams (2 distinct), 3 bigrams "a b"/"b a"/"a b"
+    // (2 distinct).  The single-token group has no bigram row.
+    val docs = Seq(("r", "a b a b"), ("s", "x")).toDF("src", "text")
+    val got = Eval.distinctNgramRatio(docs, "src", "text", maxN = 2)
+      .orderBy("src", "n")
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("r", 1, 4L, 2L, 500000L),
+      ("r", 2, 3L, 2L, 666666L),
+      ("s", 1, 1L, 1L, 1000000L)))
+  }
+
   test("selfOverlap: hand-computed pairwise clipped overlap, k cap by " +
       "id, gram-free orders absent") {
     // Group X: "a b" vs "a c" both directions — unigram matched 2 of

@@ -322,6 +322,27 @@ class StreamingSpec extends SparkSpec with org.scalatest.Retries {
     } finally q.stop()
   }
 
+  test("streaming ewmaTrace carries the level across batches and " +
+      "floors negative steps like //") {
+    val in = MemoryStream[Event]
+    val q = runToMemory(ewmaTrace(in.toDS()).toDF(), "ewma_out")
+    try {
+      // e1 = 80 (seed), e2 = (7*80 + 160) >> 3 = 90
+      in.addData(ev(1, 1, value = 0.80), ev(2, 2, value = 1.60))
+      q.processAllAvailable()
+      // batch 2 continues FROM 90: e3 = (630 + 0) >> 3 = 78;
+      // e4 = (546 - 900) >> 3 = floor(-354/8) = -45 — a truncating
+      // division would give -44
+      in.addData(ev(3, 3, value = 0.0), ev(4, 4, value = -9.00))
+      q.processAllAvailable()
+      val got = spark.table("ewma_out")
+        .select("event_id", "cents", "ewma")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 80L, 80L), (2L, 160L, 90L),
+        (3L, 0L, 78L), (4L, -900L, -45L)), got)
+    } finally q.stop()
+  }
+
   test("budgetTake closes a domain across batches; unbudgeted admits none") {
     val in = MemoryStream[DocTokens]
     val q = runToMemory(
