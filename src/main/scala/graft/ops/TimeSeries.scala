@@ -275,6 +275,46 @@ object TimeSeries {
     * on the user key aggregated to |cohorts|·|weeks| cells.  Nothing
     * windows over the fact table.
     */
+  /** CUSUM changepoint per key — where did this series' level shift?
+    * The classic offline CUSUM locator: with prefix sums P_t of the
+    * integer cents and per-key totals (n, S), the deviation
+    * `D_t = n·P_t − t·S` is the (n-scaled) gap between the prefix and
+    * the no-change trend line; the changepoint is `argmax_t |D_t|`.
+    * All arithmetic is cross-multiplied integers — no float means —
+    * so position and score are bit-identical on any engine; the
+    * argmax is (|D| DESC, t ASC)-total through the bounded-heap
+    * [[graft.plans.TopKPerKey]].
+    *
+    * Scale contract: the per-key ordered prefix window rides the same
+    * events-per-key feed bound as [[rollingAnomalies]]; `n·|P|` must
+    * stay below 2⁶³ (ANSI overflow fails loudly, never wraps).  Keys
+    * need ≥ 2 events for a changepoint to exist; `t = n`'s D is 0 by
+    * construction and never wins over a real shift.
+    *
+    * @return per key: (keyCol, n, change_t = 1-based position,
+    *         change_id = idCol at that position, d_abs = |D| score)
+    */
+  def cusumChangepoint(events: DataFrame, keyCol: String, idCol: String,
+      tsCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+    val pre = events
+      .withColumn("__c", round(col(valueCol) * 100).cast("long"))
+      .withColumn("__p",
+        sum(col("__c")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__t", row_number().over(w))
+    val tot = pre.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("__c")).as("__s"))
+      .filter(col("n") >= 2L)
+    val scored = pre.join(tot, Seq(keyCol))
+      .withColumn("__d", col("n") * col("__p") - col("__t") * col("__s"))
+      .withColumn("d_abs", abs(col("__d")))
+    graft.plans.TopK.perKey(scored, Seq(col(keyCol)),
+        Seq(col("d_abs").desc, col("__t").asc), k = 1)
+      .select(col(keyCol), col("n"), col("__t").cast("long").as("change_t"),
+        col(idCol).as("change_id"), col("d_abs"))
+  }
+
   def cohortRetention(events: DataFrame, userCol: String,
       tsCol: String): DataFrame = {
     val first = events.groupBy(col(userCol).as("__u"))

@@ -301,6 +301,15 @@ object MixQueries {
         .orderBy(col("user_id"), col("event_id"))
     },
 
+    // CUSUM changepoint per user: argmax_t |n·P_t − t·S| in
+    // cross-multiplied integer cents — position and score bit-exact
+    // vs the DuckDB window replay; argmax via the bounded heap.
+    "q_cusum" -> { (s, dir) =>
+      TimeSeries.cusumChangepoint(Tables.load(s, dir, "events"),
+          "user_id", "event_id", "ts", "value")
+        .orderBy(col("user_id"))
+    },
+
     // Weekly cohort-retention triangle over the events stream (dates
     // formatted as strings for the cross-engine compare).
     "q_cohort_weekly" -> { (s, dir) =>
@@ -738,6 +747,30 @@ object MixQueries {
         |FROM w WHERE m = 20
         |  AND (c * 20 - s1) * (c * 20 - s1) > 9 * (s2 * 20 - s1 * s1)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_cusum" ->
+      """WITH t AS (SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c,
+        |    CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |w AS (SELECT user_id, event_id, c,
+        |    CAST(sum(c) OVER win AS BIGINT) AS p,
+        |    CAST(row_number() OVER win2 AS BIGINT) AS t
+        |  FROM t
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    win2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s
+        |  FROM t GROUP BY 1 HAVING count(*) >= 2),
+        |d AS (SELECT w.user_id, g.n, w.t, w.event_id,
+        |    abs(g.n * w.p - w.t * g.s) AS d_abs
+        |  FROM w JOIN g USING (user_id)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY d_abs DESC, t ASC) AS rk FROM d)
+        |SELECT user_id, n, t AS change_t, event_id AS change_id,
+        |  CAST(d_abs AS BIGINT) AS d_abs
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
 
     "q_event_funnel" ->
       """WITH s1 AS (SELECT user_id AS u, min(CAST(ts AS TIMESTAMP)) AS t1

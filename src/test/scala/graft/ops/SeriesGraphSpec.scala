@@ -262,6 +262,24 @@ class SeriesGraphSpec extends SparkSpec {
     } finally binsIdx.unpersist(false)
   }
 
+  test("cusumChangepoint: level shift located at the last pre-shift " +
+      "point; singletons dropped; flat series scores 0") {
+    def t(i: Int) = Timestamp.valueOf(f"2024-01-01 ${i}%02d:00:00")
+    // [1,1,1,5,5]: S=1300 cents, D_t = 5*P_t - t*1300 =
+    // [-800,-1600,-2400,-1200,0] -> argmax |D| at t=3, score 2400.
+    val ev = Seq(
+      (1L, 1L, t(1), 1.00), (1L, 2L, t(2), 1.00), (1L, 3L, t(3), 1.00),
+      (1L, 4L, t(4), 5.00), (1L, 5L, t(5), 5.00),
+      (2L, 9L, t(1), 7.00),                       // singleton: dropped
+      (3L, 11L, t(1), 2.00), (3L, 12L, t(2), 2.00)) // flat: D == 0
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = TimeSeries.cusumChangepoint(ev, "user_id", "event_id",
+        "ts", "value")
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 5L, 3L, 3L, 2400L), (3L, 2L, 1L, 11L, 0L)))
+  }
+
   test("theilSen: outlier-immune where the mean slope is not") {
     def t(i: Int) = Timestamp.valueOf(f"2024-01-01 ${i}%02d:00:00")
     // perfect slope of +1.00/hour (100 cents/hour) with one wild

@@ -121,6 +121,7 @@ class PlanLintSpec extends SparkSpec {
     "q_window_sliding"   -> "sliding-frame coverage gate (§2.5); per-key rows bounded by the feed contract",
     "q_window_time_range" -> "INTERVAL range-frame coverage gate (§2.5); per-key rows bounded by the feed contract",
     "q_persistence_baseline" -> "per-user lag-1 prediction; events per user bounded by the feed contract (the rollingAnomalies bound)",
+    "q_cusum"            -> "per-user prefix-sum + row_number windows; events per user bounded by the feed contract (the rollingAnomalies bound)",
     "q_chat_truncate"    -> "per-conversation suffix cumsum + lag; turns per conversation bounded by the transcript contract (the feed bound)",
     "q_chat_audit"       -> "per-conversation forward row_number + lag; turns per conversation bounded by the transcript contract (the q_chat_truncate bound)")
 
