@@ -107,4 +107,64 @@ object Linkage {
     // column order follows the caller's field list
     withModes.select(col(clusterCol) +: fields.map(f => col(f._1)): _*)
   }
+
+  /** Blocking-quality audit — the go/no-go BEFORE running pairwise
+    * entity matching at scale: a blocking key must kill almost all of
+    * the N² candidate space (reduction ratio) while keeping the known
+    * duplicate pairs co-blocked (pair completeness, measured against a
+    * labelled truth-pair set, the standard ER evaluation protocol).
+    *
+    * Exactness: candidate pairs are Σ_blocks n_b(n_b−1)/2 — exact
+    * integers (the product of consecutive integers is even, so the
+    * halving is exact); both ratios are integral ppm divisions.
+    * Records with a NULL blocking key block with nothing (standard
+    * semantics) but still count in N.
+    *
+    * Scale shape: one map-side-combined count per block (shuffle =
+    * #blocks rows), one 1-row total, and two id-keyed equi-joins to
+    * attach keys to the truth pairs — never a pair materialization.
+    *
+    * @param records (idCol, keyCol) frame; @param truthPairs (a, b)
+    *        labelled duplicate pairs over the same ids
+    * @return one row: (n_records, n_blocks, candidate_pairs,
+    *         all_pairs, reduction_ppm, true_pairs, captured_pairs,
+    *         completeness_ppm — −1 when the truth set is empty)
+    */
+  def blockingQuality(records: DataFrame, idCol: String, keyCol: String,
+      truthPairs: DataFrame): DataFrame = {
+    val keyed = records.select(col(idCol).as("__id"),
+      col(keyCol).as("__k"))
+    val blocks = keyed.filter(col("__k").isNotNull)
+      .groupBy(col("__k")).agg(count(lit(1)).as("__nb"))
+    val blockAgg = blocks.agg(
+      count(lit(1)).as("n_blocks"),
+      coalesce(sum(expr(
+        "CAST(__nb AS DECIMAL(38,0)) * (__nb - 1) div 2")), lit(0L))
+        .cast("decimal(38,0)").as("__cand"))
+    val totals = keyed.agg(count(lit(1)).as("n_records"))
+    val t = truthPairs.select(col("a").as("__a"), col("b").as("__b"))
+    val cap = t
+      .join(keyed.select(col("__id").as("__a"), col("__k").as("__ka")),
+        Seq("__a"))
+      .join(keyed.select(col("__id").as("__b"), col("__k").as("__kb")),
+        Seq("__b"))
+      .agg(count(lit(1)).as("true_pairs"),
+        coalesce(sum(when(col("__ka").isNotNull &&
+          (col("__ka") === col("__kb")), 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("captured_pairs"))
+    totals.crossJoin(blockAgg).crossJoin(cap)
+      .selectExpr("n_records", "n_blocks",
+        "CAST(__cand AS BIGINT) AS candidate_pairs",
+        "CAST(CAST(n_records AS DECIMAL(38,0)) * (n_records - 1) div 2 " +
+          "AS BIGINT) AS all_pairs",
+        "CAST(CASE WHEN n_records >= 2 THEN " +
+          "((CAST(n_records AS DECIMAL(38,0)) * (n_records - 1) div 2 " +
+          "- __cand) * 1000000) " +
+          "div (CAST(n_records AS DECIMAL(38,0)) * (n_records - 1) div 2) " +
+          "ELSE -1 END AS BIGINT) AS reduction_ppm",
+        "true_pairs", "captured_pairs",
+        "CAST(CASE WHEN true_pairs > 0 THEN " +
+          "(CAST(captured_pairs AS DECIMAL(38,0)) * 1000000) " +
+          "div true_pairs ELSE -1 END AS BIGINT) AS completeness_ppm")
+  }
 }

@@ -301,6 +301,23 @@ object MixQueries {
         .orderBy(col("user_id"), col("event_id"))
     },
 
+    // Blocking-quality audit for entity resolution: reduction ratio
+    // of the (lang, length-bucket) blocking key and pair completeness
+    // against a labelled truth set (same-source consecutive ids) —
+    // exact pair counts, one ppm division each, no pair ever
+    // materialized.
+    "q_blocking_quality" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val recs = docs.select(col("doc_id"),
+        expr("lang || '|' || CAST(n_chars div 50 AS STRING)").as("bkey"))
+      val d2 = docs.select((col("doc_id") - 1L).as("a"),
+        col("doc_id").as("b"), col("source").as("__s2"))
+      val truth = docs.select(col("doc_id").as("a"), col("source"))
+        .join(d2, Seq("a")).filter(col("source") === col("__s2"))
+        .select(col("a"), col("b"))
+      graft.ops.Linkage.blockingQuality(recs, "doc_id", "bkey", truth)
+    },
+
     // CUSUM changepoint per user: argmax_t |n·P_t − t·S| in
     // cross-multiplied integer cents — position and score bit-exact
     // vs the DuckDB window replay; argmax via the bounded heap.
@@ -747,6 +764,39 @@ object MixQueries {
         |FROM w WHERE m = 20
         |  AND (c * 20 - s1) * (c * 20 - s1) > 9 * (s2 * 20 - s1 * s1)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_blocking_quality" ->
+      """WITH k AS (SELECT doc_id,
+        |    lang || '|' || CAST(n_chars // 50 AS VARCHAR) AS bkey
+        |  FROM documents),
+        |b AS (SELECT bkey, count(*) AS nb FROM k
+        |  WHERE bkey IS NOT NULL GROUP BY 1),
+        |ba AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        |    COALESCE(sum(CAST(nb AS HUGEINT) * (nb - 1) // 2), 0) AS cand
+        |  FROM b),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM k),
+        |tp AS (SELECT d1.doc_id AS a, d2.doc_id AS b
+        |  FROM documents d1 JOIN documents d2
+        |    ON d2.doc_id = d1.doc_id + 1 AND d2.source = d1.source),
+        |cp AS (SELECT CAST(count(*) AS BIGINT) AS true_pairs,
+        |    CAST(COALESCE(sum(CASE WHEN ka.bkey IS NOT NULL
+        |      AND ka.bkey = kb.bkey THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |      AS captured_pairs
+        |  FROM tp JOIN k ka ON ka.doc_id = tp.a
+        |    JOIN k kb ON kb.doc_id = tp.b)
+        |SELECT n_records, n_blocks, CAST(cand AS BIGINT) AS candidate_pairs,
+        |  CAST(CAST(n_records AS HUGEINT) * (n_records - 1) // 2
+        |    AS BIGINT) AS all_pairs,
+        |  CAST(CASE WHEN n_records >= 2 THEN
+        |    ((CAST(n_records AS HUGEINT) * (n_records - 1) // 2 - cand)
+        |      * 1000000)
+        |    // (CAST(n_records AS HUGEINT) * (n_records - 1) // 2)
+        |    ELSE -1 END AS BIGINT) AS reduction_ppm,
+        |  true_pairs, captured_pairs,
+        |  CAST(CASE WHEN true_pairs > 0 THEN
+        |    (CAST(captured_pairs AS HUGEINT) * 1000000) // true_pairs
+        |    ELSE -1 END AS BIGINT) AS completeness_ppm
+        |FROM t, ba, cp""".stripMargin,
 
     "q_cusum" ->
       """WITH t AS (SELECT user_id, event_id,

@@ -102,4 +102,19 @@ class LinkageSpec extends SparkSpec {
     assert(out(2L) == (("s t", 5L, 2L, 3L)), s"got ${out(2L)}")
     assert(out(3L) == (("", 3L, 0L, 3L)), s"got ${out(3L)}")
   }
+
+  test("blockingQuality: hand-computed reduction + completeness; " +
+      "null keys block with nothing but count in N") {
+    // keys: 1,2 -> x; 3 -> y; 4 -> null.  Blocks {x:2, y:1}: cand = 1
+    // of 6 possible -> reduction 833333 ppm.  Truth (1,2),(2,3),(3,4):
+    // only (1,2) co-blocks -> completeness 333333 ppm.
+    val recs = Seq((1L, "x"), (2L, "x"), (3L, "y"),
+      (4L, null.asInstanceOf[String])).toDF("id", "k")
+    val truth = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = Linkage.blockingQuality(recs, "id", "k", truth).head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+        got.getLong(3), got.getLong(4), got.getLong(5), got.getLong(6),
+        got.getLong(7)) ===
+      ((4L, 2L, 1L, 6L, 833333L, 3L, 1L, 333333L)), got)
+  }
 }
