@@ -166,6 +166,37 @@ object StreamingQueries {
       s.table(name).orderBy(col("user_id"), col("event_id"))
     },
 
+    // Per-user token-bucket rate limiter: cap 3, one token per 4 h of
+    // event time, two longs of state per user over the time-ordered
+    // replay; the admit/refuse trace equals the DuckDB recursive-CTE
+    // replay bit for bit.
+    "q_stream_rate_limit" -> { (s, dir) =>
+      val s2 = s
+      import s2.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id") % 5 === 2)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val b = ev.agg(min(col("ts").cast("long")).as("lo"),
+        max(col("ts").cast("long")).as("hi")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      val stream = orderedReplay(s, Seq(
+        ev.filter(col("ts").cast("long") <= t1),
+        ev.filter(col("ts").cast("long") > t1 &&
+          col("ts").cast("long") <= t2),
+        ev.filter(col("ts").cast("long") > t2)))
+      val name = s"stream_rate_${runId.incrementAndGet()}"
+      val admits = graft.streaming.Streaming.tokenBucket(
+        stream.as[graft.streaming.Event], cap = 3L, refillSecs = 14400L)
+      withStatePartitions(s) {
+        val q = admits.toDF().writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(name).orderBy(col("user_id"), col("event_id"))
+    },
+
     // Streaming mixture intake: per-domain token budgets fill
     // incrementally across three id-ordered micro-batches (one long of
     // state per domain); the admitted set equals the batch greedy
@@ -831,6 +862,32 @@ object StreamingQueries {
         |  FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1)
         |SELECT user_id, event_id, c AS cents, ew AS ewma FROM r
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // the streamed admission trace must equal the batch recursion:
+    // full bucket at first sight, one token per 14400 s of event
+    // time, `last` advances only by consumed whole periods
+    "q_stream_rate_limit" ->
+      """WITH RECURSIVE t AS (SELECT user_id, event_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id % 5 = 2),
+        |r(user_id, event_id, rn, admitted, tok, last) AS (
+        |  SELECT user_id, event_id, rn, TRUE, CAST(2 AS BIGINT), sec
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.user_id, t.event_id, t.rn,
+        |    least(CAST(3 AS BIGINT),
+        |      r.tok + greatest(0, t.sec - r.last) // 14400) >= 1,
+        |    least(CAST(3 AS BIGINT),
+        |      r.tok + greatest(0, t.sec - r.last) // 14400)
+        |      - CASE WHEN least(CAST(3 AS BIGINT),
+        |          r.tok + greatest(0, t.sec - r.last) // 14400) >= 1
+        |        THEN 1 ELSE 0 END,
+        |    r.last + (greatest(0, t.sec - r.last) // 14400) * 14400
+        |  FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1)
+        |SELECT user_id, event_id, admitted, tok AS tokens_after
+        |FROM r ORDER BY user_id, event_id""".stripMargin,
 
     // the drained complete-mode count table must reproduce the
     // all-batch PSI — same oracle arithmetic as q_drift_psi

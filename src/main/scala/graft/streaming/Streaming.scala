@@ -31,6 +31,11 @@ case class AnomalyOut(user_id: Long, event_id: Long, cents: Long,
 
 case class EwmaOut(user_id: Long, event_id: Long, cents: Long, ewma: Long)
 
+case class BucketState(tokens: Long, last: Long)
+
+case class AdmitOut(user_id: Long, event_id: Long, admitted: Boolean,
+    tokens_after: Long)
+
 case class DocTokens(doc_id: Long, source: String, n_tok: Long)
 
 case class BudgetTake(doc_id: Long, source: String, n_tok: Long,
@@ -280,6 +285,56 @@ object Streaming {
             prev = Some(ew)
           }
           prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Per-key token-bucket admission — the ingestion rate limiter (a
+    * burst of events from one key must not flood the pipeline): a
+    * bucket of `cap` tokens per key starts FULL at first sight,
+    * refills one token per `refillSecs` of event time, and each event
+    * costs one token; events finding an empty bucket are refused (and
+    * reported — rows never vanish).  Fractional refill progress is
+    * never lost: `last` advances only by CONSUMED whole periods
+    * (`last += (Δ div refillSecs)·refillSecs`), the classic
+    * quantization-drift fix.
+    *
+    * All integer arithmetic on floor-epoch seconds (non-negative
+    * divisions — floored and truncating agree), two longs of state
+    * per key, order-sensitive over ordered replay; within each batch
+    * rows sort by (ts, event_id).
+    */
+  def tokenBucket(events: Dataset[Event], cap: Long,
+      refillSecs: Long): Dataset[AdmitOut] = {
+    require(cap >= 1 && refillSecs >= 1,
+      s"cap and refillSecs must be >= 1, got $cap / $refillSecs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[BucketState, AdmitOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[BucketState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[AdmitOut]
+          sorted.foreach { e =>
+            val sec = Math.floorDiv(e.ts.getTime, 1000L)
+            val (avail, newLast) =
+              if (st == null) (cap, sec)
+              else {
+                // clamp before dividing: a (theoretically impossible
+                // under ordered replay) backwards step must refill 0,
+                // not diverge between truncating and floored division
+                val periods = math.max(0L, sec - st.last) / refillSecs
+                (math.min(cap, st.tokens + periods),
+                  st.last + periods * refillSecs)
+              }
+            val admitted = avail >= 1L
+            val after = if (admitted) avail - 1L else avail
+            out += AdmitOut(userId, e.event_id, admitted, after)
+            st = BucketState(after, newLast)
+          }
+          if (st != null) state.update(st)
           out.result().iterator
       }
   }

@@ -343,6 +343,30 @@ class StreamingSpec extends SparkSpec with org.scalatest.Retries {
     } finally q.stop()
   }
 
+  test("streaming tokenBucket refuses on empty, refills whole periods " +
+      "only, and keeps fractional progress across batches") {
+    val in = MemoryStream[Event]
+    val q = runToMemory(
+      tokenBucket(in.toDS(), cap = 2L, refillSecs = 120L).toDF(),
+      "bucket_out")
+    try {
+      // cap 2, refill 1/120 s.  min1: full -> admit (1 left); min2:
+      // only 60 s elapsed -> no refill, admit (0); min3: +1 token ->
+      // admit (0), last jumps to 180 s exactly
+      in.addData(ev(1, 1), ev(2, 2), ev(3, 3))
+      q.processAllAvailable()
+      // min4: 60 s since last=180 -> refuse; min8: 300 s -> 2 periods
+      // -> admit with 1 left (the 60 s remainder was NOT lost)
+      in.addData(ev(4, 4), ev(5, 8))
+      q.processAllAvailable()
+      val got = spark.table("bucket_out")
+        .select("event_id", "admitted", "tokens_after")
+        .as[(Long, Boolean, Long)].collect().toSet
+      assert(got == Set((1L, true, 1L), (2L, true, 0L), (3L, true, 0L),
+        (4L, false, 0L), (5L, true, 1L)), got)
+    } finally q.stop()
+  }
+
   test("budgetTake closes a domain across batches; unbudgeted admits none") {
     val in = MemoryStream[DocTokens]
     val q = runToMemory(
