@@ -553,4 +553,109 @@ class RandomizedSpec extends SparkSpec {
       assert(got === want, s"seed=$seed")
     }
   }
+
+  test("selfOverlap == local brute pairwise clipped overlap on random " +
+      "corpora (3 seeds)") {
+    for (seed <- Seq(11, 12, 13)) {
+      val rnd = new Random(seed)
+      val docs = (0 until 18).map { i =>
+        (s"g${i % 3}", i.toLong,
+          Seq.fill(1 + rnd.nextInt(10))(s"t${rnd.nextInt(5)}").mkString(" "))
+      }
+      val k = 2 + rnd.nextInt(3)
+      val got = Eval.selfOverlap(docs.toDF("g", "id", "text"),
+          "g", "id", "text", k, maxN = 2)
+        .as[(String, Int, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      def grams(toks: Seq[String], n: Int) =
+        if (toks.size < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      val want = docs.groupBy(_._1).flatMap { case (g, ds) =>
+        val sample = ds.sortBy(_._2).take(k)
+          .map(d => d._3.split(" ").toSeq)
+        (1 to 2).flatMap { n =>
+          var m = 0L; var t = 0L
+          for (a <- sample; b <- sample if a ne b) {
+            val ga = grams(a, n); val gb = grams(b, n)
+            val bc = gb.groupBy(identity).view.mapValues(_.size).toMap
+            m += ga.groupBy(identity).map { case (x, xs) =>
+              math.min(xs.size, bc.getOrElse(x, 0)).toLong }.sum
+            t += ga.size
+          }
+          if (t > 0) Some((g, n) -> ((m, t))) else None
+        }
+      }
+      assert(got === want, s"seed=$seed k=$k")
+    }
+  }
+
+  test("cusumChangepoint == local argmax on random series (3 seeds)") {
+    for (seed <- Seq(21, 22, 23)) {
+      val rnd = new Random(seed)
+      val ev = (0 until 200).map { i =>
+        (s"u${i % 7}", i.toLong,
+          new java.sql.Timestamp(1700000000000L + i * 60000L),
+          rnd.between(-50, 50) / 1.0)
+      }
+      val got = TimeSeries.cusumChangepoint(
+          ev.toDF("user_id", "event_id", "ts", "value"),
+          "user_id", "event_id", "ts", "value")
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._3, r._5))).toMap
+      val want = ev.groupBy(_._1).map { case (u, es) =>
+        val cs = es.sortBy(e => (e._3.getTime, e._2))
+          .map(e => BigDecimal(e._4 * 100)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+        val n = cs.size.toLong; val s = cs.sum
+        val ds = cs.scanLeft(0L)(_ + _).tail.zipWithIndex.map {
+          case (p, i) => (i + 1L, math.abs(n * p - (i + 1) * s))
+        }
+        u -> ds.minBy { case (t, d) => (-d, t) }
+      }
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("sourceJsd == local BigInt replication on random corpora " +
+      "(3 seeds)") {
+    for (seed <- Seq(31, 32, 33)) {
+      val rnd = new Random(seed)
+      val docs = (0 until 30).map(i =>
+        (s"s${i % 3}",
+          Seq.fill(3 + rnd.nextInt(8))(s"w${rnd.nextInt(9)}").mkString(" ")))
+      val got = CorpusStats.sourceJsd(docs.toDF("source", "text"),
+          "source", "text")
+        .as[(String, String, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._6).toMap
+      val counts = docs.groupBy(_._1).view.mapValues(
+        _.flatMap(_._2.split(" ")).groupBy(identity).view
+          .mapValues(_.size.toLong).toMap).toMap
+      val srcs = counts.keys.toSeq.sorted
+      val want = (for {
+        i <- srcs.indices; j <- (i + 1) until srcs.size
+        (sa, sb) = (srcs(i), srcs(j))
+        ca = counts(sa); cb = counts(sb)
+        shared = ca.keySet.intersect(cb.keySet) if shared.nonEmpty
+      } yield {
+        val (ta, tb) = (ca.values.sum, cb.values.sum)
+        def micro(num: Long, den: Long) =
+          BigDecimal(math.log(num.toDouble / den.toDouble) * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        val sA = shared.toSeq.map { t =>
+          BigInt(ca(t)) * micro(2 * ca(t) * tb, ca(t) * tb + cb(t) * ta)
+        }.sum
+        val sB = shared.toSeq.map { t =>
+          BigInt(cb(t)) * micro(2 * cb(t) * ta, ca(t) * tb + cb(t) * ta)
+        }.sum
+        val sha = shared.toSeq.map(ca).sum
+        val shb = shared.toSeq.map(cb).sum
+        val num = (sA + BigInt(693147) * (ta - sha)) * tb +
+          (sB + BigInt(693147) * (tb - shb)) * ta
+        val den = BigInt(2) * ta * tb
+        val ppm = if (num < 0) -((-num) / den) else num / den
+        (sa, sb) -> ppm.toLong
+      }).toMap
+      assert(got === want, s"seed=$seed")
+    }
+  }
 }
