@@ -248,7 +248,10 @@ object MixQueries {
     "q_bitext_margin" -> { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       graft.ops.Similarity.bitextMargin(
-          emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 16),
+          // the filter yields exactly 8 rows; the limit is a no-op
+          // that makes the broadcast side provably bounded in-plan
+          emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 16)
+            .limit(8),
           emb.filter(col("vec_id") % 2 === 1), k = 4)
         .orderBy(col("a_id"))
     },
