@@ -513,7 +513,7 @@ object CorpusStats {
     * 6 dp.  A zero x-spread (den = 0) yields an EMPTY frame rather
     * than a NaN row.
     */
-  private def microNatOlsFit(pts: DataFrame, slopeAlias: String,
+  private[ops] def microNatOlsFit(pts: DataFrame, slopeAlias: String,
       interceptAlias: String): DataFrame = {
     val d = "CAST(%s AS DECIMAL(38,0))"
     pts

@@ -315,6 +315,38 @@ object TimeSeries {
         col(idCol).as("change_id"), col("d_abs"))
   }
 
+  /** Power-law retention-decay fit over the aggregated cohort curve:
+    * `R_w ≈ R_1 · w^s` for week offsets w ≥ 1 — the "is churn
+    * shallow or steep" single-number read on [[cohortRetention]]'s
+    * triangle (s ≈ −1 halves engaged users every doubling of age; the
+    * week-0 row is the denominator, not a fit point).  The curve is
+    * aggregated over the FULL observation triangle (later cohorts
+    * contribute fewer offsets — the standard aggregate-curve read).
+    *
+    * Same exactness device as [[CorpusStats.zipfFit]]: exact integer
+    * week totals, per-point micro-nat logs, DECIMAL(38,0) OLS
+    * moments, one IEEE division chain, 6 dp.
+    *
+    * @return (n_points, decay_exponent, ln_r1) or empty when fewer
+    *         than two offsets have survivors
+    */
+  def retentionDecayFit(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val curve = cohortRetention(events, userCol, tsCol)
+      .groupBy(col("week_offset"))
+      .agg(sum(col("n_users")).cast("long").as("__n"))
+    val base = curve.filter(col("week_offset") === 0L)
+      .select(col("__n").as("__n0"))
+    val pts = curve.filter(col("week_offset") >= 1L && col("__n") > 0L)
+      .crossJoin(base)
+      .select(
+        round(log(col("week_offset").cast("double")) * lit(1000000d), 0)
+          .cast("long").as("__x"),
+        round(log(col("__n").cast("double") / col("__n0").cast("double"))
+          * lit(1000000d), 0).cast("long").as("__y"))
+    CorpusStats.microNatOlsFit(pts, "decay_exponent", "ln_r1")
+  }
+
   def cohortRetention(events: DataFrame, userCol: String,
       tsCol: String): DataFrame = {
     val first = events.groupBy(col(userCol).as("__u"))

@@ -330,6 +330,14 @@ object MixQueries {
         .orderBy(col("user_id"))
     },
 
+    // Power-law decay fit over the aggregated retention curve:
+    // R_w ~ R_1 * w^s via the shared micro-nat OLS kernel — the churn
+    // steepness single number, bit-exact vs the DuckDB replay.
+    "q_retention_fit" -> { (s, dir) =>
+      TimeSeries.retentionDecayFit(Tables.load(s, dir, "events"),
+        "user_id", "ts")
+    },
+
     // Weekly cohort-retention triangle over the events stream (dates
     // formatted as strings for the cross-engine compare).
     "q_cohort_weekly" -> { (s, dir) =>
@@ -844,6 +852,43 @@ object MixQueries {
         |  UNION ALL SELECT 2, 'click', count(*) FROM s2
         |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
         |ORDER BY level""".stripMargin,
+
+    "q_retention_fit" ->
+      """WITH f AS (SELECT user_id,
+        |    CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS DATE)
+        |      AS cohort_week
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+        |  FROM events),
+        |g AS (SELECT cohort_week,
+        |    CAST((wk - cohort_week) // 7 AS BIGINT) AS week_offset,
+        |    count(*) AS n_users
+        |  FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+        |c AS (SELECT week_offset, CAST(sum(n_users) AS BIGINT) AS n
+        |  FROM g GROUP BY 1),
+        |b AS (SELECT n AS n0 FROM c WHERE week_offset = 0),
+        |p AS (SELECT
+        |    CAST(round(ln(CAST(week_offset AS DOUBLE)) * 1000000, 0)
+        |      AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(n AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |      * 1000000, 0) AS BIGINT) AS y
+        |  FROM c, b WHERE week_offset >= 1 AND n > 0),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM p)
+        |SELECT n_points,
+        |  round(CAST(n_points * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n_points * sxx - sx * sx AS DOUBLE), 6)
+        |    AS decay_exponent,
+        |  round((CAST(sy AS DOUBLE)
+        |      - CAST(n_points * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n_points * sxx - sx * sx AS DOUBLE)
+        |        * CAST(sx AS DOUBLE))
+        |    / CAST(n_points AS DOUBLE) / 1000000, 6) AS ln_r1
+        |FROM m WHERE n_points * sxx - sx * sx <> 0""".stripMargin,
 
     "q_cohort_weekly" ->
       """WITH f AS (SELECT user_id,

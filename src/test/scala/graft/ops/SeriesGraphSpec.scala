@@ -262,6 +262,22 @@ class SeriesGraphSpec extends SparkSpec {
     } finally binsIdx.unpersist(false)
   }
 
+  test("retentionDecayFit: halving retention per doubling of age " +
+      "fits exponent -1 and ln_r1 = -ln 2") {
+    // One cohort (all first seen Mon 2024-01-01 week): 8 users at
+    // w=0, 4 at w=1, 2 at w=2, 1 at w=4 — R_w = (1/2)^log2(w)/... a
+    // perfect R_w = 0.5 * w^-1 curve at the sampled offsets.
+    def at(day: Int) = Timestamp.valueOf(f"2024-01-${1 + day}%02d 12:00:00")
+    val ev = (1L to 8L).map(u => (u, at(0))) ++
+      (1L to 4L).map(u => (u, at(7))) ++
+      (1L to 2L).map(u => (u, at(14))) ++ Seq((1L, at(28)))
+    val got = TimeSeries.retentionDecayFit(
+      ev.toDF("user_id", "ts"), "user_id", "ts").head()
+    assert(got.getLong(0) === 3L)
+    assert(math.abs(got.getDouble(1) + 1.0) < 1e-4, got)
+    assert(math.abs(got.getDouble(2) + math.log(2.0)) < 1e-4, got)
+  }
+
   test("cusumChangepoint: level shift located at the last pre-shift " +
       "point; singletons dropped; flat series scores 0") {
     def t(i: Int) = Timestamp.valueOf(f"2024-01-01 ${i}%02d:00:00")

@@ -31,6 +31,7 @@ class PlanLintSpec extends SparkSpec {
     "q_ks_test",             // 1-row sample-size aggregate cross-joined into the integer-D max
     "q_budget_waterfill",    // three 1-row aggregates (totals/waterline/extras) cross-joined into the config-sized domain frame
     "q_blocking_quality",    // three 1-row aggregates (totals/blocks/capture) cross-joined into the single report row
+    "q_retention_fit",       // 1-row week-0 denominator cross-joined into the weeks-bounded curve
     "q_chi_squared",         // contingency grid = |catA| x |catB| marginal cross by definition
     "q_knn_lsh", "q_knn_ivf", "q_knn_quantized", "q_knn_pq",
     "q_knn_ivfpq",           // recall twins embed the brute baseline
