@@ -73,6 +73,18 @@ object SqlSurface {
         .orderBy(col("tag"))
     },
 
+    // DSv2 METADATA COLUMN (§2.1): the hidden `_slice` provenance
+    // column (SupportsMetadataColumns) resolves when referenced by
+    // name; with n=40 over 4 slices the slice ordinal is exactly
+    // id div 10 — closed-form in DuckDB.
+    "q_dsv2_meta" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      s.read.format("graft.sources.SquaresV2")
+        .option("n", 40).option("slices", 4).load()
+        .select(col("id"), col("sq"), col("_slice"))
+        .orderBy(col("id"))
+    },
+
     // DSv2 AGGREGATE PUSHDOWN (§2.1): the source answers the GROUP BY
     // from closed-form statistics — the executed plan has NO Aggregate
     // node (asserted in GroupStatsV2Spec); DuckDB recomputes the same
@@ -221,6 +233,10 @@ object SqlSurface {
         |  count(*) AS n, CAST(sum(i * i) AS BIGINT) AS sum_sq
         |FROM (SELECT unnest(generate_series(0, 999)) AS i)
         |WHERE i % 7 = 0 GROUP BY 1 ORDER BY tag""".stripMargin,
+    "q_dsv2_meta" ->
+      """SELECT i AS id, i * i AS sq, i // 10 AS _slice
+        |FROM (SELECT unnest(generate_series(0, 39)) AS i)
+        |ORDER BY id""".stripMargin,
     "q_dsv2_agg_pushdown" ->
       """SELECT 'g' || (i % 8) AS grp, count(*) AS n_rows,
         |  CAST(min(i) AS BIGINT) AS min_v, CAST(max(i) AS BIGINT) AS max_v,

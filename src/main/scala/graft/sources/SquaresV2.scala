@@ -2,12 +2,14 @@ package graft.sources
 
 import java.util
 
+import java.util.OptionalLong
+
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -50,7 +52,8 @@ object SquaresV2 {
     StructField("tag", StringType, nullable = false)))
 }
 
-private class SquaresTable(n: Long, slices: Int) extends Table with SupportsRead {
+private class SquaresTable(n: Long, slices: Int) extends Table
+    with SupportsRead with SupportsMetadataColumns {
   override def name(): String = s"squares(n=$n, slices=$slices)"
   override def schema(): StructType = SquaresV2.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -58,6 +61,17 @@ private class SquaresTable(n: Long, slices: Int) extends Table with SupportsRead
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SquaresScanBuilder(n, slices)
+
+  /** Hidden `_slice` provenance column (the generator slice ordinal)
+    * — the custom-source counterpart of the file source's `_metadata`:
+    * absent from `SELECT *`, resolvable when referenced by name.
+    */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name(): String = "_slice"
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+    })
 }
 
 /** Absorbs `id` range predicates into [lo, hi) generator bounds and
@@ -149,7 +163,8 @@ private class SquaresScanBuilder(n: Long, slices: Int) extends ScanBuilder
 
 private class SquaresScan(lo: Long, hi: Long, slices: Int,
     required: StructType, pushed: Array[Filter], desc: Boolean = false,
-    pushedTopN: Option[String] = None) extends Scan with Batch {
+    pushedTopN: Option[String] = None) extends Scan with Batch
+    with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -157,12 +172,27 @@ private class SquaresScan(lo: Long, hi: Long, slices: Int,
       pushedTopN.fold("")(t => s", Pushed$t") +
       s", ReadSchema: ${required.simpleString}"
 
+  /** EXACT post-pushdown statistics (the generator knows its own
+    * cardinality): without these a v2 relation defaults to
+    * `defaultSizeInBytes` = "huge" and is NEVER auto-broadcast — with
+    * them, join-side selection works off the real row count, so a
+    * small scan broadcasts with no hint (asserted in `SourcesSpec`).
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(math.max(0L, hi - lo) * 24L)
+    override def numRows(): OptionalLong =
+      OptionalLong.of(math.max(0L, hi - lo))
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(0L, hi - lo)
     if (n == 0) return Array.empty
     val per = math.max(1L, (n + slices - 1) / slices)
-    val ranges = (lo until hi by per)
-      .map(start => SquaresPartition(start, math.min(start + per, hi), desc))
+    val ranges = (lo until hi by per).zipWithIndex
+      .map { case (start, idx) =>
+        SquaresPartition(start, math.min(start + per, hi), desc, idx.toLong)
+      }
     // descending top-N: global output order = requested order, so the
     // highest range must be partition 0 and readers run downward
     (if (desc) ranges.reverse else ranges).toArray
@@ -173,7 +203,7 @@ private class SquaresScan(lo: Long, hi: Long, slices: Int,
 }
 
 private case class SquaresPartition(start: Long, end: Long,
-    desc: Boolean = false) extends InputPartition
+    desc: Boolean = false, slice: Long = 0L) extends InputPartition
 
 /** Emits only the pruned columns, in the required order; iterates
   * downward when the partition carries the descending top-N flag.
@@ -192,6 +222,7 @@ private class SquaresReaderFactory(required: StructType) extends PartitionReader
           case "id" => cur
           case "sq" => cur * cur
           case "tag" => UTF8String.fromString(if (cur % 2 == 0) "even" else "odd")
+          case "_slice" => p.slice
         }
         InternalRow.fromSeq(values.toIndexedSeq)
       }

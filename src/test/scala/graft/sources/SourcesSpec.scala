@@ -132,6 +132,37 @@ class SourcesSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("BatchScan"))
   }
 
+  test("custom DSv2 source: hidden _slice metadata column resolves by " +
+      "name and stays out of SELECT *") {
+    val df = spark.read.format("graft.sources.SquaresV2")
+      .option("n", 40).option("slices", 4).load()
+    assert(df.columns.toSeq == Seq("id", "sq", "tag"),
+      "metadata column must be hidden from the default projection")
+    val got = df.select(col("id"), col("_slice"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L until 40L).map(i => i -> i / 10).toMap, got)
+  }
+
+  test("custom DSv2 source: reported statistics drive hint-free " +
+      "broadcast selection") {
+    def squares(n: Long) = spark.read.format("graft.sources.SquaresV2")
+      .option("n", n).option("slices", 4).load()
+    // small side reports ~2.4 KB via SupportsReportStatistics -> the
+    // planner broadcasts it with NO hint; without reported stats a v2
+    // relation defaults to defaultSizeInBytes and never auto-broadcasts
+    val small = squares(100).join(squares(200000), "id")
+    assert(small.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+      small.queryExecution.executedPlan.toString.take(2000))
+    // two sides both far past the 10 MB threshold: no auto-broadcast
+    val big = squares(30000000L).join(
+      squares(40000000L).withColumnRenamed("sq", "sq2")
+        .withColumnRenamed("tag", "tag2"), "id")
+    assert(!big.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "oversized stats must not broadcast")
+  }
+
   test("custom DSv2 source: filter and column pushdown reach the scan") {
     val df = spark.read.format("graft.sources.SquaresV2")
       .option("n", 1000000).option("slices", 8).load()
