@@ -166,6 +166,37 @@ object StreamingQueries {
       s.table(name).orderBy(col("user_id"), col("event_id"))
     },
 
+    // Holt level+trend monitor: alpha=beta=1/8 fixed point, two longs
+    // of state per user over the time-ordered replay; the
+    // level/trend/forecast trace equals the DuckDB recursive-CTE
+    // replay bit for bit.
+    "q_stream_holt" -> { (s, dir) =>
+      val s2 = s
+      import s2.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id") % 11 === 4)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val b = ev.agg(min(col("ts").cast("long")).as("lo"),
+        max(col("ts").cast("long")).as("hi")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      val stream = orderedReplay(s, Seq(
+        ev.filter(col("ts").cast("long") <= t1),
+        ev.filter(col("ts").cast("long") > t1 &&
+          col("ts").cast("long") <= t2),
+        ev.filter(col("ts").cast("long") > t2)))
+      val name = s"stream_holt_${runId.incrementAndGet()}"
+      val trace = graft.streaming.Streaming.holtTrace(
+        stream.as[graft.streaming.Event])
+      withStatePartitions(s) {
+        val q = trace.toDF().writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(name).orderBy(col("user_id"), col("event_id"))
+    },
+
     // Per-user token-bucket rate limiter: cap 3, one token per 4 h of
     // event time, two longs of state per user over the time-ordered
     // replay; the admit/refuse trace equals the DuckDB recursive-CTE
@@ -847,8 +878,9 @@ object StreamingQueries {
     })
 
   val oracle: Map[String, String] = Map(
-    // the streamed EWMA trace must equal the batch recursion exactly:
-    // DuckDB's floored // is the same floor-by-8 as the op's >> 3
+    // the streamed EWMA trace must equal the batch recursion; the
+    // op's >> 3 FLOORS, DuckDB's integer // TRUNCATES — negatives
+    // replay via the sign-split floored form
     "q_stream_ewma" ->
       """WITH RECURSIVE t AS (SELECT user_id, event_id,
         |    CAST(round(value * 100) AS BIGINT) AS c,
@@ -858,10 +890,41 @@ object StreamingQueries {
         |r(user_id, event_id, c, rn, ew) AS (
         |  SELECT user_id, event_id, c, rn, c FROM t WHERE rn = 1
         |  UNION ALL
-        |  SELECT t.user_id, t.event_id, t.c, t.rn, (7 * r.ew + t.c) // 8
+        |  SELECT t.user_id, t.event_id, t.c, t.rn,
+        |    CASE WHEN 7 * r.ew + t.c < 0
+        |      THEN -((-(7 * r.ew + t.c) + 7) // 8)
+        |      ELSE (7 * r.ew + t.c) // 8 END
         |  FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1)
         |SELECT user_id, event_id, c AS cents, ew AS ewma FROM r
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // the streamed Holt trace must equal the batch recursion; the
+    // op's >> 3 FLOORS, while DuckDB's integer // TRUNCATES toward
+    // zero — replay negatives with the sign-split floored form
+    // -((-x + 7) // 8)
+    "q_stream_holt" ->
+      """WITH RECURSIVE t AS (SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id % 11 = 4),
+        |r(user_id, event_id, c, rn, l, b) AS (
+        |  SELECT user_id, event_id, c, rn, c, CAST(0 AS BIGINT)
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT user_id, event_id, c, rn, nl,
+        |    CASE WHEN 7 * pb + (nl - pl) < 0
+        |      THEN -((-(7 * pb + (nl - pl)) + 7) // 8)
+        |      ELSE (7 * pb + (nl - pl)) // 8 END
+        |  FROM (SELECT t.user_id, t.event_id, t.c, t.rn,
+        |      r.l AS pl, r.b AS pb,
+        |      CASE WHEN t.c + 7 * (r.l + r.b) < 0
+        |        THEN -((-(t.c + 7 * (r.l + r.b)) + 7) // 8)
+        |        ELSE (t.c + 7 * (r.l + r.b)) // 8 END AS nl
+        |    FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1))
+        |SELECT user_id, event_id, c AS cents, l AS level, b AS trend,
+        |  l + b AS forecast1
+        |FROM r ORDER BY user_id, event_id""".stripMargin,
 
     // the streamed admission trace must equal the batch recursion:
     // full bucket at first sight, one token per 14400 s of event

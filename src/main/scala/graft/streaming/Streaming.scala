@@ -33,6 +33,11 @@ case class EwmaOut(user_id: Long, event_id: Long, cents: Long, ewma: Long)
 
 case class BucketState(tokens: Long, last: Long)
 
+case class HoltState(level: Long, trend: Long)
+
+case class HoltOut(user_id: Long, event_id: Long, cents: Long,
+    level: Long, trend: Long, forecast1: Long)
+
 case class AdmitOut(user_id: Long, event_id: Long, admitted: Boolean,
     tokens_after: Long)
 
@@ -258,11 +263,14 @@ object Streaming {
   /** Per-key integer fixed-point EWMA trace — the live rate/level
     * monitor (α = 1/8): `e_t = (7·e_{t−1} + x_t) >> 3`, seeded
     * `e_0 = x_0`, over integer cents.  The arithmetic right shift IS
-    * floor division by 8 in two's complement — identical to DuckDB's
-    * floored `//` on negatives (where a truncating `div` would
-    * diverge), so the whole trace is bit-exact cross-engine with ONE
-    * long of state per key.  Order-sensitive by nature: feed it an
-    * ordered replay; within each batch rows sort by (ts, event_id).
+    * floor division by 8 in two's complement — well-defined on
+    * negatives where truncating and floored integer division diverge;
+    * the DuckDB twin replays negatives with the sign-split floored
+    * form `-((-x + 7) // 8)` (DuckDB's integer `//` TRUNCATES toward
+    * zero, measured, not floored), so the whole trace is bit-exact
+    * cross-engine with ONE long of state per key.  Order-sensitive by
+    * nature: feed it an ordered replay; within each batch rows sort
+    * by (ts, event_id).
     */
   def ewmaTrace(events: Dataset[Event]): Dataset[EwmaOut] = {
     val spark = events.sparkSession
@@ -285,6 +293,48 @@ object Streaming {
             prev = Some(ew)
           }
           prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Per-key Holt double-exponential smoothing — [[ewmaTrace]]'s
+    * level-plus-TREND sibling (a level-only monitor lags a steady
+    * ramp forever; Holt's trend term closes that gap), α = β = 1/8
+    * fixed point:
+    *
+    *   ℓ_t = (x_t + 7·(ℓ_{t−1} + b_{t−1})) >> 3
+    *   b_t = (7·b_{t−1} + (ℓ_t − ℓ_{t−1})) >> 3
+    *
+    * seeded ℓ_1 = x_1, b_1 = 0; `forecast1 = ℓ + b` is the one-step
+    * prediction.  Arithmetic shifts are floored divisions — the
+    * DuckDB twin replays negatives with the sign-split floored form
+    * (its integer `//` truncates), so the full trace replays bit-
+    * exact as a recursive CTE.  Two longs of state per key;
+    * order-sensitive over ordered replay.
+    */
+  def holtTrace(events: Dataset[Event]): Dataset[HoltOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[HoltState, HoltOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[HoltState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[HoltOut]
+          sorted.foreach { e =>
+            val c = BigDecimal(e.value * 100)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            st =
+              if (st == null) HoltState(c, 0L)
+              else {
+                val l = (c + 7 * (st.level + st.trend)) >> 3
+                HoltState(l, (7 * st.trend + (l - st.level)) >> 3)
+              }
+            out += HoltOut(userId, e.event_id, c, st.level, st.trend,
+              st.level + st.trend)
+          }
+          if (st != null) state.update(st)
           out.result().iterator
       }
   }

@@ -343,6 +343,26 @@ class StreamingSpec extends SparkSpec with org.scalatest.Retries {
     } finally q.stop()
   }
 
+  test("streaming holtTrace tracks level AND trend across batches " +
+      "with floored negative steps") {
+    val in = MemoryStream[Event]
+    val q = runToMemory(holtTrace(in.toDS()).toDF(), "holt_out")
+    try {
+      // l1=80 b1=0; l2=(160+7*80)>>3=90, b2=(0+10)>>3=1
+      in.addData(ev(1, 1, value = 0.80), ev(2, 2, value = 1.60))
+      q.processAllAvailable()
+      // l3=(160+7*91)>>3=99, b3=(7+9)>>3=2; then a crash to -900:
+      // l4=(-900+7*101)>>3=floor(-193/8)=-25, b4=floor((14-124)/8)=-14
+      in.addData(ev(3, 3, value = 1.60), ev(4, 4, value = -9.00))
+      q.processAllAvailable()
+      val got = spark.table("holt_out")
+        .select("event_id", "level", "trend", "forecast1")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 80L, 0L, 80L), (2L, 90L, 1L, 91L),
+        (3L, 99L, 2L, 101L), (4L, -25L, -14L, -39L)), got)
+    } finally q.stop()
+  }
+
   test("streaming tokenBucket refuses on empty, refills whole periods " +
       "only, and keeps fractional progress across batches") {
     val in = MemoryStream[Event]
