@@ -343,6 +343,42 @@ class StreamingSpec extends SparkSpec with org.scalatest.Retries {
     } finally q.stop()
   }
 
+  test("ewmaTrace / holtTrace / tokenBucket traces are invariant to " +
+      "micro-batch chunking (3 random splits)") {
+    // the core state contract: ANY contiguous batching of the ordered
+    // stream yields the identical trace — state carries exactly, no
+    // per-batch reseeding, no boundary double-counting.
+    val events = (1 to 40).map(i =>
+      ev(i.toLong, i, user = i % 3, value = ((i * 37) % 19 - 9) / 1.0))
+    def trace(chunks: Seq[Seq[Event]], which: String): Set[Seq[Any]] = {
+      val in = MemoryStream[Event]
+      val df = which match {
+        case "ewma" => ewmaTrace(in.toDS()).toDF()
+        case "holt" => holtTrace(in.toDS()).toDF()
+        case _ => tokenBucket(in.toDS(), cap = 2L, refillSecs = 150L).toDF()
+      }
+      val name = s"chunk_inv_${which}_${System.nanoTime()}"
+      val q = runToMemory(df, name)
+      try {
+        chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+        spark.table(name).collect().map(_.toSeq).toSet
+      } finally q.stop()
+    }
+    for (which <- Seq("ewma", "holt", "bucket")) {
+      val whole = trace(Seq(events), which)
+      val rnd = new scala.util.Random(7)
+      for (_ <- 1 to 3) {
+        val cutN = 1 + rnd.nextInt(3)
+        val cuts = Seq.fill(cutN)(1 + rnd.nextInt(39)).distinct.sorted
+        val chunks = (Seq(0) ++ cuts ++ Seq(40)).sliding(2).map {
+          case Seq(a, b) => events.slice(a, b)
+        }.toSeq.filter(_.nonEmpty)
+        assert(trace(chunks, which) === whole,
+          s"$which diverged for cuts $cuts")
+      }
+    }
+  }
+
   test("streaming holtTrace tracks level AND trend across batches " +
       "with floored negative steps") {
     val in = MemoryStream[Event]
