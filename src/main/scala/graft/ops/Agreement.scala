@@ -64,8 +64,15 @@ object Agreement {
       "CAST((pe_num * 1000000) div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT) AS pe_ppm",
       "CAST(CAST(n AS DECIMAL(38,0)) * n_agree - pe_num AS DECIMAL(38,0)) AS kappa_num",
       "CAST(CAST(n AS DECIMAL(38,0)) * n - pe_num AS DECIMAL(38,0)) AS kappa_den",
-      ppmExpr("CAST(n AS DECIMAL(38,0)) * n_agree - pe_num",
-        "CAST(n AS DECIMAL(38,0)) * n - pe_num") + " AS kappa_ppm")
+      // kappa_den = 0 (Pe = 1: a single observed category on both
+      // sides) leaves κ undefined — the sibling sentinel (-1000001,
+      // matching cohenKappaWeighted's Se = 0 case) instead of an ANSI
+      // DIVIDE_BY_ZERO at runtime.
+      "CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * n - pe_num = 0 " +
+        "THEN -1000001 ELSE " +
+        ppmExpr("CAST(n AS DECIMAL(38,0)) * n_agree - pe_num",
+          "CAST(n AS DECIMAL(38,0)) * n - pe_num") +
+        " END AS BIGINT) AS kappa_ppm")
       .selectExpr("n", "n_agree", "po_ppm", "pe_ppm",
         // exact rational reported as BIGINT — fine up to ~3·10^9 items
         // (n² < 2^63 pre-division is avoided: num/den are emitted after
@@ -151,12 +158,18 @@ object Agreement {
         s"(CAST(n_items AS DECIMAL(38,0)) * $r * ($r - 1)) AS BIGINT) AS po_ppm",
       s"CAST((sum_sk_sq * 1000000) div " +
         s"(CAST(n_items AS DECIMAL(38,0)) * $r * n_items * $r) AS BIGINT) AS pe_ppm",
-      ppmExpr(
-        s"(sum_sq - n_items * $r) * (CAST(n_items AS DECIMAL(38,0)) * $r * n_items * $r)" +
-          s" - CAST(n_items AS DECIMAL(38,0)) * $r * ($r - 1) * sum_sk_sq",
-        s"CAST(n_items AS DECIMAL(38,0)) * $r * ($r - 1) * " +
-          s"(CAST(n_items AS DECIMAL(38,0)) * $r * n_items * $r - sum_sk_sq)") +
-        " AS kappa_ppm")
+      // 1 − Pe = 0 (every rating in one category: (NR)² = Σ S_k²)
+      // leaves κ undefined — the -1000001 sentinel, matching
+      // cohenKappa / cohenKappaWeighted, instead of DIVIDE_BY_ZERO.
+      s"CAST(CASE WHEN CAST(n_items AS DECIMAL(38,0)) * $r * ($r - 1) * " +
+        s"(CAST(n_items AS DECIMAL(38,0)) * $r * n_items * $r - sum_sk_sq) = 0 " +
+        "THEN -1000001 ELSE " +
+        ppmExpr(
+          s"(sum_sq - n_items * $r) * (CAST(n_items AS DECIMAL(38,0)) * $r * n_items * $r)" +
+            s" - CAST(n_items AS DECIMAL(38,0)) * $r * ($r - 1) * sum_sk_sq",
+          s"CAST(n_items AS DECIMAL(38,0)) * $r * ($r - 1) * " +
+            s"(CAST(n_items AS DECIMAL(38,0)) * $r * n_items * $r - sum_sk_sq)") +
+        " END AS BIGINT) AS kappa_ppm")
   }
 
   /** Krippendorff's α (nominal) — the agreement statistic for the

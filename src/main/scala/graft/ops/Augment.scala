@@ -104,8 +104,8 @@ object Augment {
     * concat, no explode, no shuffle, whole-stage codegen end to end.
     *
     * @return (idCol, format 'plain'|'psm'|'spm', fim_text); documents
-    *         shorter than 2 chars (or not selected) pass through as
-    *         'plain'.
+    *         shorter than 2 chars, with a NULL text, or not selected
+    *         pass through as 'plain'.
     */
   def fimTransform(docs: DataFrame, idCol: String, textCol: String,
       ratePpm: Long = 500000L, seed: Long = 0L): DataFrame = {
@@ -114,9 +114,13 @@ object Augment {
     docs
       .select(col(idCol), col(textCol).as("__t"))
       .withColumn("__len", length(col("__t")))
+      // coalesce: a NULL text makes __len (and so the conjunction)
+      // NULL, which must read as not-selected — otherwise the row
+      // falls past the !__sel branch below and is mislabelled
+      // psm/spm with a null fim_text instead of passing through.
       .withColumn("__sel",
-        pmod(col(idCol) * lit(2654435761L) + lit(seed), lit(1000000L))
-          < ratePpm && col("__len") >= 2)
+        coalesce(pmod(col(idCol) * lit(2654435761L) + lit(seed),
+          lit(1000000L)) < ratePpm && col("__len") >= 2, lit(false)))
       // split points: p1 uniform in [0, len], p2 uniform in [p1, len]
       .withColumn("__p1", pmod(col(idCol) * 31L + 7L, col("__len") + 1L))
       .withColumn("__p2",

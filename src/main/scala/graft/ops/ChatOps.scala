@@ -41,7 +41,13 @@ object ChatOps {
       tieCol: String, roleCol: String, costCol: String,
       budget: Long): DataFrame = {
     require(budget >= 0L, s"budget must be >= 0, got $budget")
-    val cost = when(col(costCol) >= 0L, col(costCol).cast("long"))
+    // A null cost is a different contract breach than a negative one
+    // (missing field vs bad arithmetic upstream) — name each in its
+    // error so the caller fixes the right thing.
+    val cost = when(col(costCol).isNull,
+        raise_error(concat(lit(s"null $costCol for turn "),
+          coalesce(col(tieCol).cast("string"), lit("<null>")))))
+      .when(col(costCol) >= 0L, col(costCol).cast("long"))
       .otherwise(raise_error(concat(lit(s"negative $costCol for turn "),
         col(tieCol).cast("string"))))
     val fromEnd = Window.partitionBy(col(convCol))

@@ -85,7 +85,10 @@ object Eval {
       .agg(sum(expr(
         "abs(CAST(sp AS DECIMAL(38,0)) - CAST(pb AS DECIMAL(38,0)) * 1000000)"))
         .as("num"), sum("nb").as("den"))
-      .selectExpr("CAST(num div den AS BIGINT) AS ece_ppm")
+      // empty scored frame → den NULL: report the same -1 sentinel as
+      // auc/precision/recall/f1 rather than a NULL that poisons joins.
+      .selectExpr("CAST(CASE WHEN den > 0 THEN num div den " +
+        "ELSE -1 END AS BIGINT) AS ece_ppm")
     conf.crossJoin(auc).crossJoin(ece).selectExpr(
       "CAST(n AS BIGINT) AS n",
       "CAST(n_pos AS BIGINT) AS n_pos",

@@ -32,7 +32,7 @@ object ChatQueries {
       val turns = Tables.load(s, dir, "events")
         .withColumn("cost",
           (coalesce(length(col("props")), lit(0)) +
-            length(col("event_type"))).cast("long"))
+            coalesce(length(col("event_type")), lit(0))).cast("long"))
       ChatOps.contextTruncate(turns, "user_id", "ts", "event_id",
           "event_type", "cost", budget = 200L)
         .orderBy(col("user_id"))
@@ -124,7 +124,8 @@ object ChatQueries {
   val oracle: Map[String, String] = Map(
     "q_chat_truncate" ->
       """WITH t AS (SELECT user_id, event_id, ts, event_type,
-        |    coalesce(length(props), 0) + length(event_type) AS cost
+        |    coalesce(length(props), 0) + coalesce(length(event_type), 0)
+        |      AS cost
         |  FROM events),
         |w AS (SELECT *,
         |    CAST(sum(cost) OVER (PARTITION BY user_id

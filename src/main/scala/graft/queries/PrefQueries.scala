@@ -204,7 +204,8 @@ object PrefQueries {
         |    AS pe_ppm,
         |  CAST(CAST(n AS HUGEINT) * n_agree - pe_num AS BIGINT) AS kappa_num,
         |  CAST(CAST(n AS HUGEINT) * n - pe_num AS BIGINT) AS kappa_den,
-        |  CAST(CASE WHEN CAST(n AS HUGEINT) * n_agree - pe_num < 0
+        |  CAST(CASE WHEN CAST(n AS HUGEINT) * n - pe_num = 0 THEN -1000001
+        |    WHEN CAST(n AS HUGEINT) * n_agree - pe_num < 0
         |    THEN -(((pe_num - CAST(n AS HUGEINT) * n_agree) * 1000000)
         |           // (CAST(n AS HUGEINT) * n - pe_num))
         |    ELSE (((CAST(n AS HUGEINT) * n_agree - pe_num) * 1000000)
@@ -251,7 +252,10 @@ object PrefQueries {
         |    // (CAST(n_items AS HUGEINT) * 3 * 2) AS BIGINT) AS po_ppm,
         |  CAST((sum_sk_sq * 1000000)
         |    // (CAST(n_items AS HUGEINT) * 3 * n_items * 3) AS BIGINT) AS pe_ppm,
-        |  CAST(CASE WHEN (sum_sq - n_items * 3)
+        |  CAST(CASE WHEN CAST(n_items AS HUGEINT) * 3 * 2
+        |        * (CAST(n_items AS HUGEINT) * 3 * n_items * 3 - sum_sk_sq) = 0
+        |      THEN -1000001
+        |    WHEN (sum_sq - n_items * 3)
         |        * (CAST(n_items AS HUGEINT) * 3 * n_items * 3)
         |        - CAST(n_items AS HUGEINT) * 3 * 2 * sum_sk_sq < 0
         |    THEN -(((CAST(n_items AS HUGEINT) * 3 * 2 * sum_sk_sq

@@ -88,6 +88,26 @@ class AgreementSpec extends SparkSpec {
     assert(got._5 > 200000L && got._5 < 220000L)
   }
 
+  test("cohenKappa: single observed category (Pe = 1) returns the " +
+      "-1000001 sentinel, not DIVIDE_BY_ZERO") {
+    // Both raters say "yes" on every item → pe_num = n², kappa_den = 0.
+    val got = Agreement.cohenKappa(
+        Seq.fill(4)(("yes", "yes")).toDF("labelA", "labelB"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got._6 === 0L)           // kappa_den
+    assert(got._7 === -1000001L)    // sentinel, ANSI-div-safe
+  }
+
+  test("fleissKappa: single observed category returns the -1000001 " +
+      "sentinel, not DIVIDE_BY_ZERO") {
+    // Every rating in one category → Σ S_k² = (NR)², 1 − Pe = 0.
+    val ratings = (0 until 5).flatMap(i => Seq.fill(3)((i.toLong, "a")))
+    val got = Agreement.fleissKappa(ratings.toDF("item", "category"), r = 3)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got._4 === 1000000L)     // pe_ppm
+    assert(got._5 === -1000001L)    // kappa_ppm sentinel
+  }
+
   test("fleissKappa: unanimous panel is exactly 1") {
     val ratings = (0 until 6).flatMap(i =>
       Seq.fill(3)((i.toLong, if (i % 2 == 0) "a" else "b")))

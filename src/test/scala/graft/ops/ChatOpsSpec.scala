@@ -56,6 +56,19 @@ class ChatOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("negative cost"))
   }
 
+  test("contextTruncate rejects a NULL cost with a null-specific " +
+      "message, not the negative-cost one") {
+    val df = turns((3L, 1L, 1L, "user", -5L))
+      .withColumn("cost", org.apache.spark.sql.functions.lit(null)
+        .cast("long"))
+    val e = intercept[Exception] {
+      ChatOps.contextTruncate(df, "conv", "ts", "turn", "role",
+        "cost", budget = 10L).collect()
+    }
+    assert(e.getMessage.contains("null cost"))
+    assert(!e.getMessage.contains("negative cost"))
+  }
+
   test("bestOfN: score tie goes to the smaller id; acceptance counts " +
       "use >= threshold") {
     val cands = Seq(

@@ -137,6 +137,25 @@ class ChecksSpec extends SparkSpec {
       5L -> 1L, 6L -> 2L, 7L -> 3L, 8L -> 4L))
   }
 
+  test("histogram/psi exclude NULL values from bins AND totals — " +
+      "null-bearing feed equals the same feed with nulls dropped") {
+    val edges = Seq(10.0, 20.0)
+    def df(vs: java.lang.Long*) = vs.map(Tuple1(_)).toDF("v")
+    val aNull = df(1L, 15L, 25L, null, null)
+    val aClean = df(1L, 15L, 25L)
+    val bSide = df(5L, 15L, 15L, 30L)
+    // nulls never land in the +inf bin and never inflate the total
+    val h = Drift.histogram(aNull, "v", edges).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(h === Map(0 -> 1L, 1 -> 1L, 2 -> 1L))
+    val withNulls = Drift.psi(aNull, bSide, "v", edges).collect().toSeq
+    val without = Drift.psi(aClean, bSide, "v", edges).collect().toSeq
+    assert(withNulls.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))) ===
+      without.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))))
+  }
+
   test("psiFromHistograms == psi over the raw frames (incl. empty bins)") {
     val edges = Seq(10.0, 20.0, 30.0)
     val a = Seq(1L, 5L, 15L, 25L, 25L, 40L).toDF("v")

@@ -18,6 +18,15 @@ class EvalSpec extends SparkSpec {
       1000000L, 1000000L, 1000000L, 1000000L, 0L)))
   }
 
+  test("empty scored frame: ece_ppm is the -1 sentinel like the other " +
+      "ratios, not NULL") {
+    val got = Eval.classifierEval(
+        Seq.empty[(Long, Boolean)].toDF("p", "y"), "p", "y",
+        thresholdMicro = 500000L, bins = 10)
+      .select("auc_ppm", "ece_ppm").as[(Long, Long)].head()
+    assert(got === ((-1L, -1L)))
+  }
+
   test("hand-computed four-row case: tied AUC pair, exact ECE bins") {
     // (700000,T) (700000,F) (300000,T) (100000,F):
     // confusion at 0.5: tp=1 fp=1 tn=1 fn=1 → P=R=F1=0.5.

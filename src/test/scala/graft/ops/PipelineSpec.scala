@@ -222,6 +222,18 @@ class PipelineSpec extends SparkSpec {
     assert(got(2) === ((2L, "plain", "abcdef")))
   }
 
+  test("fimTransform: NULL text passes through as 'plain', never " +
+      "mislabelled psm/spm") {
+    // id 0 hashes selected on non-null text; with text NULL the
+    // selection conjunction is NULL and must read as not-selected.
+    val docs = Seq((0L, null: String), (1L, null: String))
+      .toDF("doc_id", "text")
+    val got = Augment.fimTransform(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    assert(got.map(_._2) === Seq("plain", "plain"))
+    assert(got.forall(_._3 == null))
+  }
+
   test("fimTransform reconstruction: segments reassemble the original " +
       "for every format (random docs)") {
     val rnd = new scala.util.Random(19)

@@ -322,6 +322,34 @@ class StreamingSpec extends SparkSpec with org.scalatest.Retries {
     } finally q.stop()
   }
 
+  test("streaming rollingAnomalies rounds negative exact half-cents " +
+      "HALF_UP, identical to the batch twin") {
+    // value = -0.025 → value*100 is EXACTLY -2.5 in doubles: HALF_UP
+    // (Spark round, DuckDB round) gives -3 cents, while math.round
+    // (floor(x+0.5)) gives -2 — the one input class where the two
+    // diverge.  n=2, z=1, window [0,0] flags any nonzero cent, so the
+    // flagged row's cents column exposes the rounding directly.
+    val rows = Seq(ev(1, 1, value = 0.0), ev(2, 2, value = 0.0),
+      ev(3, 3, value = -0.025))
+    val in = MemoryStream[Event]
+    val q = runToMemory(
+      rollingAnomalies(in.toDS(), n = 2, z = 1).toDF(), "anom_half_out")
+    try {
+      in.addData(rows(0), rows(1))
+      q.processAllAvailable()
+      in.addData(rows(2)) // the half-cent crosses a batch boundary
+      q.processAllAvailable()
+      val stream = spark.table("anom_half_out")
+        .select("user_id", "event_id", "cents", "dev_sq", "bound")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val batch = graft.ops.TimeSeries.rollingAnomalies(
+          rows.toDF(), "user_id", "event_id", "ts", "value", n = 2, z = 1)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(stream === Set((1L, 3L, -3L, 36L, 0L)))
+      assert(stream === batch)
+    } finally q.stop()
+  }
+
   test("streaming ewmaTrace carries the level across batches and " +
       "floors negative steps like //") {
     val in = MemoryStream[Event]
