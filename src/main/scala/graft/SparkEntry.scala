@@ -69,7 +69,8 @@ object SparkEntry {
     graft.queries.StateStoreQueries.queries.toSeq ++
     graft.queries.PrefQueries.queries.toSeq ++
     graft.queries.ChatQueries.queries.toSeq ++
-    graft.queries.MixQueries.queries.toSeq)
+    graft.queries.MixQueries.queries.toSeq ++
+    graft.queries.Utf8Queries.queries.toSeq)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -119,5 +120,6 @@ object SparkEntry {
     graft.queries.StateStoreQueries.oracle.toSeq ++
     graft.queries.PrefQueries.oracle.toSeq ++
     graft.queries.ChatQueries.oracle.toSeq ++
-    graft.queries.MixQueries.oracle.toSeq)
+    graft.queries.MixQueries.oracle.toSeq ++
+    graft.queries.Utf8Queries.oracle.toSeq)
 }

@@ -414,10 +414,24 @@ object Dedup {
     *         no full window and contribute no rows
     */
   def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 2, w: Int = 4): DataFrame = {
+      k: Int = 2, w: Int = 4): DataFrame =
+    winnowedFingerprintsOf(docs, idCol,
+      TextAnalysis.tokens(col(textCol)), k, w)
+
+  /** [[winnowedFingerprints]] over a CALLER-SUPPLIED token-array
+    * expression — the hook that routes non-ASCII corpora through the
+    * identical selection (the default tokenizer is the ASCII
+    * `[a-z0-9']+` convention, which silently drops every non-Latin
+    * script; a Unicode-aware `[\p{L}\p{N}']+` tokenizer plugs in here
+    * without forking the winnowing arithmetic).  The gram hash is
+    * already codepoint-exact (`ascii` returns full codepoints), so the
+    * only ASCII assumption in the pipeline is the tokenizer.
+    */
+  def winnowedFingerprintsOf(docs: DataFrame, idCol: String,
+      tokensExpr: Column, k: Int = 2, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 2, s"need k >= 1 and w >= 2, got k=$k w=$w")
     val toks = docs.select(col(idCol),
-      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("__pos", "__tok")))
+      posexplode(tokensExpr).as(Seq("__pos", "__tok")))
     val wg = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("__pos").rowsBetween(0, k - 1)
     val grams = toks

@@ -589,7 +589,14 @@ object OpsQueries {
     // mirrors the byte windows with char substrings (the corpus is
     // ASCII, so char == byte — the oracle itself would catch drift).
     "q_multimodal_frames" -> { (s, dir) =>
+      // ASCII-project the synthetic payload: Spark slices the binary
+      // content by BYTES while the DuckDB twin can only slice VARCHAR
+      // by CHARACTERS (no blob substring) — projecting every non-ASCII
+      // char to '?' makes byte==char a construction invariant on ANY
+      // corpus instead of an accident of today's ASCII testdata.
       val docs = Tables.load(s, dir, "documents")
+        .withColumn("text",
+          regexp_replace(col("text"), "[^\\x00-\\x7f]", "?"))
       val frames = Multimodal.sampleFrames(Multimodal.asMedia(docs))
       frames.toDF()
         .join(Multimodal.asMedia(docs).select(col("media_id"), col("kind")),
@@ -609,7 +616,12 @@ object OpsQueries {
     // frame sets and list-intersection Jaccard — equality also
     // certifies the hashed frame pipeline collision-free.
     "q_video_neardup" -> { (s, dir) =>
+      // ASCII projection: same byte-vs-char construction invariant as
+      // q_multimodal_frames (frame windows are byte slices on the
+      // Spark side, character slices in the oracle).
       val docs = Tables.load(s, dir, "documents")
+        .withColumn("text",
+          regexp_replace(col("text"), "[^\\x00-\\x7f]", "?"))
       val src = docs.select(col("doc_id"), col("text"))
         .union(docs.filter(col("doc_id") % 30 === 2)
           .select((col("doc_id") + 999999L).as("doc_id"), col("text")))
@@ -689,13 +701,16 @@ object OpsQueries {
         |SELECT id_a, id_b, c_ab, c_ba FROM j
         |WHERE greatest(c_ab, c_ba) >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     "q_video_neardup" ->
-      """WITH vids AS (
-        |  SELECT doc_id AS vid, text FROM documents WHERE doc_id % 3 = 2
+      """WITH da AS (
+        |  SELECT doc_id, regexp_replace(text, '[^\x00-\x7f]', '?', 'g')
+        |    AS text FROM documents),
+        |vids AS (
+        |  SELECT doc_id AS vid, text FROM da WHERE doc_id % 3 = 2
         |  UNION ALL
-        |  SELECT doc_id + 999999, text FROM documents WHERE doc_id % 30 = 2
+        |  SELECT doc_id + 999999, text FROM da WHERE doc_id % 30 = 2
         |  UNION ALL
         |  SELECT doc_id + 1999998, text || ' extracut extracut'
-        |  FROM documents WHERE doc_id % 30 = 5),
+        |  FROM da WHERE doc_id % 30 = 5),
         |wins AS (
         |  SELECT vid, list_distinct(list_transform(
         |    range(0, GREATEST(1, CAST(ceil(len(text) / 64.0) AS BIGINT))),
@@ -993,14 +1008,17 @@ object OpsQueries {
         |      / count(*), 6) FROM lineitem)
         |ORDER BY "check"""".stripMargin,
     "q_multimodal_frames" ->
-      """WITH fr AS (
+      """WITH da AS (
+        |  SELECT doc_id, regexp_replace(text, '[^\x00-\x7f]', '?', 'g')
+        |    AS text FROM documents),
+        |fr AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0 THEN 'image'
         |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
         |    unnest(generate_series(0,
         |      CAST(greatest(0, (strlen(text) - 1) // 64) AS BIGINT))) AS i,
         |    text
-        |  FROM documents),
+        |  FROM da),
         |fx AS (
         |  SELECT kind,
         |    md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS d,
