@@ -28,6 +28,35 @@ object LineageQueries {
       edges.withColumn("src_table",
           regexp_extract(col("src_table"), "([a-z]+)\\.parquet", 1))
         .orderBy(col("out_column"), col("src_table"), col("src_column"))
+    },
+
+    // Lineage through the two flagship ops compositions — the walk the
+    // reference cannot do (it pass-throughs anything non-stock):
+    // minhashPairs ends in a lineage-erasing localCheckpoint (the
+    // registry splices the pre-checkpoint lineage back), bm25TopK runs
+    // explode + 4 aggregates + 3 joins + the custom TopKPerKey plan.
+    // qid is documents.doc_id RENAMED into the query frame, so its
+    // edge proves renames survive the whole funnel; count(*)-derived
+    // scores carry no direct column sources and emit no edges.
+    "q_lineage_ops" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 60)
+      val qs = Tables.load(s, dir, "documents").filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          substring(col("text"), 1, 40).as("qtext"))
+      val bm = graft.ops.Retrieval.bm25TopK(docs, "doc_id", "text", qs, k = 3)
+      val mh = graft.ops.Dedup.minhashPairs(docs, "doc_id", "text",
+        threshold = 0.5)
+      val edges = ColumnLineage.of(bm).toDF(s)
+          .withColumn("op", lit("bm25"))
+        .unionByName(ColumnLineage.of(mh).toDF(s)
+          .withColumn("op", lit("minhash")))
+      edges.withColumn("src_table",
+          regexp_extract(col("src_table"), "([a-z]+)\\.parquet", 1))
+        .select(col("op"), col("out_column"), col("src_table"),
+          col("src_column"))
+        .orderBy(col("op"), col("out_column"), col("src_table"),
+          col("src_column"))
     })
 
   /** The edge list is a deterministic function of the plan, so the
@@ -43,5 +72,15 @@ object LineageQueries {
         |  ('revenue', 'lineitem', 'l_discount'),
         |  ('revenue', 'lineitem', 'l_extendedprice'))
         |  AS t(out_column, src_table, src_column)
-        |ORDER BY out_column, src_table, src_column""".stripMargin)
+        |ORDER BY out_column, src_table, src_column""".stripMargin,
+
+    "q_lineage_ops" ->
+      """SELECT * FROM (VALUES
+        |  ('bm25', 'doc_id', 'documents', 'doc_id'),
+        |  ('bm25', 'qid', 'documents', 'doc_id'),
+        |  ('minhash', 'id_a', 'documents', 'doc_id'),
+        |  ('minhash', 'id_b', 'documents', 'doc_id'),
+        |  ('minhash', 'jaccard', 'documents', 'text'))
+        |  AS t(op, out_column, src_table, src_column)
+        |ORDER BY op, out_column, src_table, src_column""".stripMargin)
 }

@@ -436,4 +436,29 @@ class LineageSpec extends SparkSpec {
       s"slope traces to the text column: ${g2("zipf_slope")}")
     assert(g2("ln_c").map(_.column) == Set("_2"), g2("ln_c").toString)
   }
+
+  test("flagship ops composition: bm25TopK ids trace through explode + " +
+      "4 aggregates + 3 joins + TopKPerKey; count-derived scores carry " +
+      "no direct column sources (the count(*) convention)") {
+    // Two distinct source relations on purpose: the corpus from
+    // parquet, the query frame from a local relation — the pipeline's
+    // join must keep each id's provenance on its own table.
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") < 40)
+    val docTable = ColumnLineage.of(docs).outputs.head.sources.head.table
+    val qs = Seq((1L, "alpha beta"), (2L, "gamma"))
+      .toDF("qid", "qtext")
+    val g = ColumnLineage.of(
+      graft.ops.Retrieval.bm25TopK(docs, "doc_id", "text", qs, k = 3))
+    assert(g("qid").map(_.column) == Set("_1"),
+      s"qid stays on the query relation: ${g("qid")}")
+    assert(g("doc_id") == Set(src(docTable, "doc_id")),
+      s"doc_id reaches the corpus id through the TopK heap: ${g("doc_id")}")
+    // score_micro / n_terms_hit are built ENTIRELY from count(*)
+    // aggregates (tf, dl, df, n_docs, n_toks) — expression-reference
+    // lineage correctly reports no direct column sources, the same
+    // convention every column-lineage tool applies to count(*).
+    assert(g("score_micro").isEmpty, g("score_micro").toString)
+    assert(g("n_terms_hit").isEmpty, g("n_terms_hit").toString)
+  }
 }
