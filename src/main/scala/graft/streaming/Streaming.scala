@@ -436,6 +436,42 @@ object Streaming {
       joinType)
   }
 
+  /** Exactly-once adapter for a `foreachBatch` side effect.
+    *
+    * `foreachBatch` is AT-LEAST-ONCE by contract: after a crash
+    * between the user function and the micro-batch commit (WAL
+    * `commits/N` is written after `addBatch` returns), the restart
+    * re-delivers the SAME batchId with the same data
+    * (`MicroBatchExecution` replays the offsets-log entry that has no
+    * matching commit).  Exactly-once therefore lives in the sink:
+    * skip batch ids whose side effect fully landed, and make the
+    * side effect idempotent per batch id for the crash window between
+    * the effect and its marker.
+    *
+    * This adapter implements both halves: `markerDir/batch-N` is
+    * written AFTER `body` succeeds, so
+    *  - a re-delivered batch whose marker exists is skipped entirely
+    *    (the commit-torn case — effect landed, commit record did not);
+    *  - a re-delivered batch whose marker is absent re-applies `body`,
+    *    which must be per-batch idempotent (e.g. an overwrite into a
+    *    batch-id-keyed location, or a MERGE keyed on batch id) — the
+    *    effect-torn case.
+    * Markers live on the sink's filesystem (HDFS/S3-compatible via the
+    * Hadoop FS API), one zero-byte file per committed batch.
+    */
+  def exactlyOnceBatch(markerDir: String)(body: (DataFrame, Long) => Unit)
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(
+      markerDir, f"batch-$batchId%020d")
+    if (!fs.exists(marker)) {
+      body(batch, batchId)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(markerDir))
+      fs.create(marker, true).close()
+    }
+  }
+
   /** Dedup with WATERMARK-SCOPED state (`dropDuplicatesWithinWatermark`):
     * a key's dedup state is dropped once the watermark passes its event
     * time + delay, so re-deliveries beyond the lateness horizon are

@@ -876,6 +876,89 @@ class StreamingSpec extends SparkSpec with org.scalatest.Retries {
       s"${missing.take(10)}")
   }
 
+  test("foreachBatch exactly-once: a torn micro-batch commit re-delivers " +
+      "exactly the last batchId; marker-skip and idempotent re-apply " +
+      "both converge") {
+    // The WAL writes offsets/N before the user function runs and
+    // commits/N only after it returns, so deleting the newest commit
+    // file reproduces a driver crash in the at-least-once window.
+    // Collector tags: 211+run = batchIds DELIVERED to the wrapper,
+    // 221+run = batchIds whose body actually APPLIED.
+    ContRecCollector.clear(211, 212, 213, 214, 221, 222, 223, 224)
+    val in = java.nio.file.Files.createTempDirectory("graft_feb_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_feb_out").toString
+    val markers = java.nio.file.Files
+      .createTempDirectory("graft_feb_mark").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_feb_ckpt").toString
+    def addFile(name: String, lines: Seq[Long]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    def runOnce(run: Int): Unit = {
+      val applyBody = graft.streaming.Streaming.exactlyOnceBatch(markers) {
+        (batch, id) =>
+          ContRecCollector.add(220 + run, id)
+          batch.write.mode("overwrite").parquet(s"$out/b$id")
+      }
+      val q = spark.readStream.format("text").load(in)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          ContRecCollector.add(210 + run, id)
+          applyBody(batch, id)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000), "query did not drain in 60s")
+    }
+    addFile("f0.txt", 1L to 5L)
+    runOnce(1) // batch 0
+    addFile("f1.txt", 6L to 10L)
+    runOnce(2) // batch 1
+    assert(ContRecCollector.values(211) == Seq(0L))
+    assert(ContRecCollector.values(212) == Seq(1L))
+    assert(ContRecCollector.values(222) == Seq(1L))
+    def tearNewestCommit(): Unit = {
+      val commits = java.nio.file.Paths.get(ckpt, "commits")
+      val it = java.nio.file.Files.list(commits).iterator()
+      val names = scala.collection.mutable.Buffer.empty[java.nio.file.Path]
+      while (it.hasNext) names += it.next()
+      val newest = names.filter(!_.getFileName.toString.startsWith("."))
+        .maxBy(_.getFileName.toString.toLong)
+      java.nio.file.Files.delete(newest)
+      // the local ChecksumFs keeps a .N.crc sidecar; leaving it behind
+      // blocks the restart's atomic re-commit rename
+      java.nio.file.Files.deleteIfExists(
+        newest.resolveSibling("." + newest.getFileName.toString + ".crc"))
+    }
+    // Leg 1 — commit torn, effect landed: restart re-delivers EXACTLY
+    // batch 1; its marker exists, so the body must be skipped and the
+    // sink stays converged.
+    tearNewestCommit()
+    runOnce(3)
+    assert(ContRecCollector.values(213) == Seq(1L),
+      s"restart must re-deliver exactly the torn batch, got " +
+        s"${ContRecCollector.values(213)}")
+    assert(ContRecCollector.values(223).isEmpty,
+      "marker present: the side effect must not re-apply")
+    // Leg 2 — BOTH commit and marker torn (crash between effect and
+    // marker): the body re-applies, and the per-batch overwrite makes
+    // re-application idempotent.
+    tearNewestCommit()
+    java.nio.file.Files.list(java.nio.file.Paths.get(markers)).iterator()
+      .forEachRemaining { p =>
+        if (p.getFileName.toString.endsWith("1")) java.nio.file.Files.delete(p)
+      }
+    runOnce(4)
+    assert(ContRecCollector.values(214) == Seq(1L))
+    assert(ContRecCollector.values(224) == Seq(1L),
+      "marker absent: the side effect must re-apply")
+    val merged = spark.read.parquet(s"$out/b0", s"$out/b1")
+    assert(merged.count() == 10L, "re-delivery must not duplicate rows")
+    val got = merged.collect().map(_.getString(0).toLong).sorted.toSeq
+    assert(got == (1L to 10L), s"sink diverged: $got")
+  }
+
   test("continuous mode: a torn commit replays exactly the torn epoch") {
     // Complement of the mid-epoch-kill test: here the failure is
     // injected at the COMMIT boundary — the newest commit file is
