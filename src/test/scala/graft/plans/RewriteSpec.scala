@@ -222,4 +222,74 @@ class RewriteSpec extends SparkSpec {
     } finally Seq("cbo_li", "cbo_ord", "cbo_tiny").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("CBO + AQE end-to-end on a real ops composition: Scd2's " +
+      "change-batch join flips to broadcast via stats (static) and via " +
+      "runtime size (adaptive), results identical") {
+    // The production shape: a versioned dimension maintained by
+    // Scd2.apply with a change batch that is a SELECTIVE slice of a
+    // catalog table.  Without column stats the filtered batch is
+    // estimated at the full file size (SizeOnly visitor passes Filter
+    // through) → sort-merge; ANALYZE + CBO shrink the estimate under
+    // the threshold → static broadcast; with AQE the runtime size
+    // flips it even without stats.  All three legs must agree on rows.
+    val dir = "/root/testdata/sf0.01" // sf0.001's tables sit under the
+                                      // lowered threshold unfiltered
+    Seq("cbo_scd_dim", "cbo_scd_chg").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("key"), col("c_mktsegment").as("attr"),
+        lit(1L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+      .write.saveAsTable("cbo_scd_dim")
+    spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("key"), lit("SEG_NEW").as("attr"))
+      .write.saveAsTable("cbo_scd_chg")
+    def run(): (String, Seq[(Long, String, Long, Option[Long])]) = {
+      val out = graft.ops.Scd2.apply(
+        spark.table("cbo_scd_dim"),
+        spark.table("cbo_scd_chg").filter(col("key") < 30L),
+        version = 2L)
+      val rows = out.collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .sortBy(t => (t._1, t._3)).toSeq
+      (out.queryExecution.executedPlan.toString, rows)
+    }
+    val conf = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled", "spark.sql.cbo.enabled")
+    val saved = conf.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "2KB")
+      // leg A — no stats, no AQE: file-size estimate of the unfiltered
+      // table keeps the change batch above threshold → no broadcast
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val (planA, rowsA) = run()
+      assert(!planA.contains("BroadcastHashJoin"),
+        s"leg A must sort-merge everywhere:\n$planA")
+      // leg B — AQE, still no stats: the RUNTIME size of the filtered
+      // batch flips the apply join to broadcast mid-query
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val (planB, rowsB) = run()
+      assert(planB.contains("BroadcastHashJoin"),
+        s"AQE must flip the change-batch join at runtime:\n$planB")
+      assert(rowsB == rowsA, "AQE re-plan changed results")
+      // leg C — CBO + column stats, AQE off: FilterEstimation shrinks
+      // the ESTIMATE itself, so the STATIC plan already broadcasts
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.sql("ANALYZE TABLE cbo_scd_chg COMPUTE STATISTICS")
+      spark.sql(
+        "ANALYZE TABLE cbo_scd_chg COMPUTE STATISTICS FOR COLUMNS key, attr")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val (planC, rowsC) = run()
+      assert(planC.contains("BroadcastHashJoin"),
+        s"CBO stats must produce a STATIC broadcast plan:\n$planC")
+      assert(rowsC == rowsA, "CBO reorder changed results")
+    } finally {
+      saved.foreach { case (k, v) =>
+        v match { case Some(x) => spark.conf.set(k, x)
+                  case None => spark.conf.unset(k) } }
+      Seq("cbo_scd_dim", "cbo_scd_chg").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
