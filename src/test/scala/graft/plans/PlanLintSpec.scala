@@ -73,6 +73,7 @@ class PlanLintSpec extends SparkSpec {
     "q_bootstrap_ci",        // 1-row totals × 1-row CI aggregate folded into the single summary row
     "q_unigram_em",          // 1-row piece-count total cross-joined into the M-step cost projection
     "q_cdc_chunks",          // 1-row totals × 1-row distinct-totals folded into the single summary row
+    "q_utf8_cdc",            // same Cdc.dedupSummary 1-row × 1-row fold, mixed-script variant
     "q_domain_reweight",     // LM corpus-total + domain-frame softmax-Z 1-row broadcasts crossed into the weight projection
     "q_cohen_kappa",         // 1-row totals × 1-row marginal-product aggregate folded into the single κ row
     "q_fleiss_kappa",        // 1-row cell aggregate × 1-row category aggregate folded into the single κ row
@@ -115,6 +116,8 @@ class PlanLintSpec extends SparkSpec {
     "q_span_corrupt"     -> "per-document span selection; bounded by document length",
     "q_winnow"           -> "per-document winnowing argmins; bounded by document length",
     "q_cdc_chunks"       -> "per-document rolling-hash and boundary-count windows over character rows; bounded by (truncated) document length, the span-ops contract",
+    "q_utf8_cdc"         -> "same Cdc.dedupSummary per-document character windows, mixed-script variant; bounded by (truncated) document length",
+    "q_utf8_winnow"      -> "same winnowedFingerprintsOf per-document argmins as q_winnow, mixed-script variant; bounded by document length",
     "q_interleaved_shuffle" -> "order-restore window in the interleave device; keyed by a partition-derived bucket, partition-size-bounded by construction",
     "q_win_ignore_nulls" -> "IGNORE NULLS frame-semantics coverage gate (§2.5); per-user rows bounded by the feed contract",
     "q_window_frames"    -> "ROWS/RANGE frame coverage gate (§2.5); per-key rows bounded by the feed contract",
@@ -277,6 +280,68 @@ class PlanLintSpec extends SparkSpec {
       s"broadcast hint on an unbounded-cardinality frame in: " +
         s"${offenders.mkString(", ")} — drop the hint (AQE broadcasts when " +
         "actually small) or whitelist with a reason")
+  }
+
+  /** Physical mirror of [[planBounded]]: a subtree whose row count
+    * cannot scale with input data — a no-grouping aggregate, a limit /
+    * TakeOrdered / TopKPerKey heap, a literal scan, or unary/join
+    * compositions of those.  Used to turn the cartesian whitelist from
+    * a name list into a CHECKED invariant: most whitelisted entries
+    * claim "one side is a scalar/bounded frame", and that claim is now
+    * asserted structurally instead of trusted.
+    */
+  private def boundedPhysical(
+      p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+    case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+      a.groupingExpressions.isEmpty || boundedPhysical(a.child)
+    case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+    case l if l.nodeName.contains("Limit") ||
+      l.nodeName.contains("TakeOrdered") => true
+    case t if t.nodeName.contains("TopKPerKey") => true
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      boundedPhysical(r.child)
+    case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+      boundedPhysical(j.left) && boundedPhysical(j.right)
+    case u: org.apache.spark.sql.execution.UnaryExecNode =>
+      boundedPhysical(u.child)
+    case _ => false
+  }
+
+  /** The residue of the cartesian whitelist that a structural bound
+    * cannot cover — capped brute-force oracle twins whose cap lives in
+    * a data contract (an injected clique, a filtered id range) rather
+    * than a plan node, and dense marginal grids whose BOTH sides are
+    * category-cardinality frames.  Everything else in [[cartesianOk]]
+    * is machine-checked by the test below.
+    */
+  private val cartesianUncheckedOk: Map[String, String] = Map(
+    "q_join_cross"   -> "the cartesian-join coverage gate: the cross over dims IS the subject",
+    "q_join_theta"   -> "theta-join coverage gate: BroadcastNestedLoop over the filtered dim IS the subject",
+    "q_chi_squared"  -> "contingency grid = |catA| x |catB| marginal cross; both sides are GROUPED category aggregates, bounded by value cardinality (a data contract no plan node shows)",
+    "q_weighted_kappa" -> "ka x kb ordinal-level marginal grid — the q_chi_squared shape; levels bounded by the rating-scale contract",
+    "q_gap_fill"     -> "dense (key x day) grid of two GENERATED frames; key side is a distinct-key aggregate bounded by the key-domain contract",
+    "q_retention_fit" -> "week-0 denominator side is a week-GROUPED aggregate filtered to one week — 1 row by the cohort contract, grouped (not scalar) in the plan",
+    "q_hybrid_retrieval" -> "brute semantic ranker: corpus scan x 3-row VALUES query batch resolved through a unique-key embedding lookup join (the broadcastHintOk bound, opaque to boundedPhysical)")
+
+  test("whitelisted cartesians really have a structurally bounded side") {
+    val offenders = cartesianOk.toSeq.sorted
+      .filterNot(cartesianUncheckedOk.contains)
+      .filter(SparkEntry.queries.contains).flatMap { name =>
+        val plan = physicalPlan(SparkEntry.queries(name)(spark, sf))
+        val carts = plan.collect {
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+          case b: org.apache.spark.sql.execution.joins
+              .BroadcastNestedLoopJoinExec => b
+        }
+        val bad = carts.filterNot(c => boundedPhysical(c.left) ||
+          boundedPhysical(c.right))
+        if (bad.nonEmpty) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"whitelisted cartesian with NO bounded side in: " +
+        s"${offenders.mkString(", ")} — the whitelist reason claims a " +
+        "scalar/bounded side; either fix the plan or move the entry to " +
+        "cartesianUncheckedOk with the data-contract bound")
   }
 
   test("no gate entry plans an unexpected cartesian product") {
