@@ -50,7 +50,7 @@ object Bench {
     */
   private def isProtocol(name: String): Boolean =
     name.startsWith("q_stream_") || name == "q_dsv2_stream" ||
-      name == "q_statestore_read"
+      name == "q_statestore_read" || name == "q_lineage_stream"
 
   private def isHeadline(name: String): Boolean =
     name.matches("q\\d\\d_.*") || Set(

@@ -96,6 +96,14 @@ object ColumnLineage {
       sr.sourceName
     case srv2: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2 =>
       srv2.sourceName
+    // RUNNING-query leaves (MicroBatchExecution.logicalPlan rewrites the
+    // pre-start relations above into these): name v1 sources by the
+    // source's own identity string (FileStreamSource[path], rate, …) and
+    // v2 scan relations by their table
+    case ser: org.apache.spark.sql.execution.streaming.runtime.StreamingExecutionRelation =>
+      ser.source.toString
+    case sv2: org.apache.spark.sql.execution.datasources.v2.StreamingDataSourceV2ScanRelation =>
+      scala.util.Try(sv2.relation.table.name()).getOrElse(sv2.stream.toString)
     case other => other.nodeName
   }
 

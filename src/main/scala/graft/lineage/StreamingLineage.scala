@@ -1,0 +1,116 @@
+package graft.lineage
+
+import java.util.UUID
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.{StreamExecution, StreamingQueryWrapper}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
+
+/** Column lineage for RUNNING streaming queries — the layer the
+  * reference cannot have at all: its lineage is an analyzer rule over
+  * batch plans (`ResolveLineage.scala:29-135`) and streaming plans
+  * never pass through it.  Here a running query's sink columns trace to
+  * its streaming sources two ways:
+  *
+  *  - [[ofQuery]] walks the query's STABLE streaming plan
+  *    (`MicroBatchExecution.logicalPlan`, where pre-start
+  *    `StreamingRelation` leaves have been rewritten to
+  *    `StreamingExecutionRelation` / `StreamingDataSourceV2ScanRelation`)
+  *    — source identity is the stream itself (`FileStreamSource[path]`,
+  *    `MemoryStream[…]`), constant across micro-batches.
+  *  - [[ofLastBatch]] walks the latest `IncrementalExecution`'s analyzed
+  *    plan — the per-micro-batch plan in which each source has been
+  *    substituted by the concrete batch it served (a file source becomes
+  *    a `LogicalRelation` over the exact files of that batch), so the
+  *    same sink column traces to the physical data of the batch.
+  *
+  * [[LineageListener]] snapshots [[ofQuery]] per run via the standard
+  * `StreamingQueryListener` bus, so lineage survives the query (graphs
+  * are kept post-mortem, bounded).  Driver-side plan metadata only —
+  * nothing here touches the data path or adds per-row cost.
+  */
+object StreamingLineage {
+
+  /** The engine under the public handle ([[StreamingQueryWrapper]] is
+    * what `DataStreamWriter.start()` returns). */
+  private def unwrap(q: StreamingQuery): StreamExecution = q match {
+    case w: StreamingQueryWrapper => w.streamingQuery
+    case e: StreamExecution => e
+    case other => throw new IllegalArgumentException(
+      s"not a stream-execution-backed query: ${other.getClass.getName}")
+  }
+
+  /** The running plan is wrapped in sink nodes (`WriteToStream`,
+    * `WriteToMicroBatchDataSource`, `WriteToDataSourceV2`, …) whose own
+    * output is Nil — the SINK COLUMNS are the output of the unary chain
+    * underneath.  Strip down to the first node that exposes output.
+    */
+  private def stripSink(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = plan match {
+    case w if (w.output.isEmpty || w.nodeName.startsWith("WriteTo")) &&
+        w.children.sizeIs == 1 =>
+      stripSink(w.children.head)
+    case other => other
+  }
+
+  /** Sink-column lineage of a running (or stopped-but-started) query's
+    * stable streaming plan.  Must not be called before the query thread
+    * has initialized the plan — i.e. call after `processAllAvailable()`
+    * / the first progress event (the listener below handles the
+    * general case).
+    */
+  def ofQuery(q: StreamingQuery): ColumnLineage.LineageGraph =
+    ColumnLineage.ofPlan(stripSink(unwrap(q).logicalPlan))
+
+  /** Sink-column lineage of the LATEST micro-batch: the
+    * `IncrementalExecution` analyzed plan, where each source leaf is the
+    * concrete batch relation it served this trigger.  None before the
+    * first batch has planned.
+    */
+  def ofLastBatch(q: StreamingQuery): Option[ColumnLineage.LineageGraph] =
+    Option(unwrap(q).lastExecution)
+      .map(ie => ColumnLineage.ofPlan(stripSink(ie.analyzed)))
+
+  /** Captures [[ofQuery]] per run id as the query progresses.  Register
+    * with `spark.streams.addListener(new LineageListener(spark))`; read
+    * with [[LineageListener.graphOf]].  Events are delivered on the
+    * async listener bus, so a just-started query's graph appears after
+    * its start/first-progress event drains; graphs are kept after
+    * termination (bounded at [[LineageListener.MaxRuns]], cleared
+    * defensively on overflow).
+    */
+  final class LineageListener(spark: SparkSession)
+      extends StreamingQueryListener {
+    import StreamingQueryListener._
+
+    private val graphs = new java.util.concurrent.ConcurrentHashMap[
+      UUID, ColumnLineage.LineageGraph]()
+
+    /** Last captured lineage of the given run, if any event for it has
+      * been processed yet. */
+    def graphOf(runId: UUID): Option[ColumnLineage.LineageGraph] =
+      Option(graphs.get(runId))
+
+    private def capture(runId: UUID): Unit =
+      try {
+        spark.streams.active.find(_.runId == runId).foreach { q =>
+          if (graphs.size() > LineageListener.MaxRuns) graphs.clear()
+          graphs.put(runId, ofQuery(q))
+        }
+        // never let a lineage snapshot fail the listener bus (e.g. the
+        // start event racing plan initialization) — progress events
+        // will re-capture
+      } catch { case scala.util.control.NonFatal(_) => }
+
+    override def onQueryStarted(e: QueryStartedEvent): Unit =
+      capture(e.runId)
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      capture(e.progress.runId)
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+  }
+
+  object LineageListener {
+    private[lineage] val MaxRuns = 256
+  }
+}

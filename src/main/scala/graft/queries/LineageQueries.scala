@@ -57,7 +57,55 @@ object LineageQueries {
           col("src_column"))
         .orderBy(col("op"), col("out_column"), col("src_table"),
           col("src_column"))
+    },
+
+    // Lineage of a RUNNING streaming query, captured through the
+    // standard listener bus (StreamingLineage.LineageListener): events
+    // replayed as a file stream, stream-static joined to the customer
+    // dim, aggregated — the sink's columns must trace the stream side
+    // to the live FileStreamSource and the static side to the parquet
+    // dim, with count(*)-derived n carrying no edges.  The reference's
+    // lineage is an analyzer rule batch plans pass through; streaming
+    // plans never reach it at all.
+    "q_lineage_stream" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id") < 500)
+        .select(col("user_id"), col("event_type"), col("value"))
+      val tmp = graft.TmpCleanup.tempDir("graft_lineage_replay")
+      ev.repartition(2).write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = stream.join(cust, col("user_id") === col("c_custkey"))
+        .groupBy(col("event_type"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      val listener = new graft.lineage.StreamingLineage.LineageListener(s)
+      s.streams.addListener(listener)
+      val graph =
+        try {
+          val q = joined.writeStream.format("memory")
+            .queryName(s"lineage_stream_${streamRun.incrementAndGet()}")
+            .outputMode("complete").start()
+          try {
+            q.processAllAvailable()
+            // the listener's async snapshot, when it has drained, is
+            // byte-identical to the direct walk of the running plan —
+            // fall back to the walk so the gate never races the bus
+            listener.graphOf(q.runId)
+              .getOrElse(graft.lineage.StreamingLineage.ofQuery(q))
+          } finally q.stop()
+        } finally s.streams.removeListener(listener)
+      graph.toDF(s)
+        .withColumn("src_table",
+          when(col("src_table").startsWith("FileStreamSource["),
+            lit("events_stream"))
+            .otherwise(regexp_extract(col("src_table"),
+              "([a-z]+)\\.parquet", 1)))
+        .orderBy(col("out_column"), col("src_table"), col("src_column"))
     })
+
+  private val streamRun = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The edge list is a deterministic function of the plan, so the
     * oracle is the golden edge set itself — the driver hash proves the
@@ -82,5 +130,13 @@ object LineageQueries {
         |  ('minhash', 'id_b', 'documents', 'doc_id'),
         |  ('minhash', 'jaccard', 'documents', 'text'))
         |  AS t(op, out_column, src_table, src_column)
-        |ORDER BY op, out_column, src_table, src_column""".stripMargin)
+        |ORDER BY op, out_column, src_table, src_column""".stripMargin,
+
+    "q_lineage_stream" ->
+      """SELECT * FROM (VALUES
+        |  ('c_mktsegment', 'customer', 'c_mktsegment'),
+        |  ('event_type', 'events_stream', 'event_type'),
+        |  ('total', 'events_stream', 'value'))
+        |  AS t(out_column, src_table, src_column)
+        |ORDER BY out_column, src_table, src_column""".stripMargin)
 }

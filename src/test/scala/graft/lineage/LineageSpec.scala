@@ -461,4 +461,78 @@ class LineageSpec extends SparkSpec {
     assert(g("score_micro").isEmpty, g("score_micro").toString)
     assert(g("n_terms_hit").isEmpty, g("n_terms_hit").toString)
   }
+
+  test("RUNNING query: listener captures sink-column lineage to the " +
+      "live v2 memory source; ofQuery and the snapshot agree") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val listener = new StreamingLineage.LineageListener(spark)
+    spark.streams.addListener(listener)
+    val in = MemoryStream[(Long, Double)]
+    val out = in.toDF().toDF("k", "v")
+      .groupBy(col("k"))
+      .agg(sum(col("v") * 2).as("v2_sum"), count(lit(1)).as("n"))
+    val q = out.writeStream.format("memory").queryName("lin_mem_out")
+      .outputMode("complete").start()
+    try {
+      in.addData((1L, 1.5), (2L, 2.5), (1L, 3.0))
+      q.processAllAvailable()
+      val g = StreamingLineage.ofQuery(q)
+      val srcTable = g("k").head.table
+      assert(g("k").map(_.column) == Set("_1"), g("k").toString)
+      assert(g("v2_sum") == Set(src(srcTable, "_2")), g("v2_sum").toString)
+      assert(g("n").isEmpty, "count(1) has no source columns")
+      // the listener's async snapshot converges to the same graph
+      val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+      var snap = listener.graphOf(q.runId)
+      while (snap.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(50); snap = listener.graphOf(q.runId)
+      }
+      assert(snap.nonEmpty, "listener never captured the run's lineage")
+      assert(snap.get.outputs == g.outputs)
+      q.stop()
+      // graphs survive termination (post-mortem audit)
+      assert(listener.graphOf(q.runId).nonEmpty)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
+  test("RUNNING query: stable plan names the v1 file stream; the last " +
+      "micro-batch's IncrementalExecution traces to the concrete batch " +
+      "relation it served") {
+    val dir = graft.TmpCleanup.tempDir("graft_lineage_stream")
+    Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("value"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType))))
+      .parquet(dir)
+    val agg = stream.groupBy(col("event_type"))
+      .agg(sum(col("value")).as("total"))
+    val q = agg.writeStream.format("memory").queryName("lin_file_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // stable streaming plan: the leaf is the SOURCE itself
+      val g = StreamingLineage.ofQuery(q)
+      val srcTable = g("event_type").head.table
+      assert(srcTable.startsWith("FileStreamSource["), srcTable)
+      assert(srcTable.contains("graft_lineage_stream"), srcTable)
+      assert(g("total") == Set(src(srcTable, "value")), g("total").toString)
+      // last micro-batch: the leaf is the batch's file relation over
+      // the same directory (IncrementalExecution.analyzed)
+      val gb = StreamingLineage.ofLastBatch(q)
+      assert(gb.nonEmpty, "no IncrementalExecution after processAllAvailable")
+      val batchTable = gb.get("event_type").head.table
+      assert(batchTable != srcTable && batchTable.contains("graft_lineage_stream"),
+        s"batch leaf should be the served file relation, got '$batchTable'")
+      assert(gb.get("total").map(_.column) == Set("value"), gb.get("total").toString)
+    } finally q.stop()
+  }
 }
