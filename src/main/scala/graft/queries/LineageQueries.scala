@@ -82,6 +82,11 @@ object LineageQueries {
         .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       val listener = new graft.lineage.StreamingLineage.LineageListener(s)
       s.streams.addListener(listener)
+      // 4 state-store partitions for the eager replay (the streaming-
+      // gate convention: per-trigger cost is state-store instances, not
+      // rows); the session default is restored after
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       val graph =
         try {
           val q = joined.writeStream.format("memory")
@@ -95,7 +100,10 @@ object LineageQueries {
             listener.graphOf(q.runId)
               .getOrElse(graft.lineage.StreamingLineage.ofQuery(q))
           } finally q.stop()
-        } finally s.streams.removeListener(listener)
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", savedParts)
+          s.streams.removeListener(listener)
+        }
       graph.toDF(s)
         .withColumn("src_table",
           when(col("src_table").startsWith("FileStreamSource["),
