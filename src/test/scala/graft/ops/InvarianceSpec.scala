@@ -86,7 +86,19 @@ class InvarianceSpec extends SparkSpec {
     "q_pagerank",         // iterative rank mass, bounded rounds
     "q_zipf_fit",         // OLS on exact integer moments
     "q_suffix_ranks",     // prefix-doubling rank assignment
-    "q_kmeans")           // k-row deterministic seeding + integer sums
+    "q_kmeans",           // k-row deterministic seeding + integer sums
+    // the rest of the custom-codegen-expression hosts, so the
+    // interpreted leg covers every doGenCode/eval pair in situ
+    "q_hamming",          // hamming64
+    "q_zorder_code",      // InterleaveBits16
+    "q_hilbert_code",     // HilbertIndex2D
+    "q_dedup_simhash",    // SimHash64
+    "q_blocklist",        // MultiMatchCount (Aho-Corasick)
+    "q_wordpiece",        // WordPieceEncode
+    "q_unigram_em",       // UnigramViterbi
+    "q_fingerprint",      // rolling_hash64
+    "q_dedup_jaccard",    // jaccard_sorted
+    "q_knn_brute")        // cosine_sim
 
   /** SPARK_GRAFT_INVARIANCE=all sweeps every eligible gate (a ~25 min
     * offline hunt); default is the curated cross-family sample.
@@ -111,6 +123,17 @@ class InvarianceSpec extends SparkSpec {
       assert(noAqe == base,
         s"$name changes with AQE off: $base vs $noAqe — the result must " +
           "not depend on runtime re-planning")
+      // third leg: interpreted execution — every custom Expression's
+      // eval() path must agree with its doGenCode() path IN SITU (the
+      // per-expression unit tests can't see interactions with casts,
+      // null plumbing, and aggregate buffers inside real gate plans)
+      val interpreted = withConf(
+        "spark.sql.codegen.wholeStage" -> "false",
+        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")(fingerprint(name))
+      assert(interpreted == base,
+        s"$name changes with codegen disabled: $base vs $interpreted — " +
+          "an eval()-vs-doGenCode() divergence in some expression on " +
+          "this gate's path")
     }
   }
 }
