@@ -117,7 +117,7 @@ object OpsQueries {
     // (Twin-pair recall is the companion q_dedup_minhash_recall entry;
     // pair-level goldens live in DedupSpec.)
     "q_dedup_minhash" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+      val docs = jaccardProbeDocs(s, dir)
       val found = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
       val exact = Dedup.jaccardPairsExact(docs, "doc_id", "text", threshold = 0.5)
       exact.agg(count(lit(1)).as("n_exact_pairs"))
@@ -177,7 +177,7 @@ object OpsQueries {
     // DuckDB list functions, so this one IS oracle-checked (on a capped
     // subset to keep the quadratic oracle cheap).
     "q_dedup_jaccard" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+      val docs = jaccardProbeDocs(s, dir)
       Dedup.jaccardPairsExact(docs, "doc_id", "text", threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -187,7 +187,7 @@ object OpsQueries {
     // and the DuckDB all-pairs oracle produce — completeness of the
     // prefix-filter theorem checked on real data.
     "q_prefix_jaccard" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+      val docs = jaccardProbeDocs(s, dir)
       Dedup.prefixFilteredJaccardPairs(docs, "doc_id", "text",
           threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
@@ -200,7 +200,7 @@ object OpsQueries {
     // it exactly), sources joined per side, unordered pair normalized
     // by least/greatest.
     "q_dup_flow" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+      val docs = jaccardProbeDocs(s, dir)
       val pairs = Dedup.prefixFilteredJaccardPairs(docs, "doc_id", "text",
         threshold = 0.5)
       val src = docs.select(col("doc_id"), col("source"))
@@ -798,7 +798,8 @@ object OpsQueries {
     "q_prefix_jaccard" -> jaccardOracle,
 
     "q_dup_flow" -> {
-      s"""WITH sh AS (
+      s"""WITH $jaccardProbeSql,
+        |sh AS (
         |  SELECT doc_id, source, list_distinct(CASE WHEN len(toks) >= 3
         |    THEN list_transform(generate_series(0, len(toks) - 3),
         |         i -> hash(toks[i+1] || ' ' || toks[i+2] || ' ' ||
@@ -806,7 +807,7 @@ object OpsQueries {
         |    ELSE [hash(array_to_string(toks, ' '))] END) AS s
         |  FROM (SELECT doc_id, source, string_split($normSql, ' ')
         |          AS toks
-        |        FROM documents WHERE doc_id < 200)),
+        |        FROM probe_docs AS documents)),
         |p AS (SELECT least(a.source, b.source) AS source_a,
         |    greatest(a.source, b.source) AS source_b
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -1030,6 +1031,32 @@ object OpsQueries {
         |FROM fx GROUP BY kind ORDER BY kind""".stripMargin)
 
   /** DuckDB twin of TextAnalysis.normalize. */
+  /** The capped Jaccard-pair slice (doc_id < 200, brute-oracle-sized)
+    * plus two injected EXACT clones (ids 0 and 100 re-issued at
+    * +500000): the natural slice carries near-dup families only at
+    * some scale factors (none land under id 200 at sf0.1 — found by
+    * the round-11 sf0.1 sweep), so the clones guarantee the pair
+    * pipeline has teeth at ANY corpus scale while the natural pairs
+    * still count wherever they exist.  Mirrored exactly by
+    * [[jaccardProbeSql]].
+    */
+  private def jaccardProbeDocs(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("source"), col("text"))
+    base.unionByName(base.filter(pmod(col("doc_id"), lit(100)) === 0)
+      .withColumn("doc_id", col("doc_id") + 500000L))
+  }
+
+  // def, not val: interpolated into the oracle map, which initializes
+  // BEFORE later-declared vals (a val here reads as null mid-init)
+  private def jaccardProbeSql: String =
+    """probe_docs AS (
+      |  SELECT doc_id, source, text FROM documents WHERE doc_id < 200
+      |  UNION ALL
+      |  SELECT doc_id + 500000, source, text FROM documents
+      |  WHERE doc_id < 200 AND doc_id % 100 = 0)""".stripMargin
+
   private def normSql: String =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
 
@@ -1080,13 +1107,14 @@ object OpsQueries {
 
   private def jaccardOracle: String = {
     val norm = normSql
-    s"""WITH sh AS (
+    s"""WITH $jaccardProbeSql,
+      |sh AS (
       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
       |    THEN list_transform(generate_series(0, len(toks) - 3),
       |         i -> hash(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
       |    ELSE [hash(array_to_string(toks, ' '))] END) AS s
       |  FROM (SELECT doc_id, string_split($norm, ' ') AS toks
-      |        FROM documents WHERE doc_id < 200))
+      |        FROM probe_docs AS documents))
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  round(len(list_intersect(a.s, b.s))::DOUBLE /
       |        len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard

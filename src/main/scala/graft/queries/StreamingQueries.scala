@@ -752,10 +752,12 @@ object StreamingQueries {
     // micro-batch is deduped against the ACCUMULATED history (bloom
     // prefilter + exact verify, ops.Dedup.incrementalDedup) and its
     // survivors append to the history.  Batches 2 and 3 carry re-crawl
-    // copies of earlier docs under new ids; every copy must be dropped,
-    // so the final history is exactly the 500 originals — the oracle is
-    // the plain documents table, which makes any false-positive drop or
-    // false-negative keep a hash mismatch.
+    // copies of earlier docs under new ids; every copy must be
+    // dropped.  The oracle reconstructs the survivor law exactly —
+    // keep iff no EARLIER batch carried the same text — so natural
+    // exact-dup texts in the corpus (present at sf0.1) are handled,
+    // and any false-positive drop or false-negative keep is still a
+    // hash mismatch.
     "q_stream_incremental_dedup" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("text"))
@@ -796,10 +798,11 @@ object StreamingQueries {
     // micro-batch is shingled once, banded with the fused
     // MinHashBuckets expression, candidate-joined against the
     // history's (band, bucket) index, and exact-Jaccard-refined at
-    // 0.995 — injected re-crawl clones score exactly 1.0 while the
-    // corpus's highest NATURAL cross-doc Jaccard is 0.9891 (measured),
-    // so the drop set is exactly the clones and the survivor history
-    // is the original corpus.  History never re-shingles: only its
+    // 0.995 — re-crawl clones and natural exact-dup texts score
+    // exactly 1.0 while the corpus's highest NATURAL non-exact
+    // cross-doc Jaccard measures below the threshold (0.9891 at
+    // sf0.01), so the drop set is exactly the earlier-batch
+    // exact-text dups.  History never re-shingles: only its
     // index rows and shingle sets persist between batches.  The op
     // pins its duplicate-id set BEFORE the caller appends to the
     // index dirs, so the appends cannot leak into a lazy re-read.
@@ -1011,18 +1014,42 @@ object StreamingQueries {
         |FROM hist GROUP BY vf, vt IS NULL
         |ORDER BY valid_from, open""".stripMargin,
 
-    // survivors of the streamed re-crawl are exactly the originals
+    // Survivor semantics, corpus-INDEPENDENT: a doc survives iff no
+    // EARLIER batch carried the same text (incrementalDedup removes
+    // batch-vs-history dups only; same-batch equal texts both
+    // survive).  The injected re-crawl clones always have an
+    // earlier-batch original, and NATURAL exact-dup texts in the
+    // corpus (8 pairs at sf0.1, 0 at sf0.01 — found by the round-11
+    // sf0.1 sweep) drop exactly when they straddle batches.  The
+    // batch-of-origin is a pure function of doc_id (the gate's chunk
+    // ranges), so the oracle reconstructs it.
     "q_stream_incremental_dedup" ->
-      """SELECT source, count(*) AS n_docs,
+      """WITH d AS (SELECT doc_id, source, text,
+        |    CASE WHEN doc_id < 200 THEN 0 WHEN doc_id <= 349 THEN 1
+        |         ELSE 2 END AS b
+        |  FROM documents),
+        |m AS (SELECT text, min(b) AS mb FROM d GROUP BY text)
+        |SELECT source, count(*) AS n_docs,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+        |FROM d JOIN m USING (text) WHERE d.b = m.mb
+        |GROUP BY source ORDER BY source""".stripMargin,
 
-    // near-dup drop set == exactly the injected clones (J=1.0 vs a
-    // measured natural ceiling of 0.9891 < the 0.995 threshold)
+    // Same survivor law as q_stream_incremental_dedup: an exact text
+    // copy has Jaccard exactly 1.0 >= the 0.995 threshold, and the
+    // corpus's highest natural NON-exact cross-doc Jaccard measures
+    // below 0.995 at both sf0.01 (0.9891) and sf0.1 (the two gates'
+    // outputs are identical there), so the near-dup drop set equals
+    // the earlier-batch exact-text dups.
     "q_stream_neardup" ->
-      """SELECT source, count(*) AS n_docs,
+      """WITH d AS (SELECT doc_id, source, text,
+        |    CASE WHEN doc_id < 200 THEN 0 WHEN doc_id <= 349 THEN 1
+        |         ELSE 2 END AS b
+        |  FROM documents),
+        |m AS (SELECT text, min(b) AS mb FROM d GROUP BY text)
+        |SELECT source, count(*) AS n_docs,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+        |FROM d JOIN m USING (text) WHERE d.b = m.mb
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_stream_foreachbatch_merge" ->
       """SELECT user_id, count(*) AS n,
