@@ -60,9 +60,10 @@ object PlanAudit {
         "all-pairs product."),
     Entry("q_knn_ivf",
       "IVF approximate nearest neighbour: vectors route to their " +
-        "nearest of k centroids (broadcast, k rows), the query probes " +
-        "nProbe cells, and the scan-side join is an equi-join on " +
-        "cell id — brute force only within cells."),
+        "nearest of k centroids (broadcast, k rows — the two " +
+        "nested-loop joins below are those k-row centroid crosses, " +
+        "not data×data), and the candidate join is an EQUI-join on " +
+        "cell id — brute force only within probed cells."),
     Entry("q_bm25_topk",
       "Integer micro-nat BM25: term stats aggregate once, the 1-row " +
         "corpus stats broadcast-cross into the idf projection (the " +

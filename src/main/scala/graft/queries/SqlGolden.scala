@@ -145,13 +145,16 @@ object SqlGolden {
         |ORDER BY n_nationkey""".stripMargin,
 
     // listagg (SQL:2016 WITHIN GROUP), mode, any_value — the Spark 4
-    // ordered-set aggregate tail; mode's winner is unique per status in
-    // the test data, any_value is over a 1:1 group.
+    // ordered-set aggregate tail.  mode runs DETERMINISTIC (lowest
+    // value on frequency ties): the sf0.001 corpus has a tied status
+    // group, so an unqualified mode() is engine-lottery there (found
+    // by the round-11 down-scale sweep).  any_value is over a 1:1
+    // group.
     "q_agg_ordered_set" ->
       """SELECT o_orderstatus,
         |  listagg(DISTINCT o_orderpriority, ',')
         |    WITHIN GROUP (ORDER BY o_orderpriority) AS prios,
-        |  mode(o_orderpriority) AS top_prio,
+        |  mode(o_orderpriority, true) AS top_prio,
         |  any_value(o_orderstatus) AS st2
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
@@ -284,12 +287,22 @@ object SqlGolden {
         |  chr(65 + n_nationkey % 26) AS ch,
         |  CAST(8 * strlen(n_name) AS INT) AS bl
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // mode twin with the EXPLICIT deterministic tiebreak (lowest value
+    // among max-frequency priorities) — DuckDB's mode() has no
+    // deterministic flag
     "q_agg_ordered_set" ->
-      """SELECT o_orderstatus,
-        |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prios,
-        |  mode(o_orderpriority) AS top_prio,
-        |  o_orderstatus AS st2
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      """WITH pc AS (SELECT o_orderstatus, o_orderpriority AS p, count(*) AS c
+        |            FROM orders GROUP BY 1, 2),
+        |md AS (SELECT o_orderstatus, min(p) AS top_prio FROM (
+        |         SELECT o_orderstatus, p, c,
+        |                max(c) OVER (PARTITION BY o_orderstatus) AS mc FROM pc)
+        |       WHERE c = mc GROUP BY 1)
+        |SELECT o.o_orderstatus,
+        |  string_agg(DISTINCT o.o_orderpriority, ',' ORDER BY o.o_orderpriority) AS prios,
+        |  min(md.top_prio) AS top_prio,
+        |  o.o_orderstatus AS st2
+        |FROM orders o JOIN md ON o.o_orderstatus = md.o_orderstatus
+        |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin,
     "q_agg_percentile_within" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

@@ -168,7 +168,7 @@ object TpcdsShapes4 {
         |    count(*) OVER (PARTITION BY brand) AS n_q
         |  FROM t)
         |SELECT brand, qoy, sum_cents,
-        |  CAST(round(CAST(total_cents AS DOUBLE) / n_q / 100, 2) AS DOUBLE) AS avg_quarterly
+        |  CAST(floor((2.0 * total_cents + n_q) / (2 * n_q)) AS DOUBLE) / 100 AS avg_quarterly
         |FROM w
         |WHERE total_cents > 0 AND 10 * abs(sum_cents * n_q - total_cents) > total_cents
         |ORDER BY brand, qoy""".stripMargin,
