@@ -499,6 +499,29 @@ class LineageSpec extends SparkSpec {
     }
   }
 
+  test("RUNNING query: foreachBatch sinks trace like any other — the " +
+      "exactly-once merge pattern keeps column provenance") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val out = in.toDF().toDF("k", "v")
+      .select(col("k"), (col("v") * 10).as("v10"))
+    val q = out.writeStream
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    try {
+      in.addData((1L, 2L), (3L, 4L))
+      q.processAllAvailable()
+      val g = StreamingLineage.ofQuery(q)
+      assert(g.outputs.map(_.name) == Seq("k", "v10"),
+        "sink wrapper must strip down to the user plan's columns: " +
+          g.outputs.map(_.name))
+      assert(g("k").map(_.column) == Set("_1"), g("k").toString)
+      assert(g("v10").map(_.column) == Set("_2"), g("v10").toString)
+      assert(StreamingLineage.ofLastBatch(q).nonEmpty)
+    } finally q.stop()
+  }
+
   test("RUNNING query: stable plan names the v1 file stream; the last " +
       "micro-batch's IncrementalExecution traces to the concrete batch " +
       "relation it served") {
