@@ -95,6 +95,22 @@ object PlanAudit {
         "range predicate filters residually — the O(n·m) " +
         "BroadcastNestedLoopJoin a naive BETWEEN join plans never " +
         "appears."),
+    Entry("q_asof_join",
+      "As-of join without a range join: both sides union-tag into one " +
+        "frame and a per-key ordered window carries the latest left " +
+        "row forward onto each right row — ONE shuffle on the join " +
+        "key, no BETWEEN nested loop, per-key rows bounded by the " +
+        "feed contract (the keyedWindowOk bound)."),
+    Entry("q_join_shuffle_hash",
+      "Shuffled hash join: when the build side is modest but above " +
+        "the broadcast threshold, hashing it per partition beats " +
+        "sorting BOTH sides — no sort phase on either input, one " +
+        "shuffle each (plan-asserted in PlanSpec)."),
+    Entry("q_agg_distinct",
+      "Multi-distinct aggregation via the Expand rewrite: one pass " +
+        "over the input fans each row out per distinct-column group " +
+        "and partial aggregates run below the exchange — never one " +
+        "shuffle per DISTINCT column."),
     Entry("q_global_rownum",
       "Global row numbering WITHOUT a global window: per-partition " +
         "counts collect (one long per partition), offsets broadcast " +

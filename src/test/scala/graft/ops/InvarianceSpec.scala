@@ -32,8 +32,15 @@ import graft.{SparkEntry, SparkSpec}
   */
 class InvarianceSpec extends SparkSpec {
 
+  /** SPARK_GRAFT_INVARIANCE_SF overrides the data scale (default
+    * sf0.001): float-accumulation-order bugs need enough rows per
+    * partition to surface, so the offline hunt also runs at sf0.01.
+    */
+  private val invSf: String =
+    sys.env.getOrElse("SPARK_GRAFT_INVARIANCE_SF", sf)
+
   private def fingerprint(name: String): String = {
-    val df = SparkEntry.queries(name)(spark, sf)
+    val df = SparkEntry.queries(name)(spark, invSf)
     Checks.datasetFingerprint(df, df.columns.toSeq).collect()(0).toString
   }
 
