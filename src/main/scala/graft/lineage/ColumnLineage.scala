@@ -51,16 +51,25 @@ object ColumnLineage {
   /** Lineage of a DataFrame's output columns (walks the analyzed plan —
     * same lifecycle point as the reference's `Batch("LineageTrack")`,
     * `Analyzer.scala:211-213`).
+    *
+    * `includeControlFlow = true` (opt-in; default DATA-flow only, the
+    * reference's semantics) additionally traces PREDICATE edges: a
+    * column that survives a `Filter` or a conditioned `Join` also
+    * depends on the predicate's source columns — the row's PRESENCE is
+    * a function of them even when its value is not.
     */
-  def of(df: DataFrame): LineageGraph = ofPlan(df.queryExecution.analyzed)
+  def of(df: DataFrame, includeControlFlow: Boolean = false): LineageGraph =
+    ofPlan(df.queryExecution.analyzed, includeControlFlow)
 
   /** Lineage of a SQL statement against the session's current views. */
-  def ofSql(spark: SparkSession, sql: String): LineageGraph =
-    of(spark.sql(sql))
+  def ofSql(spark: SparkSession, sql: String,
+      includeControlFlow: Boolean = false): LineageGraph =
+    of(spark.sql(sql), includeControlFlow)
 
   /** Lineage of an already-analyzed plan. */
-  def ofPlan(plan: LogicalPlan): LineageGraph = {
-    val resolved = resolve(plan, None, Map.empty)
+  def ofPlan(plan: LogicalPlan,
+      includeControlFlow: Boolean = false): LineageGraph = {
+    val resolved = resolve(plan, None, Map.empty, includeControlFlow)
     LineageGraph(plan.output.map(a =>
       OutputLineage(a.name, resolved.getOrElse(a.exprId, Set.empty))))
   }
@@ -68,7 +77,7 @@ object ColumnLineage {
   /** Output ExprId → leaf sources, for [[LineageRegistry.capture]]. */
   private[lineage] def outputSources(plan: LogicalPlan)
       : Map[ExprId, Set[SourceColumn]] = {
-    val resolved = resolve(plan, None, Map.empty)
+    val resolved = resolve(plan, None, Map.empty, cf = false)
     plan.output.map(a =>
       a.exprId -> resolved.getOrElse(a.exprId, Set.empty[SourceColumn])).toMap
   }
@@ -113,19 +122,19 @@ object ColumnLineage {
   /** CTE context: def id → (def output, def lineage map). */
   private type CteCtx = Map[Long, (Seq[Attribute], Map[ExprId, Set[SourceColumn]])]
 
-  private def resolve(plan: LogicalPlan, alias: Option[String], ctes: CteCtx)
-      : Map[ExprId, Set[SourceColumn]] = plan match {
+  private def resolve(plan: LogicalPlan, alias: Option[String], ctes: CteCtx,
+      cf: Boolean): Map[ExprId, Set[SourceColumn]] = plan match {
 
     case s: SubqueryAlias =>
       // name the subtree after the alias only if its leaves are anonymous
-      resolve(s.child, Some(s.alias), ctes)
+      resolve(s.child, Some(s.alias), ctes, cf)
 
     case w: WithCTE =>
       // resolve defs first (later defs may reference earlier ones)
       val defCtx = w.cteDefs.foldLeft(ctes) { (ctx, d) =>
-        ctx + (d.id -> (d.child.output, resolve(d.child, None, ctx)))
+        ctx + (d.id -> (d.child.output, resolve(d.child, None, ctx, cf)))
       }
-      resolve(w.plan, alias, defCtx)
+      resolve(w.plan, alias, defCtx, cf)
 
     case r: CTERelationRef if ctes.contains(r.cteId) =>
       // positional mapping from the ref's fresh attribute ids to the
@@ -152,26 +161,39 @@ object ColumnLineage {
           .getOrElse(Set(SourceColumn(table, a.name)))).toMap
 
     case p: Project =>
-      val child = resolveChildren(p, alias, ctes)
-      child ++ namedEdges(p.projectList, child)
+      val child = resolveChildren(p, alias, ctes, cf)
+      child ++ namedEdges(p.projectList, child, cf)
 
     case a: Aggregate =>
-      val child = resolveChildren(a, alias, ctes)
-      child ++ namedEdges(a.aggregateExpressions, child)
+      val child = resolveChildren(a, alias, ctes, cf)
+      child ++ namedEdges(a.aggregateExpressions, child, cf)
 
     case w: Window =>
-      val child = resolveChildren(w, alias, ctes)
-      child ++ namedEdges(w.windowExpressions, child)
+      val child = resolveChildren(w, alias, ctes, cf)
+      child ++ namedEdges(w.windowExpressions, child, cf)
 
     case g: Generate =>
-      val child = resolveChildren(g, alias, ctes)
-      val genSources = exprSources(g.generator, child)
+      val child = resolveChildren(g, alias, ctes, cf)
+      val genSources = exprSources(g.generator, child, cf)
       child ++ g.generatorOutput.map(a => a.exprId -> genSources).toMap
+
+    // control-flow mode: a predicate's sources feed every surviving
+    // column — the row's presence is derived from them (SURVEY §7
+    // hard-part (a): the reference leaves these edges undefined)
+    case f: Filter if cf =>
+      val child = resolveChildren(f, alias, ctes, cf)
+      val pred = exprSources(f.condition, child, cf)
+      child.map { case (k, v) => k -> (v ++ pred) }
+
+    case j: Join if cf && j.condition.isDefined =>
+      val child = resolveChildren(j, alias, ctes, cf)
+      val pred = exprSources(j.condition.get, child, cf)
+      child.map { case (k, v) => k -> (v ++ pred) }
 
     case u: Union =>
       // n-ary positional pairing (reference: binary-only UnionColumn zip,
       // ResolveLineage.scala:96-107)
-      val childMaps = u.children.map(c => (c, resolve(c, alias, ctes)))
+      val childMaps = u.children.map(c => (c, resolve(c, alias, ctes, cf)))
       u.output.zipWithIndex.map { case (out, i) =>
         out.exprId -> childMaps.flatMap { case (c, m) =>
           m.getOrElse(c.output(i).exprId, Set.empty)
@@ -179,46 +201,264 @@ object ColumnLineage {
       }.toMap
 
     case e: Expand =>
-      val child = resolveChildren(e, alias, ctes)
+      val child = resolveChildren(e, alias, ctes, cf)
       child ++ e.output.zipWithIndex.map { case (out, i) =>
         out.exprId -> e.projections.flatMap(proj =>
-          exprSources(proj(i), child)).toSet
+          exprSources(proj(i), child, cf)).toSet
       }.toMap
 
     case _ =>
       // Join, Filter, Sort, Limit, Distinct, Repartition, subquery glue…:
       // output attributes pass through from children unchanged.
-      resolveChildren(plan, alias, ctes)
+      resolveChildren(plan, alias, ctes, cf)
   }
 
   private def resolveChildren(plan: LogicalPlan, alias: Option[String],
-      ctes: CteCtx): Map[ExprId, Set[SourceColumn]] =
+      ctes: CteCtx, cf: Boolean): Map[ExprId, Set[SourceColumn]] =
     plan.children.map(resolve(_, alias match {
       case Some(_) if plan.children.sizeIs == 1 => alias
       case _ => None
-    }, ctes)).foldLeft(Map.empty[ExprId, Set[SourceColumn]])(_ ++ _)
+    }, ctes, cf)).foldLeft(Map.empty[ExprId, Set[SourceColumn]])(_ ++ _)
 
   /** ExprId-join of each named expression's leaf references against the
     * child map (the reference's fetchRelation/findAllChildren,
     * `ResolveLineage.scala:32-74`).
     */
   private def namedEdges(exprs: Seq[NamedExpression],
-      child: Map[ExprId, Set[SourceColumn]])
+      child: Map[ExprId, Set[SourceColumn]], cf: Boolean)
       : Map[ExprId, Set[SourceColumn]] =
-    exprs.map { ne => ne.exprId -> exprSources(ne, child) }.toMap
+    exprs.map { ne => ne.exprId -> exprSources(ne, child, cf) }.toMap
 
   /** All leaf sources feeding one expression, including through scalar
     * subqueries (the reference skips subquery expressions entirely).
     */
   private def exprSources(e: Expression,
-      child: Map[ExprId, Set[SourceColumn]]): Set[SourceColumn] = {
+      child: Map[ExprId, Set[SourceColumn]], cf: Boolean): Set[SourceColumn] = {
     val direct = e.references.iterator
       .flatMap(a => child.getOrElse(a.exprId, Set.empty)).toSet
     val viaSubquery = e.collect {
       case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
         sq.plan.output.flatMap(a =>
-          resolve(sq.plan, None, Map.empty).getOrElse(a.exprId, Set.empty)).toSet
+          resolve(sq.plan, None, Map.empty, cf)
+            .getOrElse(a.exprId, Set.empty)).toSet
     }.flatten.toSet
     direct ++ viaSubquery
+  }
+
+  // ──────────────────── hop-level derivation DAG ────────────────────
+  //
+  // Where LineageGraph flattens to output → leaf-source CLOSURE, the
+  // hop view preserves every intermediate named derivation — the
+  // structure the reference keeps as `Column extends TreeNode[Column]`
+  // (`catalyst/lineage/Column.scala:23`), one `ExpressionColumn`
+  // (`ExpressionColumn.scala:22`) per deriving expression with
+  // `RelationColumn` leaves.  Differences, by design:
+  //  - pass-through attributes are NOT hops (an untouched column
+  //    flowing through a node derives nothing; a RENAME is a hop);
+  //  - the DAG is immutable and shared (same sub-derivation feeding
+  //    two outputs is one node), so plan copies can't lose it;
+  //  - a lineage-erasing checkpoint boundary degrades gracefully to a
+  //    single "checkpoint" hop over the registry-spliced leaf sources
+  //    (intermediate hops below the checkpoint are gone by then).
+
+  /** One node of a column's derivation tree. */
+  sealed trait HopNode {
+    /** One-line description (the reference's `ExpressionColumn.toString`). */
+    def label: String
+    def children: Seq[HopNode]
+
+    /** Nested rendering of the derivation, reference
+      * `lineageChildren(i).treeString` style
+      * (`examples/.../SparkLineageExample.scala:58`).
+      */
+    final def treeString: String = {
+      val sb = new StringBuilder
+      def go(n: HopNode, depth: Int): Unit = {
+        if (depth > 0) sb.append("  " * (depth - 1)).append("+- ")
+        sb.append(n.label).append('\n')
+        n.children.foreach(go(_, depth + 1))
+      }
+      go(this, 0)
+      sb.result()
+    }
+  }
+
+  /** A column produced by expression `exprSql` at plan node `node`. */
+  final case class DerivedHop(name: String, exprSql: String, node: String,
+      children: Seq[HopNode]) extends HopNode {
+    def label: String = s"$name := $exprSql [$node]"
+  }
+
+  /** A physical leaf column (the reference's `RelationColumn`). */
+  final case class LeafHop(source: SourceColumn) extends HopNode {
+    def label: String = source.toString
+    def children: Seq[HopNode] = Nil
+  }
+
+  /** Derivation trees of a frame's output columns, in output order. */
+  def hopsOf(df: DataFrame): Seq[(String, HopNode)] =
+    hopsOfPlan(df.queryExecution.analyzed)
+
+  /** Derivation trees of an analyzed plan's output columns. */
+  def hopsOfPlan(plan: LogicalPlan): Seq[(String, HopNode)] = {
+    val m = hopWalk(plan, None, Map.empty)
+    plan.output.map(a => a.name -> m.getOrElse(a.exprId,
+      LeafHop(SourceColumn("unknown", a.name))))
+  }
+
+  /** Rendered derivation tree of one output column. */
+  def hopTree(df: DataFrame, column: String): String =
+    hopsOf(df).collectFirst { case (n, h) if n == column => h.treeString }
+      .getOrElse(s"<no such output column: $column>")
+
+  /** Flat hop edge list, deduplicated:
+    * (out_column, deriving expression sql, plan node, input label) —
+    * input is the upstream hop's column name, a `table.column` leaf, or
+    * empty for reference-free derivations (literals, count(*)).
+    */
+  def hopEdges(df: DataFrame): Seq[(String, String, String, String)] = {
+    val visited = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[HopNode, java.lang.Boolean]())
+    val out = Seq.newBuilder[(String, String, String, String)]
+    def go(n: HopNode): Unit = if (visited.add(n)) n match {
+      case d: DerivedHop =>
+        if (d.children.isEmpty) out += ((d.name, d.exprSql, d.node, ""))
+        d.children.foreach { c =>
+          val lbl = c match {
+            case dc: DerivedHop => dc.name
+            case lf: LeafHop => lf.source.toString
+          }
+          out += ((d.name, d.exprSql, d.node, lbl))
+        }
+        d.children.foreach(go)
+      case _ => ()
+    }
+    hopsOf(df).foreach { case (_, n) => go(n) }
+    out.result().distinct
+  }
+
+  /** Robust SQL text of a deriving expression. */
+  private def sqlOf(e: Expression): String =
+    scala.util.Try(e.sql).getOrElse(e.toString)
+
+  private type HopCtx = Map[Long, (Seq[Attribute], Map[ExprId, HopNode])]
+
+  private def hopWalk(plan: LogicalPlan, alias: Option[String], ctes: HopCtx)
+      : Map[ExprId, HopNode] = plan match {
+
+    case s: SubqueryAlias =>
+      hopWalk(s.child, Some(s.alias), ctes)
+
+    case w: WithCTE =>
+      val defCtx = w.cteDefs.foldLeft(ctes) { (ctx, d) =>
+        ctx + (d.id -> (d.child.output, hopWalk(d.child, None, ctx)))
+      }
+      hopWalk(w.plan, alias, defCtx)
+
+    case r: CTERelationRef if ctes.contains(r.cteId) =>
+      val (defOut, defMap) = ctes(r.cteId)
+      r.output.zip(defOut).flatMap { case (refAttr, defAttr) =>
+        defMap.get(defAttr.exprId).map(refAttr.exprId -> _)
+      }.toMap
+
+    case l: LeafNode =>
+      val table = alias.getOrElse(leafName(l))
+      val rddId = l match {
+        case r: org.apache.spark.sql.execution.LogicalRDD => Some(r.rdd.id)
+        case _ => None
+      }
+      l.output.map { a =>
+        val spliced = LineageRegistry.lookup(a.exprId)
+          .orElse(rddId.flatMap(LineageRegistry.lookupByRdd(_, a.name)))
+        a.exprId -> (spliced match {
+          case Some(srcs) =>
+            DerivedHop(a.name, "checkpoint", l.nodeName,
+              srcs.toSeq.sortBy(s => (s.table, s.column)).map(LeafHop.apply))
+          case None => LeafHop(SourceColumn(table, a.name))
+        })
+      }.toMap
+
+    case p: Project =>
+      val child = hopChildren(p, alias, ctes)
+      child ++ namedHops(p.projectList, "Project", child)
+
+    case a: Aggregate =>
+      val child = hopChildren(a, alias, ctes)
+      child ++ namedHops(a.aggregateExpressions, "Aggregate", child)
+
+    case w: Window =>
+      val child = hopChildren(w, alias, ctes)
+      child ++ namedHops(w.windowExpressions, "Window", child)
+
+    case g: Generate =>
+      val child = hopChildren(g, alias, ctes)
+      val kids = exprHopInputs(g.generator, child)
+      val sql = sqlOf(g.generator)
+      child ++ g.generatorOutput.map(a =>
+        a.exprId -> (DerivedHop(a.name, sql, "Generate", kids): HopNode)).toMap
+
+    case u: Union =>
+      val childMaps = u.children.map(c => (c, hopWalk(c, alias, ctes)))
+      u.output.zipWithIndex.map { case (out, i) =>
+        out.exprId -> (DerivedHop(out.name, "union", "Union",
+          childMaps.flatMap { case (c, m) =>
+            m.get(c.output(i).exprId)
+          }): HopNode)
+      }.toMap
+
+    case e: Expand =>
+      val child = hopChildren(e, alias, ctes)
+      child ++ e.output.zipWithIndex.map { case (out, i) =>
+        out.exprId -> (DerivedHop(out.name, "expand", "Expand",
+          dedupIdentity(e.projections.flatMap(proj =>
+            exprHopInputs(proj(i), child)))): HopNode)
+      }.toMap
+
+    case _ =>
+      hopChildren(plan, alias, ctes)
+  }
+
+  private def hopChildren(plan: LogicalPlan, alias: Option[String],
+      ctes: HopCtx): Map[ExprId, HopNode] =
+    plan.children.map(hopWalk(_, alias match {
+      case Some(_) if plan.children.sizeIs == 1 => alias
+      case _ => None
+    }, ctes)).foldLeft(Map.empty[ExprId, HopNode])(_ ++ _)
+
+  /** One hop per DERIVING named expression: an alias records a hop
+    * (renames included); a bare attribute passes its node through.
+    */
+  private def namedHops(exprs: Seq[NamedExpression], node: String,
+      child: Map[ExprId, HopNode]): Map[ExprId, HopNode] =
+    exprs.flatMap {
+      case a: Attribute =>
+        child.get(a.exprId).map(a.exprId -> _)
+      case al: Alias =>
+        Some(al.exprId -> (DerivedHop(al.name, sqlOf(al.child), node,
+          exprHopInputs(al.child, child)): HopNode))
+      case ne =>
+        Some(ne.exprId -> (DerivedHop(ne.name, sqlOf(ne), node,
+          exprHopInputs(ne, child)): HopNode))
+    }.toMap
+
+  /** Upstream hop nodes an expression reads: its attribute references
+    * (name-ordered for determinism) plus subquery plan outputs.
+    */
+  private def exprHopInputs(e: Expression, child: Map[ExprId, HopNode])
+      : Seq[HopNode] = {
+    val direct = e.references.toSeq.sortBy(a => (a.name, a.exprId.id))
+      .flatMap(a => child.get(a.exprId))
+    val viaSubquery = e.collect {
+      case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        val m = hopWalk(sq.plan, None, Map.empty)
+        sq.plan.output.flatMap(a => m.get(a.exprId))
+    }.flatten
+    dedupIdentity(direct ++ viaSubquery)
+  }
+
+  private def dedupIdentity(ns: Seq[HopNode]): Seq[HopNode] = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[HopNode, java.lang.Boolean]())
+    ns.filter(seen.add)
   }
 }

@@ -77,8 +77,10 @@ object StreamingLineage {
     * with [[LineageListener.graphOf]].  Events are delivered on the
     * async listener bus, so a just-started query's graph appears after
     * its start/first-progress event drains; graphs are kept after
-    * termination (bounded at [[LineageListener.MaxRuns]], cleared
-    * defensively on overflow).
+    * termination (bounded at [[LineageListener.MaxRuns]]; on overflow
+    * the OLDEST terminated runs are evicted first — a still-active
+    * run's graph is never dropped, and one overflow never wipes the
+    * whole post-mortem map).
     */
   final class LineageListener(spark: SparkSession)
       extends StreamingQueryListener {
@@ -86,17 +88,39 @@ object StreamingLineage {
 
     private val graphs = new java.util.concurrent.ConcurrentHashMap[
       UUID, ColumnLineage.LineageGraph]()
+    // insertion order of first capture per run — the eviction queue
+    private val order =
+      new java.util.concurrent.ConcurrentLinkedQueue[UUID]()
 
     /** Last captured lineage of the given run, if any event for it has
       * been processed yet. */
     def graphOf(runId: UUID): Option[ColumnLineage.LineageGraph] =
       Option(graphs.get(runId))
 
+    /** Oldest-first eviction of runs that are no longer active; a run
+      * still in `spark.streams.active` is re-queued (skipped), so live
+      * lineage survives any overflow. */
+    private def evictOldest(): Unit = {
+      val active = spark.streams.active.map(_.runId).toSet
+      var scanned = 0
+      val bound = order.size()
+      while (graphs.size() > LineageListener.MaxRuns && scanned < bound) {
+        scanned += 1
+        val oldest = order.poll()
+        if (oldest != null) {
+          if (active.contains(oldest)) order.add(oldest)
+          else graphs.remove(oldest)
+        }
+      }
+    }
+
     private def capture(runId: UUID): Unit =
       try {
         spark.streams.active.find(_.runId == runId).foreach { q =>
-          if (graphs.size() > LineageListener.MaxRuns) graphs.clear()
-          graphs.put(runId, ofQuery(q))
+          if (graphs.putIfAbsent(runId, ofQuery(q)) == null) {
+            order.add(runId)
+          } else graphs.put(runId, ofQuery(q))
+          if (graphs.size() > LineageListener.MaxRuns) evictOldest()
         }
         // never let a lineage snapshot fail the listener bus (e.g. the
         // start event racing plan initialization) — progress events

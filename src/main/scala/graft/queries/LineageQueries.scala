@@ -59,6 +59,29 @@ object LineageQueries {
           col("src_column"))
     },
 
+    // HOP-level lineage: the flat edge list of the derivation DAG —
+    // every intermediate named derivation (renames included), its
+    // deriving expression's SQL text, the plan node kind, and its
+    // input (upstream hop name or physical leaf column).  This is the
+    // reference's `Column extends TreeNode[Column]` fidelity
+    // (`catalyst/lineage/ExpressionColumn.scala:22`) that the closure
+    // view flattens away; the edge list is a deterministic function of
+    // the plan, so the oracle is the golden edge set itself.
+    "q_lineage_hops" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val q = docs
+        .select(col("doc_id"), (col("doc_id") + lit(1L)).as("k1"),
+          substring(col("text"), 1, 8).as("s1"))
+        .select((col("k1") * lit(2L)).as("k2"), upper(col("s1")).as("s2"),
+          col("doc_id").as("id"))
+      ColumnLineage.hopEdges(q)
+        .toDF("out_column", "expr", "node", "input")
+        .withColumn("input",
+          regexp_replace(col("input"), "^.*/([a-z]+)\\.parquet\\.", "$1."))
+        .orderBy(col("out_column"), col("expr"), col("node"), col("input"))
+    },
+
     // Lineage of a RUNNING streaming query, captured through the
     // standard listener bus (StreamingLineage.LineageListener): events
     // replayed as a file stream, stream-static joined to the customer
@@ -139,6 +162,16 @@ object LineageQueries {
         |  ('minhash', 'jaccard', 'documents', 'text'))
         |  AS t(op, out_column, src_table, src_column)
         |ORDER BY op, out_column, src_table, src_column""".stripMargin,
+
+    "q_lineage_hops" ->
+      """SELECT * FROM (VALUES
+        |  ('id', 'doc_id', 'Project', 'documents.doc_id'),
+        |  ('k1', '(doc_id + 1L)', 'Project', 'documents.doc_id'),
+        |  ('k2', '(k1 * 2L)', 'Project', 'k1'),
+        |  ('s1', 'substring(text, 1, 8)', 'Project', 'documents.text'),
+        |  ('s2', 'upper(s1)', 'Project', 's1'))
+        |  AS t(out_column, expr, node, input)
+        |ORDER BY out_column, expr, node, input""".stripMargin,
 
     "q_lineage_stream" ->
       """SELECT * FROM (VALUES

@@ -797,18 +797,30 @@ object StreamingQueries {
     // Streaming NEAR-dup dedup against a persisted LSH index: each
     // micro-batch is shingled once, banded with the fused
     // MinHashBuckets expression, candidate-joined against the
-    // history's (band, bucket) index, and exact-Jaccard-refined at
-    // 0.995 — re-crawl clones and natural exact-dup texts score
-    // exactly 1.0 while the corpus's highest NATURAL non-exact
-    // cross-doc Jaccard measures below the threshold (0.9891 at
-    // sf0.01), so the drop set is exactly the earlier-batch
-    // exact-text dups.  History never re-shingles: only its
-    // index rows and shingle sets persist between batches.  The op
-    // pins its duplicate-id set BEFORE the caller appends to the
-    // index dirs, so the appends cannot leak into a lazy re-read.
+    // history's (band, bucket) index, and exact-Jaccard-refined.
+    // The survivor law is corpus-INDEPENDENT by construction (not by
+    // a measured "highest natural Jaccard" claim): the gate prepends
+    // one text-hash discriminator token (`g<hex(xxhash64(text))>`,
+    // alphanumeric so normalize() keeps it) to each document, so two
+    // docs share their full shingle set iff their raw texts are equal
+    // (different texts differ in the discriminator shingle; texts
+    // shorter than the shingle width hash whole and still differ) —
+    // and the refine threshold is 1.0, which only J==1.0 (equal sets)
+    // clears.  Equal sets also mean identical minhash signatures,
+    // hence the SAME bucket in every band: an exact dup is ALWAYS a
+    // candidate, deterministically, so drop set == earlier-batch
+    // exact-text dups with no LSH-recall or natural-near-dup caveat.
+    // History never re-shingles: only its index rows and shingle sets
+    // persist between batches.  The op pins its duplicate-id set
+    // BEFORE the caller appends to the index dirs, so the appends
+    // cannot leak into a lazy re-read.
     "q_stream_neardup" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("dd_text",
+          concat_ws(" ",
+            concat(lit("g"), lower(hex(xxhash64(col("text"))))),
+            col("text")))
       val outDir = graft.TmpCleanup.tempDir("graft_neardup_out")
       val idxDir = graft.TmpCleanup.tempDir("graft_neardup_idx")
       val setsDir = graft.TmpCleanup.tempDir("graft_neardup_sets")
@@ -832,12 +844,12 @@ object StreamingQueries {
               try (s.read.parquet(idxDir), s.read.parquet(setsDir))
               catch { case _: Exception =>
                 val e = graft.ops.Dedup.shingleSets(
-                  batch.limit(0), "doc_id", "text")
+                  batch.limit(0), "doc_id", "dd_text")
                 (e.select(col("id"), lit(0).cast("int").as("band"),
                   lit(0L).as("bucket")), e)
               }
             val (surv, kIdx, kSets) = graft.ops.Dedup.nearDupAgainstIndex(
-              batch, "doc_id", "text", hIdx, hSets, threshold = 0.995)
+              batch, "doc_id", "dd_text", hIdx, hSets, threshold = 1.0)
             surv.coalesce(1).write.mode("append").parquet(outDir)
             kIdx.coalesce(1).write.mode("append").parquet(idxDir)
             kSets.coalesce(1).write.mode("append").parquet(setsDir)
@@ -1034,12 +1046,12 @@ object StreamingQueries {
         |FROM d JOIN m USING (text) WHERE d.b = m.mb
         |GROUP BY source ORDER BY source""".stripMargin,
 
-    // Same survivor law as q_stream_incremental_dedup: an exact text
-    // copy has Jaccard exactly 1.0 >= the 0.995 threshold, and the
-    // corpus's highest natural NON-exact cross-doc Jaccard measures
-    // below 0.995 at both sf0.01 (0.9891) and sf0.1 (the two gates'
-    // outputs are identical there), so the near-dup drop set equals
-    // the earlier-batch exact-text dups.
+    // Same survivor law as q_stream_incremental_dedup, and corpus-
+    // independent BY CONSTRUCTION: the gate's per-doc discriminator
+    // token makes J==1.0 equivalent to raw-text equality, the refine
+    // threshold is 1.0, and equal shingle sets imply identical
+    // minhash signatures (always LSH candidates) — so the drop set is
+    // exactly the earlier-batch exact-text dups on ANY corpus.
     "q_stream_neardup" ->
       """WITH d AS (SELECT doc_id, source, text,
         |    CASE WHEN doc_id < 200 THEN 0 WHEN doc_id <= 349 THEN 1

@@ -461,13 +461,18 @@ object Streaming {
     */
   def exactlyOnceBatch(markerDir: String)(body: (DataFrame, Long) => Unit)
       : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
-    val fs = org.apache.hadoop.fs.FileSystem.get(
+    // Resolve the filesystem from the MARKER PATH's own scheme, not the
+    // default FS: with s3a:// markers over an hdfs:// default,
+    // FileSystem.get(conf) would throw "Wrong FS" (or worse, probe the
+    // wrong store and break the exactly-once skip).
+    val markerRoot = new org.apache.hadoop.fs.Path(markerDir)
+    val fs = markerRoot.getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(
-      markerDir, f"batch-$batchId%020d")
+      markerRoot, f"batch-$batchId%020d")
     if (!fs.exists(marker)) {
       body(batch, batchId)
-      fs.mkdirs(new org.apache.hadoop.fs.Path(markerDir))
+      fs.mkdirs(markerRoot)
       fs.create(marker, true).close()
     }
   }

@@ -522,6 +522,98 @@ class LineageSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hop-level DAG reproduces the reference example's nested " +
+      "substr/arithmetic derivation tree") {
+    // The reference preserves hop-by-hop derivation as
+    // `Column extends TreeNode[Column]` and prints it for exactly this
+    // query (`examples/.../SparkLineageExample.scala:47-58`):
+    //   c ← substr(a+1, 0, 1) ← a ← 1.  hopsOf must keep every
+    // intermediate node where LineageGraph would flatten to closure.
+    val df = spark.sql("select * from (select substr(a+1,0,1) as c," +
+      "a+3 as d from (select 1 as a,2 as b))")
+    val hops = ColumnLineage.hopsOf(df).toMap
+    val c = hops("c").asInstanceOf[ColumnLineage.DerivedHop]
+    assert(c.name == "c" && c.node == "Project")
+    assert(c.exprSql.toLowerCase.contains("substr") &&
+      c.exprSql.contains("a + 1"), c.exprSql)
+    // exactly one input hop: the intermediate column a, itself derived
+    // from the literal 1 with no further inputs
+    val Seq(a: ColumnLineage.DerivedHop) = c.children
+    assert(a.name == "a" && a.exprSql == "1" && a.children.isEmpty, a)
+    val d = hops("d").asInstanceOf[ColumnLineage.DerivedHop]
+    assert(d.exprSql.contains("a + 3") &&
+      d.children == Seq(a), d) // the shared sub-derivation is ONE node
+    // the rendered tree nests the derivation like the reference's
+    // lineageChildren(0).treeString
+    val t = c.treeString
+    assert(t.linesIterator.size == 2 && t.contains("+- a := 1"), t)
+  }
+
+  test("hop-level DAG through parquet scans: renames are hops, " +
+      "untouched columns are not, leaves are physical columns") {
+    val df = li
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"))
+      .select(col("l_orderkey"), (col("net") * 2).as("net2"))
+    val hops = ColumnLineage.hopsOf(df).toMap
+    // untouched pass-through: l_orderkey is the LEAF itself, no hop
+    assert(hops("l_orderkey") ==
+      ColumnLineage.LeafHop(src(liTable, "l_orderkey")))
+    val net2 = hops("net2").asInstanceOf[ColumnLineage.DerivedHop]
+    val Seq(net: ColumnLineage.DerivedHop) = net2.children
+    assert(net.name == "net" && net.node == "Project")
+    assert(net.children.collect { case l: ColumnLineage.LeafHop => l.source }
+      .toSet == Set(src(liTable, "l_discount"), src(liTable, "l_extendedprice")))
+    // flat edge list carries the same structure
+    val edges = ColumnLineage.hopEdges(df)
+    assert(edges.exists { case (o, _, n, i) =>
+      o == "net2" && n == "Project" && i == "net" })
+    assert(edges.exists { case (o, _, _, i) =>
+      o == "net" && i == s"$liTable.l_extendedprice" })
+  }
+
+  test("hop-level DAG: aggregate hop + checkpoint boundary degrade " +
+      "to a single spliced hop over leaf sources") {
+    val agg = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("q"))
+    val qh = ColumnLineage.hopsOf(agg).toMap.apply("q")
+      .asInstanceOf[ColumnLineage.DerivedHop]
+    assert(qh.node == "Aggregate" && qh.exprSql.contains("sum"), qh)
+    // a lineage-erasing localCheckpoint keeps leaf fidelity as one
+    // "checkpoint" hop (intermediate hops are gone by then, by design)
+    val docs = Tables.load(spark, sf, "documents").filter(col("doc_id") < 40)
+    val docTable = ColumnLineage.of(docs).outputs.head.sources.head.table
+    val pairs = graft.ops.Dedup.minhashPairs(docs, "doc_id", "text", 0.5)
+    val j = ColumnLineage.hopsOf(pairs).toMap.apply("jaccard")
+      .asInstanceOf[ColumnLineage.DerivedHop]
+    assert(j.exprSql == "checkpoint", j)
+    assert(j.children == Seq(ColumnLineage.LeafHop(src(docTable, "text"))), j)
+  }
+
+  test("control-flow mode (opt-in): filter and join predicates add " +
+      "presence edges; default stays data-flow only") {
+    val f = li.filter(col("l_shipdate") > lit("1995-06-01"))
+      .select(col("l_orderkey"))
+    // default: unchanged semantics — the reference's data-flow edges
+    assert(ColumnLineage.of(f)("l_orderkey") ==
+      Set(src(liTable, "l_orderkey")))
+    val g = ColumnLineage.of(f, includeControlFlow = true)
+    assert(g("l_orderkey") ==
+      Set(src(liTable, "l_orderkey"), src(liTable, "l_shipdate")),
+      s"row presence depends on the filter predicate: ${g("l_orderkey")}")
+    // join predicate: both key columns feed every surviving column
+    val ord = Tables.load(spark, sf, "orders")
+    val ordTable = ColumnLineage.of(ord).outputs.head.sources.head.table
+    val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_totalprice"))
+    assert(ColumnLineage.of(j)("o_totalprice") ==
+      Set(src(ordTable, "o_totalprice")))
+    val gj = ColumnLineage.of(j, includeControlFlow = true)
+    assert(gj("o_totalprice") == Set(src(ordTable, "o_totalprice"),
+      src(ordTable, "o_orderkey"), src(liTable, "l_orderkey")),
+      gj("o_totalprice").toString)
+  }
+
   test("RUNNING query: stable plan names the v1 file stream; the last " +
       "micro-batch's IncrementalExecution traces to the concrete batch " +
       "relation it served") {
