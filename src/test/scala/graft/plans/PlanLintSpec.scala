@@ -83,15 +83,16 @@ class PlanLintSpec extends SparkSpec {
 
   /** Entries whose unpartitioned window is over an already-aggregated
     * (small) frame, or is the documented global-order requirement.
+    * MACHINE-CHECKED (round 12): the "whitelisted global windows" test
+    * below verifies each entry (a) still exists, (b) still PLANS a
+    * global window (stale names rot silently — a round-12 audit found
+    * 8 of 11 entries no longer planned one), and (c) has a structurally
+    * bounded or aggregated input unless it carries a data-contract
+    * reason in [[globalWindowUncheckedOk]].
     */
   private val globalWindowOk: Set[String] = Set(
-    "q_window_rank",          // global rank demo over supplier (dim-sized)
-    "q_topk",                 // global TakeOrdered comparison frame
-    "q_seq_packing",          // running totals over capped doc subset
-    "q_doc_chunks",           // per-doc running index, capped subset
-    "qds_q51_cumulative", "qds_q67_rollup_rank", "qds_q44_best_worst",
-    "qds_q49_return_rank",    // rank over aggregated (group-count-sized) rows
-    "q_mixture_sample", "q_train_split",
+    "qds_q44_best_worst",     // rank over two TakeOrdered frames (structurally bounded)
+    "qds_q49_return_rank",    // rank over the WindowGroupLimit-bounded frame (structurally bounded)
     "q_sql_nulls_ordering")   // NULLS FIRST/LAST coverage gate: global rank over the dim-sized frame IS the subject
 
   /** Entries whose PARTITIONED window runs over a raw (un-aggregated)
@@ -342,6 +343,54 @@ class PlanLintSpec extends SparkSpec {
         s"${offenders.mkString(", ")} — the whitelist reason claims a " +
         "scalar/bounded side; either fix the plan or move the entry to " +
         "cartesianUncheckedOk with the data-contract bound")
+  }
+
+  /** The residue of the GLOBAL-window whitelist that a structural bound
+    * cannot cover — entries whose single-task window input is bounded
+    * by a data contract (a dim-sized table, a capped id-range subset)
+    * rather than a plan node.  Everything else in [[globalWindowOk]] is
+    * machine-checked by the test below, the same device 1b4307d built
+    * for the cartesian whitelist: a name on a list is a claim, a
+    * structural check is an invariant.
+    */
+  private val globalWindowUncheckedOk: Map[String, String] = Map(
+    "q_sql_nulls_ordering" -> "NULLS FIRST/LAST coverage gate: the global rank over the nation-sized dim IS the subject")
+
+  test("whitelisted global windows really have a structurally bounded " +
+      "or aggregated input") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // bounded the cartesian way (limit / TakeOrdered / TopKPerKey /
+    // scalar agg / literal), or group-count-sized: a grouped aggregate
+    // anywhere below means the window ranks groups, not raw rows —
+    // the same convention the battery-wide lint accepts
+    def windowInputOk(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      boundedPhysical(p) || p.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.nonEmpty
+    assert(globalWindowUncheckedOk.keySet.subsetOf(globalWindowOk),
+      "unchecked residue must be a subset of the whitelist")
+    val stale = globalWindowOk.toSeq.sorted.filterNot(SparkEntry.queries.contains)
+    assert(stale.isEmpty, s"whitelist names not in the battery: $stale")
+    val results = globalWindowOk.toSeq.sorted.map { name =>
+      val plan = physicalPlan(SparkEntry.queries(name)(spark, sf))
+      val gw = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      (name, gw)
+    }
+    // staleness: an entry that no longer plans a global window is a
+    // rotten whitelist row — remove it (this is how 8 stale rows died)
+    val rotten = results.collect { case (n, gw) if gw.isEmpty => n }
+    assert(rotten.isEmpty,
+      s"whitelisted entries that no longer plan a global window: " +
+        s"${rotten.mkString(", ")} — remove them from globalWindowOk")
+    val offenders = results.collect {
+      case (name, gw) if !globalWindowUncheckedOk.contains(name) &&
+        gw.exists(w => !windowInputOk(w.child)) => name
+    }
+    assert(offenders.isEmpty,
+      s"whitelisted global window with NO structurally bounded input in: " +
+        s"${offenders.mkString(", ")} — the whitelist reason claims a " +
+        "bounded frame; either fix the plan or move the entry to " +
+        "globalWindowUncheckedOk with the data-contract bound")
   }
 
   test("no gate entry plans an unexpected cartesian product") {
