@@ -85,29 +85,104 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN: partition the corpus into cells around
-    * deterministic seed centroids (every (n/nCells)-th vector by id —
-    * stable, no RNG, no k-means iterations needed for a first-cut
-    * recall/compute trade-off), then search only the nProbe cells whose
-    * centroids are nearest the query.  Centroid set is tiny →
+    * deterministic seed centroids, then search only the nProbe cells
+    * whose centroids are nearest the query.  Centroid set is tiny →
     * broadcast; the corpus is scanned once to assign cells (at scale
     * you persist the assignment as a bucketed table and amortize it
     * across queries).
     */
-  /** Deterministic IVF coarse centroids: corpus vectors at ids
-    * {0, nCells, …, nCells·(nCells−1)} — key arithmetic, a pushed-down
-    * filter, no RNG.  The trailing limit(nCells) never drops a row —
-    * the filter admits at most nCells ids — it just pins the ≤nCells
-    * bound into the plan so the downstream centroid broadcast is
-    * provably bounded (PlanLintSpec's broadcast lint checks this).
+  /** Deterministic k-means++-STYLE IVF coarse centroids (round 12 —
+    * replaces the id-modulus seed pick, which took arbitrary early-id
+    * data points and left cells badly spread):
+    *
+    *  1. candidate POOL: the `64·nCells` corpus vectors with the
+    *     smallest `xxhash64(id)` — a deterministic uniform sample of
+    *     the id space, one TakeOrdered scan, no RNG;
+    *  2. greedy FARTHEST-POINT init over the pool (the deterministic
+    *     analog of k-means++'s D² seeding — Arthur & Vassilvitskii '07,
+    *     argmax instead of sampling): seed 1 is the min-hash vector;
+    *     each next seed maximizes its squared distance to the nearest
+    *     already-chosen seed, ties to the smaller id;
+    *  3. Lloyd refinement ON THE POOL (driver arithmetic, fixed
+    *     iteration order → deterministic): farthest-point alone picks
+    *     OUTLIERS as centers (the k-center criterion), which unbalances
+    *     cells; a few mean-update rounds over the pool pull centers
+    *     into the mass of their clusters — the same fix k-means++
+    *     sampling + Lloyd applies, without RNG.
+    *
+    * The only collect is the pool (64·nCells vectors — codebook-sized,
+    * the [[Pq]] convention); the result is a LocalRelation of exactly
+    * ≤nCells rows, so every downstream centroid broadcast is provably
+    * bounded in the plan (PlanLintSpec's broadcast lint).  The greedy +
+    * Lloyd passes are O(pool·nCells·d·iters) driver arithmetic on
+    * 1024-vector pools.
     */
   def ivfCentroids(corpus: DataFrame, nCells: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
-      .filter(col("corpus_id") % nCells === 0 &&
-        col("corpus_id") < lit(nCells.toLong * nCells))
-      .limit(nCells)
-      .select((col("corpus_id") / nCells).cast("long").as("cell_id"),
-        col("cvec").as("centroid"))
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val pool: Array[Array[Double]] = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(64 * nCells)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val k = math.min(nCells, pool.length)
+    var centers = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    if (pool.nonEmpty) {
+      // farthest-point init (ties → earlier pool position, i.e. smaller hash)
+      centers += pool.head
+      val minD2 = pool.map(d2(_, pool.head))
+      while (centers.size < k) {
+        var best = -1; var bestD = -1.0
+        var i = 0
+        while (i < pool.length) {
+          if (minD2(i) > bestD) { bestD = minD2(i); best = i }
+          i += 1
+        }
+        centers += pool(best)
+        i = 0
+        while (i < pool.length) {
+          val d = d2(pool(i), pool(best))
+          if (d < minD2(i)) minD2(i) = d
+          i += 1
+        }
+      }
+      // Lloyd over the pool: assignment ties → smaller cell id; an
+      // emptied cell keeps its previous center (standard small-k guard)
+      for (_ <- 0 until 8) {
+        val sums = Array.fill(k)(new Array[Double](pool.head.length))
+        val cnts = new Array[Long](k)
+        pool.foreach { v =>
+          var bc = 0; var bd = d2(v, centers(0))
+          var j = 1
+          while (j < k) {
+            val d = d2(v, centers(j))
+            if (d < bd) { bd = d; bc = j }
+            j += 1
+          }
+          cnts(bc) += 1
+          var t = 0
+          while (t < v.length) { sums(bc)(t) += v(t); t += 1 }
+        }
+        centers = centers.zipWithIndex.map { case (c, j) =>
+          if (cnts(j) == 0) c
+          else sums(j).map(_ / cnts(j))
+        }
+      }
+    }
+    import spark.implicits._
+    centers.toSeq.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat).toSeq) }
+      .toDF("cell_id", "centroid")
+      .select(col("cell_id"), col("centroid").cast("array<float>").as("centroid"))
+  }
 
   /** IVF INDEX: every corpus vector assigned to its nearest centroid in
     * ONE corpus pass — broadcast-expand by nCells, then max_by with

@@ -282,20 +282,35 @@ object OpsQueries {
         .orderBy(col("query_id"))
     },
 
-    // IVF ANN rank-1 ENVELOPE (oracle-checked): the injected clone is
-    // assigned to the cell nearest the query (same argmax + tie-break
-    // as the query's probe ranking), so it is always inside the probed
-    // cell set and must surface at rank 1 with cosine 1.0.
+    // IVF ANN rank-1 + RECALL ENVELOPE (oracle-checked): the injected
+    // clone is assigned to the cell nearest the query (same argmax +
+    // tie-break as the query's probe ranking), so it is always inside
+    // the probed cell set and must surface at rank 1 with cosine 1.0.
+    // Round 12 adds a recall floor vs the exact brute twin: with the
+    // deterministic k-means++ seeding (hash pool + farthest-point init
+    // + pool Lloyd) recall@10 at nProbe 4/16 measures 3-9/10 across
+    // SFs (the old id-modulus seeding measured a min of 2); the floor
+    // is 2 — an envelope, not a point estimate, same style as
+    // q_knn_pq.
     "q_knn_ivf" -> { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8).limit(8)
       val corpus = emb.select(col("vec_id"), col("embedding"))
         .union(queries.select((col("vec_id") + lit(1000000L)).as("vec_id"),
           col("embedding")))
-      Similarity.ivfTopK(corpus, queries, k = 5, nCells = 16, nProbe = 4)
-        .filter(col("rank") === 1)
+      val ivf = Similarity.ivfTopK(corpus, queries, k = 10,
+        nCells = 16, nProbe = 4)
+      val p1 = ivf.filter(col("rank") === 1)
         .select(col("query_id"), col("corpus_id").as("p1_corpus_id"),
           col("cos").as("p1_cos"))
+      val brute = Similarity.bruteForceTopK(corpus, queries, k = 10)
+        .select(col("query_id").as("bq"), col("corpus_id").as("bc"))
+      val rec = brute.join(ivf.select(col("query_id"), col("corpus_id")),
+          col("bq") === col("query_id") && col("bc") === col("corpus_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_common"))
+      p1.join(rec, Seq("query_id"), "left")
+        .select(col("query_id"), col("p1_corpus_id"), col("p1_cos"),
+          (coalesce(col("n_common"), lit(0L)) >= 2).as("recall_ok"))
         .orderBy(col("query_id"))
     },
 
@@ -358,8 +373,9 @@ object OpsQueries {
     // cells), PQ codes + per-query ADC lookup tables score the probed
     // cells in O(m) per pair.  Recall@10 vs the exact brute-force twin
     // must clear the floor for every query; IVF pruning on top of PQ
-    // loses a little recall vs q_knn_pq, so the floor is 3/10
-    // (measured 5-10/10 across SFs).
+    // loses a little recall vs q_knn_pq.  The round-12 k-means++
+    // centroid seeding lifted the measured floor (min 5/10 at both
+    // SFs, was 3); enforced 4/10 — envelope with one point of margin.
     "q_knn_ivfpq" -> { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
@@ -381,7 +397,7 @@ object OpsQueries {
       queries.select(col("vec_id").as("query_id"))
         .join(common, Seq("query_id"), "left")
         .select(col("query_id"),
-          (coalesce(col("n_common"), lit(0L)) >= 3).as("recall_ok"))
+          (coalesce(col("n_common"), lit(0L)) >= 4).as("recall_ok"))
         .orderBy(col("query_id"))
     },
 
@@ -848,7 +864,8 @@ object OpsQueries {
       """SELECT vec_id AS query_id, vec_id + 1000000 AS p1_corpus_id, 1.0 AS p1_cos
         |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
     "q_knn_ivf" ->
-      """SELECT vec_id AS query_id, vec_id + 1000000 AS p1_corpus_id, 1.0 AS p1_cos
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS p1_corpus_id,
+        |  1.0 AS p1_cos, true AS recall_ok
         |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
     "q_knn_quantized" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS p1_corpus_id,
