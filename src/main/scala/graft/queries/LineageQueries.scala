@@ -59,6 +59,25 @@ object LineageQueries {
           col("src_column"))
     },
 
+    // CONTROL-FLOW lineage mode (opt-in): the same join + aggregate
+    // query as q_lineage_edges, but with includeControlFlow = true the
+    // join predicate's key columns (l_orderkey, o_orderkey) and the
+    // filter's date column flow into EVERY surviving output — a row's
+    // PRESENCE derives from them.  The golden pins both that the new
+    // edges appear and that data-flow edges are unchanged.
+    "q_lineage_cf" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders")
+      val q = li.filter(col("l_shipdate") > lit("1995-06-01"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("l_extendedprice")).as("revenue"))
+      val edges = ColumnLineage.of(q, includeControlFlow = true).toDF(s)
+      edges.withColumn("src_table",
+          regexp_extract(col("src_table"), "([a-z]+)\\.parquet", 1))
+        .orderBy(col("out_column"), col("src_table"), col("src_column"))
+    },
+
     // HOP-level lineage: the flat edge list of the derivation DAG —
     // every intermediate named derivation (renames included), its
     // deriving expression's SQL text, the plan node kind, and its
@@ -162,6 +181,19 @@ object LineageQueries {
         |  ('minhash', 'jaccard', 'documents', 'text'))
         |  AS t(op, out_column, src_table, src_column)
         |ORDER BY op, out_column, src_table, src_column""".stripMargin,
+
+    "q_lineage_cf" ->
+      """SELECT * FROM (VALUES
+        |  ('o_orderstatus', 'lineitem', 'l_orderkey'),
+        |  ('o_orderstatus', 'lineitem', 'l_shipdate'),
+        |  ('o_orderstatus', 'orders', 'o_orderkey'),
+        |  ('o_orderstatus', 'orders', 'o_orderstatus'),
+        |  ('revenue', 'lineitem', 'l_extendedprice'),
+        |  ('revenue', 'lineitem', 'l_orderkey'),
+        |  ('revenue', 'lineitem', 'l_shipdate'),
+        |  ('revenue', 'orders', 'o_orderkey'))
+        |  AS t(out_column, src_table, src_column)
+        |ORDER BY out_column, src_table, src_column""".stripMargin,
 
     "q_lineage_hops" ->
       """SELECT * FROM (VALUES
