@@ -72,6 +72,14 @@ object StreamingLineage {
     Option(unwrap(q).lastExecution)
       .map(ie => ColumnLineage.ofPlan(stripSink(ie.analyzed)))
 
+  /** HOP-level derivation trees of a RUNNING query's sink columns —
+    * the [[ColumnLineage.hopsOf]] view over the same stable streaming
+    * plan [[ofQuery]] walks: every intermediate named derivation kept,
+    * stream-source leaves named by their live source identity.
+    */
+  def hopsOfQuery(q: StreamingQuery): Seq[(String, ColumnLineage.HopNode)] =
+    ColumnLineage.hopsOfPlan(stripSink(unwrap(q).logicalPlan))
+
   /** Captures [[ofQuery]] per run id as the query progresses.  Register
     * with `spark.streams.addListener(new LineageListener(spark))`; read
     * with [[LineageListener.graphOf]].  Events are delivered on the

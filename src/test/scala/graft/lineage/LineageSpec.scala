@@ -482,6 +482,17 @@ class LineageSpec extends SparkSpec {
       assert(g("k").map(_.column) == Set("_1"), g("k").toString)
       assert(g("v2_sum") == Set(src(srcTable, "_2")), g("v2_sum").toString)
       assert(g("n").isEmpty, "count(1) has no source columns")
+      // hop view over the same RUNNING plan: v2_sum is an Aggregate hop
+      // whose leaf is the live stream source's _2 column
+      val hops = StreamingLineage.hopsOfQuery(q).toMap
+      val vh = hops("v2_sum").asInstanceOf[ColumnLineage.DerivedHop]
+      assert(vh.node == "Aggregate" && vh.exprSql.contains("sum"), vh.label)
+      def leaves(h: ColumnLineage.HopNode): Seq[ColumnLineage.SourceColumn] =
+        h match {
+          case l: ColumnLineage.LeafHop => Seq(l.source)
+          case d: ColumnLineage.DerivedHop => d.children.flatMap(leaves)
+        }
+      assert(leaves(vh).map(_.column).toSet == Set("_2"), vh.treeString)
       // the listener's async snapshot converges to the same graph
       val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
       var snap = listener.graphOf(q.runId)
