@@ -138,6 +138,17 @@ object Bench {
     def overThreshold(n: String, base: Double, cur: Double): Boolean =
       if (isProtocol(n)) cur > base * 2.0 && cur - base > 1.0
       else cur > base * 1.5 && cur - base > 0.2
+    // Baseline-HISTORY deltas get a higher absolute floor (0.3 s): the
+    // history keeps the MIN over every session median and isolated
+    // retest across rounds, so on a 0.3 s-class entry it converges to
+    // the lucky tail of the ±0.2 s machine-noise envelope and a normal
+    // median eventually "flags" with no code change (round 12:
+    // qssb_q2_brand_range best 0.17 vs 8 rounds of medians at
+    // 0.23-0.45 s).  Round-over-round regressions keep the tighter
+    // floor — both sides of that comparison are same-kind medians.
+    def overBaseline(n: String, base: Double, cur: Double): Boolean =
+      if (isProtocol(n)) cur > base * 2.0 && cur - base > 1.0
+      else cur > base * 1.5 && cur - base > 0.3
     val regressions0 = ok.flatMap { n =>
       prev.get(n).filter(p => p > 0 && overThreshold(n, p, med(n)))
         .map(p => (n, p, med(n)))
@@ -191,7 +202,7 @@ object Bench {
         }
       } else Map.empty
     val baselineDeltas0 = ok.flatMap { n =>
-      hist.get(n).filter(b => b > 0 && overThreshold(n, b, med(n)))
+      hist.get(n).filter(b => b > 0 && overBaseline(n, b, med(n)))
         .map(b => (n, b, med(n)))
     }.sortBy { case (_, b, c) => -(c / b) }
 
@@ -217,16 +228,17 @@ object Bench {
       }
       if (ts.isEmpty) -1.0 else r3(median(ts))
     })
-    def confirm(flags: Seq[(String, Double, Double)]) =
+    def confirm(flags: Seq[(String, Double, Double)],
+        thresh: (String, Double, Double) => Boolean) =
       flags.take(12).flatMap { case (n, base, cur) =>
         val iso0 = retest(n)
         // retest errored entirely: keep the contaminated session median
         // as the reported measurement rather than a sentinel.
         val iso = if (iso0 <= 0) cur else iso0
-        if (overThreshold(n, base, iso)) Some((n, base, iso)) else None
+        if (thresh(n, base, iso)) Some((n, base, iso)) else None
       }
-    val regressions = confirm(regressions0)
-    val baselineDeltas = confirm(baselineDeltas0)
+    val regressions = confirm(regressions0, overThreshold)
+    val baselineDeltas = confirm(baselineDeltas0, overBaseline)
     if (only.isEmpty) {
       // subset runs never update history: an isolated re-measurement is
       // a DIAGNOSTIC of the recorded number, not a replacement for it
@@ -243,16 +255,27 @@ object Bench {
     // ── Scale ladder: MEASURED per-gate scaling exponents ──
     // The 100 TB argument is plan-shape + bounded-collect reasoning;
     // this makes it empirical per round: every data-class gate is
-    // re-timed once at sf0.001 and sf0.01 (both correctness-green), and
-    // exponent = log10(v(sf0.1)/v(sf0.01)) where v subtracts the
-    // per-gate FIXED cost estimated from the sf0.001 rung (at 1/100 the
-    // data, a gate's time is almost entirely session/planning constant).
-    // A ~linear gate reads ≈1, a quadratic term reads ≈2 — the check no
-    // plan lint can see.  Flags (exp > 1.3 with > 0.5 s of variable
-    // time at the top rung) re-measure in isolation with 3 runs per
-    // rung before surfacing, same protocol as `regressions`.
-    // Protocol-class gates are excluded: their cost IS the fixed
-    // streaming-replay constant.  Full table → BENCH_SCALING.json.
+    // re-timed once at sf0.001 and sf0.01 (both correctness-green).
+    //
+    // Two exponents per gate, with different jobs:
+    //  - RAW = log10(t(sf0.1)/t(sf0.01)) — the SOUND super-linearity
+    //    test: for any per-gate fixed cost c ≥ 0 a LINEAR gate has
+    //    t1/t01 = (c+10v)/(c+v) ≤ 10, so raw > ~1.05 (margin for
+    //    noise) can only mean a super-linear data term.  Fixed cost
+    //    only ever pushes raw DOWN, so it cannot false-flag.
+    //  - ADJUSTED subtracts the per-gate fixed cost estimated from the
+    //    sf0.001 rung (≈ pure constant at 1/100 data) and estimates
+    //    the DEGREE of the variable term — but when the variable time
+    //    at sf0.01 is inside measurement noise (tens of ms) the
+    //    denominator is noise and the estimate explodes; the first
+    //    ladder run showed exactly that (14 flags, every one with
+    //    t(sf0.001) ≥ t(sf0.01) and raw < 0.9, i.e. SUB-linear).
+    //
+    // Flags therefore require raw > 1.05 AND > 0.5 s of top-rung
+    // variable time, and re-measure in isolation with 3 runs per rung
+    // before surfacing (the `regressions` protocol).  Protocol-class
+    // gates are excluded: their cost IS the fixed streaming-replay
+    // constant.  Full table → BENCH_SCALING.json (both exponents).
     val scalingEnabled = only.isEmpty &&
       sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
     def timeOnce(n: String, dir: String): Option[Double] = {
@@ -261,12 +284,14 @@ object Bench {
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case _: Throwable => None }
     }
-    def expOf(lo: Double, hi: Double, c: Double): (Double, Double) = {
+    /** (rawExp, adjustedExp, topRungVariableTime) */
+    def expOf(lo: Double, hi: Double, c: Double): (Double, Double, Double) = {
+      val raw = math.log10(math.max(hi, 1e-3) / math.max(lo, 1e-3))
       // fixed cost can't exceed (most of) the mid rung's total
       val fixed = math.min(c, lo * 0.95)
       val v1 = math.max(lo - fixed, 1e-3)
       val v10 = math.max(hi - fixed, 1e-3)
-      (math.log10(v10 / v1), hi - fixed)
+      (raw, math.log10(v10 / v1), hi - fixed)
     }
     val scalingBlock: String = if (!scalingEnabled) """{"enabled":false}"""
     else {
@@ -285,13 +310,14 @@ object Bench {
           val t01 = okData.flatMap(n => timeOnce(n, d01).map(n -> _)).toMap
           val exps = okData.flatMap { n =>
             for (lo <- t01.get(n); c <- t001.get(n)) yield {
-              val (e, varHi) = expOf(lo, med(n), c)
-              (n, c, lo, med(n), e, varHi)
+              val (raw, adj, varHi) = expOf(lo, med(n), c)
+              (n, c, lo, med(n), raw, adj, varHi)
             }
           }
+          def isFlag(raw: Double, varHi: Double) = raw > 1.05 && varHi > 0.5
           val flagged = exps
-            .filter { case (_, _, _, _, e, varHi) => e > 1.3 && varHi > 0.5 }
-            .flatMap { case (n, _, _, _, _, _) =>
+            .filter { case (_, _, _, _, raw, _, varHi) => isFlag(raw, varHi) }
+            .flatMap { case (n, _, _, _, _, _, _) =>
               def m(dir: String) = {
                 val ts = (0 until 3).flatMap(_ => timeOnce(n, dir))
                 if (ts.isEmpty) -1.0 else median(ts)
@@ -299,29 +325,30 @@ object Bench {
               val (c, lo, hi) = (m(d001), m(d01), m(sfDir))
               if (c < 0 || lo < 0 || hi < 0) None
               else {
-                val (e, varHi) = expOf(lo, hi, c)
-                if (e > 1.3 && varHi > 0.5)
-                  Some((n, r3(c), r3(lo), r3(hi), r3(e)))
+                val (raw, adj, varHi) = expOf(lo, hi, c)
+                if (isFlag(raw, varHi))
+                  Some((n, r3(lo), r3(hi), r3(raw), r3(adj)))
                 else None
               }
             }
           val rows = exps.sortBy(-_._5).map {
-            case (n, c, lo, hi, e, _) =>
+            case (n, c, lo, hi, raw, adj, _) =>
               s"${jq(n)}: {\"t_sf0_001\":${r3(c)},\"t_sf0_01\":${r3(lo)}," +
-                s"\"t_sf0_1\":${r3(hi)},\"exponent\":${r3(e)}}"
+                s"\"t_sf0_1\":${r3(hi)},\"raw_exponent\":${r3(raw)}," +
+                s"\"adjusted_exponent\":${r3(adj)}}"
           }
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get("BENCH_SCALING.json"),
             rows.mkString("{\n", ",\n", "\n}"))
-          // headline number: worst exponent among gates with MATERIAL
-          // variable time (tiny-v noise would otherwise dominate)
-          val maxMaterial = r3(exps.collect {
-            case (_, _, _, _, e, varHi) if varHi > 0.5 => e
+          // headline number: worst RAW exponent among gates with
+          // MATERIAL top-rung variable time (the sound lower bound)
+          val maxRaw = r3(exps.collect {
+            case (_, _, _, _, raw, _, varHi) if varHi > 0.5 => raw
           }.maxOption.getOrElse(0.0))
-          val fl = flagged.map { case (n, c, lo, hi, e) =>
-            s"[${jq(n)},$e,$lo,$hi]" }.mkString("[", ",", "]")
+          val fl = flagged.map { case (n, lo, hi, raw, adj) =>
+            s"[${jq(n)},$raw,$adj,$lo,$hi]" }.mkString("[", ",", "]")
           s"""{"enabled":true,"rungs":["sf0.001","sf0.01","sf0.1"],""" +
-            s""""entries":${exps.size},"max_material_exponent":$maxMaterial,""" +
+            s""""entries":${exps.size},"max_material_raw_exponent":$maxRaw,""" +
             s""""flagged":$fl,"detail":"BENCH_SCALING.json"}"""
         case _ =>
           """{"enabled":false,"reason":"ladder dirs missing or not sf0.1"}"""
