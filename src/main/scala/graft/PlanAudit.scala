@@ -59,11 +59,12 @@ object PlanAudit {
         "only candidate pairs pay the exact-Jaccard verify — never an " +
         "all-pairs product."),
     Entry("q_knn_ivf",
-      "IVF approximate nearest neighbour: vectors route to their " +
-        "nearest of k centroids (broadcast, k rows — the two " +
-        "nested-loop joins below are those k-row centroid crosses, " +
-        "not data×data), and the candidate join is an EQUI-join on " +
-        "cell id — brute force only within probed cells."),
+      "IVF approximate nearest neighbour: centroids are a " +
+        "LocalRelation of k rows (deterministic k-means++ seeding — " +
+        "the pool scan is one TakeOrdered by hash), vectors route to " +
+        "their nearest centroid via a k-row broadcast cross (never " +
+        "data×data), and the candidate join is an EQUI-join on cell " +
+        "id — brute force only within probed cells."),
     Entry("q_bm25_topk",
       "Integer micro-nat BM25: term stats aggregate once, the 1-row " +
         "corpus stats broadcast-cross into the idf projection (the " +
