@@ -356,6 +356,35 @@ class PlanLintSpec extends SparkSpec {
   private val globalWindowUncheckedOk: Map[String, String] = Map(
     "q_sql_nulls_ordering" -> "NULLS FIRST/LAST coverage gate: the global rank over the nation-sized dim IS the subject")
 
+  test("keyed-window whitelist entries still exist and still plan a " +
+      "keyed window over a raw frame (staleness check)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the same rot-prevention the global-window list got: an entry
+    // whose plan no longer contains a raw-input keyed window is a
+    // rotten whitelist row — the bound it documents guards nothing
+    val stale = keyedWindowOk.keys.toSeq.sorted
+      .filterNot(SparkEntry.queries.contains)
+    assert(stale.isEmpty, s"keyedWindowOk names not in the battery: $stale")
+    val rotten = keyedWindowOk.keys.toSeq.sorted
+      .filter(SparkEntry.queries.contains).filter { name =>
+        val plan = physicalPlan(SparkEntry.queries(name)(spark, sf))
+        plan.collect {
+          case w: WindowExec if w.partitionSpec.nonEmpty &&
+              !w.partitionSpec.exists(_.references.exists(
+                _.name.startsWith("__pid"))) &&
+              w.child.collectFirst {
+                case a if a.nodeName.contains("Aggregate") ||
+                  a.nodeName.contains("Limit") ||
+                  a.nodeName.contains("TopKPerKey") ||
+                  a.nodeName.contains("LocalTableScan") => a
+              }.isEmpty => w
+        }.isEmpty
+      }
+    assert(rotten.isEmpty,
+      s"keyedWindowOk entries that no longer plan a raw-input keyed " +
+        s"window: ${rotten.mkString(", ")} — remove them")
+  }
+
   test("whitelisted global windows really have a structurally bounded " +
       "or aggregated input") {
     import org.apache.spark.sql.execution.window.WindowExec
