@@ -16,8 +16,6 @@ class PlanLintSpec extends SparkSpec {
     "q_join_cross",          // the cartesian-join coverage entry itself
     "q_join_theta",          // theta join == BroadcastNestedLoop by definition
     "q_dedup_minhash",       // brute-force exact-Jaccard oracle twin (capped subset)
-    "q_dedup_jaccard",       // same brute twin, capped
-    "q_embed_neardup",       // exact-pair refine over a capped bucket
     "q_knn_brute",           // brute-force ANN baseline (broadcast query side)
     "q_matryoshka",          // two brute baselines (full + prefix dims) over the limit-bounded query batch
     "q_knn_label_agree",     // brute kNN baseline over the same limit-bounded query batch
@@ -33,26 +31,18 @@ class PlanLintSpec extends SparkSpec {
     "q_blocking_quality",    // three 1-row aggregates (totals/blocks/capture) cross-joined into the single report row
     "q_retention_fit",       // 1-row week-0 denominator cross-joined into the weeks-bounded curve
     "q_chi_squared",         // contingency grid = |catA| x |catB| marginal cross by definition
-    "q_knn_lsh", "q_knn_ivf", "q_knn_quantized", "q_knn_pq",
+    "q_knn_ivf", "q_knn_quantized", "q_knn_pq",
     "q_knn_ivfpq",           // recall twins embed the brute baseline
     "q_kmeans",              // broadcast-centroid distance: scalar-sized right side
-    "q_contamination",       // benchmark side is a broadcast scalar set
-    "q_dup_clusters",        // injected-clique envelope uses a capped clone cross
     "q_dedup_minhash_recall",
     "q_dedup_simhash",
-    "q_lineage_edges",       // lineage demo query, nation-sized
     "q_sketch_theta", "q_sketch_hll_union", // sketch-to-scalar comparisons
     "q_stat_freqitems",      // support-envelope crossJoin of two scalar aggregates
     "q_sample_seeded",       // scalar × scalar envelope
-    "q_tablesample",         // scalar subquery envelope
-    "q_stat_quantile", "q_approx_percentile", "q_approx_distinct",
-    "q_stat_sampleby", "q_stat_cms", "q_stat_bloom", // envelope scalar joins
     "qds_q28_six_bands",     // six scalar aggregates cross-joined into one row
     "qds_q61_promo_ratio", "qds_q83_tri_slices", "qds_q90_am_pm", // scalar ratios
-    "qds_q88_time_bands", "qds_q9_case_scalar_bands", // multi-scalar shapes
-    "q_curation_funnel", "q_mixture_sample", "q_train_split", // scalar-threshold joins
-    "q_repetition", "q_seq_packing", "q_weighted_sample",
-    "q_multimodal", "q_quality_checks", "q_drift_psi", // scalar totals cross-joined
+    "q_mixture_sample", // scalar-threshold joins
+    "q_drift_psi", // scalar totals cross-joined
     "q_setops",              // five 1-row set-op counts folded into one plan
     "qds_q84_income_band",   // non-equi band join against a 3-row VALUES table: broadcast NL is the right plan at any scale
     "q_lm_score",            // corpus-total scalar cross-joined into the scoring projection
@@ -65,7 +55,6 @@ class PlanLintSpec extends SparkSpec {
     "q_tfidf_bigvocab",      // same scalar cross-join, inflated-vocabulary variant
     "q_keyword_topk",        // same tf-idf scoring subtree under TopKPerKey
     "q_triangles",           // max-pair-count 1-row broadcast cross-joined into the edge threshold
-    "q_kcore",               // same scalar max-pair cross-join feeding the edge threshold
     "q_pipeline_e2e",        // pack-stats scalar aggregate cross-joined onto the 3-row split summary
     "q_more_like_this",      // tf-idf + BM25 corpus-stat scalars cross-joined into the scoring projections
     "q_hybrid_retrieval",    // semantic ranker is the documented exact brute baseline: corpus scan × 3-row broadcast query batch
@@ -324,20 +313,35 @@ class PlanLintSpec extends SparkSpec {
     "q_retention_fit" -> "week-0 denominator side is a week-GROUPED aggregate filtered to one week — 1 row by the cohort contract, grouped (not scalar) in the plan",
     "q_hybrid_retrieval" -> "brute semantic ranker: corpus scan x 3-row VALUES query batch resolved through a unique-key embedding lookup join (the broadcastHintOk bound, opaque to boundedPhysical)")
 
-  test("whitelisted cartesians really have a structurally bounded side") {
-    val offenders = cartesianOk.toSeq.sorted
-      .filterNot(cartesianUncheckedOk.contains)
-      .filter(SparkEntry.queries.contains).flatMap { name =>
-        val plan = physicalPlan(SparkEntry.queries(name)(spark, sf))
-        val carts = plan.collect {
-          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
-          case b: org.apache.spark.sql.execution.joins
-              .BroadcastNestedLoopJoinExec => b
-        }
-        val bad = carts.filterNot(c => boundedPhysical(c.left) ||
-          boundedPhysical(c.right))
-        if (bad.nonEmpty) Some(name) else None
+  test("whitelisted cartesians really have a structurally bounded side " +
+      "and the whitelist carries no rot") {
+    assert(cartesianUncheckedOk.keySet.subsetOf(cartesianOk),
+      "unchecked residue must be a subset of the whitelist")
+    val missing = cartesianOk.toSeq.sorted
+      .filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"cartesianOk names not in the battery: $missing")
+    val results = cartesianOk.toSeq.sorted.map { name =>
+      val plan = physicalPlan(SparkEntry.queries(name)(spark, sf))
+      val carts = plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        case b: org.apache.spark.sql.execution.joins
+            .BroadcastNestedLoopJoinExec => b
       }
+      (name, carts)
+    }
+    // staleness: a whitelisted entry that no longer plans any
+    // cartesian/BNLJ is a rotten row (a round-12 audit found 22 —
+    // plans had evolved past their whitelist reasons); cartesian shape
+    // is scale-independent (it comes from keyless joins, not sizes)
+    val rotten = results.collect { case (n, carts) if carts.isEmpty => n }
+    assert(rotten.isEmpty,
+      s"whitelisted entries that no longer plan a cartesian/BNLJ: " +
+        s"${rotten.mkString(", ")} — remove them from cartesianOk")
+    val offenders = results.collect {
+      case (name, carts) if !cartesianUncheckedOk.contains(name) &&
+        carts.exists(c => !(boundedPhysical(c.left) ||
+          boundedPhysical(c.right))) => name
+    }
     assert(offenders.isEmpty,
       s"whitelisted cartesian with NO bounded side in: " +
         s"${offenders.mkString(", ")} — the whitelist reason claims a " +
