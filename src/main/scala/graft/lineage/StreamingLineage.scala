@@ -90,7 +90,8 @@ object StreamingLineage {
     * run's graph is never dropped, and one overflow never wipes the
     * whole post-mortem map).
     */
-  final class LineageListener(spark: SparkSession)
+  final class LineageListener(spark: SparkSession,
+      maxRuns: Int = LineageListener.MaxRuns)
       extends StreamingQueryListener {
     import StreamingQueryListener._
 
@@ -112,7 +113,7 @@ object StreamingLineage {
       val active = spark.streams.active.map(_.runId).toSet
       var scanned = 0
       val bound = order.size()
-      while (graphs.size() > LineageListener.MaxRuns && scanned < bound) {
+      while (graphs.size() > maxRuns && scanned < bound) {
         scanned += 1
         val oldest = order.poll()
         if (oldest != null) {
@@ -128,7 +129,7 @@ object StreamingLineage {
           if (graphs.putIfAbsent(runId, ofQuery(q)) == null) {
             order.add(runId)
           } else graphs.put(runId, ofQuery(q))
-          if (graphs.size() > LineageListener.MaxRuns) evictOldest()
+          if (graphs.size() > maxRuns) evictOldest()
         }
         // never let a lineage snapshot fail the listener bus (e.g. the
         // start event racing plan initialization) — progress events

@@ -533,6 +533,51 @@ class LineageSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LineageListener overflow evicts OLDEST terminated runs first " +
+      "and never drops a still-active run's graph") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val listener = new StreamingLineage.LineageListener(spark, maxRuns = 1)
+    spark.streams.addListener(listener)
+    def await(cond: => Boolean, what: String): Unit = {
+      val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(cond, s"timed out waiting for: $what")
+    }
+    def startQ(name: String) = {
+      val in = MemoryStream[Long]
+      val q = in.toDF().toDF("v")
+        .select((col("v") + 1).as("v1"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      in.addData(1L); q.processAllAvailable()
+      await(listener.graphOf(q.runId).nonEmpty, s"$name captured")
+      q
+    }
+    val q1 = startQ("lin_evict_a")
+    val q2 = startQ("lin_evict_b")
+    try {
+      // over capacity (maxRuns=1) with BOTH runs active: neither may
+      // be evicted — active runs are skipped by the eviction scan
+      assert(listener.graphOf(q1.runId).nonEmpty, "active q1 must survive")
+      assert(listener.graphOf(q2.runId).nonEmpty, "active q2 must survive")
+      q1.stop()
+      // next capture overflows again; now-terminated q1 is the oldest
+      // evictable entry and must go, while q2 (active) survives
+      val q3 = startQ("lin_evict_c")
+      try {
+        await(listener.graphOf(q1.runId).isEmpty,
+          "terminated q1 evicted on overflow")
+        assert(listener.graphOf(q2.runId).nonEmpty,
+          "active q2 must survive the overflow")
+        assert(listener.graphOf(q3.runId).nonEmpty, "newest run kept")
+      } finally q3.stop()
+    } finally {
+      q1.stop(); q2.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("hop-level DAG reproduces the reference example's nested " +
       "substr/arithmetic derivation tree") {
     // The reference preserves hop-by-hop derivation as
