@@ -306,6 +306,13 @@ object ColumnLineage {
       LeafHop(SourceColumn("unknown", a.name))))
   }
 
+  /** Output ExprId → hop tree, for [[LineageRegistry.capture]]. */
+  private[lineage] def outputHops(plan: LogicalPlan)
+      : Map[ExprId, HopNode] = {
+    val m = hopWalk(plan, None, Map.empty)
+    plan.output.flatMap(a => m.get(a.exprId).map(a.exprId -> _)).toMap
+  }
+
   /** Rendered derivation tree of one output column. */
   def hopTree(df: DataFrame, column: String): String =
     hopsOf(df).collectFirst { case (n, h) if n == column => h.treeString }
@@ -368,9 +375,14 @@ object ColumnLineage {
         case _ => None
       }
       l.output.map { a =>
+        // full pre-checkpoint hop tree when the registry captured one
+        // (lineage-erasing localCheckpoints in the ops layer); source
+        // sets as the degraded fallback; a raw leaf otherwise
+        val hopTree = LineageRegistry.lookupHop(a.exprId)
+          .orElse(rddId.flatMap(LineageRegistry.lookupHopByRdd(_, a.name)))
         val spliced = LineageRegistry.lookup(a.exprId)
           .orElse(rddId.flatMap(LineageRegistry.lookupByRdd(_, a.name)))
-        a.exprId -> (spliced match {
+        a.exprId -> hopTree.getOrElse(spliced match {
           case Some(srcs) =>
             DerivedHop(a.name, "checkpoint", l.nodeName,
               srcs.toSeq.sortBy(s => (s.table, s.column)).map(LeafHop.apply))

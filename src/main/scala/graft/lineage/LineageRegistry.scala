@@ -33,6 +33,16 @@ object LineageRegistry {
   // misses.  The (rdd id, column name) pair survives the re-instancing.
   private val byRddCol = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), Set[ColumnLineage.SourceColumn]]()
+  // HOP-tree twins of the two maps above: the pre-checkpoint
+  // derivation TREE per output column (immutable, shared), so the
+  // hop-level view traces THROUGH materialization points with full
+  // intermediate structure instead of degrading to a placeholder.
+  // Chained checkpoints compose naturally — each round's capture walks
+  // a plan whose leaves splice the previous round's trees.
+  private val byExprIdHop = new java.util.concurrent.ConcurrentHashMap[
+    Long, ColumnLineage.HopNode]()
+  private val byRddColHop = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), ColumnLineage.HopNode]()
 
   /** Resolve `pre`'s output lineage and register it under `post`'s
     * output ExprIds (and the checkpoint RDD's (id, column) identity).
@@ -42,8 +52,11 @@ object LineageRegistry {
   def capture(pre: LogicalPlan, post: LogicalPlan): Unit =
     try {
       val sources = ColumnLineage.outputSources(pre)
+      val hops = ColumnLineage.outputHops(pre)
       if (byExprId.size() > MaxEntries) byExprId.clear()
       if (byRddCol.size() > MaxEntries) byRddCol.clear()
+      if (byExprIdHop.size() > MaxEntries) byExprIdHop.clear()
+      if (byRddColHop.size() > MaxEntries) byRddColHop.clear()
       val rddId = post.collectFirst {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
       }
@@ -56,6 +69,10 @@ object LineageRegistry {
         // walk name the checkpoint RDD itself as a phantom source.
         byExprId.put(p.exprId.id, srcs)
         rddId.foreach(id => byRddCol.put((id, p.name), srcs))
+        hops.get(b.exprId).foreach { h =>
+          byExprIdHop.put(p.exprId.id, h)
+          rddId.foreach(id => byRddColHop.put((id, p.name), h))
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => }
 
@@ -71,6 +88,20 @@ object LineageRegistry {
       : Option[Set[ColumnLineage.SourceColumn]] =
     Option(byRddCol.get((rddId, column)))
 
+  /** Registered pre-checkpoint HOP TREE for an output attribute. */
+  private[lineage] def lookupHop(
+      exprId: org.apache.spark.sql.catalyst.expressions.ExprId)
+      : Option[ColumnLineage.HopNode] =
+    Option(byExprIdHop.get(exprId.id))
+
+  /** Hop-tree fallback by checkpoint RDD identity and column name. */
+  private[lineage] def lookupHopByRdd(rddId: Int, column: String)
+      : Option[ColumnLineage.HopNode] =
+    Option(byRddColHop.get((rddId, column)))
+
   /** Test hook. */
-  private[graft] def clear(): Unit = { byExprId.clear(); byRddCol.clear() }
+  private[graft] def clear(): Unit = {
+    byExprId.clear(); byRddCol.clear()
+    byExprIdHop.clear(); byRddColHop.clear()
+  }
 }

@@ -628,22 +628,39 @@ class LineageSpec extends SparkSpec {
       o == "net" && i == s"$liTable.l_extendedprice" })
   }
 
-  test("hop-level DAG: aggregate hop + checkpoint boundary degrade " +
-      "to a single spliced hop over leaf sources") {
+  test("hop-level DAG: aggregate hop + FULL derivation through the " +
+      "lineage-erasing checkpoint (registry splices the hop TREE)") {
     val agg = li.groupBy(col("l_returnflag"))
       .agg(sum(col("l_quantity")).as("q"))
     val qh = ColumnLineage.hopsOf(agg).toMap.apply("q")
       .asInstanceOf[ColumnLineage.DerivedHop]
     assert(qh.node == "Aggregate" && qh.exprSql.contains("sum"), qh)
-    // a lineage-erasing localCheckpoint keeps leaf fidelity as one
-    // "checkpoint" hop (intermediate hops are gone by then, by design)
+    // minhashPairs ends in a localCheckpoint; the registry now stores
+    // the pre-checkpoint HOP TREE, so the post-checkpoint walk gets
+    // the real derivation (jaccard_sorted refine over shingle sets)
+    // with documents.text leaves — not a "checkpoint" placeholder
     val docs = Tables.load(spark, sf, "documents").filter(col("doc_id") < 40)
     val docTable = ColumnLineage.of(docs).outputs.head.sources.head.table
     val pairs = graft.ops.Dedup.minhashPairs(docs, "doc_id", "text", 0.5)
     val j = ColumnLineage.hopsOf(pairs).toMap.apply("jaccard")
       .asInstanceOf[ColumnLineage.DerivedHop]
-    assert(j.exprSql == "checkpoint", j)
-    assert(j.children == Seq(ColumnLineage.LeafHop(src(docTable, "text"))), j)
+    assert(j.exprSql.toLowerCase.replace("_","").contains("jaccardsorted"),
+      s"the real deriving expression must survive the checkpoint: ${j.label}")
+    def leaves(h: ColumnLineage.HopNode): Seq[ColumnLineage.SourceColumn] =
+      h match {
+        case l: ColumnLineage.LeafHop => Seq(l.source)
+        case d: ColumnLineage.DerivedHop => d.children.flatMap(leaves)
+      }
+    assert(leaves(j).toSet == Set(src(docTable, "text")),
+      s"leaves must be the physical text column: ${leaves(j).toSet}")
+    // the intermediate shingle-set derivation is an actual hop in the
+    // spliced tree (the fidelity the flattened closure view drops)
+    def names(h: ColumnLineage.HopNode): Seq[String] = h match {
+      case d: ColumnLineage.DerivedHop => d.name +: d.children.flatMap(names)
+      case _ => Nil
+    }
+    assert(names(j).exists(_.startsWith("sh")),
+      s"intermediate shingle hops expected in: ${names(j).distinct}")
   }
 
   test("control-flow mode (opt-in): filter and join predicates add " +
