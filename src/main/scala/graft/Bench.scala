@@ -92,7 +92,7 @@ object Bench {
       .filter(n => only.forall(_.exists(n.startsWith)))
     val samples = mutable.Map.empty[String, mutable.ArrayBuffer[Double]]
     val errs = mutable.Map.empty[String, String]
-    for (_ <- 0 until runs; name <- names) {
+    def timed(name: String): Unit = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try {
@@ -105,6 +105,25 @@ object Bench {
           errs(name) = m.linesIterator.nextOption().getOrElse(m).take(160)
       }
     }
+    val dataNames = names.filterNot(isProtocol)
+    val protoNames = names.filter(isProtocol)
+    // One UNRECORDED warmup execution per data gate before timing:
+    // run 1 of a cold battery is pure JIT/codegen warmup (round-12
+    // q_random_walks: run 1 = 40.5 s vs 4.2-5.2 s after) and poisons
+    // 3-run medians on gates whose kernels only it exercises.
+    dataNames.foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir).count()
+      catch { case _: Throwable => }
+    }
+    // data gates: run-major (interleaved) — cross-run spread then
+    // reflects steady-state noise, which the median absorbs
+    for (_ <- 0 until runs; name <- dataNames) timed(name)
+    // protocol gates: gate-major (each gate's runs back-to-back =
+    // quasi-isolated) at >=5 runs — their cost is a fixed
+    // streaming-replay constant whose 3-run contended medians moved
+    // ±58% round-over-round with zero code cause (r12 finding 3)
+    val protoRuns = math.max(runs, 5)
+    for (name <- protoNames; _ <- 0 until protoRuns) timed(name)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.isEmpty) -1.0 else s(s.size / 2)
@@ -232,9 +251,11 @@ object Bench {
         thresh: (String, Double, Double) => Boolean) =
       flags.take(12).flatMap { case (n, base, cur) =>
         val iso0 = retest(n)
-        // retest errored entirely: keep the contaminated session median
-        // as the reported measurement rather than a sentinel.
-        val iso = if (iso0 <= 0) cur else iso0
+        // retest errored entirely (-1 sentinel): keep the contaminated
+        // session median as the reported measurement.  Strictly < 0 —
+        // a sub-millisecond retest median r3-rounds to exactly 0.0 and
+        // is a valid (fast) measurement, not a failure.
+        val iso = if (iso0 < 0) cur else iso0
         if (thresh(n, base, iso)) Some((n, base, iso)) else None
       }
     val regressions = confirm(regressions0, overThreshold)
@@ -315,16 +336,36 @@ object Bench {
             }
           }
           def isFlag(raw: Double, varHi: Double) = raw > 1.05 && varHi > 0.5
-          val flagged = exps
-            .filter { case (_, _, _, _, raw, _, varHi) => isFlag(raw, varHi) }
-            .flatMap { case (n, _, _, _, _, _, _) =>
+          // Isolated re-measurement (3 runs per rung, back-to-back) of
+          // (i) every flag candidate and (ii) the top material raw
+          // exponents: the session numbers above are contaminated by
+          // the 500-entry battery around them (r12: q_ngram_overlap
+          // session raw 1.23 vs isolated 0.72), so the HEADLINE
+          // max_material_raw_exponent is computed from isolated
+          // ladders wherever one was taken, and BENCH_SCALING.json
+          // records both (isolated_* fields).
+          val isoLadder = mutable.Map.empty[String, (Double, Double, Double)]
+          def isolate(n: String): Option[(Double, Double, Double)] =
+            isoLadder.get(n).orElse {
               def m(dir: String) = {
                 val ts = (0 until 3).flatMap(_ => timeOnce(n, dir))
                 if (ts.isEmpty) -1.0 else median(ts)
               }
-              val (c, lo, hi) = (m(d001), m(d01), m(sfDir))
-              if (c < 0 || lo < 0 || hi < 0) None
-              else {
+              val t = (m(d001), m(d01), m(sfDir))
+              if (t._1 < 0 || t._2 < 0 || t._3 < 0) None
+              else { isoLadder(n) = t; Some(t) }
+            }
+          val material = exps.filter(_._7 > 0.5)
+          val isoTargets =
+            (material.filter { case (_, _, _, _, raw, _, varHi) =>
+              isFlag(raw, varHi) } ++
+              material.sortBy(-_._5).take(8)).map(_._1).distinct
+          isoTargets.foreach(isolate)
+          val flagged = exps
+            .filter { case (n, _, _, _, raw, _, varHi) =>
+              isFlag(raw, varHi) }
+            .flatMap { case (n, _, _, _, _, _, _) =>
+              isolate(n).flatMap { case (c, lo, hi) =>
                 val (raw, adj, varHi) = expOf(lo, hi, c)
                 if (isFlag(raw, varHi))
                   Some((n, r3(lo), r3(hi), r3(raw), r3(adj)))
@@ -333,22 +374,36 @@ object Bench {
             }
           val rows = exps.sortBy(-_._5).map {
             case (n, c, lo, hi, raw, adj, _) =>
+              val isoFields = isoLadder.get(n).map { case (ic, ilo, ihi) =>
+                val (iraw, iadj, _) = expOf(ilo, ihi, ic)
+                s",\"isolated_t_sf0_001\":${r3(ic)}," +
+                  s"\"isolated_t_sf0_01\":${r3(ilo)}," +
+                  s"\"isolated_t_sf0_1\":${r3(ihi)}," +
+                  s"\"isolated_raw_exponent\":${r3(iraw)}," +
+                  s"\"isolated_adjusted_exponent\":${r3(iadj)}"
+              }.getOrElse("")
               s"${jq(n)}: {\"t_sf0_001\":${r3(c)},\"t_sf0_01\":${r3(lo)}," +
                 s"\"t_sf0_1\":${r3(hi)},\"raw_exponent\":${r3(raw)}," +
-                s"\"adjusted_exponent\":${r3(adj)}}"
+                s"\"adjusted_exponent\":${r3(adj)}$isoFields}"
           }
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get("BENCH_SCALING.json"),
             rows.mkString("{\n", ",\n", "\n}"))
           // headline number: worst RAW exponent among gates with
-          // MATERIAL top-rung variable time (the sound lower bound)
-          val maxRaw = r3(exps.collect {
-            case (_, _, _, _, raw, _, varHi) if varHi > 0.5 => raw
+          // MATERIAL top-rung variable time (the sound lower bound) —
+          // POST-ISOLATION where an isolated ladder exists, so the
+          // recorded field matches what a defensible re-measurement
+          // would show (r12 finding 2)
+          val maxRaw = r3(material.map { case (n, c, lo, hi, raw, _, _) =>
+            isoLadder.get(n).map { case (ic, ilo, ihi) =>
+              expOf(ilo, ihi, ic)._1
+            }.getOrElse(raw)
           }.maxOption.getOrElse(0.0))
           val fl = flagged.map { case (n, lo, hi, raw, adj) =>
             s"[${jq(n)},$raw,$adj,$lo,$hi]" }.mkString("[", ",", "]")
           s"""{"enabled":true,"rungs":["sf0.001","sf0.01","sf0.1"],""" +
-            s""""entries":${exps.size},"max_material_raw_exponent":$maxRaw,""" +
+            s""""entries":${exps.size},"isolated_entries":${isoLadder.size},""" +
+            s""""max_material_raw_exponent":$maxRaw,""" +
             s""""flagged":$fl,"detail":"BENCH_SCALING.json"}"""
         case _ =>
           """{"enabled":false,"reason":"ladder dirs missing or not sf0.1"}"""

@@ -254,12 +254,21 @@ object PlanAudit {
       }
       spark.sparkContext.addSparkListener(counter)
       val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(e.name)(spark, sfDir).count()
-      val secs = math.rint((System.nanoTime() - t0) / 1e7) / 100
-      // the listener bus is async; give it a moment to drain before
-      // reading the counters (audit artifact, not a correctness gate)
-      Thread.sleep(2000)
-      spark.sparkContext.removeSparkListener(counter)
+      var secs = 0.0
+      // try/finally: a throwing gate must not leak the counting
+      // listener onto the bus and skew every subsequent operator's
+      // job/stage/shuffle numbers
+      val rows =
+        try {
+          val r = SparkEntry.queries(e.name)(spark, sfDir).count()
+          secs = math.rint((System.nanoTime() - t0) / 1e7) / 100
+          r
+        } finally {
+          // the listener bus is async; give it a moment to drain before
+          // reading the counters (audit artifact, not a correctness gate)
+          Thread.sleep(2000)
+          spark.sparkContext.removeSparkListener(counter)
+        }
       val shuffleStages = counter.stages.get - counter.jobs.get
       val mb = math.rint(counter.shuffleWrite.get / 1e4) / 100
       sb.append(s"\n## ${e.name}\n\n${e.note}\n\n")
@@ -268,9 +277,134 @@ object PlanAudit {
         s"(~$shuffleStages shuffle-map), $mb MB shuffle write, " +
         s"$rows output rows, $secs s\n")
     }
+    streamingAudit(spark, sfDir, sb)
     Files.write(Paths.get("PLANS.md"),
       sb.toString.getBytes(StandardCharsets.UTF_8))
-    println(s"wrote PLANS.md (${entries.size + iterEntries.size} operators)")
+    println(s"wrote PLANS.md (${entries.size + iterEntries.size} batch + " +
+      "3 streaming operators)")
     spark.stop()
+  }
+
+  /** Streaming analog of the batch audit (the doc a 100 TB operator
+    * actually needs for the protocol gates): run the three stateful
+    * shapes the `q_stream_*` gates exercise — watermarked
+    * stream-stream interval join, watermarked tumbling aggregation,
+    * transformWithState on RocksDB — over a 2-file replay
+    * (maxFilesPerTrigger=1 ⇒ ≥2 micro-batches), then report PER BATCH
+    * the watermark and each state operator's rows-total/updated/removed
+    * from the progress events, plus the LAST micro-batch's executed
+    * plan filtered to its stateful operators.
+    */
+  private def streamingAudit(spark: SparkSession, sfDir: String,
+      sb: StringBuilder): Unit = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    sb.append("\n# Streaming operators — micro-batch plans, watermarks, state stores\n\n")
+    sb.append("Replay = the events table split into 2 parquet files read " +
+      "with maxFilesPerTrigger=1 (the protocol-gate device), 4 state " +
+      "partitions.  Watermarks and state-store row counts are read from " +
+      "the query's progress events; the plan is the final " +
+      "IncrementalExecution's executed tree (stateful operators only — " +
+      "full trees in the gates' specs).  At 100 TB these numbers are the " +
+      "contract: state per key is O(1) longs (tws, agg) or bounded by " +
+      "the watermark horizon (join), and eviction happens when the " +
+      "watermark passes — visible below as numRowsRemoved > 0.\n")
+    val ev = Tables.load(spark, sfDir, "events")
+      .filter(col("user_id") % 7 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val dir = TmpCleanup.tempDir("graft_plan_stream")
+    ev.repartition(2).write.mode("overwrite").parquet(dir)
+    def stream(): DataFrame = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+
+    def run(name: String, note: String, build: () => DataFrame,
+        outputMode: String, conf: Map[String, String] = Map.empty): Unit = {
+      val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val viewName = "plan_audit_" +
+          name.replaceAll("[^A-Za-z0-9_]", "").take(48)
+        val q = build().writeStream.format("memory")
+          .queryName(viewName).outputMode(outputMode).start()
+        try {
+          q.processAllAvailable()
+          sb.append(s"\n## $name\n\n$note\n\n")
+          q.recentProgress.filter(_.numInputRows > 0).foreach { p =>
+            val wm = Option(p.eventTime.get("watermark")).getOrElse("-")
+            sb.append(s"- batch ${p.batchId}: ${p.numInputRows} input rows, " +
+              s"watermark $wm\n")
+            p.stateOperators.foreach { so =>
+              sb.append(s"  - state `${so.operatorName}`: " +
+                s"rowsTotal=${so.numRowsTotal} updated=${so.numRowsUpdated} " +
+                s"removed=${so.numRowsRemoved}\n")
+            }
+          }
+          graft.lineage.StreamingLineage.lastBatchPhysicalPlan(q).foreach { pl =>
+            val stateful = pl.linesIterator.filter(l =>
+              l.contains("StateStore") || l.contains("SymmetricHashJoin") ||
+                l.contains("TransformWithState") || l.contains("EventTimeWatermark") ||
+                l.contains("Dedupe") || l.contains("SessionWindow"))
+              .map(_.trim.take(160)).toSeq.distinct
+            sb.append("\n```\n").append(stateful.mkString("\n")).append("\n```\n")
+          }
+        } finally q.stop()
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+        saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      }
+    }
+
+    run("stream_stream_interval_join (q_stream_join shape)",
+      "Both sides watermarked; the join buffers each side in a " +
+        "symmetric hash state store keyed by user_id and EVICTS rows " +
+        "once the watermark passes the interval horizon — state is " +
+        "bounded by (watermark lag × input rate), never by stream length.",
+      () => {
+        val clicks = stream().filter(col("event_type") === "click")
+          .withWatermark("ts", "30 minutes")
+          .select(col("user_id"), col("ts").as("c_ts"))
+        val purchases = stream().filter(col("event_type") === "purchase")
+          .withWatermark("ts", "30 minutes")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      }, "append")
+
+    run("watermarked_tumbling_agg (q_stream_tumbling shape)",
+      "Partial aggregation below the exchange feeds StateStoreSave; " +
+        "append mode emits a window only when the watermark passes its " +
+        "end, and the store then drops it (removed > 0) — state is the " +
+        "set of OPEN windows, not history.",
+      () => stream().withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n")),
+      "append")
+
+    run("transform_with_state_rocksdb (q_stream_tws shape)",
+      "TransformWithState over the RocksDB provider: one ValueState " +
+        "long per event_type (O(1) state per key), updates accumulate " +
+        "across batches; the store is the Spark-4 typed-state surface " +
+        "the gate drives end-to-end.",
+      () => {
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        import spark.implicits._
+        stream().select(col("event_type"), lit(1L).as("one"))
+          .as[(String, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new graft.streaming.RunningTotalProcessor,
+            TimeMode.None(), OutputMode.Update())
+          .toDF("event_type", "add", "total")
+      }, "update",
+      Map("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
   }
 }

@@ -1213,3 +1213,65 @@ case class ClippedMatchCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "clipped_match_count"
 }
+
+/** `bloom_probe(bucket BIGINT, bf BINARY, v BIGINT) -> BOOLEAN` —
+  * probe a PER-ROW bloom filter binary (Spark's own
+  * `BloomFilterMightContain` requires the filter side to be a foldable
+  * or scalar-subquery expression, so a bucketed bloom INDEX joined
+  * onto the probe stream cannot use it).  The bucket id keys a
+  * one-entry deserialization cache: rows clustered by bucket (the
+  * two-level incremental-dedup op sorts within partitions) deserialize
+  * each bucket's filter once per task instead of once per row.  The
+  * cache is an identity-keyed perf layer only — a cold probe is just a
+  * deserialize-then-probe, so interpreted/invariance sweeps stay
+  * byte-identical.
+  */
+case class BloomProbe(bucket: Expression, bf: Expression, value: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = bucket
+  override def second: Expression = bf
+  override def third: Expression = value
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (bucket.dataType == LongType && bf.dataType == BinaryType &&
+        value.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_probe requires (BIGINT, BINARY, BIGINT), got " +
+        s"(${bucket.dataType.sql}, ${bf.dataType.sql}, ${value.dataType.sql})")
+
+  // per-instance single-entry cache (task-local after codegen/copy;
+  // interpreted instances may re-deserialize — correctness-neutral)
+  @transient private lazy val cache: Array[AnyRef] =
+    Array[AnyRef](java.lang.Long.valueOf(java.lang.Long.MIN_VALUE), null)
+
+  override def nullSafeEval(bk: Any, filterBytes: Any, v: Any): Any =
+    BloomProbe.probe(cache, bk.asInstanceOf[Long],
+      filterBytes.asInstanceOf[Array[Byte]], v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cacheVar = ctx.addMutableState("java.lang.Object[]", "bloomProbeCache",
+      v => s"""$v = new java.lang.Object[]{
+              |  java.lang.Long.valueOf(java.lang.Long.MIN_VALUE), null};""".stripMargin)
+    nullSafeCodeGen(ctx, ev, (bk, f, v) =>
+      s"${ev.value} = graft.functions.BloomProbe.probe($cacheVar, $bk, $f, $v);")
+  }
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(bucket = newFirst, bf = newSecond, value = newThird)
+  override def prettyName: String = "bloom_probe"
+}
+
+object BloomProbe {
+  /** Deserialize-once-per-bucket probe; `cache` = [lastBucket, filter]. */
+  def probe(cache: Array[AnyRef], bucket: Long, bytes: Array[Byte],
+      v: Long): Boolean = {
+    if (cache(1) == null ||
+        cache(0).asInstanceOf[java.lang.Long].longValue() != bucket) {
+      cache(1) = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      cache(0) = java.lang.Long.valueOf(bucket)
+    }
+    cache(1).asInstanceOf[org.apache.spark.util.sketch.BloomFilter]
+      .mightContainLong(v)
+  }
+}

@@ -116,6 +116,28 @@ object ColumnLineage {
     case other => other.nodeName
   }
 
+  /** Durable table identity of a leaf, for the SINK-side registry
+    * splice ([[SinkLineage]]): catalog tables by identifier, file
+    * relations by root path, v2 relations by table name — normalized
+    * the same way the write capture normalized them.
+    */
+  private def leafTableId(leaf: LeafNode): Option[String] = leaf match {
+    case lr: LogicalRelation =>
+      lr.catalogTable
+        .map(t => SinkLineage.normalizeId(t.identifier.unquotedString))
+        .orElse(lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.headOption
+              .map(p => SinkLineage.normalizeId(p.toString))
+          case _ => None
+        })
+    case h: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+      Some(SinkLineage.normalizeId(h.tableMeta.identifier.unquotedString))
+    case d: DataSourceV2Relation =>
+      Some(SinkLineage.normalizeId(d.table.name()))
+    case _ => None
+  }
+
   /** Core recursion: map from ExprId to leaf source columns for every
     * attribute visible at `plan`'s output (plus intermediates).
     */
@@ -155,9 +177,14 @@ object ColumnLineage {
         case r: org.apache.spark.sql.execution.LogicalRDD => Some(r.rdd.id)
         case _ => None
       }
+      // a table that a captured WRITE produced splices the writing
+      // query's lineage in (durable identity key) — lineage composes
+      // across materializations
+      val tableId = leafTableId(l)
       l.output.map(a => a.exprId ->
         LineageRegistry.lookup(a.exprId)
           .orElse(rddId.flatMap(LineageRegistry.lookupByRdd(_, a.name)))
+          .orElse(tableId.flatMap(LineageRegistry.lookupTable(_, a.name)))
           .getOrElse(Set(SourceColumn(table, a.name)))).toMap
 
     case p: Project =>
@@ -374,14 +401,18 @@ object ColumnLineage {
         case r: org.apache.spark.sql.execution.LogicalRDD => Some(r.rdd.id)
         case _ => None
       }
+      val tableId = leafTableId(l)
       l.output.map { a =>
         // full pre-checkpoint hop tree when the registry captured one
-        // (lineage-erasing localCheckpoints in the ops layer); source
+        // (lineage-erasing localCheckpoints in the ops layer), or the
+        // writing query's hop tree for a captured SINK table; source
         // sets as the degraded fallback; a raw leaf otherwise
         val hopTree = LineageRegistry.lookupHop(a.exprId)
           .orElse(rddId.flatMap(LineageRegistry.lookupHopByRdd(_, a.name)))
+          .orElse(tableId.flatMap(LineageRegistry.lookupTableHop(_, a.name)))
         val spliced = LineageRegistry.lookup(a.exprId)
           .orElse(rddId.flatMap(LineageRegistry.lookupByRdd(_, a.name)))
+          .orElse(tableId.flatMap(LineageRegistry.lookupTable(_, a.name)))
         a.exprId -> hopTree.getOrElse(spliced match {
           case Some(srcs) =>
             DerivedHop(a.name, "checkpoint", l.nodeName,

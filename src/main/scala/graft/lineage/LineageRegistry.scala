@@ -43,6 +43,16 @@ object LineageRegistry {
     Long, ColumnLineage.HopNode]()
   private val byRddColHop = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), ColumnLineage.HopNode]()
+  // SINK-side lineage: (written table identity, column name) → sources
+  // / hop tree of the WRITING query, captured by [[SinkLineage]] at
+  // `df.write` / `INSERT INTO` / CTAS time.  A later read of that
+  // table splices these in, so column lineage composes table-to-table
+  // across materializations — the same device as the checkpoint maps,
+  // keyed by durable table identity instead of runtime ExprIds.
+  private val byTableCol = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Set[ColumnLineage.SourceColumn]]()
+  private val byTableColHop = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), ColumnLineage.HopNode]()
 
   /** Resolve `pre`'s output lineage and register it under `post`'s
     * output ExprIds (and the checkpoint RDD's (id, column) identity).
@@ -76,6 +86,61 @@ object LineageRegistry {
       }
     } catch { case scala.util.control.NonFatal(_) => }
 
+  /** Record the lineage of a WRITE: `columnNames` are the written
+    * table's column names (positionally aligned with `query.output` —
+    * Spark projects the query to table order before any insert).
+    * Append-mode writes UNION with what the table already carried (the
+    * table's contents now derive from both); overwrite/CTAS replaces.
+    * Never throws.
+    */
+  def captureWrite(table: String, columnNames: Seq[String],
+      query: LogicalPlan, append: Boolean): Unit =
+    try {
+      val sources = ColumnLineage.outputSources(query)
+      val hops = ColumnLineage.outputHops(query)
+      if (byTableCol.size() > MaxEntries) byTableCol.clear()
+      if (byTableColHop.size() > MaxEntries) byTableColHop.clear()
+      columnNames.zip(query.output).foreach { case (name, attr) =>
+        val key = (table, name)
+        val srcs = sources.getOrElse(attr.exprId,
+          Set.empty[ColumnLineage.SourceColumn])
+        if (append) {
+          val prev = Option(byTableCol.get(key))
+            .getOrElse(Set.empty[ColumnLineage.SourceColumn])
+          byTableCol.put(key, prev ++ srcs)
+        } else byTableCol.put(key, srcs)
+        hops.get(attr.exprId).foreach { h =>
+          val merged =
+            if (append) Option(byTableColHop.get(key)) match {
+              case Some(prev) => ColumnLineage.DerivedHop(
+                name, "append", "Write", Seq(prev, h))
+              case None => h
+            } else h
+          byTableColHop.put(key, merged)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => }
+
+  /** Drop one written table's recorded lineage (a DROP TABLE or an
+    * overwrite by an uninstrumented engine invalidates it). */
+  def forgetTable(table: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    byTableCol.keySet().asScala.filter(_._1 == table)
+      .foreach(byTableCol.remove)
+    byTableColHop.keySet().asScala.filter(_._1 == table)
+      .foreach(byTableColHop.remove)
+  }
+
+  /** Recorded write lineage for a (table identity, column). */
+  def lookupTable(table: String, column: String)
+      : Option[Set[ColumnLineage.SourceColumn]] =
+    Option(byTableCol.get((table, column)))
+
+  /** Recorded write hop tree for a (table identity, column). */
+  private[lineage] def lookupTableHop(table: String, column: String)
+      : Option[ColumnLineage.HopNode] =
+    Option(byTableColHop.get((table, column)))
+
   /** Registered leaf sources for an output attribute, if this ExprId
     * was ever the output of a captured checkpoint. */
   def lookup(exprId: org.apache.spark.sql.catalyst.expressions.ExprId)
@@ -103,5 +168,6 @@ object LineageRegistry {
   private[graft] def clear(): Unit = {
     byExprId.clear(); byRddCol.clear()
     byExprIdHop.clear(); byRddColHop.clear()
+    byTableCol.clear(); byTableColHop.clear()
   }
 }

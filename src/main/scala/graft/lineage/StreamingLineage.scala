@@ -2,6 +2,8 @@ package graft.lineage
 
 import java.util.UUID
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.{StreamExecution, StreamingQueryWrapper}
 import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
@@ -72,6 +74,13 @@ object StreamingLineage {
     Option(unwrap(q).lastExecution)
       .map(ie => ColumnLineage.ofPlan(stripSink(ie.analyzed)))
 
+  /** EXECUTED physical plan of the latest micro-batch — the
+    * `IncrementalExecution` tree with its state-store operators
+    * (StateStoreSave, StreamingSymmetricHashJoin, TransformWithState…),
+    * for the streaming plan audit (`PlanAudit`). */
+  def lastBatchPhysicalPlan(q: StreamingQuery): Option[String] =
+    Option(unwrap(q).lastExecution).map(_.executedPlan.toString)
+
   /** HOP-level derivation trees of a RUNNING query's sink columns —
     * the [[ColumnLineage.hopsOf]] view over the same stable streaming
     * plan [[ofQuery]] walks: every intermediate named derivation kept,
@@ -98,8 +107,11 @@ object StreamingLineage {
     private val graphs = new java.util.concurrent.ConcurrentHashMap[
       UUID, ColumnLineage.LineageGraph]()
     // insertion order of first capture per run — the eviction queue
+    // (a deque: still-active runs skipped during an overflow scan are
+    // re-inserted at the HEAD so they keep their first-capture age and
+    // are evicted oldest-terminated-first once they stop)
     private val order =
-      new java.util.concurrent.ConcurrentLinkedQueue[UUID]()
+      new java.util.concurrent.ConcurrentLinkedDeque[UUID]()
 
     /** Last captured lineage of the given run, if any event for it has
       * been processed yet. */
@@ -111,24 +123,30 @@ object StreamingLineage {
       * lineage survives any overflow. */
     private def evictOldest(): Unit = {
       val active = spark.streams.active.map(_.runId).toSet
+      val skippedActive = mutable.ArrayBuffer.empty[UUID]
       var scanned = 0
       val bound = order.size()
       while (graphs.size() > maxRuns && scanned < bound) {
         scanned += 1
         val oldest = order.poll()
         if (oldest != null) {
-          if (active.contains(oldest)) order.add(oldest)
+          if (active.contains(oldest)) skippedActive += oldest
           else graphs.remove(oldest)
         }
       }
+      // restore skipped still-active runs at the HEAD (reverse order so
+      // their relative age is preserved) — they must remain the oldest
+      // entries, not jump to newest, once they terminate
+      skippedActive.reverseIterator.foreach(order.addFirst)
     }
 
     private def capture(runId: UUID): Unit =
       try {
         spark.streams.active.find(_.runId == runId).foreach { q =>
-          if (graphs.putIfAbsent(runId, ofQuery(q)) == null) {
-            order.add(runId)
-          } else graphs.put(runId, ofQuery(q))
+          // one plan walk per event: put() returns the previous value,
+          // which doubles as the first-capture test
+          val g = ofQuery(q)
+          if (graphs.put(runId, g) == null) order.add(runId)
           if (graphs.size() > maxRuns) evictOldest()
         }
         // never let a lineage snapshot fail the listener bus (e.g. the

@@ -37,6 +37,77 @@ object CatalogQueries {
               |FROM graft_cat.ns.nation_stats ORDER BY rkey""".stripMargin)
     },
 
+    // SQL row-level operations against the plugin catalog, the
+    // group-based (copy-on-write) DSv2 path every lakehouse format
+    // implements: UPDATE rewrites the one-group table through
+    // RewriteUpdateTable → ReplaceData, DELETE through
+    // RewriteDeleteFromTable.  Predicates are key-modular so the gate
+    // is corpus-independent.
+    "q_update_delete" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      withCatalog(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ns")
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.cust_counts")
+      s.sql("""CREATE TABLE graft_cat.ns.cust_counts
+              |  (nkey BIGINT, n_cust BIGINT, flag STRING)""".stripMargin)
+      s.sql("""INSERT INTO graft_cat.ns.cust_counts
+              |SELECT c_nationkey, count(*), 'keep'
+              |FROM customer GROUP BY c_nationkey""".stripMargin)
+      s.sql("""UPDATE graft_cat.ns.cust_counts
+              |SET flag = 'big', n_cust = n_cust * 2
+              |WHERE nkey % 3 = 0""".stripMargin)
+      s.sql("DELETE FROM graft_cat.ns.cust_counts WHERE nkey % 5 = 4")
+      s.sql("""SELECT nkey, n_cust, flag
+              |FROM graft_cat.ns.cust_counts ORDER BY nkey""".stripMargin)
+    },
+
+    // MERGE INTO (update + insert arms) on the v2 catalog: matched
+    // target rows accumulate the source count, unmatched source rows
+    // insert, unmatched target rows survive untouched — the DuckDB
+    // twin states the same post-state as a FULL JOIN.
+    "q_merge_into" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      withCatalog(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ns")
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.region_counts")
+      s.sql("CREATE TABLE graft_cat.ns.region_counts (rkey BIGINT, n BIGINT)")
+      s.sql("""INSERT INTO graft_cat.ns.region_counts
+              |SELECT n_regionkey, count(*) FROM nation GROUP BY n_regionkey""".stripMargin)
+      s.sql("""MERGE INTO graft_cat.ns.region_counts t
+              |USING (
+              |  SELECT n_regionkey AS rkey, count(*) AS ns
+              |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              |  GROUP BY n_regionkey
+              |  UNION ALL SELECT 99, 7
+              |) s
+              |ON t.rkey = s.rkey
+              |WHEN MATCHED THEN UPDATE SET n = t.n + s.ns
+              |WHEN NOT MATCHED THEN INSERT (rkey, n) VALUES (s.rkey, s.ns)""".stripMargin)
+      s.sql("""SELECT rkey, n FROM graft_cat.ns.region_counts
+              |ORDER BY rkey""".stripMargin)
+    },
+
+    // MERGE delete + not-matched-by-source arms: matched rows DELETE,
+    // target rows absent from the source UPDATE in place — the two
+    // arms Spark 4 adds over classic upsert MERGE.
+    "q_merge_delete" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      withCatalog(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ns")
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.nation_sizes")
+      s.sql("CREATE TABLE graft_cat.ns.nation_sizes (nkey BIGINT, n BIGINT)")
+      s.sql("""INSERT INTO graft_cat.ns.nation_sizes
+              |SELECT s_nationkey, count(*) FROM supplier GROUP BY s_nationkey""".stripMargin)
+      s.sql("""MERGE INTO graft_cat.ns.nation_sizes t
+              |USING (SELECT n_nationkey AS nkey FROM nation
+              |       WHERE n_nationkey % 2 = 0) s
+              |ON t.nkey = s.nkey
+              |WHEN MATCHED THEN DELETE
+              |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET n = t.n + 1""".stripMargin)
+      s.sql("""SELECT nkey, n FROM graft_cat.ns.nation_sizes
+              |ORDER BY nkey""".stripMargin)
+    },
+
     // Catalog-resolved V2 functions over real data: gcd is a
     // ScalarFunction bound through the magic-method (primitive
     // invoke) fast path; sumsq is a V2 AggregateFunction running the
@@ -61,6 +132,32 @@ object CatalogQueries {
         |  FROM nation GROUP BY n_regionkey
         |  UNION ALL SELECT 99, 0, 'sentinel')
         |ORDER BY rkey""".stripMargin,
+    "q_update_delete" ->
+      """SELECT CAST(nkey AS BIGINT) AS nkey,
+        |  CAST(CASE WHEN nkey % 3 = 0 THEN n * 2 ELSE n END AS BIGINT) AS n_cust,
+        |  CASE WHEN nkey % 3 = 0 THEN 'big' ELSE 'keep' END AS flag
+        |FROM (SELECT c_nationkey AS nkey, count(*) AS n
+        |      FROM customer GROUP BY c_nationkey)
+        |WHERE nkey % 5 <> 4
+        |ORDER BY nkey""".stripMargin,
+    "q_merge_into" ->
+      """WITH tgt AS (SELECT n_regionkey AS rkey, count(*) AS n
+        |             FROM nation GROUP BY n_regionkey),
+        |src AS (SELECT n_regionkey AS rkey, count(*) AS ns
+        |        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |        GROUP BY n_regionkey
+        |        UNION ALL SELECT 99, 7)
+        |SELECT CAST(coalesce(t.rkey, s.rkey) AS BIGINT) AS rkey,
+        |  CAST(coalesce(t.n, 0) + coalesce(s.ns, 0) AS BIGINT) AS n
+        |FROM tgt t FULL JOIN src s ON t.rkey = s.rkey
+        |ORDER BY rkey""".stripMargin,
+    "q_merge_delete" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS nkey,
+        |  CAST(count(*) + 1 AS BIGINT) AS n
+        |FROM supplier
+        |WHERE s_nationkey % 2 = 1
+        |GROUP BY s_nationkey
+        |ORDER BY nkey""".stripMargin,
     "q_catalog_function" ->
       """SELECT l_linenumber AS ln, count(*) AS n,
         |  CAST(sum(gcd(l_orderkey, l_partkey)) AS BIGINT) AS sum_gcd,

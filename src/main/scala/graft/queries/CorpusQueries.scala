@@ -154,6 +154,34 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("doc_id")).cast("long").as("id_sum"))
         .orderBy(col("source"))
+    },
+
+    // Two-level incremental dedup at the 100 TB contract: the bloom
+    // INDEX is pre-built per bucket and persisted (parquet), so the
+    // daily batch never re-scans history to build a filter — history
+    // parquet is read ONLY by the verify anti-join over bloom hits
+    // (DedupSpec plan-asserts the single history scan).  Same batch
+    // construction and the same plain-anti-join oracle as
+    // q_incremental_dedup: the index is a pruning layer, never a
+    // correctness layer.
+    "q_incremental_dedup_bloom2" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val history = docs.filter(col("doc_id") < 400)
+      val batch = docs.filter(col("doc_id") >= 400)
+        .unionByName(docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      val tmp = graft.TmpCleanup.tempDir("graft_bloom2")
+      history.write.mode("overwrite").parquet(s"$tmp/history")
+      Dedup.bloomIndex(history, "text", buckets = 16,
+          expectedHistoryRows = 400)
+        .write.mode("overwrite").parquet(s"$tmp/index")
+      Dedup.incrementalDedupBloom2(batch,
+          s.read.parquet(s"$tmp/history"), s.read.parquet(s"$tmp/index"),
+          "text", buckets = 16)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy(col("source"))
     })
 
   /** Shared text (runs verbatim on both engines). */
@@ -503,6 +531,23 @@ object CorpusQueries {
         |ORDER BY ppmi_micro DESC, w1, w2 LIMIT 50""".stripMargin,
 
     "q_incremental_dedup" ->
+      s"""WITH hist AS (
+        |  SELECT $normSql AS nt FROM documents WHERE doc_id < 400),
+        |batch AS (
+        |  SELECT doc_id, source, text FROM documents WHERE doc_id >= 400
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, source, text FROM documents
+        |  WHERE doc_id < 50),
+        |kept AS (
+        |  SELECT b.doc_id, b.source FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.nt = $normSql))
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+
+    // identical post-state to q_incremental_dedup — the two-level bloom
+    // index must be invisible in the result
+    "q_incremental_dedup_bloom2" ->
       s"""WITH hist AS (
         |  SELECT $normSql AS nt FROM documents WHERE doc_id < 400),
         |batch AS (

@@ -119,12 +119,139 @@ object FuzzQueries {
        |ORDER BY g NULLS FIRST""".stripMargin
   }
 
+  /** Window-function fuzz: rank/dense_rank (tie-bearing order),
+    * row_number/lag/lead and a running ROWS-frame sum (total order —
+    * the unique key is always the last sort key), all over a GROUPED
+    * aggregate (the window's input is group-count-sized, the shape the
+    * keyed-window plan lint demands at scale).  The running window sum
+    * is CAST AS BIGINT on both engines — DuckDB window sums return
+    * HUGEINT.  Rank ties come from ordering by `v1 % m`, so tie
+    * semantics (equal rank, dense gaps) are genuinely exercised yet
+    * deterministic.
+    */
+  private def genWindowQuery(seed: Long): String = {
+    val r = new Rng(seed)
+    val (table, cols, key) = r.pick(tables)
+    val a1 = genArith(r, cols, 2)
+    val pred = genPred(r, cols, 2)
+    val part = r.next(4) + 2
+    val tieMod = r.next(5) + 2
+    val rankFn = r.pick(Seq("rank()", "dense_rank()"))
+    val shiftFn = r.pick(Seq("lag", "lead"))
+    s"""WITH base AS (
+       |  SELECT $key AS k,
+       |    CAST(sum($a1) AS BIGINT) AS v1,
+       |    count(*) AS c
+       |  FROM $table
+       |  WHERE $pred
+       |  GROUP BY $key)
+       |SELECT k, v1, c,
+       |  $rankFn OVER (PARTITION BY (k % $part) ORDER BY (v1 % $tieMod)) AS rk,
+       |  row_number() OVER (PARTITION BY (k % $part) ORDER BY (v1 % $tieMod), k) AS rn,
+       |  $shiftFn(v1, 1) OVER (PARTITION BY (k % $part) ORDER BY (v1 % $tieMod), k) AS sh,
+       |  CAST(sum(v1) OVER (PARTITION BY (k % $part) ORDER BY (v1 % $tieMod), k
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rs
+       |FROM base
+       |ORDER BY k""".stripMargin
+  }
+
+  /** Set-operation fuzz: two generated branches (possibly different
+    * tables, columns BIGINT-aligned) through a random set op including
+    * the ALL variants; the outer GROUP BY makes the multiset result a
+    * deterministic total-ordered relation.
+    */
+  private def genSetQuery(seed: Long): String = {
+    val r = new Rng(seed)
+    val op = r.pick(Seq("UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+      "INTERSECT ALL", "EXCEPT ALL"))
+    def branch(): String = {
+      val (t, cs, _) = r.pick(tables)
+      val x = s"(${r.pick(cs)} % ${r.next(6) + 2})"
+      val y = genArith(r, cs, 1)
+      s"""SELECT CAST($x AS BIGINT) AS x, CAST($y AS BIGINT) AS y
+         |  FROM $t WHERE ${genPred(r, cs, 1)}""".stripMargin
+    }
+    s"""SELECT x, y, count(*) AS n FROM (
+       |${branch()}
+       |$op
+       |${branch()}
+       |)
+       |GROUP BY x, y
+       |ORDER BY x, y""".stripMargin
+  }
+
+  /** Outer-join-chain fuzz with NULL keys: a filtered fact LEFT/INNER
+    * joins nation, then LEFT/FULL joins region on a NULLIF-poisoned
+    * key — genuinely null join keys (never match, 3VL drop) plus
+    * right-only rows under FULL.  Aggregates pin the null-semantics
+    * corners: count(col) null-skip vs count(*), sums over nullable
+    * sides coalesced AFTER the join, NULL group keys ordered FIRST.
+    */
+  private def genOuterChainQuery(seed: Long): String = {
+    val r = new Rng(seed)
+    val (t1, cols1, _, _, on) = r.pick(joinPairs.filter(_._3 == "nation"))
+    val j1 = r.pick(Seq("JOIN", "LEFT JOIN"))
+    val j2 = r.pick(Seq("LEFT JOIN", "FULL JOIN"))
+    val poison = r.next(5)
+    val pred = genPred(r, cols1, 2)
+    val a1 = genArith(r, cols1, 1)
+    val gMod = r.next(3) + 2
+    s"""SELECT coalesce(r_regionkey, -1) AS g,
+       |  (coalesce(n_nationkey, -9) % $gMod) AS g2,
+       |  count(*) AS n,
+       |  count(n_regionkey) AS nn,
+       |  count(r_regionkey) AS nr,
+       |  CAST(sum(coalesce($a1, -1)) AS BIGINT) AS s1
+       |FROM (SELECT * FROM $t1 WHERE $pred) f
+       |$j1 nation ON $on
+       |$j2 region ON NULLIF(n_regionkey, $poison) = r_regionkey
+       |GROUP BY coalesce(r_regionkey, -1), (coalesce(n_nationkey, -9) % $gMod)
+       |ORDER BY g NULLS FIRST, g2 NULLS FIRST""".stripMargin
+  }
+
+  /** DECIMAL-arithmetic fuzz near precision boundaries: integer
+    * columns cast to DECIMAL(12,s), combined with exact + and *
+    * (intermediates reach DECIMAL(25,2s) — past both engines' fast
+    * 64-bit paths), summed exactly, and compared as a SCALED BIGINT
+    * (sum · 10^2s) — decimal→double/string rendering never enters the
+    * oracle.  No division, no rounding, non-negative operands; tables
+    * are the key-bounded dims so the scaled integer stays far from
+    * 2^63 at any corpus SF.
+    */
+  private def genDecimalQuery(seed: Long): String = {
+    val r = new Rng(seed)
+    val (table, cols, key) = r.pick(tables)
+    val s1 = r.next(3) + 1 // scale 1..3
+    val d1 = s"CAST(${r.pick(cols)} AS DECIMAL(12,$s1))"
+    val d2 = s"CAST((${r.pick(cols)} + ${r.next(9) + 1}) AS DECIMAL(12,$s1))"
+    val expr = r.pick(Seq(
+      s"($d1 * $d2)",
+      s"(($d1 + $d2) * $d2)",
+      s"(($d1 * $d2) + ($d2 * ${r.next(5) + 1}))"))
+    val outScale = 2 * s1
+    val tenPow = math.pow(10, outScale).toLong
+    val pred = genPred(r, cols, 2)
+    val gMod = r.next(5) + 2
+    s"""SELECT ($key % $gMod) AS g,
+       |  CAST(sum($expr) * CAST($tenPow AS DECIMAL(18,0)) AS BIGINT) AS s1,
+       |  CAST(min($expr) * CAST($tenPow AS DECIMAL(18,0)) AS BIGINT) AS m1,
+       |  count(*) AS n
+       |FROM $table
+       |WHERE $pred
+       |GROUP BY ($key % $gMod)
+       |ORDER BY g""".stripMargin
+  }
+
   /** Frozen seed per slot; a slot's seed is bumped (never reused) when
     * its query returns zero rows at the gate SF — empty==empty proves
     * nothing, so every entry must select data.
     */
   private val seeds: Seq[Long] = Seq(1L, 2L, 3L, 24L, 5L, 6L, 17L, 8L, 9L, 10L)
   private val joinSeeds: Seq[Long] = Seq(31L, 32L, 33L, 34L, 45L)
+  private val windowSeeds: Seq[Long] = Seq(57L, 52L, 53L, 54L)
+  private val setSeeds: Seq[Long] = Seq(64L, 69L, 160L, 161L)
+  private val outerSeeds: Seq[Long] = Seq(71L, 72L, 73L)
+  private val decimalSeeds: Seq[Long] = Seq(81L, 82L, 87L)
 
   private val sql: Map[String, String] =
     seeds.zipWithIndex.map { case (s, i) =>
@@ -132,6 +259,18 @@ object FuzzQueries {
     }.toMap ++
     joinSeeds.zipWithIndex.map { case (s, i) =>
       f"q_fuzzj_${i + 1}%02d" -> genJoinQuery(0xD1FF00D5L * s)
+    }.toMap ++
+    windowSeeds.zipWithIndex.map { case (s, i) =>
+      f"q_fuzzw_${i + 1}%02d" -> genWindowQuery(0xD1FF00D5L * s)
+    }.toMap ++
+    setSeeds.zipWithIndex.map { case (s, i) =>
+      f"q_fuzzs_${i + 1}%02d" -> genSetQuery(0xD1FF00D5L * s)
+    }.toMap ++
+    outerSeeds.zipWithIndex.map { case (s, i) =>
+      f"q_fuzzo_${i + 1}%02d" -> genOuterChainQuery(0xD1FF00D5L * s)
+    }.toMap ++
+    decimalSeeds.zipWithIndex.map { case (s, i) =>
+      f"q_fuzzd_${i + 1}%02d" -> genDecimalQuery(0xD1FF00D5L * s)
     }.toMap
 
   val queries: Map[String, Q] = sql.map { case (name, text) =>
@@ -142,4 +281,24 @@ object FuzzQueries {
   }
 
   val oracle: Map[String, String] = sql
+
+  /** Seed-selection probe (maintenance tool, not a gate): row counts
+    * for candidate seeds of one generator family, so an EMPTY slot's
+    * seed can be bumped to one that selects data at every gate SF.
+    */
+  private[graft] def probeSeeds(s: SparkSession, dir: String,
+      family: String, candidates: Seq[Long]): Seq[(Long, Long)] = {
+    Tables.registerAll(s, dir)
+    val gen: Long => String = family match {
+      case "w" => genWindowQuery
+      case "s" => genSetQuery
+      case "o" => genOuterChainQuery
+      case "d" => genDecimalQuery
+      case "j" => genJoinQuery
+      case _   => genQuery
+    }
+    candidates.map(c =>
+      c -> (try s.sql(gen(0xD1FF00D5L * c)).count()
+            catch { case scala.util.control.NonFatal(_) => -1L }))
+  }
 }

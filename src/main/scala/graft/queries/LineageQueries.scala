@@ -101,6 +101,38 @@ object LineageQueries {
         .orderBy(col("out_column"), col("expr"), col("node"), col("input"))
     },
 
+    // SINK-side (write-path) lineage: a CTAS materializes a lineitem
+    // aggregate into a catalog table, the write's lineage is captured
+    // keyed by the TABLE identity, and a fresh read of that table —
+    // whose plan is just a parquet scan, where the reference (and any
+    // plain plan walk) loses the trail — traces its derived columns
+    // all the way back to lineitem through the materialization.  An
+    // INSERT INTO append from a second query then proves append-UNION
+    // semantics: flag gains the orders edge while keeping lineitem's.
+    "q_lineage_sink" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("DROP TABLE IF EXISTS graft_sink_rev")
+      graft.lineage.LineageRegistry.forgetTable("default.graft_sink_rev")
+      val ctas = s.sql(
+        """CREATE TABLE graft_sink_rev USING parquet AS
+          |SELECT l_returnflag AS flag,
+          |  CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+      graft.lineage.SinkLineage.capture(ctas.queryExecution)
+      val ins = s.sql(
+        """INSERT INTO graft_sink_rev
+          |SELECT concat('o_', o_orderstatus), CAST(count(*) AS DOUBLE)
+          |FROM orders GROUP BY o_orderstatus""".stripMargin)
+      graft.lineage.SinkLineage.capture(ins.queryExecution)
+      // fresh read through the metastore + a further derivation
+      val q = s.table("graft_sink_rev")
+        .select(col("flag"), (col("revenue") * lit(2)).as("rev2"))
+      // sources resolve through the registered temp VIEWS, so they are
+      // already bare table names ("lineitem") — no path normalization
+      ColumnLineage.of(q).toDF(s)
+        .orderBy(col("out_column"), col("src_table"), col("src_column"))
+    },
+
     // Lineage of a RUNNING streaming query, captured through the
     // standard listener bus (StreamingLineage.LineageListener): events
     // replayed as a file stream, stream-static joined to the customer
@@ -204,6 +236,15 @@ object LineageQueries {
         |  ('s2', 'upper(s1)', 'Project', 's1'))
         |  AS t(out_column, expr, node, input)
         |ORDER BY out_column, expr, node, input""".stripMargin,
+
+    "q_lineage_sink" ->
+      """SELECT * FROM (VALUES
+        |  ('flag', 'lineitem', 'l_returnflag'),
+        |  ('flag', 'orders', 'o_orderstatus'),
+        |  ('rev2', 'lineitem', 'l_discount'),
+        |  ('rev2', 'lineitem', 'l_extendedprice'))
+        |  AS t(out_column, src_table, src_column)
+        |ORDER BY out_column, src_table, src_column""".stripMargin,
 
     "q_lineage_stream" ->
       """SELECT * FROM (VALUES

@@ -723,4 +723,67 @@ class LineageSpec extends SparkSpec {
       assert(gb.get("total").map(_.column) == Set("value"), gb.get("total").toString)
     } finally q.stop()
   }
+
+  test("sink lineage: a two-hop write→read→write→read pipeline composes " +
+      "table-to-table, appends union, hop trees splice through the table") {
+    val base = li.limit(100)
+    base.createOrReplaceTempView("sink_li")
+    spark.sql("DROP TABLE IF EXISTS sink_hop1")
+    spark.sql("DROP TABLE IF EXISTS sink_hop2")
+    LineageRegistry.forgetTable("default.sink_hop1")
+    LineageRegistry.forgetTable("default.sink_hop2")
+    // hop 1: CTAS from lineitem (captured synchronously off the qe)
+    val ctas1 = spark.sql(
+      """CREATE TABLE sink_hop1 USING parquet AS
+        |SELECT l_returnflag AS rf, sum(l_quantity) AS qty
+        |FROM sink_li GROUP BY l_returnflag""".stripMargin)
+    SinkLineage.capture(ctas1.queryExecution)
+    // hop 2: CTAS from the FIRST written table — the read of sink_hop1
+    // must already splice, and the second capture records the spliced
+    // (original) sources under sink_hop2
+    val ctas2 = spark.sql(
+      """CREATE TABLE sink_hop2 USING parquet AS
+        |SELECT rf, qty * 2 AS qty2 FROM sink_hop1""".stripMargin)
+    SinkLineage.capture(ctas2.queryExecution)
+    val g = ColumnLineage.of(spark.table("sink_hop2"))
+    assert(g("rf") == Set(src("sink_li", "l_returnflag")), g("rf").toString)
+    assert(g("qty2") == Set(src("sink_li", "l_quantity")), g("qty2").toString)
+    // hop tree through BOTH materializations keeps the derivations
+    val tree = ColumnLineage.hopTree(spark.table("sink_hop2"), "qty2")
+    assert(tree.contains("qty2 :="), tree)
+    assert(tree.contains("qty := sum(sink_li.l_quantity)"), tree)
+    assert(tree.contains("+- sink_li.l_quantity"), tree)
+    // append semantics: INSERT INTO unions new sources with existing
+    val ins = spark.sql(
+      "INSERT INTO sink_hop2 SELECT l_linestatus, 0L FROM sink_li")
+    SinkLineage.capture(ins.queryExecution)
+    val g2 = ColumnLineage.of(spark.table("sink_hop2"))
+    assert(g2("rf") == Set(src("sink_li", "l_returnflag"),
+      src("sink_li", "l_linestatus")), g2("rf").toString)
+    spark.sql("DROP TABLE IF EXISTS sink_hop1")
+    spark.sql("DROP TABLE IF EXISTS sink_hop2")
+  }
+
+  test("sink lineage listener: plain df.write.parquet(path) is captured " +
+      "from the listener bus and a path read splices it") {
+    val dir = graft.TmpCleanup.tempDir("graft_sink_listener")
+    SinkLineage.register(spark)
+    try {
+      li.limit(50)
+        .select(col("l_orderkey").as("k"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"))
+        .write.mode("overwrite").parquet(dir)
+      // QueryExecutionListener delivery is async — poll (bounded) for
+      // the registry entry instead of touching the private listener bus
+      val deadline = System.currentTimeMillis() + 20000
+      while (LineageRegistry
+          .lookupTable(SinkLineage.normalizeId(dir), "k").isEmpty &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val g = ColumnLineage.of(spark.read.parquet(dir))
+      assert(g("k") == Set(src(liTable, "l_orderkey")), g("k").toString)
+      assert(g("net") == Set(src(liTable, "l_extendedprice"),
+        src(liTable, "l_discount")), g("net").toString)
+    } finally SinkLineage.unregister(spark)
+  }
 }

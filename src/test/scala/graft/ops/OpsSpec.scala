@@ -411,6 +411,30 @@ class OpsSpec extends SparkSpec {
     assert(kept.count() == 20, "a NULL bloom from zero history rows must pass everything")
   }
 
+  test("incrementalDedupBloom2 equals the plain anti-join; missing index " +
+      "buckets pass through (bootstrap)") {
+    import spark.implicits._
+    val hist = (0 until 200).map(i => (i.toLong, s"history doc body $i"))
+      .toDF("doc_id", "text")
+    val batch = (
+      (1000 until 1030).map(i => (i.toLong, s"fresh doc body $i")) ++
+      (2000 until 2020).map(i => (i.toLong, s"history doc body ${i - 2000}")) ++
+      (3000 until 3005).map(i => (i.toLong, s"history doc body ${i - 3000}x")))
+      .toDF("doc_id", "text")
+    val index = Dedup.bloomIndex(hist, "text", buckets = 8, 200L)
+    val kept = Dedup.incrementalDedupBloom2(batch, hist, index, "text", 8)
+      .select("doc_id").as[Long].collect().sorted
+    val expected = ((1000L until 1030L) ++ (3000L until 3005L)).toArray
+    assert(kept.toSeq == expected.toSeq,
+      s"must equal the exact anti-join: got ${kept.length} rows")
+    // bootstrap: an EMPTY index (no bucket rows at all → null bf after
+    // the left join → probe coalesces false) keeps the whole batch
+    val kept0 = Dedup.incrementalDedupBloom2(batch, hist.limit(0),
+      index.limit(0), "text", 8)
+    assert(kept0.count() == batch.count(),
+      "no index rows must mean no pruning and no verification drops")
+  }
+
   test("operator-internal caches are released (CacheScope)") {
     // ops that persist intermediates must leave the CacheManager as
     // they found it: CacheScope materializes the small result and

@@ -48,8 +48,17 @@ class CollectLintSpec extends AnyFunSuite {
         .filter(p => p.toString.endsWith(".scala"))
         .map { p =>
           val rel = root.relativize(p).toString
+          // count OCCURRENCES (not lines — a second collect appended to
+          // an already-whitelisted line must not land silently), and
+          // strip trailing // comments so a commented-out mention on a
+          // code line isn't counted as a site
           val n = Files.readAllLines(p).asScala
-            .count(l => l.contains(".collect()") && !l.trim.startsWith("//"))
+            .map(l => l.indexOf("//") match {
+              case -1 => l
+              case i  => l.substring(0, i)
+            })
+            .map(l => "\\.collect\\(\\)".r.findAllIn(l).size)
+            .sum
           rel -> n
         }
         .filter(_._2 > 0).toMap

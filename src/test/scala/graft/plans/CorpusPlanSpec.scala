@@ -33,6 +33,41 @@ class CorpusPlanSpec extends SparkSpec {
       s"no quadratic work anywhere in the dedup plan:\n$p")
   }
 
+  test("incrementalDedupBloom2: history parquet is scanned ONLY by the " +
+      "verify anti-join; the probe reads just the persisted index") {
+    val docs = Tables.load(spark, sf, "documents")
+    val tmp = graft.TmpCleanup.tempDir("graft_bloom2_plan")
+    val hist = docs.filter(col("doc_id") < 300)
+    hist.write.mode("overwrite").parquet(s"$tmp/history")
+    Dedup.bloomIndex(hist, "text", buckets = 8, 300L)
+      .write.mode("overwrite").parquet(s"$tmp/index")
+    val batch = docs.filter(col("doc_id") >= 300)
+    val plan = Dedup.incrementalDedupBloom2(batch,
+        spark.read.parquet(s"$tmp/history"),
+        spark.read.parquet(s"$tmp/index"), "text", 8)
+      .queryExecution.executedPlan.toString
+    // exactly ONE scan of the history files — the verify join; the
+    // level-1 probe must not rebuild a filter from history (that is
+    // incrementalDedup's shape, re-scanning 100 TB of history per batch)
+    val histScans = "graft_bloom2_plan[^\\s]*/history".r
+      .findAllIn(plan).size
+    assert(histScans == 1,
+      s"history must be read once (verify anti-join only), found $histScans:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"candidate verification must plan as an anti-join:\n$plan")
+    assert("graft_bloom2_plan[^\\s]*/index".r.findAllIn(plan).nonEmpty,
+      s"the probe side must read the persisted index:\n$plan")
+    assert(plan.contains("bloom_probe"),
+      s"the per-bucket codegen probe must appear:\n$plan")
+    // the bucket-count-sized index broadcasts HINT-FREE on its stats
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the index probe join must broadcast the tiny index side:\n$plan")
+    assert(!plan.contains("BloomFilterAggregate") &&
+      !plan.contains("bloom_filter_agg"),
+      s"no in-batch filter rebuild from history:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no quadratic work:\n$plan")
+  }
+
   test("ppmi marginals broadcast; pair table never re-shuffles for lookups") {
     import spark.implicits._
     val pairs = Seq(("a", "b", 5L), ("b", "c", 3L)).toDF("w1", "w2", "n_pairs")

@@ -17,8 +17,8 @@ class FuzzStabilitySpec extends AnyFunSuite {
     c.getValue
   }
 
-  test("generated battery is exactly the frozen 15 queries") {
-    assert(FuzzQueries.queries.size == 15)
+  test("generated battery is exactly the frozen 29 queries") {
+    assert(FuzzQueries.queries.size == 29)
     assert(FuzzQueries.oracle.keySet == FuzzQueries.queries.keySet)
   }
 
@@ -34,5 +34,5 @@ class FuzzStabilitySpec extends AnyFunSuite {
 }
 
 object FuzzStabilitySpec {
-  val PinnedCrc = 3260710003L // battery verified non-empty + hash-green at sf0.01
+  val PinnedCrc = 1401931691L // battery verified non-empty + hash-green at sf0.01 AND sf0.1 (round 13: +window/set-op/outer-null-chain/decimal families)
 }

@@ -152,4 +152,80 @@ class MemCatalogSpec extends SparkSpec {
     Seq((5L, "r")).toDF("k", "v").writeTo(t).createOrReplace()
     assert(read == Seq((5L, "r")))
   }
+
+  test("SQL DELETE and UPDATE rewrite through the group-based row-level op") {
+    val t = fresh("t_rl")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    spark.sql(s"DELETE FROM $t WHERE k % 2 = 0")
+    assert(spark.sql(s"SELECT k FROM $t ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    spark.sql(s"UPDATE $t SET v = concat(v, '!') WHERE k = 3")
+    val got = spark.sql(s"SELECT k, v FROM $t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (3L, "c!")))
+  }
+
+  test("MERGE partial update preserves unset columns; UPDATE SET NULL " +
+      "writes a real null") {
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.MemCatalog")
+    MemCatalog.clear(cat)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    val t = s"$cat.ns.t_partial"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, a BIGINT, b STRING)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10, 'x'), (2, 20, 'y')")
+    spark.sql(
+      s"""MERGE INTO $t t USING (SELECT 1 AS k, 99 AS na) s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET a = s.na""".stripMargin)
+    val afterMerge = spark.sql(s"SELECT k, a, b FROM $t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // only `a` was set: `b` (and the unmatched row) must be untouched
+    assert(afterMerge == Seq((1L, 99L, "x"), (2L, 20L, "y")))
+    spark.sql(s"UPDATE $t SET b = NULL WHERE k = 2")
+    val nulls = spark.sql(s"SELECT k, b IS NULL FROM $t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(nulls == Seq((1L, false), (2L, true)))
+  }
+
+  test("a write committed between a row-level scan and its replace " +
+      "commit is detected, not silently lost") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRowLevelOperations, TableCatalog}
+    import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationInfo}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val t = fresh("t_conflict")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    val tbl = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array("ns"), "t_conflict"))
+      .asInstanceOf[SupportsRowLevelOperations]
+    def newOp(): RowLevelOperation =
+      tbl.newRowLevelOperationBuilder(new RowLevelOperationInfo {
+        override def options(): CaseInsensitiveStringMap =
+          CaseInsensitiveStringMap.empty()
+        override def command(): RowLevelOperation.Command =
+          RowLevelOperation.Command.DELETE
+      }).build()
+    val winfo = new LogicalWriteInfo {
+      override def queryId(): String = "spec"
+      override def schema() = tbl.schema()
+      override def options(): CaseInsensitiveStringMap =
+        CaseInsensitiveStringMap.empty()
+    }
+    // conflict: snapshot-scan, then an interleaved INSERT bumps the
+    // table version before the replace commit → must throw, because
+    // the replacement would swap away the concurrent insert
+    val op1 = newOp()
+    op1.newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+    spark.sql(s"INSERT INTO $t VALUES (3, 'c')")
+    intercept[java.util.ConcurrentModificationException] {
+      op1.newWriteBuilder(winfo).build().toBatch
+        .commit(Array.empty)
+    }
+    // the concurrent insert survived the rejected replace
+    assert(spark.table(t).count() == 3L)
+    // no interleaving: the same empty replace (delete-all) commits fine
+    val op2 = newOp()
+    op2.newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+    op2.newWriteBuilder(winfo).build().toBatch.commit(Array.empty)
+    assert(spark.table(t).count() == 0L)
+  }
 }
