@@ -108,6 +108,62 @@ object CatalogQueries {
               |ORDER BY nkey""".stripMargin)
     },
 
+    // TIME TRAVEL on the plugin catalog: every committed mutation
+    // retains a snapshot, and `VERSION AS OF v` serves that commit's
+    // frozen rows — v1 = the initial insert, v2 = after UPDATE, the
+    // bare read = after DELETE.  The DuckDB twin replays the same
+    // mutation algebra over the base tables.  DROP up front resets the
+    // version counter, so the gate is re-runnable.
+    "q_time_travel" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      withCatalog(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ns")
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.prio_counts")
+      s.sql("CREATE TABLE graft_cat.ns.prio_counts (pr STRING, n BIGINT)")
+      s.sql("""INSERT INTO graft_cat.ns.prio_counts
+              |SELECT o_orderpriority, count(*) FROM orders
+              |GROUP BY o_orderpriority""".stripMargin)
+      s.sql("""UPDATE graft_cat.ns.prio_counts SET n = n * 2
+              |WHERE pr LIKE '1%' OR pr LIKE '3%'""".stripMargin)
+      s.sql("DELETE FROM graft_cat.ns.prio_counts WHERE pr LIKE '2%'")
+      s.sql("""SELECT 'v1' AS snap, pr, n
+              |FROM graft_cat.ns.prio_counts VERSION AS OF 1
+              |UNION ALL
+              |SELECT 'v2', pr, n FROM graft_cat.ns.prio_counts VERSION AS OF 2
+              |UNION ALL
+              |SELECT 'cur', pr, n FROM graft_cat.ns.prio_counts
+              |ORDER BY snap, pr""".stripMargin)
+    },
+
+    // Stored procedures (`CALL`) on the plugin catalog — the V2
+    // maintenance surface: dedupe_rows rewrites away exact-duplicate
+    // rows (committing a new snapshot), snapshots lists the retained
+    // version history.  The gate folds the CALL results and the
+    // post-rewrite table state into one frame; every number is exactly
+    // derivable from the distinct-brand count D (before = 2D+1 rows,
+    // dedupe removes D, history = versions 0/1/2).
+    "q_call_procedure" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      withCatalog(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ns")
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.brand_counts")
+      s.sql("CREATE TABLE graft_cat.ns.brand_counts (b STRING, n BIGINT)")
+      s.sql("""INSERT INTO graft_cat.ns.brand_counts
+              |SELECT p_brand, count(*) FROM part GROUP BY p_brand
+              |UNION ALL SELECT p_brand, count(*) FROM part GROUP BY p_brand
+              |UNION ALL SELECT 'unique-row', -1""".stripMargin)
+      s.sql("CALL graft_cat.ns.dedupe_rows('ns', 'brand_counts')")
+        .createOrReplaceTempView("dedupe_result")
+      s.sql("CALL graft_cat.ns.snapshots('ns', 'brand_counts')")
+        .createOrReplaceTempView("snap_result")
+      s.sql("""SELECT 'post' AS src, b, n FROM graft_cat.ns.brand_counts
+              |UNION ALL
+              |SELECT 'call', CAST(removed AS STRING), remaining FROM dedupe_result
+              |UNION ALL
+              |SELECT 'hist', CAST(version AS STRING), n_rows FROM snap_result
+              |ORDER BY src, b, n""".stripMargin)
+    },
+
     // Catalog-resolved V2 functions over real data: gcd is a
     // ScalarFunction bound through the magic-method (primitive
     // invoke) fast path; sumsq is a V2 AggregateFunction running the
@@ -158,6 +214,30 @@ object CatalogQueries {
         |WHERE s_nationkey % 2 = 1
         |GROUP BY s_nationkey
         |ORDER BY nkey""".stripMargin,
+    "q_time_travel" ->
+      """WITH v1 AS (SELECT o_orderpriority AS pr, CAST(count(*) AS BIGINT) AS n
+        |            FROM orders GROUP BY o_orderpriority),
+        |v2 AS (SELECT pr,
+        |         CAST(CASE WHEN pr LIKE '1%' OR pr LIKE '3%' THEN n * 2 ELSE n END
+        |           AS BIGINT) AS n
+        |       FROM v1),
+        |cur AS (SELECT pr, n FROM v2 WHERE pr NOT LIKE '2%')
+        |SELECT 'v1' AS snap, pr, n FROM v1
+        |UNION ALL SELECT 'v2', pr, n FROM v2
+        |UNION ALL SELECT 'cur', pr, n FROM cur
+        |ORDER BY snap, pr""".stripMargin,
+    "q_call_procedure" ->
+      """WITH d AS (SELECT p_brand AS b, CAST(count(*) AS BIGINT) AS n
+        |           FROM part GROUP BY p_brand),
+        |dc AS (SELECT CAST(count(*) AS BIGINT) AS c FROM d)
+        |SELECT 'post' AS src, b, n FROM
+        |  (SELECT b, n FROM d UNION ALL SELECT 'unique-row', CAST(-1 AS BIGINT))
+        |UNION ALL
+        |SELECT 'call', CAST(c AS VARCHAR), c + 1 FROM dc
+        |UNION ALL SELECT 'hist', '0', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'hist', '1', 2 * c + 1 FROM dc
+        |UNION ALL SELECT 'hist', '2', c + 1 FROM dc
+        |ORDER BY src, b, n""".stripMargin,
     "q_catalog_function" ->
       """SELECT l_linenumber AS ln, count(*) AS n,
         |  CAST(sum(gcd(l_orderkey, l_partkey)) AS BIGINT) AS sum_gcd,

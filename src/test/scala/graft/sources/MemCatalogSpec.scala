@@ -186,6 +186,95 @@ class MemCatalogSpec extends SparkSpec {
     assert(nulls == Seq((1L, false), (2L, true)))
   }
 
+  test("VERSION AS OF serves each commit's frozen rows; unknown and " +
+      "expired versions fail loudly") {
+    val t = fresh("t_tt")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a')") // v1
+    spark.sql(s"INSERT INTO $t VALUES (2, 'b')") // v2
+    spark.sql(s"DELETE FROM $t WHERE k = 1")     // v3
+    def ks(q: String): Seq[Long] =
+      spark.sql(q).collect().map(_.getLong(0)).toSeq.sorted
+    assert(ks(s"SELECT k FROM $t VERSION AS OF 0") == Seq())
+    assert(ks(s"SELECT k FROM $t VERSION AS OF 1") == Seq(1L))
+    assert(ks(s"SELECT k FROM $t VERSION AS OF 2") == Seq(1L, 2L))
+    assert(ks(s"SELECT k FROM $t VERSION AS OF 3") == Seq(2L))
+    assert(ks(s"SELECT k FROM $t") == Seq(2L))
+    val e = intercept[Exception](
+      spark.sql(s"SELECT k FROM $t VERSION AS OF 99").collect())
+    assert(e.getMessage.contains("no retained snapshot") ||
+      Option(e.getCause).exists(_.getMessage.contains("no retained snapshot")))
+  }
+
+  test("TIMESTAMP AS OF picks the latest snapshot at-or-before the instant") {
+    val t = fresh("t_ts")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a')")
+    Thread.sleep(5) // commit timestamps are wall-clock micros
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql(s"INSERT INTO $t VALUES (2, 'b')")
+    // timestamp_millis() is tz-independent (epoch-based), so the spec
+    // never depends on the session zone
+    val got = spark.sql(
+      s"SELECT k FROM $t TIMESTAMP AS OF timestamp_millis(${mid}L)")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == Seq(1L))
+    val now = System.currentTimeMillis() + 1000L
+    val cur = spark.sql(
+      s"SELECT k FROM $t TIMESTAMP AS OF timestamp_millis(${now}L)")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(cur == Seq(1L, 2L))
+    // before the table existed → no snapshot
+    intercept[Exception](
+      spark.sql(s"SELECT k FROM $t TIMESTAMP AS OF timestamp_millis(0L)")
+        .collect())
+  }
+
+  test("snapshot retention bounds history: old versions expire, recent " +
+      "stay readable") {
+    val t = fresh("t_ret")
+    // v1..v40 (maxSnapshots = 32): v0..v8 expire, v9.. retained
+    (1 to 40).foreach(i => spark.sql(s"INSERT INTO $t VALUES ($i, 'x')"))
+    intercept[Exception](
+      spark.sql(s"SELECT k FROM $t VERSION AS OF 1").collect())
+    assert(spark.sql(s"SELECT count(*) AS c FROM $t VERSION AS OF 9")
+      .collect()(0).getLong(0) == 9L)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $t VERSION AS OF 40")
+      .collect()(0).getLong(0) == 40L)
+  }
+
+  test("CALL dedupe_rows rewrites duplicates, commits a snapshot, and " +
+      "time travel still sees the pre-rewrite state") {
+    val t = fresh("t_dd")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (1, 'a'), (2, 'b'), (1, 'a')")
+    val res = spark.sql(s"CALL $cat.ns.dedupe_rows('ns', 't_dd')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(res == Seq((2L, 2L))) // 4 rows → 2 distinct, 2 removed
+    assert(spark.table(t).count() == 2L)
+    // v1 (pre-rewrite) still shows all four rows
+    assert(spark.sql(s"SELECT count(*) AS c FROM $t VERSION AS OF 1")
+      .collect()(0).getLong(0) == 4L)
+    // idempotent: nothing left to remove, and no new snapshot commits
+    val before = spark.sql(s"CALL $cat.ns.snapshots('ns', 't_dd')").count()
+    assert(spark.sql(s"CALL $cat.ns.dedupe_rows('ns', 't_dd')")
+      .collect()(0).getLong(0) == 0L)
+    assert(spark.sql(s"CALL $cat.ns.snapshots('ns', 't_dd')").count() == before)
+  }
+
+  test("CALL snapshots lists retained history; unknown procedure and " +
+      "missing table fail loudly") {
+    val t = fresh("t_hist")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a')")
+    spark.sql(s"INSERT INTO $t VALUES (2, 'b')")
+    val hist = spark.sql(s"CALL $cat.ns.snapshots('ns', 't_hist')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hist == Seq((0L, 0L), (1L, 1L), (2L, 2L)))
+    val e1 = intercept[Exception](
+      spark.sql(s"CALL $cat.ns.no_such_proc('ns', 't_hist')").collect())
+    assert(e1.getMessage.contains("no_such_proc"))
+    intercept[Exception](
+      spark.sql(s"CALL $cat.ns.snapshots('ns', 'absent')").collect())
+  }
+
   test("a write committed between a row-level scan and its replace " +
       "commit is detected, not silently lost") {
     import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRowLevelOperations, TableCatalog}
