@@ -242,6 +242,134 @@ object FuzzQueries {
        |ORDER BY g""".stripMargin
   }
 
+  /** Correlation-compatible (outer, outerCols, outerKey, inner,
+    * innerCols, innerFk) pairs: innerFk values range over outerKey.
+    */
+  private val corrPairs = Seq(
+    ("nation", Seq("n_nationkey", "n_regionkey"), "n_nationkey",
+      "supplier", Seq("s_suppkey", "s_nationkey"), "s_nationkey"),
+    ("nation", Seq("n_nationkey", "n_regionkey"), "n_nationkey",
+      "customer", Seq("c_custkey", "c_nationkey"), "c_nationkey"),
+    ("region", Seq("r_regionkey"), "r_regionkey",
+      "nation", Seq("n_nationkey", "n_regionkey"), "n_regionkey"))
+
+  /** Correlated-subquery fuzz: one scalar correlated count, one
+    * EXISTS, and the full three-valued IN / NOT IN verdict over a
+    * NULLIF-poisoned inner projection — k ∈ set → 1, k provably ∉ set
+    * (no NULLs survived the poison) → 0, UNKNOWN (∉ the non-null
+    * members but a NULL is present) → -1.  The q8 class of
+    * engine-lottery bug (decorrelation + 3VL) is exactly what this
+    * family differentials.
+    */
+  private def genCorrelatedQuery(seed: Long): String = {
+    val r = new Rng(seed)
+    val (ot, ocols, okey, it, icols, ifk) = r.pick(corrPairs)
+    val innerPred = genPred(r, icols, 1)
+    val existsPred = genPred(r, icols, 1)
+    val inPred = genPred(r, icols, 1)
+    val outerPred = genPred(r, ocols, 1)
+    val poison = r.next(6)
+    s"""SELECT $okey AS k,
+       |  CAST((SELECT count(*) FROM $it i
+       |        WHERE i.$ifk = o.$okey AND $innerPred) AS BIGINT) AS cnt,
+       |  CASE WHEN EXISTS (SELECT 1 FROM $it i
+       |                    WHERE i.$ifk = o.$okey AND $existsPred)
+       |       THEN 1 ELSE 0 END AS ex,
+       |  CASE WHEN o.$okey IN (SELECT NULLIF(i.$ifk, $poison)
+       |                        FROM $it i WHERE $inPred) THEN 1
+       |       WHEN o.$okey NOT IN (SELECT NULLIF(i.$ifk, $poison)
+       |                            FROM $it i WHERE $inPred) THEN 0
+       |       ELSE -1 END AS in3vl
+       |FROM $ot o
+       |WHERE $outerPred
+       |ORDER BY k""".stripMargin
+  }
+
+  /** Grouping-analytics fuzz: ROLLUP / CUBE / GROUPING SETS over two
+    * generated modular keys, with per-key `grouping()` indicators
+    * (CAST on both engines — Spark returns TINYINT, DuckDB BIGINT)
+    * and -1-coalesced key output (keys are non-negative by
+    * construction, so the sentinel is unambiguous).  The ORDER BY
+    * covers every output column, so the multiset of super-aggregate
+    * rows is totally ordered.
+    *
+    * Fuzz find (seed 102): over an EMPTY filtered input, DuckDB emits
+    * the `()` grand-total grouping-set row (count = 0, the standard
+    * global-aggregate-over-empty behavior) while Spark's Expand-based
+    * rewrite emits nothing — a genuine engine-semantics divergence.
+    * `HAVING count(*) > 0` pins the family to the common dialect by
+    * construction (it only drops the empty-input grand-total row), so
+    * the gates stay corpus-independent no matter which seeds go empty
+    * on a regenerated corpus.
+    */
+  private def genGroupingQuery(seed: Long): String = {
+    val r = new Rng(seed)
+    val (table, cols, key) = r.pick(tables)
+    val m1 = r.next(4) + 2
+    val m2 = r.next(3) + 2
+    val c1 = r.pick(cols)
+    val c2 = r.pick(cols)
+    val a1 = genArith(r, cols, 2)
+    val pred = genPred(r, cols, 1)
+    val grouping = r.pick(Seq(
+      "ROLLUP(g1, g2)", "CUBE(g1, g2)",
+      "GROUPING SETS ((g1), (g2), (g1, g2), ())"))
+    s"""SELECT coalesce(g1, -1) AS a, coalesce(g2, -1) AS b,
+       |  CAST(grouping(g1) AS BIGINT) AS ga,
+       |  CAST(grouping(g2) AS BIGINT) AS gb,
+       |  CAST(sum(v) AS BIGINT) AS s1,
+       |  count(*) AS n
+       |FROM (SELECT ($c1 % $m1) AS g1, ($c2 % $m2) AS g2, ($a1) AS v
+       |      FROM $table WHERE $pred)
+       |GROUP BY $grouping
+       |HAVING count(*) > 0
+       |ORDER BY a, b, ga, gb""".stripMargin
+  }
+
+  /** String-function fuzz over ASCII name columns: compositions of
+    * substr / upper / lower / reverse / replace / concat feed a
+    * grouped aggregation — group key, length sums, and binary-order
+    * min/max (both engines compare UTF-8 bytes; inputs stay ASCII by
+    * construction, where byte order == codepoint order).
+    */
+  private val strTables = Seq(
+    ("nation", "n_name", Seq("n_nationkey", "n_regionkey"), "n_nationkey"),
+    ("region", "r_name", Seq("r_regionkey"), "r_regionkey"),
+    ("customer", "c_name", Seq("c_custkey", "c_nationkey"), "c_custkey"))
+
+  private def genStrExpr(r: Rng, col: String, depth: Int): String =
+    if (depth == 0) col
+    else r.next(6) match {
+      case 0 => s"upper(${genStrExpr(r, col, depth - 1)})"
+      case 1 => s"lower(${genStrExpr(r, col, depth - 1)})"
+      case 2 => s"reverse(${genStrExpr(r, col, depth - 1)})"
+      case 3 => s"substr(${genStrExpr(r, col, depth - 1)}, ${r.next(4) + 1}, ${r.next(6) + 1})"
+      case 4 => s"replace(${genStrExpr(r, col, depth - 1)}, " +
+        s"'${r.pick(Seq("A", "E", "R", "a", "e", "r", "0", "1"))}', " +
+        s"'${r.pick(Seq("_", "~", "!"))}')"
+      case _ => s"concat(${genStrExpr(r, col, depth - 1)}, '${r.pick(Seq("#", "+", "z"))}')"
+    }
+
+  private def genStringQuery(seed: Long): String = {
+    val r = new Rng(seed)
+    val (table, strCol, intCols, key) = r.pick(strTables)
+    val gExpr = genStrExpr(r, strCol, 2)
+    val e2 = genStrExpr(r, strCol, 2)
+    val e3 = genStrExpr(r, strCol, 2)
+    val pred = genPred(r, intCols, 1)
+    val prefixLen = r.next(3) + 1
+    s"""SELECT substr($gExpr, 1, $prefixLen) AS g,
+       |  count(*) AS n,
+       |  CAST(sum(length($e2)) AS BIGINT) AS sl,
+       |  min($e3) AS mn,
+       |  max($e3) AS mx,
+       |  CAST(max($key) AS BIGINT) AS mk
+       |FROM $table
+       |WHERE $pred
+       |GROUP BY substr($gExpr, 1, $prefixLen)
+       |ORDER BY g""".stripMargin
+  }
+
   /** Frozen seed per slot; a slot's seed is bumped (never reused) when
     * its query returns zero rows at the gate SF — empty==empty proves
     * nothing, so every entry must select data.
@@ -252,6 +380,9 @@ object FuzzQueries {
   private val setSeeds: Seq[Long] = Seq(64L, 69L, 160L, 161L)
   private val outerSeeds: Seq[Long] = Seq(71L, 72L, 73L)
   private val decimalSeeds: Seq[Long] = Seq(81L, 82L, 87L)
+  private val corrSeeds: Seq[Long] = Seq(91L, 92L, 93L, 94L)
+  private val groupingSeeds: Seq[Long] = Seq(101L, 106L, 103L, 104L)
+  private val stringSeeds: Seq[Long] = Seq(111L, 112L, 113L, 114L)
 
   private val sql: Map[String, String] =
     seeds.zipWithIndex.map { case (s, i) =>
@@ -271,6 +402,15 @@ object FuzzQueries {
     }.toMap ++
     decimalSeeds.zipWithIndex.map { case (s, i) =>
       f"q_fuzzd_${i + 1}%02d" -> genDecimalQuery(0xD1FF00D5L * s)
+    }.toMap ++
+    corrSeeds.zipWithIndex.map { case (s, i) =>
+      f"q_fuzzc_${i + 1}%02d" -> genCorrelatedQuery(0xD1FF00D5L * s)
+    }.toMap ++
+    groupingSeeds.zipWithIndex.map { case (s, i) =>
+      f"q_fuzzg_${i + 1}%02d" -> genGroupingQuery(0xD1FF00D5L * s)
+    }.toMap ++
+    stringSeeds.zipWithIndex.map { case (s, i) =>
+      f"q_fuzzh_${i + 1}%02d" -> genStringQuery(0xD1FF00D5L * s)
     }.toMap
 
   val queries: Map[String, Q] = sql.map { case (name, text) =>
@@ -295,6 +435,9 @@ object FuzzQueries {
       case "o" => genOuterChainQuery
       case "d" => genDecimalQuery
       case "j" => genJoinQuery
+      case "c" => genCorrelatedQuery
+      case "g" => genGroupingQuery
+      case "h" => genStringQuery
       case _   => genQuery
     }
     candidates.map(c =>

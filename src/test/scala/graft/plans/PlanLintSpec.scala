@@ -68,7 +68,9 @@ class PlanLintSpec extends SparkSpec {
     "q_fleiss_kappa",        // 1-row cell aggregate × 1-row category aggregate folded into the single κ row
     "q_classifier_eval",     // 1-row confusion × 1-row AUC × 1-row ECE folded into the single report row
     "q_weighted_kappa",      // ka×kb marginal grid (chiSquared's contingency shape) + 1-row obs × 1-row Se fold
-    "q_krippendorff")        // 1-row pairable-unit totals × 1-row category aggregate folded into the single α row
+    "q_krippendorff",        // 1-row pairable-unit totals × 1-row category aggregate folded into the single α row
+    "q_fuzzc_01", "q_fuzzc_02", "q_fuzzc_03",
+    "q_fuzzc_04")            // 3VL IN/NOT IN in a projection rewrites to ExistenceJoin with a null-disjunct condition — non-equi by SEMANTICS; outer is a ≤25-row dim (nation/region) by corrPairs construction
 
   /** Entries whose unpartitioned window is over an already-aggregated
     * (small) frame, or is the documented global-order requirement.
@@ -311,7 +313,11 @@ class PlanLintSpec extends SparkSpec {
     "q_weighted_kappa" -> "ka x kb ordinal-level marginal grid — the q_chi_squared shape; levels bounded by the rating-scale contract",
     "q_gap_fill"     -> "dense (key x day) grid of two GENERATED frames; key side is a distinct-key aggregate bounded by the key-domain contract",
     "q_retention_fit" -> "week-0 denominator side is a week-GROUPED aggregate filtered to one week — 1 row by the cohort contract, grouped (not scalar) in the plan",
-    "q_hybrid_retrieval" -> "brute semantic ranker: corpus scan x 3-row VALUES query batch resolved through a unique-key embedding lookup join (the broadcastHintOk bound, opaque to boundedPhysical)")
+    "q_hybrid_retrieval" -> "brute semantic ranker: corpus scan x 3-row VALUES query batch resolved through a unique-key embedding lookup join (the broadcastHintOk bound, opaque to boundedPhysical)",
+    "q_fuzzc_01" -> "three-valued IN/NOT IN verdict in a projection: Spark rewrites to ExistenceJoin whose condition carries the null disjunct (k = v OR isnull(k = v)) — non-equi by SEMANTICS, so BNLJ is the only correct plan; the fuzz family's corrPairs pin the OUTER side to nation/region (fixed <=25-row TPC-H dims) and the inner to a filtered dim projection, a data contract no plan node shows",
+    "q_fuzzc_02" -> "same 3VL ExistenceJoin shape as q_fuzzc_01 (corrPairs outer = fixed dim)",
+    "q_fuzzc_03" -> "same 3VL ExistenceJoin shape as q_fuzzc_01 (corrPairs outer = fixed dim)",
+    "q_fuzzc_04" -> "same 3VL ExistenceJoin shape as q_fuzzc_01 (corrPairs outer = fixed dim)")
 
   test("whitelisted cartesians really have a structurally bounded side " +
       "and the whitelist carries no rot") {

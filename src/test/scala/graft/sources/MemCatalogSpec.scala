@@ -275,6 +275,20 @@ class MemCatalogSpec extends SparkSpec {
       spark.sql(s"CALL $cat.ns.snapshots('ns', 'absent')").collect())
   }
 
+  test("SHOW PROCEDURES lists the catalog's procedures; DESCRIBE " +
+      "PROCEDURE renders name + description") {
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.MemCatalog")
+    MemCatalog.clear(cat)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    val shown = spark.sql(s"SHOW PROCEDURES IN $cat.ns")
+      .collect().map(_.toSeq.map(String.valueOf).mkString(" ")).toSeq
+    assert(shown.exists(_.contains("dedupe_rows")) &&
+      shown.exists(_.contains("snapshots")), shown.mkString("; "))
+    val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.ns.dedupe_rows")
+      .collect().map(_.toSeq.map(String.valueOf).mkString(" ")).mkString("\n")
+    assert(desc.contains("dedupe_rows") && desc.contains("exact-duplicate"))
+  }
+
   test("a write committed between a row-level scan and its replace " +
       "commit is detected, not silently lost") {
     import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRowLevelOperations, TableCatalog}
