@@ -370,6 +370,85 @@ object FuzzQueries {
        |ORDER BY g""".stripMargin
   }
 
+  /** Mutation fuzz over the v2 row-level surface: a generated base
+    * aggregate materializes into a MemCatalog table, then a random
+    * UPDATE and a random DELETE-or-MERGE run as SQL through the
+    * group-based rewrite pipeline (RewriteUpdateTable /
+    * RewriteDeleteFromTable / RewriteMergeIntoTable → ReplaceData),
+    * and the final table state is compared against a DuckDB oracle
+    * that REPLAYS the same mutation algebra as pure SELECT CTEs —
+    * the generator emits both sides from one seed, so the differential
+    * covers arbitrary predicates, not the three hand-picked ones in
+    * CatalogQueries.  MERGE sources GROUP BY their key, so the
+    * one-match-per-row cardinality contract holds by construction.
+    */
+  private final case class MutationScript(
+      ddl: Seq[String], finalSelect: String, oracleSelect: String)
+
+  private def genMutationScript(seed: Long, slot: Int): MutationScript = {
+    val r = new Rng(seed)
+    val (bt, bcols, bkey) = r.pick(tables)
+    val kMod = r.next(6) + 4
+    val basePred = genPred(r, bcols, 1)
+    val baseVal = genArith(r, bcols, 1)
+    val tbl = s"graft_cat.ns.fm_$slot"
+    // mutation 1: arithmetic UPDATE on a key-modular slice
+    val (um, ud, up, uq) = (r.next(3) + 1, r.next(9), r.next(4) + 2, r.next(2))
+    // mutation 2: DELETE or MERGE
+    val useMerge = r.next(2) == 1
+    val (dp, dq) = (r.next(5) + 2, r.next(2))
+    val (mt, mcols, mkey) = r.pick(tables)
+    val mergePred = genPred(r, mcols, 1)
+    val base =
+      s"""SELECT ($bkey % $kMod) AS k,
+         |  CAST(sum($baseVal) AS BIGINT) AS v,
+         |  count(*) AS c
+         |FROM $bt WHERE $basePred GROUP BY ($bkey % $kMod)""".stripMargin
+    val src =
+      s"""SELECT ($mkey % $kMod) AS k, count(*) AS dv
+         |FROM $mt WHERE $mergePred GROUP BY ($mkey % $kMod)""".stripMargin
+    val mut2 =
+      if (useMerge)
+        s"""MERGE INTO $tbl t
+           |USING ($src) s
+           |ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET v = t.v + s.dv
+           |WHEN NOT MATCHED THEN INSERT (k, v, c) VALUES (s.k + 100, s.dv, 0)""".stripMargin
+      else s"DELETE FROM $tbl WHERE k % $dp = $dq"
+    val ddl = Seq(
+      "CREATE NAMESPACE IF NOT EXISTS graft_cat.ns",
+      s"DROP TABLE IF EXISTS $tbl",
+      s"CREATE TABLE $tbl (k BIGINT, v BIGINT, c BIGINT)",
+      s"INSERT INTO $tbl\n$base",
+      s"UPDATE $tbl SET v = v * $um + $ud WHERE k % $up = $uq",
+      mut2)
+    val finalSelect = s"SELECT k, v, c FROM $tbl ORDER BY k, v, c"
+    val m2Cte =
+      if (useMerge)
+        s"""src AS ($src),
+           |m2 AS (
+           |  SELECT t.k,
+           |    CAST(CASE WHEN s.k IS NOT NULL THEN t.v + s.dv ELSE t.v END
+           |      AS BIGINT) AS v,
+           |    t.c
+           |  FROM m1 t LEFT JOIN src s ON t.k = s.k
+           |  UNION ALL
+           |  SELECT s.k + 100, CAST(s.dv AS BIGINT), CAST(0 AS BIGINT)
+           |  FROM src s LEFT JOIN m1 t ON t.k = s.k
+           |  WHERE t.k IS NULL
+           |)""".stripMargin
+      else
+        s"""m2 AS (SELECT k, v, c FROM m1 WHERE NOT (k % $dp = $dq))""".stripMargin
+    val oracleSelect =
+      s"""WITH base AS ($base),
+         |m1 AS (SELECT k,
+         |  CAST(CASE WHEN k % $up = $uq THEN v * $um + $ud ELSE v END
+         |    AS BIGINT) AS v, c FROM base),
+         |$m2Cte
+         |SELECT k, v, c FROM m2 ORDER BY k, v, c""".stripMargin
+    MutationScript(ddl, finalSelect, oracleSelect)
+  }
+
   /** Frozen seed per slot; a slot's seed is bumped (never reused) when
     * its query returns zero rows at the gate SF — empty==empty proves
     * nothing, so every entry must select data.
@@ -383,6 +462,7 @@ object FuzzQueries {
   private val corrSeeds: Seq[Long] = Seq(91L, 92L, 93L, 94L)
   private val groupingSeeds: Seq[Long] = Seq(101L, 106L, 103L, 104L)
   private val stringSeeds: Seq[Long] = Seq(111L, 112L, 113L, 114L)
+  private val mutationSeeds: Seq[Long] = Seq(121L, 122L, 123L, 124L)
 
   private val sql: Map[String, String] =
     seeds.zipWithIndex.map { case (s, i) =>
@@ -413,14 +493,27 @@ object FuzzQueries {
       f"q_fuzzh_${i + 1}%02d" -> genStringQuery(0xD1FF00D5L * s)
     }.toMap
 
+  private val mutationScripts: Map[String, MutationScript] =
+    mutationSeeds.zipWithIndex.map { case (s, i) =>
+      f"q_fuzzm_${i + 1}%02d" -> genMutationScript(0xD1FF00D5L * s, i + 1)
+    }.toMap
+
   val queries: Map[String, Q] = sql.map { case (name, text) =>
-    name -> { (s: SparkSession, dir: String) =>
+    name -> (((s: SparkSession, dir: String) => {
       Tables.registerAll(s, dir)
       s.sql(text)
-    }
+    }): Q)
+  } ++ mutationScripts.map { case (name, script) =>
+    name -> (((s: SparkSession, dir: String) => {
+      Tables.registerAll(s, dir)
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.MemCatalog")
+      script.ddl.foreach(s.sql(_)) // commands execute eagerly
+      s.sql(script.finalSelect)
+    }): Q)
   }
 
-  val oracle: Map[String, String] = sql
+  val oracle: Map[String, String] =
+    sql ++ mutationScripts.map { case (n, sc) => n -> sc.oracleSelect }
 
   /** Seed-selection probe (maintenance tool, not a gate): row counts
     * for candidate seeds of one generator family, so an EMPTY slot's
