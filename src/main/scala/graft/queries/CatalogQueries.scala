@@ -137,11 +137,12 @@ object CatalogQueries {
 
     // Stored procedures (`CALL`) on the plugin catalog — the V2
     // maintenance surface: dedupe_rows rewrites away exact-duplicate
-    // rows (committing a new snapshot), snapshots lists the retained
-    // version history.  The gate folds the CALL results and the
-    // post-rewrite table state into one frame; every number is exactly
-    // derivable from the distinct-brand count D (before = 2D+1 rows,
-    // dedupe removes D, history = versions 0/1/2).
+    // rows (committing a new snapshot), expire_snapshots drops all but
+    // the newest `keep` versions, snapshots lists what remains.  The
+    // gate folds the CALL results and the post-rewrite table state
+    // into one frame; every number is exactly derivable from the
+    // distinct-brand count D (before = 2D+1 rows, dedupe removes D,
+    // expiry keeps versions 1/2 of the 0/1/2 history).
     "q_call_procedure" -> { (s, dir) =>
       graft.Tables.registerAll(s, dir)
       withCatalog(s)
@@ -154,11 +155,15 @@ object CatalogQueries {
               |UNION ALL SELECT 'unique-row', -1""".stripMargin)
       s.sql("CALL graft_cat.ns.dedupe_rows('ns', 'brand_counts')")
         .createOrReplaceTempView("dedupe_result")
+      s.sql("CALL graft_cat.ns.expire_snapshots('ns', 'brand_counts', 2)")
+        .createOrReplaceTempView("expire_result")
       s.sql("CALL graft_cat.ns.snapshots('ns', 'brand_counts')")
         .createOrReplaceTempView("snap_result")
       s.sql("""SELECT 'post' AS src, b, n FROM graft_cat.ns.brand_counts
               |UNION ALL
               |SELECT 'call', CAST(removed AS STRING), remaining FROM dedupe_result
+              |UNION ALL
+              |SELECT 'exp', CAST(expired AS STRING), retained FROM expire_result
               |UNION ALL
               |SELECT 'hist', CAST(version AS STRING), n_rows FROM snap_result
               |ORDER BY src, b, n""".stripMargin)
@@ -234,7 +239,7 @@ object CatalogQueries {
         |  (SELECT b, n FROM d UNION ALL SELECT 'unique-row', CAST(-1 AS BIGINT))
         |UNION ALL
         |SELECT 'call', CAST(c AS VARCHAR), c + 1 FROM dc
-        |UNION ALL SELECT 'hist', '0', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'exp', '1', CAST(2 AS BIGINT)
         |UNION ALL SELECT 'hist', '1', 2 * c + 1 FROM dc
         |UNION ALL SELECT 'hist', '2', c + 1 FROM dc
         |ORDER BY src, b, n""".stripMargin,

@@ -275,6 +275,26 @@ class MemCatalogSpec extends SparkSpec {
       spark.sql(s"CALL $cat.ns.snapshots('ns', 'absent')").collect())
   }
 
+  test("CALL expire_snapshots drops old versions (clamped keep), " +
+      "leaves the live state intact") {
+    val t = fresh("t_exp")
+    (1 to 6).foreach(i => spark.sql(s"INSERT INTO $t VALUES ($i, 'x')"))
+    // 7 snapshots retained (v0..v6); keep the last 2
+    val res = spark.sql(s"CALL $cat.ns.expire_snapshots('ns', 't_exp', 2)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(res == Seq((5L, 2L)))
+    intercept[Exception](
+      spark.sql(s"SELECT k FROM $t VERSION AS OF 4").collect())
+    assert(spark.sql(s"SELECT count(*) AS c FROM $t VERSION AS OF 5")
+      .collect()(0).getLong(0) == 5L)
+    assert(spark.table(t).count() == 6L)
+    // keep clamps to >= 1: the latest snapshot always survives
+    spark.sql(s"CALL $cat.ns.expire_snapshots('ns', 't_exp', 0)")
+    val hist = spark.sql(s"CALL $cat.ns.snapshots('ns', 't_exp')")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hist == Seq(6L))
+  }
+
   test("SHOW PROCEDURES lists the catalog's procedures; DESCRIBE " +
       "PROCEDURE renders name + description") {
     spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.MemCatalog")
@@ -283,6 +303,7 @@ class MemCatalogSpec extends SparkSpec {
     val shown = spark.sql(s"SHOW PROCEDURES IN $cat.ns")
       .collect().map(_.toSeq.map(String.valueOf).mkString(" ")).toSeq
     assert(shown.exists(_.contains("dedupe_rows")) &&
+      shown.exists(_.contains("expire_snapshots")) &&
       shown.exists(_.contains("snapshots")), shown.mkString("; "))
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.ns.dedupe_rows")
       .collect().map(_.toSeq.map(String.valueOf).mkString(" ")).mkString("\n")
