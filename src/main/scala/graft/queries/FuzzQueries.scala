@@ -370,6 +370,61 @@ object FuzzQueries {
        |ORDER BY g""".stripMargin
   }
 
+  /** Temporal fuzz over lineitem's ship date (the corpus's one fact
+    * date, stored as timestamp — CAST to DATE first on both sides):
+    * calendar grouping by (year, month, day-of-week), days-to-month-end
+    * via last_day, day-of-period via date_trunc, and a constant
+    * day-shift rendered as an ISO string.  The dialects genuinely
+    * differ here, so the generator emits a Spark text and a DuckDB
+    * twin from the same seed: `date_add(d, k)` vs `d + k`,
+    * `datediff(a, b)` (a−b) vs `date_diff('day', b, a)`, Spark's
+    * `date_trunc` returns TIMESTAMP where DuckDB's returns DATE
+    * (bridged by casting before the string render), and day-of-week
+    * uses the documented engine-specific Sunday=0 forms (Spark
+    * `pmod(datediff(d, 1970-01-01) + 4, 7)`, DuckDB `EXTRACT(DOW)`).
+    * All date outputs leave as ISO strings — raw date/timestamp
+    * columns never reach the pandas compare.
+    */
+  private final case class SplitQuery(spark: String, duck: String)
+
+  private val liIntCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+
+  private def genTemporalQuery(seed: Long): SplitQuery = {
+    val r = new Rng(seed)
+    val k = r.next(40) + 1
+    val unit = r.pick(Seq("month", "quarter", "year"))
+    val pred = genPred(r, liIntCols, 2)
+    val base = s"""SELECT CAST(l_shipdate AS DATE) AS d
+                  |  FROM lineitem WHERE $pred""".stripMargin
+    val spark =
+      s"""WITH b AS ($base)
+         |SELECT CAST(year(d) AS BIGINT) AS y,
+         |  CAST(month(d) AS BIGINT) AS m,
+         |  CAST(pmod(datediff(d, DATE '1970-01-01') + 4, 7) AS BIGINT) AS dw,
+         |  count(*) AS n,
+         |  CAST(sum(datediff(last_day(d), d)) AS BIGINT) AS sme,
+         |  CAST(sum(datediff(d, CAST(date_trunc('$unit', d) AS DATE))) AS BIGINT) AS sdp,
+         |  min(CAST(date_add(d, $k) AS STRING)) AS mnd,
+         |  max(CAST(CAST(date_trunc('$unit', d) AS DATE) AS STRING)) AS mxt
+         |FROM b
+         |GROUP BY year(d), month(d), pmod(datediff(d, DATE '1970-01-01') + 4, 7)
+         |ORDER BY y, m, dw""".stripMargin
+    val duck =
+      s"""WITH b AS ($base)
+         |SELECT CAST(year(d) AS BIGINT) AS y,
+         |  CAST(month(d) AS BIGINT) AS m,
+         |  CAST(EXTRACT(DOW FROM d) AS BIGINT) AS dw,
+         |  count(*) AS n,
+         |  CAST(sum(date_diff('day', d, last_day(d))) AS BIGINT) AS sme,
+         |  CAST(sum(date_diff('day', date_trunc('$unit', d), d)) AS BIGINT) AS sdp,
+         |  min(CAST((d + $k) AS VARCHAR)) AS mnd,
+         |  max(CAST(date_trunc('$unit', d) AS VARCHAR)) AS mxt
+         |FROM b
+         |GROUP BY year(d), month(d), EXTRACT(DOW FROM d)
+         |ORDER BY y, m, dw""".stripMargin
+    SplitQuery(spark, duck)
+  }
+
   /** Mutation fuzz over the v2 row-level surface: a generated base
     * aggregate materializes into a MemCatalog table, then a random
     * UPDATE and a random DELETE-or-MERGE run as SQL through the
@@ -463,6 +518,7 @@ object FuzzQueries {
   private val groupingSeeds: Seq[Long] = Seq(101L, 106L, 103L, 104L)
   private val stringSeeds: Seq[Long] = Seq(111L, 112L, 113L, 114L)
   private val mutationSeeds: Seq[Long] = Seq(121L, 122L, 123L, 124L)
+  private val temporalSeeds: Seq[Long] = Seq(131L, 132L, 136L, 134L)
 
   private val sql: Map[String, String] =
     seeds.zipWithIndex.map { case (s, i) =>
@@ -498,6 +554,11 @@ object FuzzQueries {
       f"q_fuzzm_${i + 1}%02d" -> genMutationScript(0xD1FF00D5L * s, i + 1)
     }.toMap
 
+  private val temporalSplits: Map[String, SplitQuery] =
+    temporalSeeds.zipWithIndex.map { case (s, i) =>
+      f"q_fuzzt_${i + 1}%02d" -> genTemporalQuery(0xD1FF00D5L * s)
+    }.toMap
+
   val queries: Map[String, Q] = sql.map { case (name, text) =>
     name -> (((s: SparkSession, dir: String) => {
       Tables.registerAll(s, dir)
@@ -510,10 +571,16 @@ object FuzzQueries {
       script.ddl.foreach(s.sql(_)) // commands execute eagerly
       s.sql(script.finalSelect)
     }): Q)
+  } ++ temporalSplits.map { case (name, split) =>
+    name -> (((s: SparkSession, dir: String) => {
+      Tables.registerAll(s, dir)
+      s.sql(split.spark)
+    }): Q)
   }
 
   val oracle: Map[String, String] =
-    sql ++ mutationScripts.map { case (n, sc) => n -> sc.oracleSelect }
+    sql ++ mutationScripts.map { case (n, sc) => n -> sc.oracleSelect } ++
+      temporalSplits.map { case (n, sp) => n -> sp.duck }
 
   /** Seed-selection probe (maintenance tool, not a gate): row counts
     * for candidate seeds of one generator family, so an EMPTY slot's
@@ -531,6 +598,7 @@ object FuzzQueries {
       case "c" => genCorrelatedQuery
       case "g" => genGroupingQuery
       case "h" => genStringQuery
+      case "t" => (s: Long) => genTemporalQuery(s).spark
       case _   => genQuery
     }
     candidates.map(c =>
