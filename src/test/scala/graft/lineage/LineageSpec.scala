@@ -764,6 +764,34 @@ class LineageSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS sink_hop2")
   }
 
+  test("sink lineage + time travel: a live v2 read splices the writing " +
+      "query's sources; a VERSION AS OF read does NOT inherit them") {
+    spark.conf.set("spark.sql.catalog.tt_cat", "graft.sources.MemCatalog")
+    graft.sources.MemCatalog.clear("tt_cat")
+    LineageRegistry.forgetTable("tt_cat.ns.tt_lin")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tt_cat.ns")
+    spark.sql("CREATE TABLE tt_cat.ns.tt_lin (rf STRING, qty DOUBLE)")
+    li.limit(80).createOrReplaceTempView("tt_sink_li")
+    val ins = spark.sql(
+      """INSERT INTO tt_cat.ns.tt_lin
+        |SELECT l_returnflag, sum(l_quantity) FROM tt_sink_li
+        |GROUP BY l_returnflag""".stripMargin)
+    SinkLineage.capture(ins.queryExecution)
+    // the live read splices back to the base table through the registry
+    val live = ColumnLineage.of(spark.table("tt_cat.ns.tt_lin"))
+    assert(live("rf") == Set(src("tt_sink_li", "l_returnflag")),
+      live("rf").toString)
+    // the time-travel read of the PRE-write snapshot must not claim the
+    // later write's provenance: its relation identity carries the @v
+    // suffix, so the registry key never matches and the leaf stays the
+    // snapshot relation (named by the read alias), never tt_sink_li
+    val v0 = ColumnLineage.of(
+      spark.sql("SELECT rf, qty FROM tt_cat.ns.tt_lin VERSION AS OF 0"))
+    assert(v0("rf") == Set(src("tt_lin", "rf")), v0("rf").toString)
+    assert(!v0("rf").exists(_.table == "tt_sink_li"), v0("rf").toString)
+    spark.sql("DROP TABLE tt_cat.ns.tt_lin")
+  }
+
   test("sink lineage listener: plain df.write.parquet(path) is captured " +
       "from the listener bus and a path read splices it") {
     val dir = graft.TmpCleanup.tempDir("graft_sink_listener")
