@@ -425,6 +425,47 @@ object FuzzQueries {
     SplitQuery(spark, duck)
   }
 
+  /** Composition fuzz — the "top-k per group, then enrich" pipeline
+    * every analyst writes: grouped aggregate → rank() over a modular
+    * partition → filter rank <= j (rank keeps ALL tied rows, a
+    * deterministic SET on both engines even where row_number would be
+    * an engine lottery) → join the survivors back to a dim table.
+    * Exercises optimizer interactions between aggregation, windows,
+    * filters over window output, and joins that the single-shape
+    * families never compose.  Final ORDER BY ends on the unique key.
+    */
+  private def genCompositionQuery(seed: Long): String = {
+    val r = new Rng(seed)
+    val (t1, cols1, t2, cols2, on) = r.pick(joinPairs)
+    val Array(leftKey, rightKey) = on.split(" = ")
+    val a1 = genArith(r, cols1, 2)
+    val pred = genPred(r, cols1, 1)
+    val part = r.next(3) + 2
+    val tieMod = r.next(4) + 2
+    val topJ = r.next(2) + 1
+    val rcol = r.pick(cols2)
+    // rank over the GROUPED frame (group-count-sized window input);
+    // the agg key IS the join key, so the enrich join stays equi
+    s"""WITH agg AS (
+       |  SELECT $leftKey AS k,
+       |    CAST(sum($a1) AS BIGINT) AS v,
+       |    count(*) AS c
+       |  FROM $t1
+       |  WHERE $pred
+       |  GROUP BY $leftKey),
+       |ranked AS (
+       |  SELECT k, v, c,
+       |    rank() OVER (PARTITION BY (k % $part) ORDER BY (v % $tieMod)) AS rk
+       |  FROM agg),
+       |topk AS (SELECT k, v, c, rk FROM ranked WHERE rk <= $topJ)
+       |SELECT t.k, t.v, t.c, t.rk,
+       |  CAST(max(j.$rcol) AS BIGINT) AS rmax,
+       |  count(j.$rcol) AS rn
+       |FROM topk t LEFT JOIN $t2 j ON t.k = j.$rightKey
+       |GROUP BY t.k, t.v, t.c, t.rk
+       |ORDER BY t.k""".stripMargin
+  }
+
   /** Mutation fuzz over the v2 row-level surface: a generated base
     * aggregate materializes into a MemCatalog table, then a random
     * UPDATE and a random DELETE-or-MERGE run as SQL through the
@@ -519,6 +560,7 @@ object FuzzQueries {
   private val stringSeeds: Seq[Long] = Seq(111L, 112L, 113L, 114L)
   private val mutationSeeds: Seq[Long] = Seq(121L, 122L, 123L, 124L)
   private val temporalSeeds: Seq[Long] = Seq(131L, 132L, 136L, 134L)
+  private val compositionSeeds: Seq[Long] = Seq(145L, 146L, 143L, 144L)
 
   private val sql: Map[String, String] =
     seeds.zipWithIndex.map { case (s, i) =>
@@ -547,6 +589,9 @@ object FuzzQueries {
     }.toMap ++
     stringSeeds.zipWithIndex.map { case (s, i) =>
       f"q_fuzzh_${i + 1}%02d" -> genStringQuery(0xD1FF00D5L * s)
+    }.toMap ++
+    compositionSeeds.zipWithIndex.map { case (s, i) =>
+      f"q_fuzzn_${i + 1}%02d" -> genCompositionQuery(0xD1FF00D5L * s)
     }.toMap
 
   private val mutationScripts: Map[String, MutationScript] =
@@ -599,6 +644,7 @@ object FuzzQueries {
       case "g" => genGroupingQuery
       case "h" => genStringQuery
       case "t" => (s: Long) => genTemporalQuery(s).spark
+      case "n" => genCompositionQuery
       case _   => genQuery
     }
     candidates.map(c =>
