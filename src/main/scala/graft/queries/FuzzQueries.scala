@@ -425,6 +425,30 @@ object FuzzQueries {
     SplitQuery(spark, duck)
   }
 
+  /** LATERAL fuzz: a correlated lateral AGGREGATE subquery referencing
+    * the outer row's key — the LateralJoin decorrelation path, distinct
+    * from the scalar-subquery rewrite q_fuzzc exercises.  The lateral
+    * body is a scalar aggregate, so it returns exactly one row per
+    * outer row on both engines (count over an empty slice is 0, max is
+    * NULL — coalesced before output so no nullable BIGINT reaches the
+    * pandas compare).
+    */
+  private def genLateralQuery(seed: Long): String = {
+    val r = new Rng(seed)
+    val (ot, ocols, okey, it, icols, ifk) = r.pick(corrPairs)
+    val outerPred = genPred(r, ocols, 1)
+    val innerPred = genPred(r, icols, 1)
+    val a1 = genArith(r, icols, 1)
+    s"""SELECT o.k, l.c, l.mx
+       |FROM (SELECT $okey AS k FROM $ot WHERE $outerPred) o,
+       |LATERAL (
+       |  SELECT count(*) AS c,
+       |    CAST(coalesce(max($a1), -1) AS BIGINT) AS mx
+       |  FROM $it i
+       |  WHERE i.$ifk = o.k AND $innerPred) l
+       |ORDER BY o.k""".stripMargin
+  }
+
   /** Composition fuzz — the "top-k per group, then enrich" pipeline
     * every analyst writes: grouped aggregate → rank() over a modular
     * partition → filter rank <= j (rank keeps ALL tied rows, a
@@ -561,6 +585,7 @@ object FuzzQueries {
   private val mutationSeeds: Seq[Long] = Seq(121L, 122L, 123L, 124L)
   private val temporalSeeds: Seq[Long] = Seq(131L, 132L, 136L, 134L)
   private val compositionSeeds: Seq[Long] = Seq(145L, 146L, 143L, 144L)
+  private val lateralSeeds: Seq[Long] = Seq(151L, 152L, 153L, 154L)
 
   private val sql: Map[String, String] =
     seeds.zipWithIndex.map { case (s, i) =>
@@ -592,6 +617,9 @@ object FuzzQueries {
     }.toMap ++
     compositionSeeds.zipWithIndex.map { case (s, i) =>
       f"q_fuzzn_${i + 1}%02d" -> genCompositionQuery(0xD1FF00D5L * s)
+    }.toMap ++
+    lateralSeeds.zipWithIndex.map { case (s, i) =>
+      f"q_fuzzl_${i + 1}%02d" -> genLateralQuery(0xD1FF00D5L * s)
     }.toMap
 
   private val mutationScripts: Map[String, MutationScript] =
@@ -645,6 +673,7 @@ object FuzzQueries {
       case "h" => genStringQuery
       case "t" => (s: Long) => genTemporalQuery(s).spark
       case "n" => genCompositionQuery
+      case "l" => genLateralQuery
       case _   => genQuery
     }
     candidates.map(c =>
