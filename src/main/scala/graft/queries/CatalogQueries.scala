@@ -143,6 +143,13 @@ object CatalogQueries {
     // into one frame; every number is exactly derivable from the
     // distinct-brand count D (before = 2D+1 rows, dedupe removes D,
     // expiry keeps versions 1/2 of the 0/1/2 history).
+    // PINNED DEPENDENCY: the 'exp'/'hist' expectations assume
+    // (a) `part` is non-empty (so dedupe actually removes rows) and
+    // (b) dedupe_rows commits a snapshot IFF it changed the table
+    // (MemCatProcedure skips the commit when removed == 0).  If
+    // dedupe_rows ever commits unconditionally, or the gate input
+    // goes empty, the version numbering {0,1,2} shifts and this
+    // oracle must be re-derived from a pre-expiry snapshots() CALL.
     "q_call_procedure" -> { (s, dir) =>
       graft.Tables.registerAll(s, dir)
       withCatalog(s)

@@ -483,7 +483,7 @@ object FuzzQueries {
        |  FROM agg),
        |topk AS (SELECT k, v, c, rk FROM ranked WHERE rk <= $topJ)
        |SELECT t.k, t.v, t.c, t.rk,
-       |  CAST(max(j.$rcol) AS BIGINT) AS rmax,
+       |  coalesce(CAST(max(j.$rcol) AS BIGINT), -1) AS rmax,
        |  count(j.$rcol) AS rn
        |FROM topk t LEFT JOIN $t2 j ON t.k = j.$rightKey
        |GROUP BY t.k, t.v, t.c, t.rk

@@ -20,28 +20,31 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class CollectLintSpec extends AnyFunSuite {
 
-  /** file (repo-relative) → (max allowed `.collect()` sites, bound). */
+  /** file (relative to src/main/scala) → (max allowed `.collect()` sites, bound). */
   private val allowed: Map[String, (Int, String)] = Map(
-    "ops/Pq.scala" -> (2 ->
+    "graft/ops/Pq.scala" -> (2 ->
       "PQ codebooks: k·m rows (training artifact, corpus-independent)"),
-    "ops/KMeansOps.scala" -> (2 ->
+    "graft/ops/KMeansOps.scala" -> (2 ->
       "k seed vectors + k·d centroid moments per Lloyd iteration"),
-    "ops/ExactQuantiles.scala" -> (2 ->
+    "graft/ops/ExactQuantiles.scala" -> (2 ->
       "per-partition counts (numPartitions rows) + one row per requested quantile"),
-    "ops/Whitening.scala" -> (1 ->
+    "graft/ops/Whitening.scala" -> (1 ->
       "d² second-moment matrix (embedding dim is a config constant)"),
-    "ops/Similarity.scala" -> (1 ->
+    "graft/ops/Similarity.scala" -> (1 ->
       "IVF centroid seeding pool: 64·nCells vectors behind a plan-visible limit"),
-    "ops/Bpe.scala" -> (1 ->
+    "graft/ops/Bpe.scala" -> (1 ->
       "limit(1) best-merge row per BPE round"),
-    "ops/PipelineOps.scala" -> (1 ->
+    "graft/ops/PipelineOps.scala" -> (1 ->
       "limit(1) invariant-check row (loud guard, not data)"),
-    "queries/SurfaceTail.scala" -> ((1,
+    "graft/queries/SurfaceTail.scala" -> ((1,
       "p_brand-grouped aggregate (value-domain-bounded, ~25 rows) " +
         "materialized while session conf thresholds are lowered")))
 
   test("every .collect() in src/main is a whitelisted bounded site") {
-    val root = Paths.get("src/main/scala/graft")
+    // walk ALL of src/main (not just the graft package) so stray
+    // top-level debris outside the package can't hide from the lint
+    // (round-13 verdict found tmpdbg/QDbg.scala exactly that way)
+    val root = Paths.get("src/main/scala")
     val walk = Files.walk(root)
     val counts: Map[String, Int] =
       try walk.iterator().asScala
