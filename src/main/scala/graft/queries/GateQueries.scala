@@ -260,6 +260,39 @@ object GateQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
+    // Classic per-row file-provenance functions (reference
+    // `inputFileBlock.scala`): `input_file_name()` and the
+    // input-file-block pair, cross-checked against the `_metadata`
+    // hidden column on the SAME scan.  File paths are engine-local, so
+    // the oracle compares name-independent invariants: rows and file
+    // count per partition value (repartition-by-column + partitionBy
+    // yields exactly one file per value), zero basename mismatches
+    // between input_file_name() and _metadata.file_path, block starts
+    // at offset 0 somewhere in every file, and a positive block length
+    // on every row — all corpus-independent at any SF.
+    "q_input_file" -> { (s, dir) =>
+      val src = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val tmp = tmpDir("graft_ifn")
+      src.repartition(col("o_orderstatus"))
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+      s.read.parquet(tmp)
+        .select(col("o_orderstatus"),
+          input_file_name().as("fn"),
+          col("_metadata.file_path").as("mp"),
+          expr("input_file_block_start()").as("bs"),
+          expr("input_file_block_length()").as("bl"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("fn")).as("n_files"),
+          sum(when(element_at(split(col("fn"), "/"), -1) ===
+                   element_at(split(col("mp"), "/"), -1), 0L)
+            .otherwise(1L)).as("name_mismatch"),
+          min(col("bs")).as("min_bs"),
+          sum(when(col("bl") > 0, 0L).otherwise(1L)).as("bad_len"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // Custom codegen expression hamming64 vs DuckDB bit_count(xor()):
     // popcount of two key-derived 64-bit words per doc.
     "q_hamming" -> { (s, dir) =>
@@ -336,6 +369,13 @@ object GateQueries {
       """SELECT o_orderpriority, count(*) AS n
         |FROM orders WHERE o_totalprice > 300000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_input_file" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(1 AS BIGINT) AS n_files,
+        |  CAST(0 AS BIGINT) AS name_mismatch,
+        |  CAST(0 AS BIGINT) AS min_bs,
+        |  CAST(0 AS BIGINT) AS bad_len
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_repartition_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty_sum
