@@ -10,6 +10,17 @@ package object functions {
   private def toExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     ColumnBridge.expression(c)
 
+  /** Register the Point2D extension type (idempotent; UDTRegistration
+    * keeps a process-global map, double-registering the same pair is a
+    * no-op but a WARN, so guard on exists).
+    */
+  def registerPointUdt(): Unit = {
+    val cls = classOf[Point2D].getName
+    if (!org.apache.spark.sql.types.UDTRegistration.exists(cls))
+      org.apache.spark.sql.types.UDTRegistration.register(
+        cls, classOf[Point2DUDT].getName)
+  }
+
   /** popcount(a ^ b) over two int64 columns. */
   def hamming64(a: Column, b: Column): Column =
     toCol(HammingDistance64(toExpr(a), toExpr(b)))

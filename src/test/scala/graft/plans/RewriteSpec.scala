@@ -292,4 +292,103 @@ class RewriteSpec extends SparkSpec {
         spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("equi-height histogram column stats: ANALYZE computes bins via " +
+      "ApproxCountDistinctForIntervals, and the histogram's skew-aware " +
+      "selectivity flips a join side that min/max estimation cannot") {
+    // A column where 99% of the mass sits at one value: min/max-based
+    // FilterEstimation assumes a UNIFORM spread over [0, 99], so
+    // `k >= 1` estimates ~99% surviving; the equi-height histogram
+    // (reference ApproxCountDistinctForIntervals.scala:44, consumed by
+    // AnalyzeColumnCommand) sees ~251 of 254 bins pinned at 0 and
+    // estimates ~1%.  Setting the broadcast threshold between the two
+    // byte estimates makes the join side flip STATICALLY from the
+    // histogram alone — the CBO behavior the raw column stats can't
+    // reproduce.
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    Seq("hist_skew", "hist_probe").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.range(100000).selectExpr(
+        "CASE WHEN id % 100 = 0 THEN CAST(id % 99 AS INT) + 1 ELSE 0 END AS k",
+        "CAST(id % 1000 AS INT) AS j",
+        "id AS payload")
+      .write.saveAsTable("hist_skew")
+    spark.range(50000)
+      .selectExpr("CAST(id % 1000 AS INT) AS j", "id AS probe_payload")
+      .write.saveAsTable("hist_probe")
+    val sqlText =
+      """SELECT count(*) AS n FROM hist_probe p
+        |JOIN hist_skew s ON p.j = s.j WHERE s.k >= 1""".stripMargin
+    def skewFilterStats = {
+      val filters = spark.sql(sqlText).queryExecution.optimizedPlan
+        .collect { case f: LFilter if f.toString.contains("k#") => f }
+      assert(filters.nonEmpty, "expected the k >= 1 Filter to survive")
+      filters.head.stats
+    }
+    def colStatK = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier("hist_skew")).stats.get.colStats("k")
+    val confKeys = Seq("spark.sql.cbo.enabled",
+      "spark.sql.statistics.histogram.enabled",
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+    val saved = confKeys.map(k => k -> spark.conf.getOption(k))
+    try {
+      Seq("hist_skew", "hist_probe").foreach(t =>
+        spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS"))
+      spark.sql("ANALYZE TABLE hist_probe COMPUTE STATISTICS FOR COLUMNS j")
+      spark.sql("ANALYZE TABLE hist_skew COMPUTE STATISTICS FOR COLUMNS k, j")
+      assert(colStatK.histogram.isEmpty,
+        "histogram must not appear until the flag enables it")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val estNo = skewFilterStats
+      // re-ANALYZE under the histogram flag: this is the code path that
+      // runs ApproxCountDistinctForIntervals (percentiles → per-bin ndv)
+      spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+      spark.sql("ANALYZE TABLE hist_skew COMPUTE STATISTICS FOR COLUMNS k, j")
+      val hist = colStatK.histogram.getOrElse(
+        fail("equi-height histogram missing from catalog column stats"))
+      val expectBins =
+        spark.conf.get("spark.sql.statistics.histogram.numBins").toInt
+      assert(hist.bins.length == expectBins,
+        s"expected $expectBins equi-height bins, got ${hist.bins.length}")
+      assert(hist.height * hist.bins.length >= 100000 * 0.99,
+        "bin height × bins should cover the table")
+      assert(hist.bins.forall(_.ndv >= 1),
+        "every bin needs a per-bin ndv from ApproxCountDistinctForIntervals")
+      // >= 80% of bins pinned at the skew value 0
+      assert(hist.bins.count(b => b.hi == 0.0) >= (expectBins * 0.8).toInt,
+        "skew mass should pin most bins at 0")
+      val estHist = skewFilterStats
+      val rowsNo = estNo.rowCount.get.toLong
+      val rowsHist = estHist.rowCount.get.toLong
+      assert(rowsHist * 5 < rowsNo,
+        s"histogram must shrink the k >= 1 estimate (uniform $rowsNo vs " +
+          s"histogram $rowsHist; true survivors = 1000)")
+      // place the broadcast threshold between the two BYTE estimates:
+      // static planning must now broadcast the filtered skew side only
+      // because the histogram shrank it
+      val thresh = math.sqrt(
+        estHist.sizeInBytes.toDouble * estNo.sizeInBytes.toDouble).toLong
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh.toString)
+      val planWith = spark.sql(sqlText).queryExecution.sparkPlan.toString
+      assert(planWith.contains("BroadcastHashJoin"),
+        s"histogram estimate under threshold $thresh must broadcast:\n$planWith")
+      // same threshold, histogram dropped (plain re-ANALYZE): back to SMJ
+      spark.conf.set("spark.sql.statistics.histogram.enabled", "false")
+      spark.sql("ANALYZE TABLE hist_skew COMPUTE STATISTICS FOR COLUMNS k, j")
+      assert(colStatK.histogram.isEmpty, "re-ANALYZE must drop the histogram")
+      val planWithout = spark.sql(sqlText).queryExecution.sparkPlan.toString
+      assert(!planWithout.contains("BroadcastHashJoin"),
+        s"without the histogram the same threshold must sort-merge:\n$planWithout")
+      // the flip is an estimate change only — results identical
+      assert(spark.sql(sqlText).head().getLong(0) == 1000L * 50)
+    } finally {
+      saved.foreach { case (k, v) =>
+        v match { case Some(x) => spark.conf.set(k, x)
+                  case None => spark.conf.unset(k) } }
+      Seq("hist_skew", "hist_probe").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
