@@ -449,6 +449,89 @@ object FuzzQueries {
        |ORDER BY o.k""".stripMargin
   }
 
+  /** Recursive-CTE fuzz: a bounded WITH RECURSIVE spine (fixed depth
+    * 4..8, integer affine recurrence `acc' = (acc·a + b) % m` on
+    * non-negative operands — exact and bounded in both engines), then
+    * a LEFT JOIN of real table rows onto spine levels by key modulus
+    * and a grouped aggregate.  Differentially covers the recursion
+    * driver (anchor typing, per-step union, termination predicate)
+    * against DuckDB's, which the hand-written recursive gates pin only
+    * at fixed shapes.  UNION ALL + explicit `lvl < depth` bound keeps
+    * termination engine-independent; all outputs BIGINT-cast; LEFT
+    * JOIN aggregates coalesced (-1) so empty levels stay non-null.
+    */
+  private def genRecursiveQuery(seed: Long): String = {
+    val r = new Rng(seed)
+    val (table, cols, key) = r.pick(tables)
+    val depth = r.next(5) + 4
+    val a = r.next(5) + 2
+    val b = r.next(7)
+    val m = r.next(50) + 20
+    val start = r.next(5)
+    val pred = genPred(r, cols, 1)
+    val a1 = genArith(r, cols, 1)
+    s"""WITH RECURSIVE spine (lvl, acc) AS (
+       |  SELECT 0, CAST($start AS BIGINT)
+       |  UNION ALL
+       |  SELECT lvl + 1, (acc * $a + $b) % $m FROM spine WHERE lvl < $depth
+       |)
+       |SELECT CAST(s.lvl AS BIGINT) AS lvl, s.acc,
+       |  CAST(coalesce(sum($a1), -1) AS BIGINT) AS s1,
+       |  count(t.$key) AS n
+       |FROM spine s LEFT JOIN (SELECT * FROM $table WHERE $pred) t
+       |  ON (t.$key % ${depth + 1}) = s.lvl
+       |GROUP BY s.lvl, s.acc
+       |ORDER BY lvl""".stripMargin
+  }
+
+  /** Window-FRAME fuzz: explicit ROWS and RANGE frames with GENUINE
+    * ties in the order key (`v1 % tieMod`), the dialect corner no
+    * other family composes.  RANGE frames are peer-inclusive — ties
+    * make them value-deterministic with no tiebreak needed; ROWS
+    * frames are position-based — the unique key k is always appended
+    * to their ORDER BY so the frame contents are pinned.  One frame is
+    * strictly-ahead (`f1+1 FOLLOWING AND f1+2 FOLLOWING`), which goes
+    * EMPTY at partition tails — sum NULL → coalesce(-1) covers the
+    * empty-frame corner.  Window input is a GROUPED aggregate (the
+    * keyed-window scale contract) and every window sum is BIGINT-cast
+    * (DuckDB window sums return HUGEINT).
+    */
+  private def genFrameQuery(seed: Long): String = {
+    val r = new Rng(seed)
+    val (table, cols, key) = r.pick(tables)
+    val a1 = genArith(r, cols, 2)
+    val pred = genPred(r, cols, 2)
+    val part = r.next(4) + 2
+    val tieMod = r.next(4) + 2
+    val rp = r.next(3)      // ROWS preceding 0..2
+    val rf = r.next(3)      // ROWS following 0..2
+    val vp = r.next(4)      // RANGE preceding 0..3
+    val vf = r.next(4)      // RANGE following 0..3
+    val f1 = r.next(2) + 1  // ahead-frame start offset
+    s"""WITH base AS (
+       |  SELECT $key AS k,
+       |    CAST(sum($a1) AS BIGINT) AS v1,
+       |    count(*) AS c
+       |  FROM $table
+       |  WHERE $pred
+       |  GROUP BY $key)
+       |SELECT k, v1, c,
+       |  CAST(sum(v1) OVER (PARTITION BY (k % $part) ORDER BY (v1 % $tieMod), k
+       |    ROWS BETWEEN $rp PRECEDING AND $rf FOLLOWING) AS BIGINT) AS rsum,
+       |  CAST(count(*) OVER (PARTITION BY (k % $part) ORDER BY (v1 % $tieMod)
+       |    RANGE BETWEEN $vp PRECEDING AND $vf FOLLOWING) AS BIGINT) AS vcnt,
+       |  CAST(sum(c) OVER (PARTITION BY (k % $part) ORDER BY (v1 % $tieMod)
+       |    RANGE BETWEEN $vp PRECEDING AND $vf FOLLOWING) AS BIGINT) AS vsum,
+       |  CAST(min(v1) OVER (PARTITION BY (k % $part) ORDER BY (v1 % $tieMod)
+       |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vmin,
+       |  CAST(coalesce(sum(v1) OVER (PARTITION BY (k % $part)
+       |    ORDER BY (v1 % $tieMod), k
+       |    ROWS BETWEEN ${f1 + 1} FOLLOWING AND ${f1 + 2} FOLLOWING), -1)
+       |    AS BIGINT) AS ahead
+       |FROM base
+       |ORDER BY k""".stripMargin
+  }
+
   /** Composition fuzz — the "top-k per group, then enrich" pipeline
     * every analyst writes: grouped aggregate → rank() over a modular
     * partition → filter rank <= j (rank keeps ALL tied rows, a
@@ -586,6 +669,8 @@ object FuzzQueries {
   private val temporalSeeds: Seq[Long] = Seq(131L, 132L, 136L, 134L)
   private val compositionSeeds: Seq[Long] = Seq(145L, 146L, 143L, 144L)
   private val lateralSeeds: Seq[Long] = Seq(151L, 152L, 153L, 154L)
+  private val recursiveSeeds: Seq[Long] = Seq(161L, 162L, 163L, 164L, 165L)
+  private val frameSeeds: Seq[Long] = Seq(171L, 172L, 173L, 174L, 178L)
 
   private val sql: Map[String, String] =
     seeds.zipWithIndex.map { case (s, i) =>
@@ -620,6 +705,12 @@ object FuzzQueries {
     }.toMap ++
     lateralSeeds.zipWithIndex.map { case (s, i) =>
       f"q_fuzzl_${i + 1}%02d" -> genLateralQuery(0xD1FF00D5L * s)
+    }.toMap ++
+    recursiveSeeds.zipWithIndex.map { case (s, i) =>
+      f"q_fuzzr_${i + 1}%02d" -> genRecursiveQuery(0xD1FF00D5L * s)
+    }.toMap ++
+    frameSeeds.zipWithIndex.map { case (s, i) =>
+      f"q_fuzzf_${i + 1}%02d" -> genFrameQuery(0xD1FF00D5L * s)
     }.toMap
 
   private val mutationScripts: Map[String, MutationScript] =
@@ -674,6 +765,8 @@ object FuzzQueries {
       case "t" => (s: Long) => genTemporalQuery(s).spark
       case "n" => genCompositionQuery
       case "l" => genLateralQuery
+      case "r" => genRecursiveQuery
+      case "f" => genFrameQuery
       case _   => genQuery
     }
     candidates.map(c =>
