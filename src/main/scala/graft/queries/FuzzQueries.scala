@@ -625,7 +625,22 @@ object FuzzQueries {
       s"INSERT INTO $tbl\n$base",
       s"UPDATE $tbl SET v = v * $um + $ud WHERE k % $up = $uq",
       mut2)
-    val finalSelect = s"SELECT k, v, c FROM $tbl ORDER BY k, v, c"
+    // Read back EVERY snapshot, not just the final state: MemCatalog
+    // commits a snapshot per write (v1 = insert, v2 = update, current
+    // = after mut2 — copy-on-write commits even when a mutation
+    // matched zero rows), so `VERSION AS OF` must serve each
+    // intermediate state exactly and the oracle replays the same
+    // algebra per snapshot — differential coverage of snapshot
+    // isolation under the random mutation algebra, not just of the
+    // final rows.
+    val finalSelect =
+      s"""SELECT CAST(1 AS BIGINT) AS ver, k, v, c
+         |FROM $tbl VERSION AS OF 1
+         |UNION ALL
+         |SELECT 2, k, v, c FROM $tbl VERSION AS OF 2
+         |UNION ALL
+         |SELECT 3, k, v, c FROM $tbl
+         |ORDER BY ver, k, v, c""".stripMargin
     val m2Cte =
       if (useMerge)
         s"""src AS ($src),
@@ -648,7 +663,12 @@ object FuzzQueries {
          |  CAST(CASE WHEN k % $up = $uq THEN v * $um + $ud ELSE v END
          |    AS BIGINT) AS v, c FROM base),
          |$m2Cte
-         |SELECT k, v, c FROM m2 ORDER BY k, v, c""".stripMargin
+         |SELECT CAST(1 AS BIGINT) AS ver, k, v, c FROM base
+         |UNION ALL
+         |SELECT 2, k, v, c FROM m1
+         |UNION ALL
+         |SELECT 3, k, v, c FROM m2
+         |ORDER BY ver, k, v, c""".stripMargin
     MutationScript(ddl, finalSelect, oracleSelect)
   }
 
