@@ -425,6 +425,100 @@ object FuzzQueries {
     SplitQuery(spark, duck)
   }
 
+  /** Pipe-syntax fuzz (split texts): the SAME relational pipeline
+    * expressed in Spark 4 SQL pipe syntax (|> WHERE / EXTEND /
+    * AGGREGATE..GROUP BY / post-aggregate WHERE / ORDER BY) on the
+    * Spark side and as a classic SELECT..GROUP BY..HAVING on the
+    * DuckDB side — differential proof that the postfix form plans to
+    * classic-SQL semantics under GENERATED predicates/arithmetic, not
+    * just the one pinned q_pipe_syntax shape.  The post-aggregate
+    * `|> WHERE n > h` is pipe's HAVING; EXTEND materializes the
+    * generated expression once and aggregates reference the alias.
+    */
+  private def genPipeQuery(seed: Long): SplitQuery = {
+    val r = new Rng(seed)
+    val (table, cols, key) = r.pick(tables)
+    val pred = genPred(r, cols, 2)
+    val a1 = genArith(r, cols, 2)
+    val m = r.next(5) + 2
+    val h = r.next(3)
+    val spark =
+      s"""FROM $table
+         ||> WHERE $pred
+         ||> EXTEND ($a1) AS e
+         ||> AGGREGATE CAST(sum(e) AS BIGINT) AS s1,
+         |     CAST(min(e) AS BIGINT) AS m1,
+         |     count(*) AS n
+         |     GROUP BY ($key % $m) AS g
+         ||> WHERE n > $h
+         ||> ORDER BY g""".stripMargin
+    val duck =
+      s"""SELECT ($key % $m) AS g,
+         |  CAST(sum($a1) AS BIGINT) AS s1,
+         |  CAST(min($a1) AS BIGINT) AS m1,
+         |  count(*) AS n
+         |FROM $table
+         |WHERE $pred
+         |GROUP BY ($key % $m)
+         |HAVING count(*) > $h
+         |ORDER BY g""".stripMargin
+    SplitQuery(spark, duck)
+  }
+
+  /** Generator fuzz (split texts): per-row integer-sequence fan-out —
+    * Spark `LATERAL VIEW explode/posexplode(sequence(lo, w, step))`
+    * (the Generate plan node) vs DuckDB's
+    * `unnest(generate_series(...))` scalar-list form (DuckDB's
+    * generate_series TABLE function rejects lateral column args).  Both sequence forms are INCLUSIVE of the bound
+    * with identical step semantics, so the fan-outs match by
+    * construction; posexplode's 0-based position is replayed on the
+    * DuckDB side as the exact integer `(i - lo) // step` (operands
+    * non-negative, so `//` truncation == floor).  Fan-out is bounded
+    * (w <= 5) — generated rows stay a small constant multiple of the
+    * input, the explode shape that scales.
+    */
+  private def genGeneratorQuery(seed: Long): SplitQuery = {
+    val r = new Rng(seed)
+    val (table, cols, key) = r.pick(tables)
+    val pred = genPred(r, cols, 1)
+    val a1 = genArith(r, cols, 1)
+    val m = r.next(4) + 2
+    val wMod = r.next(4) + 2
+    val step = r.next(2) + 1
+    val usePos = r.next(2) == 1
+    val baseSel =
+      s"""SELECT $key AS k, ($key % $m) AS g, (($a1) % $wMod + 1) AS w
+         |  FROM $table WHERE $pred""".stripMargin
+    if (usePos) {
+      val spark =
+        s"""WITH b AS ($baseSel)
+           |SELECT g, CAST(sum((p + 1) * i) AS BIGINT) AS s, count(*) AS n
+           |FROM b LATERAL VIEW posexplode(sequence(1, w, $step)) t AS p, i
+           |GROUP BY g ORDER BY g""".stripMargin
+      val duck =
+        s"""WITH b AS ($baseSel),
+           |x AS (SELECT g, unnest(generate_series(1, w, $step)) AS i FROM b)
+           |SELECT g, CAST(sum(((i - 1) // $step + 1) * i) AS BIGINT) AS s,
+           |  count(*) AS n
+           |FROM x
+           |GROUP BY g ORDER BY g""".stripMargin
+      SplitQuery(spark, duck)
+    } else {
+      val spark =
+        s"""WITH b AS ($baseSel)
+           |SELECT g, CAST(sum(i * w) AS BIGINT) AS s, count(*) AS n
+           |FROM b LATERAL VIEW explode(sequence(0, w, $step)) t AS i
+           |GROUP BY g ORDER BY g""".stripMargin
+      val duck =
+        s"""WITH b AS ($baseSel),
+           |x AS (SELECT g, w, unnest(generate_series(0, w, $step)) AS i FROM b)
+           |SELECT g, CAST(sum(i * w) AS BIGINT) AS s, count(*) AS n
+           |FROM x
+           |GROUP BY g ORDER BY g""".stripMargin
+      SplitQuery(spark, duck)
+    }
+  }
+
   /** LATERAL fuzz: a correlated lateral AGGREGATE subquery referencing
     * the outer row's key — the LateralJoin decorrelation path, distinct
     * from the scalar-subquery rewrite q_fuzzc exercises.  The lateral
@@ -690,6 +784,8 @@ object FuzzQueries {
   private val compositionSeeds: Seq[Long] = Seq(145L, 146L, 143L, 144L)
   private val lateralSeeds: Seq[Long] = Seq(151L, 152L, 153L, 154L)
   private val recursiveSeeds: Seq[Long] = Seq(161L, 162L, 163L, 164L, 165L)
+  private val pipeSeeds: Seq[Long] = Seq(181L, 186L, 183L, 184L)
+  private val generatorSeeds: Seq[Long] = Seq(191L, 192L, 195L, 194L)
   private val frameSeeds: Seq[Long] = Seq(171L, 172L, 173L, 174L, 178L)
 
   private val sql: Map[String, String] =
@@ -741,6 +837,12 @@ object FuzzQueries {
   private val temporalSplits: Map[String, SplitQuery] =
     temporalSeeds.zipWithIndex.map { case (s, i) =>
       f"q_fuzzt_${i + 1}%02d" -> genTemporalQuery(0xD1FF00D5L * s)
+    }.toMap ++
+    pipeSeeds.zipWithIndex.map { case (s, i) =>
+      f"q_fuzzp_${i + 1}%02d" -> genPipeQuery(0xD1FF00D5L * s)
+    }.toMap ++
+    generatorSeeds.zipWithIndex.map { case (s, i) =>
+      f"q_fuzze_${i + 1}%02d" -> genGeneratorQuery(0xD1FF00D5L * s)
     }.toMap
 
   val queries: Map[String, Q] = sql.map { case (name, text) =>
@@ -787,6 +889,8 @@ object FuzzQueries {
       case "l" => genLateralQuery
       case "r" => genRecursiveQuery
       case "f" => genFrameQuery
+      case "p" => (s: Long) => genPipeQuery(s).spark
+      case "e" => (s: Long) => genGeneratorQuery(s).spark
       case _   => genQuery
     }
     candidates.map(c =>
