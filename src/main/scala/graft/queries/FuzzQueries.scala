@@ -519,6 +519,47 @@ object FuzzQueries {
     }
   }
 
+  /** JSON-path fuzz (split texts): a JSON document built per row by
+    * IDENTICAL string concatenation on both engines (|| and CAST AS
+    * STRING are common dialect), then field extraction through each
+    * engine's JSON path function — Spark `get_json_object` vs DuckDB
+    * `json_extract_string` — over scalar fields, a nested object, a
+    * positional array element, and a MISSING key (NULL on both sides,
+    * pinned via null-skipping count).  Extracted strings are BIGINT-cast
+    * before aggregation so only path semantics are under test, never
+    * JSON rendering.
+    */
+  private def genJsonQuery(seed: Long): SplitQuery = {
+    val r = new Rng(seed)
+    val (table, cols, key) = r.pick(tables)
+    val pred = genPred(r, cols, 1)
+    val a1 = genArith(r, cols, 1)
+    val a2 = genArith(r, cols, 1)
+    val m = r.next(4) + 2
+    val idx = r.next(3)
+    val base =
+      s"""SELECT ($key % $m) AS g,
+         |  ('{"a":' || CAST(($a1) AS STRING) ||
+         |   ',"o":{"x":' || CAST(($a2) AS STRING) || '}' ||
+         |   ',"arr":[' || CAST($key AS STRING) || ',' ||
+         |   CAST(($key + 1) AS STRING) || ',' ||
+         |   CAST(($key % 7) AS STRING) || ']}') AS j
+         |FROM $table WHERE $pred""".stripMargin
+    def body(f: String => String): String =
+      s"""SELECT g,
+         |  CAST(sum(CAST(${f("$.a")} AS BIGINT)) AS BIGINT) AS sa,
+         |  CAST(sum(CAST(${f("$.o.x")} AS BIGINT)) AS BIGINT) AS sx,
+         |  CAST(sum(CAST(${f(s"$$.arr[$idx]")} AS BIGINT)) AS BIGINT) AS se,
+         |  count(${f("$.zz")}) AS nmiss,
+         |  count(*) AS n
+         |GROUP BY g ORDER BY g""".stripMargin
+    val sparkBody = body(path => s"get_json_object(j, '$path')")
+    val duckBody = body(path => s"json_extract_string(j, '$path')")
+    SplitQuery(
+      s"WITH b AS ($base)\n" + sparkBody.replace("GROUP BY g", "FROM b\nGROUP BY g"),
+      s"WITH b AS ($base)\n" + duckBody.replace("GROUP BY g", "FROM b\nGROUP BY g"))
+  }
+
   /** LATERAL fuzz: a correlated lateral AGGREGATE subquery referencing
     * the outer row's key — the LateralJoin decorrelation path, distinct
     * from the scalar-subquery rewrite q_fuzzc exercises.  The lateral
@@ -786,6 +827,7 @@ object FuzzQueries {
   private val recursiveSeeds: Seq[Long] = Seq(161L, 162L, 163L, 164L, 165L)
   private val pipeSeeds: Seq[Long] = Seq(181L, 186L, 183L, 184L)
   private val generatorSeeds: Seq[Long] = Seq(191L, 192L, 195L, 194L)
+  private val jsonSeeds: Seq[Long] = Seq(201L, 202L, 203L, 204L)
   private val frameSeeds: Seq[Long] = Seq(171L, 172L, 173L, 174L, 178L)
 
   private val sql: Map[String, String] =
@@ -843,6 +885,9 @@ object FuzzQueries {
     }.toMap ++
     generatorSeeds.zipWithIndex.map { case (s, i) =>
       f"q_fuzze_${i + 1}%02d" -> genGeneratorQuery(0xD1FF00D5L * s)
+    }.toMap ++
+    jsonSeeds.zipWithIndex.map { case (s, i) =>
+      f"q_fuzzx_${i + 1}%02d" -> genJsonQuery(0xD1FF00D5L * s)
     }.toMap
 
   val queries: Map[String, Q] = sql.map { case (name, text) =>
@@ -891,6 +936,7 @@ object FuzzQueries {
       case "f" => genFrameQuery
       case "p" => (s: Long) => genPipeQuery(s).spark
       case "e" => (s: Long) => genGeneratorQuery(s).spark
+      case "x" => (s: Long) => genJsonQuery(s).spark
       case _   => genQuery
     }
     candidates.map(c =>

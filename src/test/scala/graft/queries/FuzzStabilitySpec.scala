@@ -17,8 +17,8 @@ class FuzzStabilitySpec extends AnyFunSuite {
     c.getValue
   }
 
-  test("generated battery is exactly the frozen 75 queries") {
-    assert(FuzzQueries.queries.size == 75)
+  test("generated battery is exactly the frozen 79 queries") {
+    assert(FuzzQueries.queries.size == 79)
     assert(FuzzQueries.oracle.keySet == FuzzQueries.queries.keySet)
   }
 
@@ -34,5 +34,5 @@ class FuzzStabilitySpec extends AnyFunSuite {
 }
 
 object FuzzStabilitySpec {
-  val PinnedCrc = 1018380440L // battery verified non-empty + hash-green at sf0.01 AND sf0.1 + alt-seed drills at both seeds + the sf0.1-derived alt corpus (round 14: +recursive-CTE/window-frame/pipe-syntax/generator families, composition rmax coalesce, mutation gates read every snapshot via VERSION AS OF)
+  val PinnedCrc = 2845494727L // battery verified non-empty + hash-green at sf0.01 AND sf0.1 + alt-seed drills at both seeds + the sf0.1-derived alt corpus (round 14: +recursive-CTE/window-frame/pipe-syntax/generator/JSON-path families, composition rmax coalesce, mutation gates read every snapshot via VERSION AS OF)
 }
