@@ -83,6 +83,24 @@ object GateQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // XML FILE source + sink round-trip (Spark 4 built-in XmlFileFormat,
+    // the spark-xml lineage): write rowTag-framed XML, read back with
+    // schema inference, aggregate — complements q_from_xml, which covers
+    // only the from_xml/to_xml EXPRESSIONS, not the file format.
+    "q_xml_roundtrip" -> { (s, dir) =>
+      val src = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_name"))
+      val tmp = tmpDir("graft_xml_rt")
+      src.write.mode("overwrite")
+        .option("rootTag", "suppliers").option("rowTag", "supplier")
+        .xml(tmp)
+      s.read.option("rowTag", "supplier").xml(tmp) // inferred: bigint + string
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("s_suppkey")).as("key_sum"),
+          min(col("s_name")).as("first_name"))
+        .orderBy(col("s_nationkey"))
+    },
+
     // Partitioned parquet write + partition-pruned read: only the 'F'
     // directory is scanned (pruning asserted in SourcesSpec; here the
     // values go through the oracle).
@@ -369,6 +387,10 @@ object GateQueries {
       """SELECT o_orderpriority, count(*) AS n
         |FROM orders WHERE o_totalprice > 300000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_xml_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n,
+        |  CAST(sum(s_suppkey) AS BIGINT) AS key_sum, min(s_name) AS first_name
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_input_file" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(1 AS BIGINT) AS n_files,
