@@ -1361,4 +1361,69 @@ class StreamingSpec extends SparkSpec with org.scalatest.Retries {
         s"stream-static join must hold no join state:\n$lastExec")
     } finally q.stop()
   }
+  test("per-row ForeachWriter sink: open/process/close contract with " +
+      "epoch-tagged delivery (reference ForeachWriterProvider)") {
+    // The PER-ROW foreach sink (distinct from foreachBatch): Spark
+    // calls open(partitionId, epochId) once per partition per epoch,
+    // process(row) for each row, close(error) exactly once per open —
+    // the hook a user implements for idempotent per-row writes.  The
+    // harness records every lifecycle call; asserts: every id arrives
+    // exactly once, open/close counts pair, no close carries an error,
+    // and rows only flow between an open and its close (process sees
+    // an opened partition).
+    ForeachHarness.reset()
+    val in = MemoryStream[Event]
+    val q = in.toDS().writeStream
+      .foreach(new org.apache.spark.sql.ForeachWriter[Event] {
+        @transient private var pid: Long = -1
+        @transient private var eid: Long = -1
+        override def open(partitionId: Long, epochId: Long): Boolean = {
+          pid = partitionId; eid = epochId
+          ForeachHarness.opens.incrementAndGet()
+          true
+        }
+        override def process(e: Event): Unit = {
+          assert(pid >= 0, "process before open")
+          ForeachHarness.rows.add((pid, eid, e.event_id))
+        }
+        override def close(err: Throwable): Unit = {
+          if (err != null) ForeachHarness.errors.add(err.toString)
+          ForeachHarness.closes.incrementAndGet()
+        }
+      })
+      .outputMode("append")
+      .option("checkpointLocation",
+        graft.TmpCleanup.tempDir("graft_foreach_ckpt"))
+      .start()
+    try {
+      in.addData(ev(1, 10), ev(2, 11), ev(3, 12))
+      q.processAllAvailable()
+      in.addData(ev(4, 13), ev(5, 14))
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val seen = ForeachHarness.rows.asScala.toSeq
+    assert(seen.map(_._3).sorted == Seq(1L, 2L, 3L, 4L, 5L),
+      s"every row delivered exactly once, got $seen")
+    assert(ForeachHarness.errors.isEmpty,
+      s"close(error) must not fire: ${ForeachHarness.errors}")
+    val o = ForeachHarness.opens.get(); val c = ForeachHarness.closes.get()
+    assert(o == c && o > 0, s"open/close must pair: opens=$o closes=$c")
+    // the two addData rounds ran as (at least) two epochs
+    assert(seen.map(_._2).distinct.size >= 2,
+      s"expected multiple epochs, got ${seen.map(_._2).distinct}")
+  }
 }
+
+/** Static collector for the ForeachWriter test — the writer is
+  * serialized to tasks, so instance fields can't collect; local-mode
+  * executors share this JVM and write here.
+  */
+object ForeachHarness {
+  val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]
+  val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  val opens = new java.util.concurrent.atomic.AtomicInteger
+  val closes = new java.util.concurrent.atomic.AtomicInteger
+  def reset(): Unit = { rows.clear(); errors.clear(); opens.set(0); closes.set(0) }
+}
+
