@@ -20,9 +20,12 @@ object AnalyticsQueries {
   val queries: Map[String, Q] = Map(
     // Per-user daily purchase totals on a dense 30-day grid; silent
     // days carry the last observed total (0 before first purchase).
+    // User slice is a MODULAR class, not a prefix: the alt-corpus fire
+    // drill remaps user ids affinely, and `< 12` went empty at seed
+    // 4242 (round 14) — a mod-class survives any affine remap.
     "q_gap_fill" -> { (s, dir) =>
       val ev = Tables.load(s, dir, "events")
-        .filter(col("event_type") === "purchase" && col("user_id") < 12)
+        .filter(col("event_type") === "purchase" && col("user_id") % 20 === 3)
       TimeSeries.gapFillDaily(ev, "user_id", "ts", "value",
           "2024-01-01", "2024-01-30")
         .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day_str"),
@@ -53,7 +56,7 @@ object AnalyticsQueries {
       """WITH ev AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,
         |    CAST(round(value * 100) AS BIGINT) AS v
-        |  FROM events WHERE event_type = 'purchase' AND user_id < 12),
+        |  FROM events WHERE event_type = 'purchase' AND user_id % 20 = 3),
         |daily AS (
         |  SELECT user_id, day, CAST(sum(v) AS BIGINT) AS day_cents
         |  FROM ev

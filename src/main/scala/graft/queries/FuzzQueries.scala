@@ -811,7 +811,7 @@ object FuzzQueries {
     * its query returns zero rows at the gate SF — empty==empty proves
     * nothing, so every entry must select data.
     */
-  private val seeds: Seq[Long] = Seq(1L, 2L, 3L, 24L, 5L, 6L, 17L, 8L, 9L, 10L)
+  private val seeds: Seq[Long] = Seq(1L, 2L, 3L, 24L, 5L, 6L, 17L, 8L, 9L, 16L)
   private val joinSeeds: Seq[Long] = Seq(31L, 32L, 33L, 34L, 45L)
   private val windowSeeds: Seq[Long] = Seq(57L, 52L, 53L, 54L)
   private val setSeeds: Seq[Long] = Seq(64L, 69L, 160L, 161L)

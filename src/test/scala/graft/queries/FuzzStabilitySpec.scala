@@ -34,5 +34,5 @@ class FuzzStabilitySpec extends AnyFunSuite {
 }
 
 object FuzzStabilitySpec {
-  val PinnedCrc = 2845494727L // battery verified non-empty + hash-green at sf0.01 AND sf0.1 + alt-seed drills at both seeds + the sf0.1-derived alt corpus (round 14: +recursive-CTE/window-frame/pipe-syntax/generator/JSON-path families, composition rmax coalesce, mutation gates read every snapshot via VERSION AS OF)
+  val PinnedCrc = 3014357675L // battery verified non-empty + hash-green at sf0.01 AND sf0.1 + alt-seed drills at both seeds + the sf0.1-derived alt corpus (round 14: +recursive-CTE/window-frame/pipe-syntax/generator/JSON-path families, composition rmax coalesce, mutation gates read every snapshot via VERSION AS OF; q_fuzz_10 re-seeded 10->16 after going empty on the seed-4242 alt corpus)
 }
