@@ -35,6 +35,7 @@ object AltCorpus {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val out = if (args.length > 1) args(1) else "/tmp/sf0.01-alt"
     val seed = if (args.length > 2) args(2).toLong else 1337L
+    val skew = args.length > 3 && args(3) == "skew"
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
       .config("spark.sql.shuffle.partitions", 8)
@@ -42,8 +43,8 @@ object AltCorpus {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    write(spark, src, out, seed)
-    println(s"ALT CORPUS written: $out (seed=$seed)")
+    write(spark, src, out, seed, skew)
+    println(s"ALT CORPUS written: $out (seed=$seed, skew=$skew)")
     spark.stop()
   }
 
@@ -66,7 +67,16 @@ object AltCorpus {
       (pmod(xxhash64(col(k), lit(seed)), lit(100)) - lit(50)) / lit(100.0),
       lit(0.0)), 2)
 
-  def write(spark: SparkSession, src: String, out: String, seed: Long): Unit = {
+  /** @param skew heavy-tail mode (round-15 drill): ON TOP of the
+    *   standard perturbation, ~30% of lineitem rows land on ONE hot
+    *   suppkey (join-key skew — the AQE-skew/salting class) and ~30%
+    *   of events land on ONE hot user_id (groupBy-key skew).  The alt
+    *   drill had only ever varied VALUES; this varies DISTRIBUTION, so
+    *   oracles (and per-key-bounded operators) that silently assume a
+    *   benign key histogram get caught in-round.
+    */
+  def write(spark: SparkSession, src: String, out: String, seed: Long,
+      skew: Boolean = false): Unit = {
     def rd(t: String): DataFrame =
       spark.read.parquet(s"$src/$t.parquet")
     // single-FILE parquet like the driver's corpus (the DuckDB
@@ -129,10 +139,22 @@ object AltCorpus {
         pmod(xxhash64(col("o_orderkey"), lit(seed + 1)), lit(30)))),
       "orders")
 
+    // heavy tail: AFTER the bijective remap, pull ~30% of rows onto the
+    // hot key — deterministic by row identity, FK-valid (the hot key is
+    // a real remapped-domain member)
+    def skewTo(c: org.apache.spark.sql.Column, hot: Long,
+        idCols: Seq[org.apache.spark.sql.Column], s2: Long)
+        : org.apache.spark.sql.Column =
+      if (!skew) c
+      else when(pmod(xxhash64(idCols :+ lit(s2): _*), lit(10)) < 3,
+        lit(hot)).otherwise(c)
+
     wr(li
       .withColumn("l_orderkey", remapExpr("l_orderkey", oLo, oN, seed))
       .withColumn("l_partkey", remapExpr("l_partkey", pLo, pN, seed))
-      .withColumn("l_suppkey", remapExpr("l_suppkey", sLo, sN, seed))
+      .withColumn("l_suppkey", skewTo(
+        remapExpr("l_suppkey", sLo, sN, seed), sLo,
+        Seq(col("l_orderkey"), col("l_linenumber")), seed + 11))
       .withColumn("l_quantity", greatest(lit(1.0), col("l_quantity") +
         (pmod(xxhash64(col("l_orderkey"), col("l_linenumber"), lit(seed)),
           lit(5)) - lit(2)).cast("double")))
@@ -144,7 +166,9 @@ object AltCorpus {
       "lineitem")
 
     wr(rd("events")
-      .withColumn("user_id", remapExpr("user_id", cLo, cN, seed))
+      .withColumn("user_id", skewTo(
+        remapExpr("user_id", cLo, cN, seed), cLo,
+        Seq(col("event_id")), seed + 13))
       .withColumn("value", round(col("value") +
         (pmod(xxhash64(col("event_id"), lit(seed)), lit(100)) - lit(50)) /
           lit(1000.0), 4))

@@ -410,6 +410,52 @@ object Bench {
       }
     }
 
+    // ── Optional FOURTH ladder rung (round 15): an UP-scale corpus
+    // (`graft.ScaleCorpus`, ~sf0.3 = 3× sf0.1 with FK-preserving key
+    // shards) probes super-linearity with more range exactly where the
+    // iterative graph/suffix ops' constants start to matter.  Opt-in
+    // via SPARK_GRAFT_SF3_DIR; the 15 slowest data gates are re-timed
+    // with 3-run medians at sf0.1 and the up rung, the exponent
+    // normalized by the ×3 data step (log base = factor).  Per-gate
+    // table → BENCH_SCALING_UP.json; same flag bar as the main ladder
+    // (exponent > 1.05 with material top-rung time).
+    val upRungBlock: String = sys.env.get("SPARK_GRAFT_SF3_DIR")
+      .filter(d => java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(d)))
+      .map { d3 =>
+        Tables.names.foreach { t =>
+          try Tables.load(spark, d3, t).limit(1).count()
+          catch { case _: Throwable => () }
+        }
+        val factor = sys.env.getOrElse("SPARK_GRAFT_SF3_FACTOR", "3").toDouble
+        val slow15 = okData.sortBy(n => -med(n)).take(15)
+        val rows = slow15.flatMap { n =>
+          val t1s = (0 until 3).flatMap(_ => timeOnce(n, sfDir))
+          val t3s = (0 until 3).flatMap(_ => timeOnce(n, d3))
+          if (t1s.isEmpty || t3s.isEmpty) None
+          else {
+            val (m1, m3) = (median(t1s), median(t3s))
+            val e = math.log(math.max(m3, 1e-3) / math.max(m1, 1e-3)) /
+              math.log(factor)
+            Some((n, m1, m3, e))
+          }
+        }
+        val body = rows.sortBy(-_._4).map { case (n, m1, m3, e) =>
+          s"${jq(n)}: {\"t_sf0_1\":${r3(m1)},\"t_up\":${r3(m3)}," +
+            s"\"up_raw_exponent\":${r3(e)}}"
+        }.mkString("{\n", ",\n", "\n}")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("BENCH_SCALING_UP.json"), body)
+        val maxE = r3(rows.map(_._4).maxOption.getOrElse(0.0))
+        val fl = rows.filter(r => r._4 > 1.05 && r._3 > 0.5)
+          .map { case (n, m1, m3, e) =>
+            s"[${jq(n)},${r3(e)},${r3(m1)},${r3(m3)}]" }
+          .mkString("[", ",", "]")
+        s"""{"enabled":true,"dir":${jq(d3)},"factor":$factor,""" +
+          s""""entries":${rows.size},"max_up_exponent":$maxE,""" +
+          s""""flagged":$fl,"detail":"BENCH_SCALING_UP.json"}"""
+      }.getOrElse("""{"enabled":false}""")
+
     val detail = names.map { n =>
       val rs = samples.getOrElse(n, Nil).map(r3).mkString("[", ",", "]")
       val e = errs.get(n).map(jq).getOrElse("null")
@@ -433,7 +479,7 @@ object Bench {
       .map { case (n, p, c) => s"[${jq(n)},$p,$c]" }.mkString("[", ",", "]")
     val deltas = baselineDeltas.take(10)
       .map { case (n, b, c) => s"[${jq(n)},$b,$c]" }.mkString("[", ",", "]")
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"median","entries":${names.size},"errs":$errCount,"total_data":$totalData,"total_protocol":$totalProto,"regressions":$regr,"baseline_deltas":$deltas,"slowest":$slow,"slowest_protocol":$slowProto,"scaling":$scalingBlock,"queries":$qs,"detail":"$detailPath"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"median","entries":${names.size},"errs":$errCount,"total_data":$totalData,"total_protocol":$totalProto,"regressions":$regr,"baseline_deltas":$deltas,"slowest":$slow,"slowest_protocol":$slowProto,"scaling":$scalingBlock,"up_rung":$upRungBlock,"queries":$qs,"detail":"$detailPath"}"""
     println(summary)
     // sbt prefixes stdout with "[info] ", which has tripped stdout-line
     // parsers before (r6 driver artifact recorded parsed:null) — also

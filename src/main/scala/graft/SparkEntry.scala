@@ -61,6 +61,7 @@ object SparkEntry {
     graft.queries.AnalyticsQueries.queries.toSeq ++
     graft.queries.WarehouseQueries.queries.toSeq ++
     graft.queries.FuzzQueries.queries.toSeq ++
+    graft.queries.FuzzStreamQueries.queries.toSeq ++
     graft.queries.GoldenTail.queries.toSeq ++
     graft.queries.CurationQueries.queries.toSeq ++
     graft.queries.QualityQueries.queries.toSeq ++
@@ -112,6 +113,7 @@ object SparkEntry {
     graft.queries.AnalyticsQueries.oracle.toSeq ++
     graft.queries.WarehouseQueries.oracle.toSeq ++
     graft.queries.FuzzQueries.oracle.toSeq ++
+    graft.queries.FuzzStreamQueries.oracle.toSeq ++
     graft.queries.GoldenTail.oracle.toSeq ++
     graft.queries.CurationQueries.oracle.toSeq ++
     graft.queries.QualityQueries.oracle.toSeq ++

@@ -37,6 +37,9 @@ class Point2DUDT extends UserDefinedType[Point2D] {
 
   override def deserialize(datum: Any): Point2D = datum match {
     case r: InternalRow => new Point2D(r.getDouble(0), r.getDouble(1))
+    case other => throw new IllegalArgumentException(
+      s"Point2DUDT.deserialize expects InternalRow, got " +
+        s"${if (other == null) "null" else other.getClass.getName}: $other")
   }
 
   override def userClass: Class[Point2D] = classOf[Point2D]

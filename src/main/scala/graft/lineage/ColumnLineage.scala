@@ -234,6 +234,21 @@ object ColumnLineage {
           exprSources(proj(i), child, cf)).toSet
       }.toMap
 
+    // row-level rewrite assembly (UPDATE / MERGE INTO → ReplaceData):
+    // each output position is produced by one expression per merge
+    // instruction — MergeRows.outputs is positionally aligned with
+    // MergeRows.output — so union every instruction's sources for the
+    // position (the Expand device).  Without this case the node's
+    // freshly-produced attrs resolve to nothing and a MERGE target's
+    // sink lineage silently loses the merge source.
+    case m: MergeRows =>
+      val child = resolveChildren(m, alias, ctes, cf)
+      child ++ m.output.zipWithIndex.map { case (out, i) =>
+        out.exprId -> m.outputs.flatMap(row =>
+          if (i < row.size) exprSources(row(i), child, cf)
+          else Set.empty[SourceColumn]).toSet
+      }.toMap
+
     case _ =>
       // Join, Filter, Sort, Limit, Distinct, Repartition, subquery glue…:
       // output attributes pass through from children unchanged.

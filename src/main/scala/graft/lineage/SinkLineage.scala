@@ -108,8 +108,43 @@ object SinkLineage {
       ctasIdentity(r.name).foreach(id => LineageRegistry.captureWrite(
         id, r.query.output.map(_.name), r.query, append = false))
 
+    // ── row-level rewrites (UPDATE / DELETE / MERGE INTO on a v2
+    // catalog) ── the analyzer rewrites the statements straight to
+    // ReplaceData / WriteDelta (reference RowLevelWrite commands,
+    // `sql/catalyst/.../v2Commands.scala`), so THESE are what the
+    // capture sees.  The replacement query reads BOTH the prior target
+    // rows and the merge/update source (the lineage walker's MergeRows
+    // case resolves the assembled columns), so append-union it into
+    // the target's entry: the MERGE target then traces to its prior
+    // state AND the merge source.
+    case rd: ReplaceData =>
+      captureRewrite(rd.originalTable, rd.table, rd.query)
+
+    case wd: WriteDelta =>
+      captureRewrite(wd.originalTable, wd.table, wd.query)
+
     case _ => ()
   }
+
+  /** Capture a rewritten row-level command.  The query's output may
+    * trail metadata/operation attrs (row id, __row_operation,
+    * _partition) — keep only attrs naming actual table columns.
+    * Target-attr references resolve through the registry's PRIOR entry
+    * for the table (the leaf splice is single-level, so no self-loop),
+    * and `append = true` unions with the previous entry, so unassigned
+    * columns keep their lineage.
+    */
+  private def captureRewrite(
+      original: org.apache.spark.sql.catalyst.analysis.NamedRelation,
+      table: org.apache.spark.sql.catalyst.analysis.NamedRelation,
+      query: LogicalPlan): Unit =
+    v2Identity(original).foreach { id =>
+      val cols = table.output.map(_.name).toSet
+      val dataAttrs = query.output.filter(a => cols.contains(a.name))
+      if (dataAttrs.nonEmpty)
+        LineageRegistry.captureWrite(id, dataAttrs.map(_.name),
+          Project(dataAttrs, query), append = true)
+    }
 
   private def v2Identity(
       rel: org.apache.spark.sql.catalyst.analysis.NamedRelation)

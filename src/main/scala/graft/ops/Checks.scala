@@ -183,7 +183,7 @@ object Checks {
   def datasetFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
     val joined = concat_ws("|",
-      cols.map(c => coalesce(col(c).cast("string"), lit(" NULL"))): _*)
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000NULL"))): _*)
     df.withColumn("__s", joined)
       .withColumn("__h", aggregate(sequence(lit(1), length(col("__s"))),
         lit(0L), (acc, j) =>

@@ -147,26 +147,32 @@ object Drift {
     *
     * Scale shape: each side collapses to per-distinct-value counts
     * (map-side combined), the two count tables full-outer join, and
-    * the single ordered window runs over that VALUE-CARDINALITY frame
-    * — for continuous data quantize first (e.g. cents, or
-    * [[binOf]] buckets) exactly as done here, which is also what
-    * keeps the frame bounded at 100 TB.
+    * BOTH cumulative counts come from ONE
+    * [[PipelineOps.segmentedPrefixSums]] pass over the merged frame —
+    * range-partition on the value, per-partition local windows,
+    * boundary offsets broadcast back — so cumulative work is bounded
+    * by PARTITION size even for a CONTINUOUS column where distinct ≈
+    * rows (an unpartitioned ordered window would pin the whole
+    * distinct-value frame to one task, exactly the columns a drift
+    * test targets).
     *
     * @return one row: (n_a, n_b, d_num, ks) with
     *         ks = d_num / (n_a·n_b) rounded to 6 dp
     */
   def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     def counts(df: DataFrame, out: String) =
       df.select(col(valueCol).as("__v")).filter(col("__v").isNotNull)
         .groupBy(col("__v")).agg(count(lit(1)).as(out))
     val merged = counts(a, "__ca").join(counts(b, "__cb"), Seq("__v"), "full")
       .na.fill(0L, Seq("__ca", "__cb"))
-    val w = Window.orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = merged
-      .withColumn("__fa", sum(col("__ca")).over(w))
-      .withColumn("__fb", sum(col("__cb")).over(w))
+      // one constant segment: the segmented scan degenerates to the
+      // global two-pass prefix sum (globalRowNumber's shape) — __v is
+      // unique by the groupBy, so the order is total
+      .withColumn("__seg", lit(1))
+    val cum = PipelineOps.segmentedPrefixSums(
+        merged, Seq("__seg"), Seq("__v"), Seq("__ca", "__cb"))
+      .withColumn("__fa", col("__before___ca") + col("__ca"))
+      .withColumn("__fb", col("__before___cb") + col("__cb"))
     // totals first (1-row broadcast), then the integer max
     val tot = cum.agg(max(col("__fa")).cast("long").as("__na"),
       max(col("__fb")).cast("long").as("__nb"))
@@ -186,22 +192,24 @@ object Drift {
     * bit-identical on any engine (the textbook average-rank form is
     * fractional; doubling it keeps every intermediate integral).
     * Same scale shape as [[ksStatistic]]: two per-value count tables,
-    * one full-outer join, one window over the value-cardinality frame.
+    * one full-outer join, and the exclusive cumulative count comes
+    * from [[PipelineOps.segmentedPrefixSum]] over a constant segment —
+    * partition-bounded cumulative work on continuous columns, never an
+    * unpartitioned ordered window.
     *
     * @return one row: (n_a, n_b, u2) with u2 = 2·U; the normalized
     *         effect size is u2 / (2·n_a·n_b)
     */
   def rankSumU(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     def counts(df: DataFrame, out: String) =
       df.select(col(valueCol).as("__v")).filter(col("__v").isNotNull)
         .groupBy(col("__v")).agg(count(lit(1)).as(out))
     val merged = counts(a, "__ca").join(counts(b, "__cb"), Seq("__v"), "full")
       .na.fill(0L, Seq("__ca", "__cb"))
-    val wb = Window.orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    merged
-      .withColumn("__fbb", coalesce(sum(col("__cb")).over(wb), lit(0L)))
+      .withColumn("__seg", lit(1))
+    PipelineOps
+      .segmentedPrefixSum(merged, Seq("__seg"), Seq("__v"), "__cb")
+      .withColumn("__fbb", col("__before"))
       .agg(sum(col("__ca")).cast("long").as("n_a"),
         sum(col("__cb")).cast("long").as("n_b"),
         sum(col("__ca") * (col("__fbb") * 2 + col("__cb")))

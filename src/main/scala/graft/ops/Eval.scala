@@ -201,11 +201,14 @@ object Eval {
     * confusion row then reports at.
     *
     * One aggregation collapses the row count to the distinct-score
-    * frame (ca/cb per score); cumulative tp/fp at each threshold are
-    * window sums over that ALREADY-AGGREGATED frame (score-cardinality
-    * rows, never fact rows — same bound as [[Drift.rankSumU]]), so the
-    * sweep costs one shuffle regardless of corpus size.  All ratios
-    * are exact integral ppm.
+    * frame (ca/cb per score); cumulative tp/fp at each threshold come
+    * from ONE [[PipelineOps.segmentedPrefixSums]] pass over that frame
+    * ordered by DESCENDING threshold (negated key) — for a CONTINUOUS
+    * score column distinct ≈ rows, so the cumulative scan must be
+    * partition-bounded, never an unpartitioned ordered window (the
+    * same reshape as [[Drift.ksStatistic]]).  The positive total is a
+    * 1-row scalar aggregate broadcast back.  All ratios are exact
+    * integral ppm.
     *
     * @return (threshold_micro, tp, fp, precision_ppm, recall_ppm),
     *         descending thresholds; `recall_ppm` is -1 when there are
@@ -213,7 +216,6 @@ object Eval {
     */
   def prCurve(scored: DataFrame, probCol: String,
       labelCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = scored
       .select(col(probCol).cast("long").as("__p"),
         col(labelCol).cast("boolean").as("__y"))
@@ -221,14 +223,14 @@ object Eval {
     val cnt = base.groupBy(col("__p").as("threshold_micro")).agg(
       sum(when(col("__y"), 1L).otherwise(0L)).as("__ca"),
       sum(when(col("__y"), 0L).otherwise(1L)).as("__cb"))
-    val cum = Window.orderBy(col("threshold_micro").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.orderBy(col("threshold_micro"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    cnt
-      .withColumn("tp", sum(col("__ca")).over(cum).cast("long"))
-      .withColumn("fp", sum(col("__cb")).over(cum).cast("long"))
-      .withColumn("__pos", sum(col("__ca")).over(all).cast("long"))
+    val tot = cnt.agg(sum(col("__ca")).cast("long").as("__pos"))
+    PipelineOps.segmentedPrefixSums(
+        cnt.withColumn("__seg", lit(1))
+          .withColumn("__negt", -col("threshold_micro")),
+        Seq("__seg"), Seq("__negt"), Seq("__ca", "__cb"))
+      .withColumn("tp", (col("__before___ca") + col("__ca")).cast("long"))
+      .withColumn("fp", (col("__before___cb") + col("__cb")).cast("long"))
+      .crossJoin(broadcast(tot))
       .selectExpr("threshold_micro", "tp", "fp",
         "CAST((CAST(tp AS DECIMAL(38,0)) * 1000000) div (tp + fp) AS BIGINT)" +
           " AS precision_ppm",

@@ -353,8 +353,22 @@ object PipelineOps {
     */
   def segmentedPrefixSum(df: DataFrame, segCols: Seq[String],
       orderCols: Seq[String], valueCol: String,
+      numPartitions: Int = 0): DataFrame =
+    segmentedPrefixSums(df, segCols, orderCols, Seq(valueCol), numPartitions)
+      .withColumnRenamed(s"__before_$valueCol", "__before")
+
+  /** [[segmentedPrefixSum]] for SEVERAL value columns at once — one
+    * range shuffle, one local window pass, one boundary-offset
+    * broadcast, N running totals (a per-column call would pay the
+    * shuffle N times).  Appends `__before_<col>` per value column.
+    * This is the kernel the exact ECDF statistics ([[Drift.ksStatistic]]
+    * needs BOTH sides' cumulative counts on the same merged frame)
+    * ride instead of an unpartitioned ordered window.
+    */
+  def segmentedPrefixSums(df: DataFrame, segCols: Seq[String],
+      orderCols: Seq[String], valueCols: Seq[String],
       numPartitions: Int = 0): DataFrame = {
-    require(segCols.nonEmpty && orderCols.nonEmpty)
+    require(segCols.nonEmpty && orderCols.nonEmpty && valueCols.nonEmpty)
     val ord = (segCols ++ orderCols).map(col)
     val ranged =
       (if (numPartitions > 0) df.repartitionByRange(numPartitions, ord: _*)
@@ -366,21 +380,32 @@ object PipelineOps {
       .partitionBy((col("__pid") +: segCols.map(col)): _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = tagged
+    val wSeg = Window.partitionBy(segCols.map(col): _*)
+    val wSegByPid = wSeg.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val subtotals = tagged
       .groupBy((col("__pid") +: segCols.map(col)): _*)
-      .agg(sum(col(valueCol)).as("__pt"))
-      .withColumn("__npid", count(lit(1)).over(
-        Window.partitionBy(segCols.map(col): _*)))
+      .agg(sum(col(valueCols.head)).as(s"__pt_${valueCols.head}"),
+        valueCols.tail.map(v => sum(col(v)).as(s"__pt_$v")): _*)
+      .withColumn("__npid", count(lit(1)).over(wSeg))
       .filter(col("__npid") > 1)
-      .withColumn("__off", coalesce(sum(col("__pt")).over(
-        Window.partitionBy(segCols.map(col): _*).orderBy(col("__pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select((col("__pid") +: segCols.map(col) :+ col("__off")): _*)
-    tagged
-      .withColumn("__local", coalesce(sum(col(valueCol)).over(wLocal), lit(0L)))
-      .join(broadcast(offsets), "__pid" +: segCols, "left")
-      .withColumn("__before", coalesce(col("__off"), lit(0L)) + col("__local"))
-      .drop("__pid", "__local", "__off")
+    val offsets = valueCols.foldLeft(subtotals) { (d, v) =>
+        d.withColumn(s"__off_$v",
+          coalesce(sum(col(s"__pt_$v")).over(wSegByPid), lit(0L)))
+      }
+      .select((col("__pid") +: segCols.map(col)) ++
+        valueCols.map(v => col(s"__off_$v")): _*)
+    val withLocals = valueCols.foldLeft(tagged) { (d, v) =>
+      d.withColumn(s"__local_$v",
+        coalesce(sum(col(v)).over(wLocal), lit(0L)))
+    }
+    val joined = withLocals.join(broadcast(offsets), "__pid" +: segCols, "left")
+    valueCols.foldLeft(joined) { (d, v) =>
+        d.withColumn(s"__before_$v",
+          coalesce(col(s"__off_$v"), lit(0L)) + col(s"__local_$v"))
+      }
+      .drop("__pid" +:
+        valueCols.flatMap(v => Seq(s"__local_$v", s"__off_$v")): _*)
   }
 
   /** Token-budget mixture builder — the "take N tokens from each
@@ -577,10 +602,12 @@ object PipelineOps {
     *
     * All arithmetic is integer (weights arrive as micro-units), so the
     * draw→category mapping is bit-identical on any engine and
-    * partitioning.  The only global window runs over the CATEGORY
-    * frame (vocabulary-sized, already aggregated); the two scalars
-    * (total and max weight) are one 1-row driver action — distribution
-    * state, not data.
+    * partitioning.  The cumulative weight line comes from
+    * [[segmentedPrefixSum]] over the category frame — vocabulary
+    * cardinality grows with the corpus (Heaps' law), so the scan must
+    * be partition-bounded, not an unpartitioned ordered window; the
+    * two scalars (total and max weight) are one 1-row driver action —
+    * distribution state, not data.
     *
     * @param weights (keyCol, weightCol) one row per category; integer
     *                weights > 0 (micro-scale fractional weights first)
@@ -596,11 +623,11 @@ object PipelineOps {
       .filter(col("__w") > 0)
     val scalars = base.agg(sum(col("__w")), max(col("__w"))).head()
     val (total, maxW) = (scalars.getLong(0), scalars.getLong(1))
-    val w = Window.orderBy(col(keyCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = base
-      .withColumn("__lo", coalesce(sum(col("__w")).over(w), lit(0L)))
+    val cum = segmentedPrefixSum(
+        base.withColumn("__seg", lit(1)), Seq("__seg"), Seq(keyCol), "__w")
+      .withColumn("__lo", col("__before"))
       .withColumn("__hi", col("__lo") + col("__w") - 1)
+      .drop("__seg", "__before")
     val draws = spark.range(n).select(col("id").as("draw_id"),
       pmod(col("id") * 2654435761L + seed, lit(total)).as("__u"))
     RangeJoin.binned(draws, cum, "__u", "__lo", "__hi", binWidth = maxW)

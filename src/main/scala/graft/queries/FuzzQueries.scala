@@ -21,7 +21,7 @@ import graft.Tables
 object FuzzQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private final class Rng(seed: Long) {
+  private[queries] final class Rng(seed: Long) {
     private var s = seed
     def next(n: Int): Int = {
       s = s * 6364136223846793005L + 1442695040888963407L
@@ -560,6 +560,76 @@ object FuzzQueries {
       s"WITH b AS ($base)\n" + duckBody.replace("GROUP BY g", "FROM b\nGROUP BY g"))
   }
 
+  /** Higher-order-lambda fuzz (split texts): seeded compositions of
+    * `transform` / `filter` / `aggregate` / `zip_with` over generated
+    * integer arrays vs the DuckDB `list_transform` / `list_filter` /
+    * `list_reduce` twins — the lambda-BINDING corners no fixed gate
+    * sweeps: an outer row column captured inside the lambda body, a
+    * null-injecting transform feeding a null-skipping filter, a
+    * BIGINT-init polynomial fold (DuckDB `list_reduce` takes no init,
+    * so the init is `list_prepend`ed — the two fold shapes are then
+    * identical element-for-element), and `zip_with` against the
+    * reversed array replayed in DuckDB as a 1-based index transform
+    * (`arr[i] * arr[len+1-i]`, both engines 1-based).  Everything is
+    * integer and bounded by construction: arrays are ≤ 7 elements of
+    * values < 100, the fold magnitude stays < 31⁷·96 ≈ 2.6e12 per row
+    * and the row count is dim-table-sized, so integer sums never
+    * approach 2⁶³ at any corpus scale.  Only scalars reach the output
+    * (never raw arrays — the driver compare contract).
+    */
+  private def genHigherOrderQuery(seed: Long): SplitQuery = {
+    val r = new Rng(seed)
+    val (table, cols, key) = r.pick(tables)
+    val pred = genPred(r, cols, 1)
+    val m = r.next(5) + 2       // group modulus
+    val m1 = r.next(5) + 2      // array lo modulus
+    val w = r.next(4) + 3       // array width (3..6 extra elems)
+    val c1 = r.next(7) + 2      // transform multiplier
+    val c2 = r.next(9)          // transform offset
+    val m2 = r.next(4) + 2      // captured-outer-column modulus
+    val nk = r.next(3) + 2      // null-injection modulus
+    val k2 = r.next(3) + 2      // filter modulus
+    val lambda = s"(x * $c1 + k % $m2 + $c2) % 97"
+    val nullify = s"CASE WHEN x % $nk = 0 THEN NULL ELSE $lambda END"
+    val spark =
+      s"""WITH b AS (
+         |  SELECT CAST($key AS BIGINT) AS k, ($key % $m) AS g,
+         |    transform(sequence($key % $m1, $key % $m1 + $w),
+         |      x -> CAST(x AS BIGINT)) AS arr
+         |  FROM $table WHERE $pred)
+         |SELECT g,
+         |  CAST(sum(aggregate(
+         |    filter(transform(arr, x -> $nullify), x -> x IS NOT NULL),
+         |    CAST(0 AS BIGINT), (acc, x) -> acc * 31 + coalesce(x, 7L)))
+         |    AS BIGINT) AS s_fold,
+         |  CAST(sum(aggregate(zip_with(arr, reverse(arr), (x, y) -> x * y),
+         |    CAST(0 AS BIGINT), (acc, v) -> acc + v)) AS BIGINT) AS s_dot,
+         |  CAST(sum(size(filter(arr, x -> x % $k2 = 0))) AS BIGINT) AS s_mod,
+         |  count(*) AS n
+         |FROM b GROUP BY g ORDER BY g""".stripMargin
+    val duck =
+      s"""WITH b AS (
+         |  SELECT CAST($key AS BIGINT) AS k, ($key % $m) AS g,
+         |    list_transform(generate_series($key % $m1, $key % $m1 + $w),
+         |      x -> CAST(x AS BIGINT)) AS arr
+         |  FROM $table WHERE $pred)
+         |SELECT g,
+         |  CAST(sum(list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_filter(list_transform(arr, x -> $nullify),
+         |        x -> x IS NOT NULL)),
+         |    (acc, x) -> acc * 31 + coalesce(x, 7))) AS BIGINT) AS s_fold,
+         |  CAST(sum(list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(generate_series(1, len(arr)),
+         |        i -> arr[i] * arr[len(arr) + 1 - i])),
+         |    (acc, v) -> acc + v)) AS BIGINT) AS s_dot,
+         |  CAST(sum(len(list_filter(arr, x -> x % $k2 = 0))) AS BIGINT) AS s_mod,
+         |  count(*) AS n
+         |FROM b GROUP BY g ORDER BY g""".stripMargin
+    SplitQuery(spark, duck)
+  }
+
   /** LATERAL fuzz: a correlated lateral AGGREGATE subquery referencing
     * the outer row's key — the LateralJoin decorrelation path, distinct
     * from the scalar-subquery rewrite q_fuzzc exercises.  The lateral
@@ -828,6 +898,9 @@ object FuzzQueries {
   private val pipeSeeds: Seq[Long] = Seq(181L, 186L, 183L, 184L)
   private val generatorSeeds: Seq[Long] = Seq(191L, 192L, 195L, 194L)
   private val jsonSeeds: Seq[Long] = Seq(201L, 202L, 203L, 204L)
+  // 212/215 selected nothing (probed 211–240 at sf0.001/0.01/0.1 — the
+  // EMPTY-slot protocol); 216/224 select ≥5 rows at every rung
+  private val higherOrderSeeds: Seq[Long] = Seq(211L, 216L, 213L, 214L, 224L)
   private val frameSeeds: Seq[Long] = Seq(171L, 172L, 173L, 174L, 178L)
 
   private val sql: Map[String, String] =
@@ -888,6 +961,9 @@ object FuzzQueries {
     }.toMap ++
     jsonSeeds.zipWithIndex.map { case (s, i) =>
       f"q_fuzzx_${i + 1}%02d" -> genJsonQuery(0xD1FF00D5L * s)
+    }.toMap ++
+    higherOrderSeeds.zipWithIndex.map { case (s, i) =>
+      f"q_fuzzho_${i + 1}%02d" -> genHigherOrderQuery(0xD1FF00D5L * s)
     }.toMap
 
   val queries: Map[String, Q] = sql.map { case (name, text) =>
@@ -937,6 +1013,7 @@ object FuzzQueries {
       case "p" => (s: Long) => genPipeQuery(s).spark
       case "e" => (s: Long) => genGeneratorQuery(s).spark
       case "x" => (s: Long) => genJsonQuery(s).spark
+      case "ho" => (s: Long) => genHigherOrderQuery(s).spark
       case _   => genQuery
     }
     candidates.map(c =>

@@ -96,8 +96,14 @@ object GateQueries {
         .xml(tmp)
       s.read.option("rowTag", "supplier").xml(tmp) // inferred: bigint + string
         .groupBy(col("s_nationkey"))
+        // whitespace-robust by construction: the XML reader trims
+        // surrounding spaces (ignoreSurroundingSpaces default) and maps
+        // empty elements to null, so project trim+empty→sentinel on BOTH
+        // sides — the gate then holds on any corpus, padded or empty names
+        // included, instead of assuming byte-exact round-trip
         .agg(count(lit(1)).as("n"), sum(col("s_suppkey")).as("key_sum"),
-          min(col("s_name")).as("first_name"))
+          min(coalesce(nullif(trim(col("s_name")), lit("")), lit("~")))
+            .as("first_name"))
         .orderBy(col("s_nationkey"))
     },
 
@@ -389,7 +395,8 @@ object GateQueries {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_xml_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n,
-        |  CAST(sum(s_suppkey) AS BIGINT) AS key_sum, min(s_name) AS first_name
+        |  CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+        |  min(coalesce(nullif(trim(s_name), ''), '~')) AS first_name
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_input_file" ->
       """SELECT o_orderstatus, count(*) AS n,

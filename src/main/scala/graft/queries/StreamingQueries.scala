@@ -32,7 +32,7 @@ object StreamingQueries {
     * inside `body` is affected (the lazy batch projection each entry
     * returns plans later, under the default).
     */
-  private def withStatePartitions[T](s: SparkSession)(body: => T): T = {
+  private[queries] def withStatePartitions[T](s: SparkSession)(body: => T): T = {
     val saved = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try body finally s.conf.set("spark.sql.shuffle.partitions", saved)
@@ -41,12 +41,13 @@ object StreamingQueries {
   /** Write the (projected) events to a temp dir as `chunks` parquet
     * files and open a file stream over them, one file per micro-batch.
     */
-  private def replay(s: SparkSession, df: DataFrame, chunks: Int): DataFrame = {
+  private[queries] def replay(s: SparkSession, df: DataFrame, chunks: Int,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
     val tmp = graft.TmpCleanup.tempDir("graft_stream_replay")
     df.repartition(chunks).write.mode("overwrite").parquet(tmp)
     s.readStream
       .schema(df.schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(tmp)
   }
 
@@ -57,7 +58,8 @@ object StreamingQueries {
     * operators (sessionization); the plain `replay` above shuffles rows
     * across batches and is only sound for order-free aggregations.
     */
-  private def orderedReplay(s: SparkSession, chunks: Seq[DataFrame]): DataFrame = {
+  private[queries] def orderedReplay(s: SparkSession, chunks: Seq[DataFrame],
+      maxFilesPerTrigger: Int = 1): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
     val dir = graft.TmpCleanup.tempDir("graft_ordered_replay")
@@ -72,7 +74,7 @@ object StreamingQueries {
         FileTime.fromMillis(1000000000000L + i * 60000L))
     }
     s.readStream.schema(chunks.head.schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
   }
 

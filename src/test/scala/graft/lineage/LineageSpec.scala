@@ -792,6 +792,49 @@ class LineageSpec extends SparkSpec {
     spark.sql("DROP TABLE tt_cat.ns.tt_lin")
   }
 
+  test("sink lineage + row-level rewrite: MERGE INTO a v2 table unions " +
+      "the merge source into the target's entry, prior state retained") {
+    spark.conf.set("spark.sql.catalog.mrg_cat", "graft.sources.MemCatalog")
+    graft.sources.MemCatalog.clear("mrg_cat")
+    LineageRegistry.forgetTable("mrg_cat.ns.mrg_tgt")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mrg_cat.ns")
+    spark.sql("CREATE TABLE mrg_cat.ns.mrg_tgt (k BIGINT, v DOUBLE)")
+    li.limit(60).createOrReplaceTempView("mrg_base")
+    val ins = spark.sql(
+      """INSERT INTO mrg_cat.ns.mrg_tgt
+        |SELECT l_orderkey, sum(l_quantity) FROM mrg_base
+        |GROUP BY l_orderkey""".stripMargin)
+    SinkLineage.capture(ins.queryExecution)
+    // the merge source derives v from a DIFFERENT base column, so the
+    // union below is unambiguous evidence of both contributions
+    li.limit(40).createOrReplaceTempView("mrg_src_li")
+    val mrg = spark.sql(
+      """MERGE INTO mrg_cat.ns.mrg_tgt t
+        |USING (SELECT l_orderkey AS k, avg(l_extendedprice) AS v
+        |       FROM mrg_src_li GROUP BY l_orderkey) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    SinkLineage.capture(mrg.queryExecution)
+    val g = ColumnLineage.of(spark.table("mrg_cat.ns.mrg_tgt"))
+    // v traces to BOTH the prior target state (l_quantity from the
+    // original insert) and the merge source (l_extendedprice)
+    assert(g("v").contains(src("mrg_base", "l_quantity")), g("v").toString)
+    assert(g("v").contains(src("mrg_src_li", "l_extendedprice")),
+      g("v").toString)
+    assert(g("k").contains(src("mrg_src_li", "l_orderkey")), g("k").toString)
+    // and a row-level UPDATE referencing the target's own column keeps
+    // composing: v = v * 2 adds no foreign source, loses none
+    val upd = spark.sql(
+      "UPDATE mrg_cat.ns.mrg_tgt SET v = v * 2 WHERE k > 0")
+    SinkLineage.capture(upd.queryExecution)
+    val g2 = ColumnLineage.of(spark.table("mrg_cat.ns.mrg_tgt"))
+    assert(g2("v").contains(src("mrg_base", "l_quantity")), g2("v").toString)
+    assert(g2("v").contains(src("mrg_src_li", "l_extendedprice")),
+      g2("v").toString)
+    spark.sql("DROP TABLE mrg_cat.ns.mrg_tgt")
+  }
+
   test("sink lineage listener: plain df.write.parquet(path) is captured " +
       "from the listener bus and a path read splices it") {
     val dir = graft.TmpCleanup.tempDir("graft_sink_listener")

@@ -27,6 +27,7 @@ class PlanLintSpec extends SparkSpec {
     "q_skew_report",         // two 1-row aggregates cross-joined into the summary row
     "q_target_encode",       // 1-row global-total broadcast cross-joined into the category table
     "q_ks_test",             // 1-row sample-size aggregate cross-joined into the integer-D max
+    "q_pr_curve",            // 1-row positives-total aggregate cross-joined into the threshold sweep (the r15 ECDF reshape)
     "q_budget_waterfill",    // three 1-row aggregates (totals/waterline/extras) cross-joined into the config-sized domain frame
     "q_blocking_quality",    // three 1-row aggregates (totals/blocks/capture) cross-joined into the single report row
     "q_retention_fit",       // 1-row week-0 denominator cross-joined into the weeks-bounded curve
@@ -143,7 +144,8 @@ class PlanLintSpec extends SparkSpec {
     import org.apache.spark.sql.execution.window.WindowExec
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if keyedWindowOk.contains(name) => None
-      case (name, q) if name.startsWith("q_stream") || name.startsWith("q_dsv2") ||
+      case (name, q) if name.startsWith("q_stream") || name.startsWith("q_fuzzst") ||
+          name.startsWith("q_dsv2") ||
           name.startsWith("q_hive") || name.startsWith("q_transform") ||
           name.startsWith("q_jdbc") || name.startsWith("q_cache") ||
           name.startsWith("q_ctas") || name.contains("roundtrip") ||
@@ -175,11 +177,28 @@ class PlanLintSpec extends SparkSpec {
         "TopKPerKey) or whitelist with the per-key bound")
   }
 
-  test("unpartitioned windows only run over aggregated (small) frames") {
+  /** Entries whose global window runs over a GROUPED aggregate whose
+    * group count is bounded by a stated cardinality contract the plan
+    * cannot show.  Until round 15 any Aggregate below the window was
+    * exempt — but a grouped aggregate over unbounded input is only as
+    * small as its GROUP CARDINALITY, and for a continuous value column
+    * distinct ≈ rows (exactly how the exact-ECDF kernels used to hide a
+    * data-scale single-task window behind a groupBy).  Anything new
+    * that trips must either re-shape (segmentedPrefixSum — the ECDF
+    * fix) or state its group-cardinality bound here.
+    */
+  private val globalWindowAggOk: Map[String, String] = Map(
+    "q_source_topp" -> "cumulative prefix over the per-SOURCE count aggregate — sources are a value-domain-bounded categorical (corpus source registry), never data-scale",
+    "qds_cumulative_channels" -> "q51 shape: cumulative sums over the (year, month) channel rollup — calendar-bounded (84 rows at any corpus size)")
+
+  test("unpartitioned windows only run over structurally bounded frames " +
+      "(a grouped aggregate alone is NOT a bound)") {
     import org.apache.spark.sql.execution.window.WindowExec
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, _) if globalWindowOk(name) || cartesianOk(name) => None
-      case (name, q) if name.startsWith("q_stream") || name.startsWith("q_dsv2") ||
+      case (name, _) if globalWindowOk(name) || cartesianOk(name) ||
+          globalWindowAggOk.contains(name) => None
+      case (name, q) if name.startsWith("q_stream") || name.startsWith("q_fuzzst") ||
+          name.startsWith("q_dsv2") ||
           name.startsWith("q_hive") || name.startsWith("q_transform") ||
           name.startsWith("q_jdbc") || name.startsWith("q_cache") ||
           name.startsWith("q_ctas") || name.contains("roundtrip") ||
@@ -191,18 +210,25 @@ class PlanLintSpec extends SparkSpec {
         val globalWindows = plan.collect {
           case w: WindowExec if w.partitionSpec.isEmpty => w
         }
-        // a global window is fine when its input is an aggregate
-        // (group-count-sized), fatal when it's a raw fact scan
-        val overRawScan = globalWindows.exists { w =>
-          w.child.collectFirst {
-            case a if a.nodeName.contains("Aggregate") => a
-          }.isEmpty
+        // a global window is fine when its input frame is structurally
+        // bounded (limit / scalar agg / literal / grouped agg OVER a
+        // bounded child — boundedPhysical composes), or when it orders
+        // a `__pid` partition-count frame (the globalRowNumber /
+        // segmented-scan offset device: groupBy(spark_partition_id) is
+        // ≤ numPartitions rows by construction, opaque to the
+        // structural check).  A grouped aggregate over unbounded input
+        // is NOT a bound — group cardinality can be data-scale.
+        val unbounded = globalWindows.exists { w =>
+          val pidOffsets = w.orderSpec.exists(_.child.references.exists(
+            _.name.startsWith("__pid")))
+          !pidOffsets && !boundedPhysical(w.child)
         }
-        if (overRawScan) Some(name) else None
+        if (unbounded) Some(name) else None
     }
     assert(offenders.isEmpty,
-      s"global window directly over a scan in: ${offenders.mkString(", ")} — " +
-        "partition the window or whitelist with a reason")
+      s"global window over an unbounded frame in: ${offenders.mkString(", ")} — " +
+        "re-shape (segmentedPrefixSum / TopKPerKey) or whitelist in " +
+        "globalWindowAggOk with the group-cardinality bound")
   }
 
   /** Entries whose broadcast hint covers a frame that is bounded by
@@ -224,7 +250,12 @@ class PlanLintSpec extends SparkSpec {
     "q_theil_sen"           -> "segmented-scan offset table is filtered to partition-boundary-straddling keys before the hint — at most numPartitions-1 segments straddle a range boundary, so <= parts^2 rows by construction regardless of key cardinality (opaque to planBounded)",
     "q_epoch_order"         -> "segmented-scan offset table over (partition, epoch) — parts x epochs rows by construction (epochs is a config constant), opaque to planBounded",
     "q_serpentine_shards"   -> "globalRowNumber's per-partition count offsets — exactly numPartitions rows by construction (spark_partition_id groupBy), opaque to planBounded",
-    "q_stratified_split"    -> "segmentedPrefixSum's boundary-straddling offset table — at most numPartitions-1 strata straddle a range boundary, so <= parts^2 rows by construction regardless of stratum cardinality (the q_theil_sen bound, opaque to planBounded)")
+    "q_stratified_split"    -> "segmentedPrefixSum's boundary-straddling offset table — at most numPartitions-1 strata straddle a range boundary, so <= parts^2 rows by construction regardless of stratum cardinality (the q_theil_sen bound, opaque to planBounded)",
+    "q_ks_test"             -> "segmentedPrefixSums' boundary-straddling offset table (the r15 ECDF reshape) — the q_theil_sen parts^2 bound, opaque to planBounded",
+    "q_rank_sum"            -> "segmentedPrefixSum's boundary-straddling offset table (the r15 ECDF reshape) — the q_theil_sen parts^2 bound, opaque to planBounded",
+    "q_classifier_eval"     -> "exact-AUC path reuses Drift.rankSumU's segmented-scan offset broadcast (the r15 ECDF reshape) — the q_theil_sen parts^2 bound, opaque to planBounded",
+    "q_pr_curve"            -> "threshold-sweep cumulative tp/fp via segmentedPrefixSums' offset broadcast (the r15 ECDF reshape) — the q_theil_sen parts^2 bound, opaque to planBounded",
+    "q_negative_sampling"   -> "inverse-CDF weight line via segmentedPrefixSum's offset broadcast (the r15 reshape off the vocabulary-frame global window) — the q_theil_sen parts^2 bound, opaque to planBounded")
 
   /** A frame is plan-bounded when its row count cannot scale with the
     * input data: a limit, a scalar (no-grouping) aggregate, a literal
@@ -253,7 +284,8 @@ class PlanLintSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if broadcastHintOk.contains(name) => None
-      case (name, q) if name.startsWith("q_stream") || name.startsWith("q_dsv2") ||
+      case (name, q) if name.startsWith("q_stream") || name.startsWith("q_fuzzst") ||
+          name.startsWith("q_dsv2") ||
           name.startsWith("q_hive") || name.startsWith("q_transform") ||
           name.startsWith("q_jdbc") || name.startsWith("q_cache") ||
           name.startsWith("q_ctas") || name.contains("roundtrip") ||
@@ -435,7 +467,8 @@ class PlanLintSpec extends SparkSpec {
   test("no gate entry plans an unexpected cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if cartesianOk(name) => None
-      case (name, q) if name.startsWith("q_stream") || name.startsWith("q_dsv2") ||
+      case (name, q) if name.startsWith("q_stream") || name.startsWith("q_fuzzst") ||
+          name.startsWith("q_dsv2") ||
           name.startsWith("q_hive") || name.startsWith("q_transform") ||
           name.startsWith("q_jdbc") || name.startsWith("q_cache") ||
           name.startsWith("q_ctas") || name.contains("roundtrip") ||

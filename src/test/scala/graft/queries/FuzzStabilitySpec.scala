@@ -17,8 +17,8 @@ class FuzzStabilitySpec extends AnyFunSuite {
     c.getValue
   }
 
-  test("generated battery is exactly the frozen 79 queries") {
-    assert(FuzzQueries.queries.size == 79)
+  test("generated battery is exactly the frozen 84 queries") {
+    assert(FuzzQueries.queries.size == 84)
     assert(FuzzQueries.oracle.keySet == FuzzQueries.queries.keySet)
   }
 
@@ -34,5 +34,5 @@ class FuzzStabilitySpec extends AnyFunSuite {
 }
 
 object FuzzStabilitySpec {
-  val PinnedCrc = 3014357675L // battery verified non-empty + hash-green at sf0.01 AND sf0.1 + alt-seed drills at both seeds + the sf0.1-derived alt corpus (round 14: +recursive-CTE/window-frame/pipe-syntax/generator/JSON-path families, composition rmax coalesce, mutation gates read every snapshot via VERSION AS OF; q_fuzz_10 re-seeded 10->16 after going empty on the seed-4242 alt corpus)
+  val PinnedCrc = 4182837947L // battery verified non-empty + hash-green at sf0.001, sf0.01 AND sf0.1 (round 15: +higher-order-lambda family q_fuzzho_01..05; seeds 212/215 re-probed to 216/224 after selecting nothing — probed non-empty at all three rungs)
 }

@@ -1375,15 +1375,20 @@ class StreamingSpec extends SparkSpec with org.scalatest.Retries {
     val in = MemoryStream[Event]
     val q = in.toDS().writeStream
       .foreach(new org.apache.spark.sql.ForeachWriter[Event] {
+        // transient Boolean: after the writer deserializes on an
+        // executor the JVM default is FALSE, so the guard actually
+        // trips if process() runs before open() (a transient Long
+        // sentinel like -1 would reset to 0 and pass vacuously)
+        @transient private var opened: Boolean = false
         @transient private var pid: Long = -1
         @transient private var eid: Long = -1
         override def open(partitionId: Long, epochId: Long): Boolean = {
-          pid = partitionId; eid = epochId
+          pid = partitionId; eid = epochId; opened = true
           ForeachHarness.opens.incrementAndGet()
           true
         }
         override def process(e: Event): Unit = {
-          assert(pid >= 0, "process before open")
+          if (!opened) ForeachHarness.errors.add("process before open")
           ForeachHarness.rows.add((pid, eid, e.event_id))
         }
         override def close(err: Throwable): Unit = {
