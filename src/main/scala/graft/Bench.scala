@@ -49,7 +49,8 @@ object Bench {
     * timing noise, drowning the data-scaling signal the driver grades.
     */
   private def isProtocol(name: String): Boolean =
-    name.startsWith("q_stream_") || name == "q_dsv2_stream" ||
+    name.startsWith("q_stream_") || name.startsWith("q_fuzzst_") ||
+      name == "q_dsv2_stream" ||
       name == "q_statestore_read" || name == "q_lineage_stream"
 
   private def isHeadline(name: String): Boolean =
