@@ -117,7 +117,17 @@ object PlanAudit {
         "counts collect (one long per partition), offsets broadcast " +
         "back, and each row adds its partition offset — the " +
         "single-task bottleneck a global WindowExec would create " +
-        "never exists."))
+        "never exists."),
+    Entry("q_ks_test",
+      "Exact ECDF without a global window (the r15 reshape): both " +
+        "sides collapse to per-distinct-value counts, full-outer join " +
+        "on the value, then BOTH cumulative counts come from ONE " +
+        "segmented two-pass scan — range shuffle on the value, " +
+        "per-partition local windows keyed by (__pid, segment), " +
+        "boundary offsets broadcast back — so the cumulative work is " +
+        "partition-bounded even when the column is CONTINUOUS and " +
+        "distinct ≈ rows; the old Window.orderBy(value) pinned that " +
+        "whole frame to one task."))
 
   /** Iterative (multi-job) operators: their final plan is a
     * post-checkpoint tail, so the static tree alone says little.  The

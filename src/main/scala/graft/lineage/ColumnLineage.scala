@@ -472,6 +472,19 @@ object ColumnLineage {
             exprHopInputs(proj(i), child)))): HopNode)
       }.toMap
 
+    // row-level rewrite assembly: same positional-union shape as
+    // Expand — each output column's hop gathers every merge
+    // instruction's expression for that position (see the sources-side
+    // MergeRows case)
+    case m: MergeRows =>
+      val child = hopChildren(m, alias, ctes)
+      child ++ m.output.zipWithIndex.map { case (out, i) =>
+        out.exprId -> (DerivedHop(out.name, "merge", "MergeRows",
+          dedupIdentity(m.outputs.flatMap(row =>
+            if (i < row.size) exprHopInputs(row(i), child)
+            else Nil))): HopNode)
+      }.toMap
+
     case _ =>
       hopChildren(plan, alias, ctes)
   }

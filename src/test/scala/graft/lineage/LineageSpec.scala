@@ -823,6 +823,12 @@ class LineageSpec extends SparkSpec {
     assert(g("v").contains(src("mrg_src_li", "l_extendedprice")),
       g("v").toString)
     assert(g("k").contains(src("mrg_src_li", "l_orderkey")), g("k").toString)
+    // the hop tree composes through the rewrite too: the read splices
+    // the writing MERGE's hop tree, whose assembled column is a
+    // MergeRows-derived hop over both contributions
+    val tree = ColumnLineage.hopTree(spark.table("mrg_cat.ns.mrg_tgt"), "v")
+    assert(tree.contains("merge"), tree)
+    assert(tree.contains("mrg_src_li.l_extendedprice"), tree)
     // and a row-level UPDATE referencing the target's own column keeps
     // composing: v = v * 2 adds no foreign source, loses none
     val upd = spark.sql(
