@@ -110,6 +110,20 @@ object MixQueries {
         ev.filter(col("event_type") === "purchase"), "cents")
     },
 
+    // Exact KS on a genuinely CONTINUOUS column — raw double values,
+    // distinct ≈ rows (9.5k of 10k at sf0.01-alt) — the exact case the
+    // r15 segmented-scan reshape exists for: the old global ordered
+    // window would pin this whole distinct-value frame to one task.
+    // The +1000.0 shift (IEEE-identical on both engines) keeps the
+    // domain strictly positive so no ±0.0 grouping corner can open.
+    "q_ks_continuous" -> { (s, dir) =>
+      import graft.ops.Drift
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"), (col("value") + lit(1000.0)).as("v"))
+      Drift.ksStatistic(ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"), "v")
+    },
+
     // Chi-squared association of event_type x user bucket, with
     // Cramér's V effect size.
     "q_chi_squared" -> { (s, dir) =>
@@ -443,6 +457,29 @@ object MixQueries {
         |  FROM events WHERE event_type = 'view'),
         |bv AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
         |  FROM events WHERE event_type = 'purchase'),
+        |ca AS (SELECT v, count(*) AS c FROM av GROUP BY 1),
+        |cb AS (SELECT v, count(*) AS c FROM bv GROUP BY 1),
+        |m AS (SELECT coalesce(ca.v, cb.v) AS v,
+        |    coalesce(ca.c, 0) AS cca, coalesce(cb.c, 0) AS ccb
+        |  FROM ca FULL JOIN cb ON ca.v = cb.v),
+        |c AS (SELECT v,
+        |    sum(cca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS fa,
+        |    sum(ccb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS fb
+        |  FROM m),
+        |t AS (SELECT max(fa) AS na, max(fb) AS nb FROM c)
+        |SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+        |  CAST(max(abs(c.fa * t.nb - c.fb * t.na)) AS BIGINT) AS d_num,
+        |  round(CAST(max(abs(c.fa * t.nb - c.fb * t.na)) AS DOUBLE)
+        |    / (t.na * t.nb), 6) AS ks
+        |FROM c, t GROUP BY t.na, t.nb""".stripMargin,
+
+    "q_ks_continuous" ->
+      """WITH av AS (SELECT value + 1000.0 AS v
+        |  FROM events WHERE event_type = 'view'),
+        |bv AS (SELECT value + 1000.0 AS v
+        |  FROM events WHERE event_type = 'click'),
         |ca AS (SELECT v, count(*) AS c FROM av GROUP BY 1),
         |cb AS (SELECT v, count(*) AS c FROM bv GROUP BY 1),
         |m AS (SELECT coalesce(ca.v, cb.v) AS v,

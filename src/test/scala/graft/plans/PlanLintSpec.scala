@@ -27,6 +27,7 @@ class PlanLintSpec extends SparkSpec {
     "q_skew_report",         // two 1-row aggregates cross-joined into the summary row
     "q_target_encode",       // 1-row global-total broadcast cross-joined into the category table
     "q_ks_test",             // 1-row sample-size aggregate cross-joined into the integer-D max
+    "q_ks_continuous",       // same fold, raw-double variant (the reshape's motivating case)
     "q_pr_curve",            // 1-row positives-total aggregate cross-joined into the threshold sweep (the r15 ECDF reshape)
     "q_budget_waterfill",    // three 1-row aggregates (totals/waterline/extras) cross-joined into the config-sized domain frame
     "q_blocking_quality",    // three 1-row aggregates (totals/blocks/capture) cross-joined into the single report row
@@ -252,6 +253,7 @@ class PlanLintSpec extends SparkSpec {
     "q_serpentine_shards"   -> "globalRowNumber's per-partition count offsets — exactly numPartitions rows by construction (spark_partition_id groupBy), opaque to planBounded",
     "q_stratified_split"    -> "segmentedPrefixSum's boundary-straddling offset table — at most numPartitions-1 strata straddle a range boundary, so <= parts^2 rows by construction regardless of stratum cardinality (the q_theil_sen bound, opaque to planBounded)",
     "q_ks_test"             -> "segmentedPrefixSums' boundary-straddling offset table (the r15 ECDF reshape) — the q_theil_sen parts^2 bound, opaque to planBounded",
+    "q_ks_continuous"       -> "same segmented-scan offset broadcast, raw-double distinct≈rows variant — the q_theil_sen parts^2 bound, opaque to planBounded",
     "q_rank_sum"            -> "segmentedPrefixSum's boundary-straddling offset table (the r15 ECDF reshape) — the q_theil_sen parts^2 bound, opaque to planBounded",
     "q_classifier_eval"     -> "exact-AUC path reuses Drift.rankSumU's segmented-scan offset broadcast (the r15 ECDF reshape) — the q_theil_sen parts^2 bound, opaque to planBounded",
     "q_pr_curve"            -> "threshold-sweep cumulative tp/fp via segmentedPrefixSums' offset broadcast (the r15 ECDF reshape) — the q_theil_sen parts^2 bound, opaque to planBounded",
