@@ -43,6 +43,7 @@ object FuzzStreamQueries {
 
   private val aggSeeds: Seq[Long] = Seq(301L, 302L, 303L)
   private val dedupSeeds: Seq[Long] = Seq(311L, 312L)
+  private val sessSeeds: Seq[Long] = Seq(321L, 322L)
 
   /** Watermarked tumbling-window aggregation under seeded chunking with
     * displaced (late) rows.  Returns (gate fn, oracle SQL).
@@ -150,9 +151,84 @@ object FuzzStreamQueries {
     (q, oracle)
   }
 
+  /** Gap-sessionization (flatMapGroupsWithState — the ORDER-SENSITIVE
+    * stateful class) under seeded time-chunking: sessions spanning a
+    * RANDOM cut point only come out right if GroupState carried them
+    * across the boundary; a per-user far-future flush closes every
+    * real session for append mode (the q_stream_sessionize device,
+    * boundaries and gap seeded instead of fixed).  Returns (gate fn,
+    * oracle SQL — the batch lag/prefix-sum sessionization replay).
+    */
+  private def sessionGate(seed: Long): (Q, String) = {
+    val r = new FuzzQueries.Rng(0xD1FF00D5L * seed)
+    val um = r.next(4) + 4        // user-filter modulus 4..7
+    val ur = r.next(um)
+    val gap = Seq(900, 1800, 3600)(r.next(3))
+    val nChunks = r.next(3) + 3   // 3..5 time chunks
+    val fracs = Seq.fill(nChunks - 1)(r.next(98) + 1).sorted
+    val mft = r.next(2) + 1
+    val q: Q = (s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .filter(pmod(col("user_id"), lit(um)) === ur)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val b = ev.agg(min(col("ts").cast("long")).as("lo"),
+        max(col("ts").cast("long")).as("hi")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val span = hi - lo + 1
+      val bounds = fracs.map(f => lo + span * f / 100)
+      val flushTs = new java.sql.Timestamp((hi + 86400L) * 1000L)
+      val flush = ev.select(col("user_id")).distinct()
+        .select((col("user_id") + lit(1000000000L)).as("event_id"),
+          lit(flushTs).as("ts"), col("user_id"),
+          lit("flush").as("event_type"), lit(0.0).as("value"))
+      val edges = (Long.MinValue +: bounds) :+ Long.MaxValue
+      val chunks = edges.toList.sliding(2).collect { case List(a, z) =>
+        ev.filter(col("ts").cast("long") > a && col("ts").cast("long") <= z)
+      }.toSeq :+ flush
+      val stream = StreamingQueries.orderedReplay(s, chunks, mft)
+      val name = s"fuzzst_s_${runId.incrementAndGet()}"
+      val sessions = graft.streaming.Streaming.sessionize(
+        stream.as[graft.streaming.Event], gapSeconds = gap,
+        watermark = "10 minutes")
+      StreamingQueries.withStatePartitions(s) {
+        val q = sessions.toDF().writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(name)
+        .select(col("user_id"), col("session_start"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }
+    val oracle =
+      s"""WITH e AS (
+         |  SELECT user_id, ts, event_id FROM events WHERE user_id % $um = $ur),
+         |marked AS (
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |      OR CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+         |         - CAST(floor(epoch(CAST(lag(ts) OVER w AS TIMESTAMP))) AS BIGINT) > $gap
+         |      THEN 1 ELSE 0 END AS new_session
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT user_id, ts,
+         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM marked)
+         |SELECT user_id,
+         |  CAST(min(floor(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS session_start,
+         |  count(*) AS n_events
+         |FROM sess GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin
+    (q, oracle)
+  }
+
   private val built: Map[String, (Q, String)] =
     aggSeeds.map(s => s"q_fuzzst_w$s" -> aggGate(s)).toMap ++
-      dedupSeeds.map(s => s"q_fuzzst_d$s" -> dedupGate(s)).toMap
+      dedupSeeds.map(s => s"q_fuzzst_d$s" -> dedupGate(s)).toMap ++
+      sessSeeds.map(s => s"q_fuzzst_s$s" -> sessionGate(s)).toMap
 
   val queries: Map[String, Q] = built.map { case (n, (q, _)) => n -> q }
   val oracle: Map[String, String] = built.map { case (n, (_, o)) => n -> o }
