@@ -589,8 +589,18 @@ object FuzzQueries {
     val m2 = r.next(4) + 2      // captured-outer-column modulus
     val nk = r.next(3) + 2      // null-injection modulus
     val k2 = r.next(3) + 2      // filter modulus
+    // branched on seed PARITY (not a draw) so the row-selecting
+    // predicate — hence seed non-emptiness — is untouched and the
+    // frozen seed set provably covers BOTH arms: odd seeds fold the
+    // NULL elements directly (the coalesce-inside-the-lambda null
+    // semantics both engines must share), even seeds null-FILTER
+    // before the fold
+    val nullFilter = (seed & 1L) == 0L
     val lambda = s"(x * $c1 + k % $m2 + $c2) % 97"
     val nullify = s"CASE WHEN x % $nk = 0 THEN NULL ELSE $lambda END"
+    def folded(transformed: String, filterFn: String): String =
+      if (nullFilter) s"$filterFn($transformed, x -> x IS NOT NULL)"
+      else transformed
     val spark =
       s"""WITH b AS (
          |  SELECT CAST($key AS BIGINT) AS k, ($key % $m) AS g,
@@ -599,7 +609,7 @@ object FuzzQueries {
          |  FROM $table WHERE $pred)
          |SELECT g,
          |  CAST(sum(aggregate(
-         |    filter(transform(arr, x -> $nullify), x -> x IS NOT NULL),
+         |    ${folded(s"transform(arr, x -> $nullify)", "filter")},
          |    CAST(0 AS BIGINT), (acc, x) -> acc * 31 + coalesce(x, 7L)))
          |    AS BIGINT) AS s_fold,
          |  CAST(sum(aggregate(zip_with(arr, reverse(arr), (x, y) -> x * y),
@@ -616,8 +626,7 @@ object FuzzQueries {
          |SELECT g,
          |  CAST(sum(list_reduce(
          |    list_prepend(CAST(0 AS BIGINT),
-         |      list_filter(list_transform(arr, x -> $nullify),
-         |        x -> x IS NOT NULL)),
+         |      ${folded(s"list_transform(arr, x -> $nullify)", "list_filter")}),
          |    (acc, x) -> acc * 31 + coalesce(x, 7))) AS BIGINT) AS s_fold,
          |  CAST(sum(list_reduce(
          |    list_prepend(CAST(0 AS BIGINT),
