@@ -891,7 +891,9 @@ object FuzzQueries {
     * nothing, so every entry must select data.
     */
   private val seeds: Seq[Long] = Seq(1L, 2L, 3L, 24L, 5L, 6L, 17L, 8L, 9L, 16L)
-  private val joinSeeds: Seq[Long] = Seq(31L, 32L, 33L, 34L, 45L)
+  // 32 selected nothing at the sf0.001 down-scale rung (probed 20–40
+  // at all three rungs in round 15); 37 selects rows at every rung
+  private val joinSeeds: Seq[Long] = Seq(31L, 37L, 33L, 34L, 45L)
   private val windowSeeds: Seq[Long] = Seq(57L, 52L, 53L, 54L)
   private val setSeeds: Seq[Long] = Seq(64L, 69L, 160L, 161L)
   private val outerSeeds: Seq[Long] = Seq(71L, 72L, 73L)

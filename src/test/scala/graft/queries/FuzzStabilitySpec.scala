@@ -34,5 +34,5 @@ class FuzzStabilitySpec extends AnyFunSuite {
 }
 
 object FuzzStabilitySpec {
-  val PinnedCrc = 1424997313L // battery verified non-empty + hash-green at sf0.001, sf0.01, sf0.1, both sf0.01 alt seeds, the sf0.1-derived alt corpus AND the skewed corpus (round 15: +higher-order-lambda family q_fuzzho_01..05 — seeds 212/215 re-probed to 216/224 after selecting nothing; odd seeds fold NULL elements directly, even seeds null-filter first, branched on seed parity so the predicate draws are untouched)
+  val PinnedCrc = 500819762L // (also r15: q_fuzzj_02 re-seeded 32->37 — 32 selected nothing at the sf0.001 down-scale rung; 37 probed non-empty at all three rungs and all four drill corpora) // battery verified non-empty + hash-green at sf0.001, sf0.01, sf0.1, both sf0.01 alt seeds, the sf0.1-derived alt corpus AND the skewed corpus (round 15: +higher-order-lambda family q_fuzzho_01..05 — seeds 212/215 re-probed to 216/224 after selecting nothing; odd seeds fold NULL elements directly, even seeds null-filter first, branched on seed parity so the predicate draws are untouched)
 }
