@@ -69,8 +69,12 @@ object AltCorpus {
 
   /** @param skew heavy-tail mode (round-15 drill): ON TOP of the
     *   standard perturbation, ~30% of lineitem rows land on ONE hot
-    *   suppkey (join-key skew — the AQE-skew/salting class) and ~30%
-    *   of events land on ONE hot user_id (groupBy-key skew).  The alt
+    *   suppkey (join-key skew — the AQE-skew/salting class), ~30% of
+    *   events land on ONE hot user_id (groupBy-key skew), ~30% of
+    *   documents collapse onto ONE near-dup cluster + hot source
+    *   (round 16 — text-space skew for the dedup/LSH bucket bounds),
+    *   and ~30% of embeddings collapse into ONE dense cell (round 16 —
+    *   embedding-space skew for the IVF/PQ/ANN per-cell bounds).  The alt
     *   drill had only ever varied VALUES; this varies DISTRIBUTION, so
     *   oracles (and per-key-bounded operators) that silently assume a
     *   benign key histogram get caught in-round.
@@ -176,11 +180,22 @@ object AltCorpus {
         pmod(xxhash64(col("event_id"), lit(seed + 3)), lit(120)))),
       "events")
 
-    // documents: mutate the dup structure both ways
+    // documents: mutate the dup structure both ways.  Skew mode
+    // (round-16 drill): ~30% of docs collapse onto ONE near-dup
+    // cluster AND one hot `source` (domain) — a third exact clones of
+    // the hot doc, the rest one-token variants of it (high-Jaccard
+    // near-dups), so the exact-dedup hash buckets, the MinHash-LSH
+    // band buckets, SimHash, winnowing AND any per-source bound all
+    // see a genuinely hot key, not a benign histogram.
     val docs = rd("documents")
     val nDocs = docs.count()
+    val hotDoc = docs.orderBy("doc_id").select("text", "source").head()
+    val (hotText, hotSource) = (hotDoc.getString(0), hotDoc.getString(1))
     val cloneSrc = docs.select(col("doc_id").as("src_id"),
       col("text").as("src_text"))
+    val docHot =
+      if (!skew) lit(false)
+      else pmod(xxhash64(col("doc_id"), lit(seed + 17)), lit(10)) < 3
     wr(docs
       .withColumn("clone_of",
         when(pmod(col("doc_id"), lit(7)) === 3,
@@ -188,21 +203,44 @@ object AltCorpus {
           .otherwise(lit(-1L)))
       .join(cloneSrc, col("clone_of") === col("src_id"), "left")
       .withColumn("text",
-        when(col("src_text").isNotNull, col("src_text"))
+        when(docHot && pmod(xxhash64(col("doc_id"), lit(seed + 19)),
+          lit(3)) === 0, lit(hotText))
+          .when(docHot, concat(lit(hotText), lit(" v"),
+            pmod(col("doc_id"), lit(7))))
+          .when(col("src_text").isNotNull, col("src_text"))
           .when(pmod(col("doc_id"), lit(11)) === 5,
             concat(col("text"), lit(" altseed")))
           .otherwise(col("text")))
+      .withColumn("source",
+        when(docHot, lit(hotSource)).otherwise(col("source")))
       .drop("clone_of", "src_id", "src_text")
       .withColumn("n_chars", length(col("text")).cast("long")),
       "documents")
 
-    // embeddings: deterministic ±1% noise per dimension, labels permute
+    // embeddings: deterministic ±1% noise per dimension, labels
+    // permute.  Skew mode: ~30% of vectors collapse into ONE dense
+    // cell — the hot (min-vec_id) vector plus ±0.001 per-dimension
+    // jitter — so every LSH bucket / IVF cell / PQ coarse cell that
+    // partitions the embedding space gets a hot cell, exercising the
+    // per-cell bounds the dedup/ANN gates rely on.
     val emb = rd("embeddings")
     val (lLo, lN) = dom(emb, "label")
+    val hotVec: Seq[Float] = emb.orderBy("vec_id").select("embedding")
+      .head().getSeq[Float](0)
+    val vecHot =
+      if (!skew) lit(false)
+      else pmod(xxhash64(col("vec_id"), lit(seed + 23)), lit(10)) < 3
     wr(emb
       .withColumn("embedding", transform(col("embedding"), (v, i) =>
         (v + (pmod(xxhash64(col("vec_id"), i, lit(seed)), lit(200)) -
           lit(100)).cast("float") / lit(10000.0f)).cast("float")))
+      .withColumn("embedding",
+        when(vecHot, transform(
+          array(hotVec.map(lit): _*), (v, i) =>
+            (v.cast("float") +
+              (pmod(xxhash64(col("vec_id"), i, lit(seed + 29)), lit(20)) -
+                lit(10)).cast("float") / lit(10000.0f)).cast("float")))
+          .otherwise(col("embedding")))
       .withColumn("label",
         remapExpr("label", lLo, lN, seed).cast("int")),
       "embeddings")

@@ -639,6 +639,135 @@ object FuzzQueries {
     SplitQuery(spark, duck)
   }
 
+  /** Map-typed higher-order-lambda fuzz (split texts): seeded
+    * compositions of `transform_keys` / `transform_values` /
+    * `map_filter` / `map_zip_with` over maps built by
+    * `map_from_arrays` under the LAST_WIN dedup policy, vs a DuckDB
+    * list-level replay — the MAP corners the array family (q_fuzzho)
+    * cannot reach and the fixed gates (`FinalQueries.scala`) only pin
+    * at one shape: DUPLICATE source keys resolved last-win (the key
+    * list is folded through `x % km` with km ≤ array width, so dups
+    * are guaranteed), NULL values flowing through every map lambda
+    * (`coalesce` inside the lambda body), a `map_filter` →
+    * `transform_values` composition, and `map_zip_with` across two
+    * maps with PARTIALLY overlapping key domains (different key
+    * moduli), where the absent side's lambda argument is NULL.
+    *
+    * DuckDB has no map HOFs, so the twin replays the semantics on the
+    * generating LISTS: last-win dedup = the positions whose key does
+    * not recur later (`NOT list_contains(list_slice(kl, i+1, len), kl[i])`
+    * — exactly the entries a last-win map keeps), and the zip's
+    * by-key lookup = `vlf2[list_position(klf2, k)]` (NULL when the
+    * key is absent, mirroring the absent-side NULL argument).  Sum
+    * aggregation makes entry ORDER irrelevant, so the two engines'
+    * map iteration orders never matter.  Everything is integer and
+    * bounded: ≤ 7 entries of values < 100 over dim-table-sized row
+    * counts, so no sum approaches 2^63 at any corpus scale.  Only
+    * scalars reach the output (never raw maps — the driver compare
+    * contract).
+    */
+  private def genMapHofQuery(seed: Long): SplitQuery = {
+    val r = new Rng(seed)
+    val (table, cols, key) = r.pick(tables)
+    val pred = genPred(r, cols, 1)
+    val m = r.next(5) + 2   // group modulus
+    val m1 = r.next(5) + 2  // array start modulus
+    val w = r.next(4) + 3   // extra elements (array size w+1 in 4..7)
+    val km = r.next(4) + 3  // map-1 key fold modulus (3..6 ⇒ dup keys)
+    val c1 = r.next(7) + 2  // map-1 value multiplier
+    val c2 = r.next(9)      // map-1 value offset
+    val nk = r.next(3) + 2  // null-injection modulus for map-1 values
+    val a2 = r.next(5) + 2  // transform_keys multiplier
+    val b2 = r.next(7)      // transform_keys offset
+    val f2 = r.next(3) + 2  // map_filter key modulus
+    val km2 = r.next(4) + 2 // map-2 key fold modulus (partial overlap)
+    val c3 = r.next(7) + 3  // map-2 value multiplier
+    val vExpr = s"CASE WHEN x % $nk = 0 THEN NULL " +
+      s"ELSE CAST((x * $c1 + $c2) % 97 AS BIGINT) END"
+    val v2Expr = s"CAST((x * $c3 + 11) % 89 AS BIGINT)"
+    val spark =
+      s"""WITH b AS (
+         |  SELECT ($key % $m) AS g,
+         |    map_from_arrays(
+         |      transform(sequence($key % $m1, $key % $m1 + $w),
+         |        x -> CAST(x % $km AS BIGINT)),
+         |      transform(sequence($key % $m1, $key % $m1 + $w),
+         |        x -> $vExpr)) AS mp,
+         |    map_from_arrays(
+         |      transform(sequence($key % $m1, $key % $m1 + $w),
+         |        x -> CAST(x % $km2 AS BIGINT)),
+         |      transform(sequence($key % $m1, $key % $m1 + $w),
+         |        x -> $v2Expr)) AS mp2
+         |  FROM $table WHERE $pred)
+         |SELECT g,
+         |  CAST(sum(cardinality(mp)) AS BIGINT) AS card,
+         |  CAST(sum(aggregate(
+         |    map_keys(transform_keys(mp, (k, v) -> k * $a2 + $b2)),
+         |    CAST(0 AS BIGINT), (acc, x) -> acc + x)) AS BIGINT) AS s_tk,
+         |  CAST(sum(aggregate(
+         |    map_values(transform_values(mp, (k, v) -> coalesce(v, CAST(7 AS BIGINT)) + k)),
+         |    CAST(0 AS BIGINT), (acc, x) -> acc + x)) AS BIGINT) AS s_tv,
+         |  CAST(sum(aggregate(
+         |    map_values(transform_values(map_filter(mp, (k, v) -> k % $f2 = 0),
+         |      (k, v) -> k + coalesce(v, CAST(3 AS BIGINT)))),
+         |    CAST(0 AS BIGINT), (acc, x) -> acc + x)) AS BIGINT) AS s_mf,
+         |  CAST(sum(aggregate(
+         |    map_values(map_zip_with(mp, mp2, (k, v1, v2) ->
+         |      coalesce(v1, CAST(0 AS BIGINT)) + coalesce(v2, CAST(0 AS BIGINT)) + k)),
+         |    CAST(0 AS BIGINT), (acc, x) -> acc + x)) AS BIGINT) AS s_mz,
+         |  count(*) AS n
+         |FROM b GROUP BY g ORDER BY g""".stripMargin
+    val duck =
+      s"""WITH b AS (
+         |  SELECT ($key % $m) AS g,
+         |    list_transform(generate_series($key % $m1, $key % $m1 + $w),
+         |      x -> CAST(x % $km AS BIGINT)) AS kl,
+         |    list_transform(generate_series($key % $m1, $key % $m1 + $w),
+         |      x -> $vExpr) AS vl,
+         |    list_transform(generate_series($key % $m1, $key % $m1 + $w),
+         |      x -> CAST(x % $km2 AS BIGINT)) AS kl2,
+         |    list_transform(generate_series($key % $m1, $key % $m1 + $w),
+         |      x -> $v2Expr) AS vl2
+         |  FROM $table WHERE $pred),
+         |d AS (
+         |  SELECT g, kl, vl,
+         |    list_filter(generate_series(1, len(kl)),
+         |      i -> NOT list_contains(list_slice(kl, i + 1, len(kl)), kl[i])) AS surv,
+         |    list_transform(list_filter(generate_series(1, len(kl2)),
+         |      j -> NOT list_contains(list_slice(kl2, j + 1, len(kl2)), kl2[j])),
+         |      j -> kl2[j]) AS klf2,
+         |    list_transform(list_filter(generate_series(1, len(kl2)),
+         |      j -> NOT list_contains(list_slice(kl2, j + 1, len(kl2)), kl2[j])),
+         |      j -> vl2[j]) AS vlf2
+         |  FROM b)
+         |SELECT g,
+         |  CAST(sum(len(surv)) AS BIGINT) AS card,
+         |  CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(surv, i -> kl[i] * $a2 + $b2)),
+         |    (acc, x) -> acc + x)) AS BIGINT) AS s_tk,
+         |  CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(surv, i -> coalesce(vl[i], 7) + kl[i])),
+         |    (acc, x) -> acc + x)) AS BIGINT) AS s_tv,
+         |  CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(list_filter(surv, i -> kl[i] % $f2 = 0),
+         |      i -> kl[i] + coalesce(vl[i], 3))),
+         |    (acc, x) -> acc + x)) AS BIGINT) AS s_mf,
+         |  CAST(sum(
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(surv, i -> coalesce(vl[i], 0) +
+         |        coalesce(vlf2[list_position(klf2, kl[i])], 0) + kl[i])),
+         |      (acc, x) -> acc + x) +
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(
+         |        list_filter(generate_series(1, len(klf2)),
+         |          j -> NOT list_contains(list_transform(surv, i -> kl[i]), klf2[j])),
+         |        j -> vlf2[j] + klf2[j])),
+         |      (acc, x) -> acc + x)) AS BIGINT) AS s_mz,
+         |  count(*) AS n
+         |FROM d GROUP BY g ORDER BY g""".stripMargin
+    SplitQuery(spark, duck)
+  }
+
   /** LATERAL fuzz: a correlated lateral AGGREGATE subquery referencing
     * the outer row's key — the LateralJoin decorrelation path, distinct
     * from the scalar-subquery rewrite q_fuzzc exercises.  The lateral
@@ -912,6 +1041,11 @@ object FuzzQueries {
   // 212/215 selected nothing (probed 211–240 at sf0.001/0.01/0.1 — the
   // EMPTY-slot protocol); 216/224 select ≥5 rows at every rung
   private val higherOrderSeeds: Seq[Long] = Seq(211L, 216L, 213L, 214L, 224L)
+  // probed 241-270 at sf0.001 (the constraining rung — the EMPTY-slot
+  // protocol) and spot-checked at sf0.01/sf0.1: these five select 4-6
+  // groups at every rung (group counts are modulus-bounded over dim
+  // tables, so the counts are rung-stable by construction)
+  private val mapHofSeeds: Seq[Long] = Seq(242L, 247L, 250L, 255L, 266L)
   private val frameSeeds: Seq[Long] = Seq(171L, 172L, 173L, 174L, 178L)
 
   private val sql: Map[String, String] =
@@ -977,6 +1111,15 @@ object FuzzQueries {
       f"q_fuzzho_${i + 1}%02d" -> genHigherOrderQuery(0xD1FF00D5L * s)
     }.toMap
 
+  /** Map-HOF splits run under LAST_WIN map-key dedup (the dup-key
+    * corner is the point), so they carry their own closure that sets
+    * the session conf before the query.
+    */
+  private val mapHofSplits: Map[String, SplitQuery] =
+    mapHofSeeds.zipWithIndex.map { case (s, i) =>
+      f"q_fuzzhm_${i + 1}%02d" -> genMapHofQuery(0xD1FF00D5L * s)
+    }.toMap
+
   val queries: Map[String, Q] = sql.map { case (name, text) =>
     name -> (((s: SparkSession, dir: String) => {
       Tables.registerAll(s, dir)
@@ -994,11 +1137,18 @@ object FuzzQueries {
       Tables.registerAll(s, dir)
       s.sql(split.spark)
     }): Q)
+  } ++ mapHofSplits.map { case (name, split) =>
+    name -> (((s: SparkSession, dir: String) => {
+      Tables.registerAll(s, dir)
+      s.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      s.sql(split.spark)
+    }): Q)
   }
 
   val oracle: Map[String, String] =
     sql ++ mutationScripts.map { case (n, sc) => n -> sc.oracleSelect } ++
-      temporalSplits.map { case (n, sp) => n -> sp.duck }
+      temporalSplits.map { case (n, sp) => n -> sp.duck } ++
+      mapHofSplits.map { case (n, sp) => n -> sp.duck }
 
   /** Seed-selection probe (maintenance tool, not a gate): row counts
     * for candidate seeds of one generator family, so an EMPTY slot's
@@ -1007,6 +1157,7 @@ object FuzzQueries {
   private[graft] def probeSeeds(s: SparkSession, dir: String,
       family: String, candidates: Seq[Long]): Seq[(Long, Long)] = {
     Tables.registerAll(s, dir)
+    s.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN") // the hm family's contract
     val gen: Long => String = family match {
       case "w" => genWindowQuery
       case "s" => genSetQuery
@@ -1025,6 +1176,7 @@ object FuzzQueries {
       case "e" => (s: Long) => genGeneratorQuery(s).spark
       case "x" => (s: Long) => genJsonQuery(s).spark
       case "ho" => (s: Long) => genHigherOrderQuery(s).spark
+      case "hm" => (s: Long) => genMapHofQuery(s).spark
       case _   => genQuery
     }
     candidates.map(c =>

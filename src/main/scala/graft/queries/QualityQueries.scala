@@ -33,10 +33,21 @@ object QualityQueries {
 
     // Suppression step of the k-anonymization loop: rows in QI groups
     // below k are dropped; survivors summarized per nation so the gate
-    // output stays bounded.
+    // output stays bounded.  k is DATA-DERIVED — half the largest QI
+    // group (floor, min 2) — so the gate has rows at every rung by
+    // construction: a fixed k=12 went `pass EMPTY` at sf0.001, where
+    // the largest (nation, segment) group holds ~4 customers (round-15
+    // verdict item 2).  Half-the-max guarantees the largest group
+    // itself always survives; integer halving on a non-negative count
+    // matches DuckDB `//` exactly.
     "q_k_suppress" -> { (s, dir) =>
-      graft.ops.Privacy.suppressBelowK(Tables.load(s, dir, "customer"),
-          Seq("c_nationkey", "c_mktsegment"), k = 12L)
+      val cust = Tables.load(s, dir, "customer")
+      val maxGroup = cust
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("group_size"))
+        .agg(max(col("group_size"))).head().getLong(0) // 1-row collect
+      graft.ops.Privacy.suppressBelowK(cust,
+          Seq("c_nationkey", "c_mktsegment"), k = math.max(2L, maxGroup / 2L))
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_kept"),
           count_distinct(col("c_mktsegment")).as("n_segments"))
@@ -300,7 +311,8 @@ object QualityQueries {
         |FROM customer c JOIN sizes s
         |  ON c.c_nationkey = s.c_nationkey
         | AND c.c_mktsegment = s.c_mktsegment
-        |WHERE s.group_size >= 12
+        |WHERE s.group_size >= (
+        |  SELECT greatest(2, CAST(max(group_size) // 2 AS BIGINT)) FROM sizes)
         |GROUP BY 1 ORDER BY c.c_nationkey""".stripMargin,
 
     "q_dataset_fingerprint" ->

@@ -151,8 +151,15 @@ object SsbShapes {
         |GROUP BY n1.n_name, n2.n_name, EXTRACT(YEAR FROM l_shipdate)
         |ORDER BY cust_nation, supp_nation, yr""".stripMargin,
 
-    // Q3.3: asymmetric nation pair — customer side and supplier side
-    // pinned to DIFFERENT nation sets (directional trade).
+    // Q3.3: asymmetric nation sets — customer side and supplier side
+    // pinned to DIFFERENT (independently derived) two-nation sets.
+    // The sets are DATA-DERIVED (each side's two most-populous
+    // nations, count-desc + name tiebreak — deterministic IN-subquery
+    // picks): fixed names went `pass EMPTY` at sf0.001, where neither
+    // NATION_2 nor NATION_9 has a single supplier (round-16 de-EMPTY
+    // pass).  The derivation is per-SIDE (customer census vs supplier
+    // census), so the sets stay asymmetric in role even when they
+    // overlap in membership on some corpus.
     "qssb_q3_directional" ->
       """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
         |  CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS yr,
@@ -163,8 +170,12 @@ object SsbShapes {
         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
         |JOIN supplier  ON l_suppkey = s_suppkey
         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
-        |WHERE n1.n_name IN ('NATION_1', 'NATION_5')
-        |  AND n2.n_name IN ('NATION_2', 'NATION_9')
+        |WHERE n1.n_name IN (SELECT nc.n_name FROM customer cc, nation nc
+        |  WHERE cc.c_nationkey = nc.n_nationkey
+        |  GROUP BY nc.n_name ORDER BY count(*) DESC, nc.n_name LIMIT 2)
+        |  AND n2.n_name IN (SELECT ns.n_name FROM supplier ss, nation ns
+        |  WHERE ss.s_nationkey = ns.n_nationkey
+        |  GROUP BY ns.n_name ORDER BY count(*) DESC, ns.n_name LIMIT 2)
         |GROUP BY n1.n_name, n2.n_name, EXTRACT(YEAR FROM l_shipdate)
         |ORDER BY cust_nation, supp_nation, yr""".stripMargin,
 

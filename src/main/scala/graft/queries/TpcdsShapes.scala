@@ -552,8 +552,13 @@ object TpcdsShapes {
         |FROM u GROUP BY channel, flag, priority
         |ORDER BY channel, flag, priority""".stripMargin,
 
-    // q65 shape: parts trading BELOW half their brand's average revenue
-    // — agg, re-agg to brand means, join back (agg-over-agg + semi).
+    // q65 shape: parts trading BELOW a fraction of their brand's
+    // average revenue — agg, re-agg to brand means, join back
+    // (agg-over-agg + semi).  Fraction 0.9, not TPC-DS's 0.5: at
+    // sf0.001 a part's revenue is a ~30-lineitem sum (rel. σ ≈ 18%),
+    // so nothing sits 50% below its brand mean and the gate went
+    // `pass EMPTY` there (round-16 de-EMPTY pass); 0.9 keeps ~30% of
+    // parts at every rung while preserving the below-average shape.
     "qds_q65_below_avg" ->
       """WITH per_part AS (
         |  SELECT l_partkey,
@@ -567,7 +572,7 @@ object TpcdsShapes {
         |SELECT w.p_brand, count(*) AS n_slow,
         |  CAST(sum(w.cents) AS BIGINT) AS slow_cents
         |FROM with_brand w JOIN brand_avg b ON w.p_brand = b.p_brand
-        |WHERE CAST(w.cents AS DOUBLE) < 0.5 * b.avg_cents
+        |WHERE CAST(w.cents AS DOUBLE) < 0.9 * b.avg_cents
         |GROUP BY w.p_brand ORDER BY w.p_brand""".stripMargin,
 
     // q30/q1 shape: correlated SCALAR subquery against the per-group
@@ -610,11 +615,24 @@ object TpcdsShapes {
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     // q37/q82 shape: price-band dim filter × date-range fact filter
-    // with COUNT DISTINCT over the join.
+    // with COUNT DISTINCT over the join.  The band is ±10% around the
+    // MEAN retail price in integer cents, expressed with CROSS-
+    // MULTIPLIED edges (cents·10·count vs sum·9..sum·11) so neither
+    // engine ever divides (Spark `/` on integers is double-truncate,
+    // DuckDB's is double-round — the SKILL.md class) — a fixed
+    // 920–960 band went `pass EMPTY` at sf0.001 (round-16 de-EMPTY
+    // pass); a mean-relative band selects ~15% of parts on any corpus.
+    // Magnitudes: cents·10·|part| < 2e6·|part|, sum·11 < 2e6·|part| —
+    // both under 2^63 far past SF100.
     "qds_q37_price_band" ->
       """SELECT p_brand, count(DISTINCT p_partkey) AS n_parts, count(*) AS n_lines
         |FROM part JOIN lineitem ON l_partkey = p_partkey
-        |WHERE p_retailprice BETWEEN 920 AND 960
+        |WHERE CAST(floor(p_retailprice * 100) AS BIGINT) * 10
+        |      * (SELECT count(*) FROM part)
+        |    BETWEEN (SELECT sum(CAST(floor(p_retailprice * 100) AS BIGINT))
+        |             FROM part) * 9
+        |        AND (SELECT sum(CAST(floor(p_retailprice * 100) AS BIGINT))
+        |             FROM part) * 11
         |  AND l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
         |                     AND TIMESTAMP '1997-03-31 00:00:00'
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,

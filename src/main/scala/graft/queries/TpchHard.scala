@@ -43,22 +43,65 @@ object TpchHard {
     */
   private val lateSql = "(%s.l_orderkey * 13 + %s.l_linenumber * 7) %% 5 < 2"
 
+  /** Q11's nation, derived from the data instead of a fixed name (the
+    * minimum-suppkey supplier's nation — unique key, so deterministic
+    * on any corpus): sf0.001 has suppliers in only 10 of 25 nations,
+    * so any fixed name risks a toothless `pass EMPTY` down-rung.
+    */
+  private val q11NationPick: String =
+    """(SELECT n2.n_name FROM supplier s2, nation n2
+      |    WHERE s2.s_nationkey = n2.n_nationkey
+      |    ORDER BY s2.s_suppkey LIMIT 1)""".stripMargin
+
+  /** Q2's region, derived from the data (the minimum-suppkey
+    * supplier's region): guarantees the region filter keeps suppliers
+    * on any corpus.
+    */
+  private val q02RegionPick: String =
+    """(SELECT r2.r_name FROM supplier s2, nation n2, region r2
+      |    WHERE s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey
+      |    ORDER BY s2.s_suppkey LIMIT 1)""".stripMargin
+
+  /** Q21's nation: the BUSIEST supplier nation (most lineitems) — the
+    * pick that maximizes waiting-supplier candidates, so the gate has
+    * real teeth at the sf0.001 rung (19 qualifying lineitems there vs
+    * zero for the old fixed name) and trivially survives the heavy-
+    * tail skew drill (the hot suppkey's nation IS the busiest).
+    */
+  private val q21NationPick: String =
+    """(SELECT n9.n_name FROM lineitem l9, supplier s9, nation n9
+      |    WHERE l9.l_suppkey = s9.s_suppkey
+      |      AND s9.s_nationkey = n9.n_nationkey
+      |    GROUP BY n9.n_name
+      |    ORDER BY count(*) DESC, n9.n_name LIMIT 1)""".stripMargin
+
   private val sqlTexts: Map[String, String] = Map(
     // Q2 shape: correlated scalar-min subquery over the same 4-way join
     // as the outer block (minimum-cost supplier per part in a region).
+    // Every constant is DATA-DERIVED (round-16 de-EMPTY pass): fixed
+    // size/type/region names made the gate `pass EMPTY` at sf0.001
+    // (the sf0.001 corpus has no EUROPE-region supplier paired with a
+    // size-15 ECONOMY part).  The size filter is a band off min
+    // (jitter-stable on alt corpora), the type is the modal type
+    // (non-empty by construction), and the region is the min-suppkey
+    // supplier's region (has suppliers by construction).
     "q02_min_cost_supplier" ->
       s"""WITH $partsuppCte
         |SELECT s_acctbal, s_name, n_name, p_partkey, p_type
         |FROM part, supplier, partsupp, nation, region
         |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
-        |  AND p_size = 15 AND p_type = 'ECONOMY'
+        |  AND p_size BETWEEN (SELECT min(p_size) FROM part)
+        |                 AND (SELECT min(p_size) + 4 FROM part)
+        |  AND p_type = (SELECT p_type FROM part
+        |    GROUP BY p_type ORDER BY count(*) DESC, p_type LIMIT 1)
         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-        |  AND r_name = 'EUROPE'
+        |  AND r_name = $q02RegionPick
         |  AND ps_supplycost = (
         |    SELECT min(ps_supplycost) FROM partsupp, supplier, nation, region
         |    WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
         |      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-        |      AND r_name = 'EUROPE')
+        |      AND r_name = $q02RegionPick)
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
 
     // Q4 shape: EXISTS with an inner predicate beyond the correlation
@@ -94,22 +137,30 @@ object TpchHard {
     // The TPC-H spec scales Q11's FRACTION with SF (0.0001/SF); a fixed
     // fraction empties the result at 10x the tuning scale (found by the
     // round-11 sf0.1 sweep).  Derive the threshold from the data
-    // instead — a part qualifies when its value exceeds 4x the mean
+    // instead — a part qualifies when its value exceeds 2x the mean
     // per-(part,supplier)-pair value — which keeps the Q11 shape
-    // (HAVING vs a scalar subquery), yields rows at any SF where the
-    // nation exists, and stays a plain count(*) (a count DISTINCT here
-    // costs an extra Expand pass over the join, measured +32%).
+    // (HAVING vs a scalar subquery), yields rows at any SF, and stays
+    // a plain count(*) (a count DISTINCT here costs an extra Expand
+    // pass over the join, measured +32%).  The NATION is data-derived
+    // too (the minimum-suppkey supplier's nation, itself an
+    // uncorrelated ORDER BY + LIMIT 1 scalar subquery): a FIXED name
+    // made the gate `pass EMPTY` at sf0.001, where only 10 of the 25
+    // nations have any supplier at all (round-15 verdict item 2) — a
+    // data-derived pick has rows at every rung and on every drill
+    // corpus by construction.  2x (not 4x) keeps ~5% of groups at the
+    // down-rung's single-supplier nation, margin against alt-seed
+    // value jitter.
     "q11_important_stock" ->
       s"""WITH $partsuppCte
         |SELECT ps_partkey, CAST(sum(CAST(ps_supplycost AS DECIMAL(12,2)) * ps_availqty) AS DOUBLE) AS value
         |FROM partsupp, supplier, nation
-        |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+        |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = $q11NationPick
         |GROUP BY ps_partkey
         |HAVING CAST(sum(CAST(ps_supplycost AS DECIMAL(12,2)) * ps_availqty) AS DOUBLE) > (
-        |  SELECT CAST(sum(CAST(ps_supplycost AS DECIMAL(12,2)) * ps_availqty) AS DOUBLE) * 4.0
+        |  SELECT CAST(sum(CAST(ps_supplycost AS DECIMAL(12,2)) * ps_availqty) AS DOUBLE) * 2.0
         |    / count(*)
         |  FROM partsupp, supplier, nation
-        |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7')
+        |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = $q11NationPick)
         |ORDER BY value DESC, ps_partkey""".stripMargin,
 
     // Q20 shape: nested IN subqueries with a correlated scalar agg on
@@ -131,6 +182,8 @@ object TpchHard {
 
     // Q21 shape: EXISTS + NOT EXISTS self-joins on lineitem (the only
     // supplier whose delivery was late on a multi-supplier order).
+    // Nation data-derived (busiest supplier nation) — a fixed name
+    // went `pass EMPTY` at sf0.001 (round-16 de-EMPTY pass).
     "q21_waiting_suppliers" ->
       s"""SELECT s_name, count(*) AS numwait
         |FROM supplier, lineitem l1, orders, nation
@@ -142,7 +195,7 @@ object TpchHard {
         |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
         |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
         |      AND ${lateSql.format("l3", "l3")})
-        |  AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+        |  AND s_nationkey = n_nationkey AND n_name = $q21NationPick
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
 
   val queries: Map[String, Q] = sqlTexts.map { case (name, text) =>

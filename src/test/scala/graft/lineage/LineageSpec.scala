@@ -863,4 +863,74 @@ class LineageSpec extends SparkSpec {
         src(liTable, "l_discount")), g("net").toString)
     } finally SinkLineage.unregister(spark)
   }
+
+  test("RUNNING chunked file replay (q_fuzzst shape): hop-level lineage " +
+      "is invariant under the chunking") {
+    // q_fuzzst pins that chunked-replay VALUES equal the batch oracle;
+    // this pins that the lineage layer is replay-invariant too — the
+    // same watermarked tumbling aggregation replayed as 2 chunks
+    // (1 file/trigger) and as 5 chunks (2 files/trigger) must produce
+    // IDENTICAL hop-level derivation trees and sink-column graphs on
+    // the RUNNING queries, the file-source directory (the only
+    // legitimately run-specific token) normalized out.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    def runChunked(nChunks: Int, mft: Int, tag: String)
+        : (Seq[String], Seq[(String, Set[String])]) = {
+      val ev = spark.range(0, 120).select(
+        col("id").as("event_id"),
+        timestamp_seconds(lit(1700000000L) + col("id") * 37).as("ts"),
+        concat(lit("t"), pmod(col("id"), lit(3))).as("event_type"),
+        (col("id") % 10).cast("decimal(12,2)").as("v"))
+      val dir = graft.TmpCleanup.tempDir(s"graft_lin_replay_$tag")
+      (0 until nChunks).foreach { i =>
+        val stage = graft.TmpCleanup.tempDir(s"graft_lin_stage_${tag}_$i")
+        ev.filter(pmod(col("event_id"), lit(nChunks)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = Paths.get(dir, f"chunk_$i%03d.parquet")
+        Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst,
+          FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", mft).parquet(dir)
+      val agg = stream
+        .withWatermark("ts", "3600 seconds")
+        .groupBy(window(col("ts"), "600 seconds"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+      val name = s"lin_replay_$tag"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // captured while RUNNING (stop() only after the snapshot)
+        val hops = StreamingLineage.hopsOfQuery(q)
+          .map { case (n, h) => s"$n\n${h.treeString}".replace(dir, "<SRC>") }
+        val g = StreamingLineage.ofQuery(q)
+        val cols = g.outputs.map(_.name).map { n =>
+          n -> g(n).map(sc =>
+            s"${sc.table.replace(dir, "<SRC>")}.${sc.column}")
+        }
+        (hops, cols)
+      } finally q.stop()
+    }
+    val (hopsA, colsA) = runChunked(2, 1, "a")
+    val (hopsB, colsB) = runChunked(5, 2, "b")
+    assert(hopsA.nonEmpty, "no hops captured on the running query")
+    assert(hopsA == hopsB,
+      s"hop trees diverged across chunkings:\nA=${hopsA.mkString("\n")}\n" +
+        s"B=${hopsB.mkString("\n")}")
+    assert(colsA == colsB,
+      s"sink-column graphs diverged across chunkings: $colsA vs $colsB")
+    // and the lineage is the RIGHT one, not just a stable artifact:
+    // total must trace to v alone, n to nothing (count(1) convention)
+    val m = colsA.toMap
+    assert(m("total") == Set("FileStreamSource[file:<SRC>].v"),
+      m("total").toString)
+    assert(m("n").isEmpty, m("n").toString)
+    assert(m("event_type") == Set("FileStreamSource[file:<SRC>].event_type"),
+      m("event_type").toString)
+  }
 }

@@ -17,8 +17,8 @@ class FuzzStabilitySpec extends AnyFunSuite {
     c.getValue
   }
 
-  test("generated battery is exactly the frozen 84 queries") {
-    assert(FuzzQueries.queries.size == 84)
+  test("generated battery is exactly the frozen 89 queries") {
+    assert(FuzzQueries.queries.size == 89)
     assert(FuzzQueries.oracle.keySet == FuzzQueries.queries.keySet)
   }
 
@@ -34,5 +34,5 @@ class FuzzStabilitySpec extends AnyFunSuite {
 }
 
 object FuzzStabilitySpec {
-  val PinnedCrc = 500819762L // (also r15: q_fuzzj_02 re-seeded 32->37 — 32 selected nothing at the sf0.001 down-scale rung; 37 probed non-empty at all three rungs and all four drill corpora) // battery verified non-empty + hash-green at sf0.001, sf0.01, sf0.1, both sf0.01 alt seeds, the sf0.1-derived alt corpus AND the skewed corpus (round 15: +higher-order-lambda family q_fuzzho_01..05 — seeds 212/215 re-probed to 216/224 after selecting nothing; odd seeds fold NULL elements directly, even seeds null-filter first, branched on seed parity so the predicate draws are untouched)
+  val PinnedCrc = 1196554203L // round 16: +map-HOF family q_fuzzhm_01..05 (seeds 242/247/250/255/266, probed 241-270 at sf0.001 — the constraining rung — and spot-checked sf0.01/sf0.1; LAST_WIN dup-key dedup + NULL map values + map_filter→transform_values composition + map_zip_with over partially-overlapping key domains, DuckDB twin replays last-win via surviving-position lists). Prior pin 500819762 (r15: q_fuzzho family + q_fuzzj_02 re-seed 32->37). Battery verified non-empty + hash-green at sf0.001, sf0.01, sf0.1 and the drill corpora.
 }
