@@ -200,10 +200,20 @@ object Dedup {
     * expression instead of array_intersect/array_union.
     */
   def shingleSets(df: DataFrame, idCol: String, textCol: String,
-      w: Int = 3): DataFrame =
-    df.select(col(idCol).as("id"),
-        split(TextAnalysis.normalize(col(textCol)), " ").as("toks"))
+      w: Int = 3, fanOutInput: Boolean = true): DataFrame = {
+    // fanOut before the tokenize/shingle kernels: a monolithic input
+    // file otherwise pins them — and the fused MinHash pass most
+    // callers stack on top — to one scan task (guide §2.5 input skew;
+    // no-op when the scan already parallelizes).  Callers whose input
+    // is a capped probe slice (size the plan-stats estimate cannot
+    // see through the filter) pass fanOutInput = false: there the
+    // exchange is pure overhead (measured r16, q_dedup_minhash).
+    val in = df.select(col(idCol).as("id"), col(textCol).as("__sst"))
+    (if (fanOutInput) Layout.fanOut(in) else in)
+      .select(col("id"),
+        split(TextAnalysis.normalize(col("__sst")), " ").as("toks"))
       .select(col("id"), sort_array(shinglesFromTokens(col("toks"), w)).as("sh"))
+  }
 
   /** Word w-shingles of the normalized text, hashed to 64 bits.
     * Convenience form; prefer [[shingleSets]] in pipelines (see
@@ -265,12 +275,13 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.6, w: Int = 3, k: Int = 64,
-      bands: Int = 16, rows: Int = 4): DataFrame = {
+      bands: Int = 16, rows: Int = 4,
+      fanOutInput: Boolean = true): DataFrame = {
     // The shingle sets feed three plan branches (signatures + both
     // refine joins); cache them so tokenization runs once.  At cluster
     // scale MEMORY_AND_DISK spills gracefully; recomputation would cost
     // three full tokenization passes instead.
-    val sh = shingleSets(df, idCol, textCol, w)
+    val sh = shingleSets(df, idCol, textCol, w, fanOutInput)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Band buckets come from the fused MinHashBuckets expression — the
     // k seeded mins and per-band hashes in one codegen pass per doc
@@ -354,8 +365,9 @@ object Dedup {
     * for validation or small partitions).
     */
   def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, w: Int = 3): DataFrame = {
-    val sh = shingleSets(df, idCol, textCol, w)
+      threshold: Double, w: Int = 3,
+      fanOutInput: Boolean = true): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, w, fanOutInput)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
@@ -387,9 +399,10 @@ object Dedup {
     * probabilistic) results.
     */
   def prefixFilteredJaccardPairs(df: DataFrame, idCol: String,
-      textCol: String, threshold: Double, w: Int = 3): DataFrame = {
+      textCol: String, threshold: Double, w: Int = 3,
+      fanOutInput: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0)
-    val sh = shingleSets(df, idCol, textCol, w)
+    val sh = shingleSets(df, idCol, textCol, w, fanOutInput)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks = sh.select(col("id"), explode(col("sh")).as("__s"))
     val dfreq = toks.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
@@ -431,10 +444,11 @@ object Dedup {
     * max(c_ab, c_ba) >= threshold.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, w: Int = 3): DataFrame = {
+      threshold: Double, w: Int = 3,
+      fanOutInput: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
-    val sh = shingleSets(df, idCol, textCol, w)
+    val sh = shingleSets(df, idCol, textCol, w, fanOutInput)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = sh.select(col("id"), explode(col("sh")).as("__s"))
     val cand = inv.select(col("id").as("id_a"), col("__s"))

@@ -188,19 +188,27 @@ object GraphOps {
       .partitionBy(col("src")).orderBy(col("dst"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         -1)
-    val base = edges
+    // Materialize the caller's edge plan ONCE: `base` feeds `stats`
+    // and `cum`, and `stats` feeds the index join, the dst-scalars
+    // side AND the walk-frontier init — without the checkpoint every
+    // occurrence re-evaluated the (possibly expensive) upstream edge
+    // build per plan branch (the round-8 pageRank lesson; BenchProbe
+    // r16 measured the q_random_walks co-occurrence build running 6+
+    // times per call).  Edge-list-sized and node-sized frames
+    // respectively — the same storage class as the binned index below.
+    val base = CacheScope.traced(edges
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("__w"))
-      .filter(col("__w") > 0)
+      .filter(col("__w") > 0))
     // per-node distribution scalars: total weight and bin width (mean
     // edge weight, clamped so one node never spans more than ~2·4096
     // bins — bounds both the sequence() explosion of a dominant edge
     // and the per-bin candidate count of a uniform hub)
-    val stats = base.groupBy(col("src"))
+    val stats = CacheScope.traced(base.groupBy(col("src"))
       .agg(sum(col("__w")).as("__total"), count(lit(1)).as("__deg"))
       .select(col("src"), col("__total"),
         greatest(lit(1L), expr("__total div least(__deg, 4096L)"))
-          .as("__binw"))
+          .as("__binw")))
     val cum = base
       .withColumn("__lo", coalesce(sum(col("__w")).over(wnd), lit(0L)))
     // binned inverse-CDF index, built once and reused by every step;

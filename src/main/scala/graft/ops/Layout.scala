@@ -33,6 +33,47 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
 
+  /** Input-skew guard (optimization guide §2.5: "one huge unsplittable
+    * file … repartition immediately after the read").  A monolithic
+    * input — one file with one parquet row group, the shape the test
+    * corpus ships — pins the whole scan, and every fused per-row
+    * kernel above it (MinHash, n-gram counting, cosine, JSON parse),
+    * to ONE task regardless of core count.  When the frame's planned
+    * scan parallelism is below the session's default parallelism, deal
+    * rows round-robin across it; with many files / row groups (the
+    * production shape at any real scale) the planned parallelism
+    * already exceeds the core count and NO exchange is added — the
+    * guard adapts to the input layout, it is not a local-mode constant.
+    *
+    * Apply it only to narrow projections feeding ORDER-INSENSITIVE
+    * consumers (aggregations, hash-keyed selection, integer-exact
+    * kernels) — the same tolerance the battery's partitioning-
+    * invariance contract (InvarianceSpec) already demands of every
+    * operator.  Round-robin with Spark's sort-before-repartition
+    * (default on) is deterministic under retries.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = fanOutTarget(df)
+    if (target > df.rdd.getNumPartitions) df.repartition(target) else df
+  }
+
+  /** Partition target for [[fanOut]]: proportional to the frame's
+    * estimated bytes (one task per ~48 KB of source data — measured
+    * r16 sweet spot for the codegen text/embedding kernels at this
+    * corpus scale: below it per-task scheduling + shuffle-block
+    * overhead dominates, above it the kernel serializes), capped at
+    * the session's default parallelism.  Both inputs adapt: more data
+    * or more cores move the target, nothing is a local[32] constant.
+    */
+  private def fanOutTarget(df: DataFrame): Int = {
+    val dp = df.sparkSession.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val byBytes =
+      if (bytes > BigInt(Long.MaxValue)) dp.toLong
+      else math.max(1L, bytes.toLong / (48L * 1024))
+    math.min(dp.toLong, byBytes).toInt
+  }
+
   /** Hilbert index of the two dimension columns at `bits` bits/dim. */
   def hcode(x: Column, y: Column, bits: Int = 16): Column =
     graft.functions.hilbert2(x, y, bits)

@@ -187,17 +187,30 @@ object MixQueries {
     // graph: hash-driven inverse-CDF steps, bit-identical corpus.
     "q_random_walks" -> { (s, dir) =>
       import graft.ops.GraphOps
-      val ev = Tables.load(s, dir, "events")
+      // fanOut: the JSON-path parse otherwise runs inside the
+      // single-row-group scan's one task (guide §2.5 input skew)
+      val ev = graft.ops.Layout.fanOut(Tables.load(s, dir, "events")
+        .select(col("user_id"), col("props")))
         .select(col("user_id"),
           get_json_object(col("props"), "$.k").as("item"))
       val pairs = GraphOps.itemCooccurrence(ev, "user_id", "item",
           minUsers = 3L)
         .select(col("item_a").cast("long").as("a"),
           col("item_b").cast("long").as("b"), col("n_ab"))
-      val edges = pairs
-        .select(col("a").as("src"), col("b").as("dst"), col("n_ab").as("w"))
-        .union(pairs.select(col("b").as("src"), col("a").as("dst"),
-          col("n_ab").as("w")))
+      // symmetrize with one in-row explode instead of a union of two
+      // projections of `pairs`: the union planned the whole
+      // co-occurrence build (events parse + distinct + self-join +
+      // two aggregations) TWICE (guide §2.4 — remove duplicated
+      // subtrees; BenchProbe r16 showed the duplicated 0.7 MB
+      // map-side stages back to back).  Same rows, same downstream
+      // aggregates — row order is irrelevant to the walk index build.
+      val edges = pairs.select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst"),
+            col("n_ab").as("w")),
+          struct(col("b").as("src"), col("a").as("dst"),
+            col("n_ab").as("w")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.w").as("w"))
       GraphOps.deterministicWalks(edges, walksPerNode = 2, steps = 4,
           seed = 11L)
         .orderBy(col("walk_id"))

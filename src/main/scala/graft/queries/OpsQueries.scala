@@ -118,8 +118,13 @@ object OpsQueries {
     // pair-level goldens live in DedupSpec.)
     "q_dedup_minhash" -> { (s, dir) =>
       val docs = jaccardProbeDocs(s, dir)
-      val found = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
-      val exact = Dedup.jaccardPairsExact(docs, "doc_id", "text", threshold = 0.5)
+      // fanOutInput = false: the probe slice is capped at ~200 docs by
+      // construction — the input-skew exchange is pure overhead here
+      // (r16 isolated ×5: 0.90 s → 1.30 s with it, back without)
+      val found = Dedup.minhashPairs(docs, "doc_id", "text",
+        threshold = 0.5, fanOutInput = false)
+      val exact = Dedup.jaccardPairsExact(docs, "doc_id", "text",
+        threshold = 0.5, fanOutInput = false)
       exact.agg(count(lit(1)).as("n_exact_pairs"))
         .crossJoin(found.join(exact, Seq("id_a", "id_b", "jaccard"), "left_anti")
           .agg(count(lit(1)).as("n_false_pairs")))
@@ -178,7 +183,9 @@ object OpsQueries {
     // subset to keep the quadratic oracle cheap).
     "q_dedup_jaccard" -> { (s, dir) =>
       val docs = jaccardProbeDocs(s, dir)
-      Dedup.jaccardPairsExact(docs, "doc_id", "text", threshold = 0.5)
+      // capped probe slice — input-skew fanOut is overhead here (r16)
+      Dedup.jaccardPairsExact(docs, "doc_id", "text", threshold = 0.5,
+          fanOutInput = false)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -188,8 +195,9 @@ object OpsQueries {
     // prefix-filter theorem checked on real data.
     "q_prefix_jaccard" -> { (s, dir) =>
       val docs = jaccardProbeDocs(s, dir)
+      // capped probe slice — input-skew fanOut is overhead here (r16)
       Dedup.prefixFilteredJaccardPairs(docs, "doc_id", "text",
-          threshold = 0.5)
+          threshold = 0.5, fanOutInput = false)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -202,7 +210,7 @@ object OpsQueries {
     "q_dup_flow" -> { (s, dir) =>
       val docs = jaccardProbeDocs(s, dir)
       val pairs = Dedup.prefixFilteredJaccardPairs(docs, "doc_id", "text",
-        threshold = 0.5)
+        threshold = 0.5, fanOutInput = false)
       val src = docs.select(col("doc_id"), col("source"))
       pairs
         .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
@@ -247,8 +255,10 @@ object OpsQueries {
         .select((col("doc_id") + 500000L).as("doc_id"),
           array_join(slice(split(TextAnalysis.normalize(col("text")), " "),
             1, 8), " ").as("text"))
+      // shingle kernel is sub-0.5 s on this input — the input-skew
+      // fanOut exchange measured as overhead here (r16), keep it off
       Dedup.containmentPairs(docs.union(quotes), "doc_id", "text",
-          threshold = 0.9)
+          threshold = 0.9, fanOutInput = false)
         .orderBy(col("id_a"), col("id_b"))
     },
 

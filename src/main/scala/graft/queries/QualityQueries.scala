@@ -223,8 +223,9 @@ object QualityQueries {
     // Text capped at 48 chars (unit volume bound); per-order F-2 is
     // ONE integral division over the exact corpus sums.
     "q_chrf" -> { (s, dir) =>
-      val p = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), substring(col("text"), 1, 48).as("ref_txt"))
+      // fanOut: same single-task-kernel fix as bleuPairs (guide §2.5)
+      val p = graft.ops.Layout.fanOut(Tables.load(s, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 48).as("ref_txt")))
         .withColumn("cand_txt",
           regexp_replace(col("ref_txt"), "[aeiou]", ""))
       graft.ops.Eval.chrF(p, "doc_id", "cand_txt", "ref_txt")
@@ -280,8 +281,12 @@ object QualityQueries {
     * with 0-based positions ≡ 0 (mod 7) removed.
     */
   private def bleuPairs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("ref_toks"))
+    // fanOut: the clipped-match kernels above this projection otherwise
+    // run inside the single-row-group scan's ONE task (guide §2.5 input
+    // skew; BenchProbe r16: one 1.6 s task on 32 idle cores)
+    graft.ops.Layout.fanOut(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ref_toks")))
       .withColumn("cand_toks",
         filter(col("ref_toks"), (_, i) => i % 7 =!= 0))
 

@@ -153,4 +153,45 @@ class LayoutSpec extends SparkSpec {
         s"bucket $p box ${w}x$h too loose for ${v.length} cells")
     }
   }
+
+  // ── fanOut (round-16 input-skew guard) ──
+
+  test("fanOut raises a monolithic scan to the bytes-derived target, " +
+      "capped at default parallelism") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val before = docs.rdd.getNumPartitions
+    val after = Layout.fanOut(docs).rdd.getNumPartitions
+    val dp = spark.sparkContext.defaultParallelism
+    assert(after <= math.max(before, dp),
+      s"fanOut must never exceed max(planned=$before, parallelism=$dp), got $after")
+    // bytes-derived target: sf0.001 documents are a few KB, so the
+    // target is tiny and fanOut must NOT blast it to full parallelism
+    val bytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < 48L * 1024) assert(after == before,
+      s"a sub-chunk input ($bytes B) must not be repartitioned, got $after")
+  }
+
+  test("fanOut is a no-op when the scan already meets the parallelism") {
+    val wide = spark.range(0, 1000, 1,
+      spark.sparkContext.defaultParallelism * 2).toDF("id")
+    val out = Layout.fanOut(wide)
+    assert(out.rdd.getNumPartitions == wide.rdd.getNumPartitions,
+      "an already-parallel frame must pass through unchanged")
+    assert(out.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => r
+    }.isEmpty, "no exchange may be added to an already-parallel frame")
+  }
+
+  test("fanOut never changes an order-insensitive result") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def fp(df: org.apache.spark.sql.DataFrame): Long =
+      Dedup.shingleSets(df, "doc_id", "text", 3, fanOutInput = false)
+        .select(col("id"), explode(col("sh")).as("s"))
+        .agg(sum(pmod(xxhash64(col("id"), col("s")), lit(1000000007L))).as("h"))
+        .head().getLong(0)
+    // identical multiset of (id, shingle) with and without the exchange
+    assert(fp(Layout.fanOut(docs)) == fp(docs))
+  }
 }
