@@ -146,10 +146,12 @@ object PlanAudit {
         "frontier against that index (shuffle on node id).  Rounds = " +
         "walkLen, a config constant — never data-dependent."),
     Entry("q_suffix_ranks",
-      "Prefix doubling seeded at k=8 (string order already encodes " +
-        "short prefixes — drops 3 rounds): rounds = ceil(log2(maxLen/8))" +
-        " <= 9 under the maxLen<=4096 contract.  One round = a " +
-        "self-equi-join on (doc, pos-k) + a global dense rank " +
+      "Prefix doubling seeded at k=32 (string order already encodes " +
+        "short prefixes — drops 5 rounds): rounds = ceil(log2(maxLen/32))" +
+        " <= 7 under the maxLen<=4096 contract.  One round = lead(k) " +
+        "over the per-document position order (bounded by maxLen — " +
+        "one hash exchange, replacing the former two-sided " +
+        "self-equi-join on (doc, pos+k)) + a global dense rank " +
         "(range-partitioned sort + segmented offsets, no global " +
         "window), then localCheckpoint so lineage stays O(1)."),
     Entry("q_longest_repeat",

@@ -73,11 +73,16 @@ object SuffixArray {
       maxLen: Int): DataFrame = {
     require(maxLen >= 2 && maxLen <= 4096,
       s"maxLen out of range: $maxLen")
-    // seed with 8-character substring ranks — string comparison already
-    // encodes shorter-is-prefix, so starting the doubling at k=8 drops
-    // three rounds (each a full shuffle + checkpoint) with identical
-    // semantics to seeding at single characters
-    val init = 8
+    // seed with 32-character substring ranks — string comparison already
+    // encodes shorter-is-prefix, so starting the doubling at k=32 drops
+    // five rounds (each a range shuffle + dense rank + checkpoint) with
+    // identical semantics to seeding at single characters.  Trade
+    // (r16, guide §1.2 "remove passes"): round 0's comparator is O(32)
+    // chars instead of O(8) — a bounded constant even on adversarially
+    // repetitive corpora — and every round it saves was a full
+    // globalDenseRank round trip (measured ~0.5 s each at gate scale,
+    // and a corpus-wide shuffle at 100 TB).
+    val init = 32
     val base = df
       .select(col(idCol).as("__d"),
         substring(col(textCol), 1, maxLen).as("__t"))
@@ -90,13 +95,18 @@ object SuffixArray {
       base.withColumn("__z", lit(0L)), "__c1", "__z")
     var k = init
     while (k < maxLen) {
-      val nxt = cur.select(col("__d").as("__d2"),
-        (col("__p") - k).as("__p2"), col("__r").as("__rn"))
-      val paired = cur
-        .join(nxt, col("__d") === col("__d2") && col("__p") === col("__p2"),
-          "left")
-        .select(col("__d"), col("__p"), col("__r").as("__r1"),
-          coalesce(col("__rn"), lit(-1L)).as("__r2"))
+      // rank_k(p + k) via lead(k) over the per-document position order:
+      // positions are dense (every 1..len row present every round), so
+      // the row k ahead IS position p+k, and a missing row (p+k beyond
+      // the end) is the -1 shorter-is-prefix sentinel.  One hash
+      // exchange on the doc key replaces the former two-sided
+      // self-equi-join on (doc, pos+k) (guide §2.4: two operations
+      // keyed the same way share one exchange).  The window partition
+      // is bounded by the maxLen <= 4096 truncation contract
+      // (PlanLintSpec keyedWindowOk).
+      val wnd = Window.partitionBy(col("__d")).orderBy(col("__p"))
+      val paired = cur.select(col("__d"), col("__p"), col("__r").as("__r1"),
+        coalesce(lead(col("__r"), k).over(wnd), lit(-1L)).as("__r2"))
       cur = globalDenseRank(paired, "__r1", "__r2")
       k *= 2
     }

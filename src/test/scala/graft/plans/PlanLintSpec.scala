@@ -123,6 +123,11 @@ class PlanLintSpec extends SparkSpec {
     "q_cusum"            -> "per-user prefix-sum + row_number windows; events per user bounded by the feed contract (the rollingAnomalies bound)",
     "q_chat_truncate"    -> "per-conversation suffix cumsum + lag; turns per conversation bounded by the transcript contract (the feed bound)",
     "q_chat_audit"       -> "per-conversation forward row_number + lag; turns per conversation bounded by the transcript contract (the q_chat_truncate bound)")
+  // Note (r16): SuffixArray.suffixRanks' doubling rounds now pair via a
+  // lead(k) window PARTITIONED BY DOCUMENT (bounded by the maxLen <=
+  // 4096 truncation contract) — it needs no keyedWindowOk entry because
+  // every round materializes through localCheckpoint, so the gates'
+  // final (linted) plans are post-checkpoint tails with no WindowExec.
 
   /** The physical plan BELOW the AQE wrapper: AdaptiveSparkPlanExec is
     * a LEAF to TreeNode.collect (Spark 4 enables AQE by default), so a
