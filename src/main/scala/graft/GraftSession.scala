@@ -23,9 +23,16 @@ object GraftSession {
     * warehouse to a session builder.
     */
   def withHive(b: SparkSession.Builder): SparkSession.Builder = {
-    val base = java.nio.file.Files.createTempDirectory("graft_hive_")
-      .toAbsolutePath.toString
-    b.config("spark.sql.warehouse.dir", s"$base/warehouse")
+    // Metastore, warehouse AND spark.local.dir (shuffle/spill files)
+    // ride the fastest available scratch media (TmpCleanup.scratchBase:
+    // env-overridable, tmpfs-preferred — guide §6).  All three are
+    // session-scoped ephemera; spark.local.dir respects an operator's
+    // explicit SPARK_LOCAL_DIRS, matching Spark's own precedence.
+    val base = TmpCleanup.tempDir("graft_hive_")
+    val withLocal =
+      if (sys.env.contains("SPARK_LOCAL_DIRS")) b
+      else b.config("spark.local.dir", TmpCleanup.tempDir("graft_local_"))
+    withLocal.config("spark.sql.warehouse.dir", s"$base/warehouse")
       .config("spark.hadoop.javax.jdo.option.ConnectionURL",
         s"jdbc:derby:;databaseName=$base/metastore;create=true")
       // the library's whole extension surface (optimizer rule, planner

@@ -20,9 +20,32 @@ object TmpCleanup {
     }
   }, "graft-tmp-cleanup"))
 
+  /** Fastest available scratch base (optimization guide §6: put
+    * ephemeral I/O on the fastest local media).  `SPARK_GRAFT_TMPDIR`
+    * overrides; otherwise a writable tmpfs (`/dev/shm`) is preferred
+    * over the JVM default temp dir, which on this class of host is a
+    * spinning-rust-or-virtio `/tmp` whose rename/fsync latency lands
+    * directly in every format-roundtrip write, streaming replay and
+    * checkpoint commit.  Everything created here is session-scoped
+    * scratch (deleted at JVM shutdown) — durability is not part of its
+    * contract, exactly like Spark's own `spark.local.dir` shuffle
+    * files, so RAM-backed placement changes latency, never semantics.
+    */
+  private[graft] val scratchBase: Option[Path] =
+    sys.env.get("SPARK_GRAFT_TMPDIR").map(java.nio.file.Paths.get(_))
+      .filter(Files.isDirectory(_))
+      .orElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (Files.isDirectory(shm) && Files.isWritable(shm)) Some(shm)
+        else None
+      }
+
   /** Create a temp directory that will be removed at JVM shutdown. */
   def tempDir(prefix: String): String = {
-    val p = Files.createTempDirectory(prefix)
+    val p = scratchBase match {
+      case Some(b) => Files.createTempDirectory(b, prefix)
+      case None    => Files.createTempDirectory(prefix)
+    }
     dirs.add(p)
     p.toString
   }

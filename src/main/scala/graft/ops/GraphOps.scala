@@ -268,6 +268,13 @@ object GraphOps {
   def itemCooccurrence(df: DataFrame, userCol: String, itemCol: String,
       minUsers: Long): DataFrame = {
     require(minUsers >= 1)
+    // The distinct (user, item) table feeds three plan branches (both
+    // self-join sides + the item-degree counts); the branches share ONE
+    // physical distinct via exchange reuse (identical subtrees — AQE
+    // ReusedExchange), so no operator-level persist is needed: a cache
+    // here measured SLOWER (r16 — concurrent branches serialize on the
+    // unmaterialized cache's block locks) and the upstream parse cost
+    // belongs to the caller's layout (see q_item_cooc's fanOut).
     val ui = df.select(col(userCol).as("__u"), col(itemCol).as("__i"))
       .filter(col("__i").isNotNull).distinct()
     val counts = ui.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
@@ -277,7 +284,7 @@ object GraphOps {
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minUsers)
-    pairs
+    val out = pairs
       .join(counts.select(col("__i").as("item_a"), col("__n").as("__na")),
         Seq("item_a"))
       .join(counts.select(col("__i").as("item_b"), col("__n").as("__nb")),
@@ -285,5 +292,6 @@ object GraphOps {
       .select(col("item_a"), col("item_b"), col("n_ab"),
         round(col("n_ab") / sqrt((col("__na") * col("__nb")).cast("double")),
           6).as("cosine"))
+    out
   }
 }

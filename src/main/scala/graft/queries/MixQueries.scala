@@ -300,8 +300,11 @@ object MixQueries {
     // Item-item co-occurrence similarity (item-based CF kernel) over
     // the events props item ids.
     "q_item_cooc" -> { (s, dir) =>
+      // fanOut: parallelize the JSON-path parse off the monolithic
+      // scan's single task (guide §2.5, same fix as q_random_walks)
       graft.ops.GraphOps.itemCooccurrence(
-          Tables.load(s, dir, "events")
+          graft.ops.Layout.fanOut(Tables.load(s, dir, "events")
+            .select(col("user_id"), col("props")))
             .select(col("user_id"),
               get_json_object(col("props"), "$.k").as("item")),
           "user_id", "item", minUsers = 5L)
