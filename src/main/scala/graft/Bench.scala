@@ -13,10 +13,13 @@ import org.apache.spark.sql.SparkSession
   * recorded and surfaced in the `errs` count and the detail file.
   *
   * Output contract:
-  *  - stdout: ONE compact JSON line (summary + headline-entry medians).
-  *    Kept deliberately small — the driver captures a bounded output
-  *    tail, and a full 140+-entry map has been observed to truncate
-  *    past parseability.
+  *  - stdout: ONE compact JSON line (summary + headline-entry medians),
+  *    HARD-BOUNDED to ≤ 1,900 chars — the driver captures a 2,000-char
+  *    output tail, and the r15/r16 lines (~2,070+) lost their opening
+  *    chars to that capture, zeroing the driver's bench parse for two
+  *    rounds.  Optional list fields are capped (full versions in
+  *    BENCH_SUMMARY.json); the required contract fields
+  *    (metric/value/unit/sf/queries) are never dropped.
   *  - ./BENCH_FULL.json: {entry: {"median": s, "runs": [...], "err":
   *    null|"..."}} for EVERY entry — the complete record the summary
   *    line is derived from.
@@ -105,6 +108,10 @@ object Bench {
           val m = Option(e.getMessage).getOrElse(e.getClass.getName)
           errs(name) = m.linesIterator.nextOption().getOrElse(m).take(160)
       }
+      // outside the timed region: drop this gate's scratch (replay
+      // corpora, checkpoints, round-trip files) so a 602-entry battery
+      // never accumulates session-long debris (r16 verdict item 2)
+      TmpCleanup.releaseGateScratch()
     }
     val dataNames = names.filterNot(isProtocol)
     val protoNames = names.filter(isProtocol)
@@ -115,6 +122,7 @@ object Bench {
     dataNames.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => }
+      TmpCleanup.releaseGateScratch()
     }
     // data gates: run-major (interleaved) — cross-run spread then
     // reflects steady-state noise, which the median absorbs
@@ -245,6 +253,7 @@ object Bench {
         try { SparkEntry.queries(n)(spark, sfDir).count()
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => None }
+        finally TmpCleanup.releaseGateScratch()
       }
       if (ts.isEmpty) -1.0 else r3(median(ts))
     })
@@ -305,6 +314,7 @@ object Bench {
       try { SparkEntry.queries(n)(spark, dir).count()
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case _: Throwable => None }
+      finally TmpCleanup.releaseGateScratch()
     }
     /** (rawExp, adjustedExp, topRungVariableTime) */
     def expOf(lo: Double, hi: Double, c: Double): (Double, Double, Double) = {
@@ -470,23 +480,62 @@ object Bench {
     // compact summary line (bounded size: headline medians only)
     val qs = names.filter(isHeadline).map(n => s"${jq(n)}:${med(n)}")
       .mkString("{", ",", "}")
-    val slow = slowest.map(n => s"[${jq(n)},${med(n)}]").mkString("[", ",", "]")
-    val slowProto = slowestProto.map(n => s"[${jq(n)},${med(n)}]")
-      .mkString("[", ",", "]")
     val totalData = r3(okData.map(med).sum)
     val totalProto = r3(okProto.map(med).sum)
     val errCount = errs.size
-    val regr = regressions.take(10)
-      .map { case (n, p, c) => s"[${jq(n)},$p,$c]" }.mkString("[", ",", "]")
-    val deltas = baselineDeltas.take(10)
-      .map { case (n, b, c) => s"[${jq(n)},$b,$c]" }.mkString("[", ",", "]")
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"median","entries":${names.size},"errs":$errCount,"total_data":$totalData,"total_protocol":$totalProto,"regressions":$regr,"baseline_deltas":$deltas,"slowest":$slow,"slowest_protocol":$slowProto,"scaling":$scalingBlock,"up_rung":$upRungBlock,"queries":$qs,"detail":"$detailPath"}"""
-    println(summary)
+    // The stdout line is parsed from a BOUNDED (2,000-char) captured
+    // tail by the driver; the r15/r16 lines were ~2,070-2,250 chars and
+    // the opening `{"metric":...` fell off the capture, zeroing every
+    // driver-side bench field for two rounds (r16 verdict item 3).  Fix
+    // (a MEASUREMENT-REPORTING bug fix, not a methodology change — the
+    // timed action and statistics are untouched): the uncapped record
+    // goes to BENCH_SUMMARY.json, while the printed line caps each
+    // optional list and, if ever still over budget, drops optional
+    // fields in documented priority order.  Required contract fields
+    // (metric/value/unit/sf/queries) are never dropped.
+    def assemble(slowN: Int, protoN: Int, flagN: Int,
+        scalingStr: String, upStr: String): String = {
+      val slow = slowest.take(slowN).map(n => s"[${jq(n)},${med(n)}]")
+        .mkString("[", ",", "]")
+      val slowProto = slowestProto.take(protoN)
+        .map(n => s"[${jq(n)},${med(n)}]").mkString("[", ",", "]")
+      val regr = regressions.take(flagN)
+        .map { case (n, p, c) => s"[${jq(n)},$p,$c]" }.mkString("[", ",", "]")
+      val deltas = baselineDeltas.take(flagN)
+        .map { case (n, b, c) => s"[${jq(n)},$b,$c]" }.mkString("[", ",", "]")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"median","entries":${names.size},"errs":$errCount,"total_data":$totalData,"total_protocol":$totalProto,"regressions":$regr,"regressions_n":${regressions.size},"baseline_deltas":$deltas,"baseline_deltas_n":${baselineDeltas.size},"slowest":$slow,"slowest_protocol":$slowProto,"scaling":$scalingStr,"up_rung":$upStr,"queries":$qs,"detail":"$detailPath"}"""
+    }
+    // compact single-number views of the two ladder blocks (full JSON
+    // objects stay in BENCH_SUMMARY.json + their own detail files)
+    val scalingCompact = {
+      val re = """"max_material_raw_exponent":(-?[0-9.eE+]+)""".r
+      re.findFirstMatchIn(scalingBlock).map(m =>
+        s"""{"max_material_raw_exponent":${m.group(1)},"detail":"BENCH_SCALING.json"}""")
+        .getOrElse(scalingBlock)
+    }
+    val upCompact = {
+      val re = """"max_up_exponent":(-?[0-9.eE+]+)""".r
+      re.findFirstMatchIn(upRungBlock).map(m =>
+        s"""{"max_up_exponent":${m.group(1)},"detail":"BENCH_SCALING_UP.json"}""")
+        .getOrElse(upRungBlock)
+    }
+    val summaryFull = assemble(5, 3, 10, scalingBlock, upRungBlock)
+    val summaryLine0 = assemble(4, 2, 4, scalingCompact, upCompact)
+    val summaryLine =
+      if (summaryLine0.length <= 1900) summaryLine0
+      else {
+        val s1 = assemble(2, 1, 2, scalingCompact, upCompact)
+        if (s1.length <= 1900) s1
+        else assemble(0, 0, 1, scalingCompact, upCompact)
+      }
+    println(summaryLine)
     // sbt prefixes stdout with "[info] ", which has tripped stdout-line
     // parsers before (r6 driver artifact recorded parsed:null) — also
-    // persist the summary where a file read needs no log scraping
+    // persist the summary where a file read needs no log scraping.
+    // BENCH_SUMMARY.json carries the UNCAPPED record (full slowest/
+    // flag lists + full scaling blocks).
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SUMMARY.json"), summary)
+      java.nio.file.Paths.get("BENCH_SUMMARY.json"), summaryFull)
     if (errCount > 0)
       System.err.println(s"[bench] $errCount entries failed: " +
         errs.map { case (k, v) => s"$k: $v" }.mkString("; "))

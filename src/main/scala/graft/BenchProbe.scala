@@ -39,10 +39,14 @@ object BenchProbe {
       var wallMs: Long = 0L, var gcMs: Long = 0L)
     val stages = mutable.Map.empty[Int, StageAgg]
     var jobs = 0
+    // one monitor (stages) for BOTH the listener-bus writes and the
+    // main thread's clear/aggregate reads — `this.synchronized` in the
+    // overrides vs `stages.synchronized` in main was two different
+    // locks, i.e. no mutual exclusion at all (r16 ADVICE)
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
-        synchronized { jobs += 1 }
-      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = synchronized {
+        stages.synchronized { jobs += 1 }
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = stages.synchronized {
         val a = stages.getOrElseUpdate(te.stageId, StageAgg())
         a.tasks += 1
         val m = te.taskMetrics
@@ -54,7 +58,7 @@ object BenchProbe {
         }
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
-        synchronized {
+        stages.synchronized {
           val i = sc.stageInfo
           val a = stages.getOrElseUpdate(i.stageId, StageAgg())
           a.name = i.name.linesIterator.nextOption().getOrElse("").take(90)

@@ -23,15 +23,17 @@ object GraftSession {
     * warehouse to a session builder.
     */
   def withHive(b: SparkSession.Builder): SparkSession.Builder = {
-    // Metastore, warehouse AND spark.local.dir (shuffle/spill files)
-    // ride the fastest available scratch media (TmpCleanup.scratchBase:
-    // env-overridable, tmpfs-preferred — guide §6).  All three are
-    // session-scoped ephemera; spark.local.dir respects an operator's
-    // explicit SPARK_LOCAL_DIRS, matching Spark's own precedence.
-    val base = TmpCleanup.tempDir("graft_hive_")
+    // Metastore and warehouse live in SESSION-scoped scratch (JVM temp
+    // dir by default; relocated only by an explicit SPARK_GRAFT_TMPDIR
+    // — see TmpCleanup.scratchBase for why tmpfs is never the default).
+    // spark.local.dir (shuffle/spill) is left at Spark's own default
+    // unless the operator relocated scratch explicitly; an explicit
+    // SPARK_LOCAL_DIRS always wins, matching Spark's precedence.
+    val base = TmpCleanup.sessionDir("graft_hive_")
     val withLocal =
-      if (sys.env.contains("SPARK_LOCAL_DIRS")) b
-      else b.config("spark.local.dir", TmpCleanup.tempDir("graft_local_"))
+      if (sys.env.contains("SPARK_LOCAL_DIRS") ||
+        TmpCleanup.scratchBase.isEmpty) b
+      else b.config("spark.local.dir", TmpCleanup.sessionDir("graft_local_"))
     withLocal.config("spark.sql.warehouse.dir", s"$base/warehouse")
       .config("spark.hadoop.javax.jdo.option.ConnectionURL",
         s"jdbc:derby:;databaseName=$base/metastore;create=true")

@@ -18,9 +18,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Memoized per (session, dir, name): building a parquet DataFrame
+    * lists the directory and reads footers for schema inference EVERY
+    * time — pure metadata latency repeated by all ~600 gates × several
+    * bench invocations each (the round-16 verdict's "per-entry fixed
+    * latency" item).  The memo holds the ANALYZED RELATION only (file
+    * index + schema), never data or results: every action still scans
+    * the parquet inputs.  Test data is immutable within a session, so
+    * the cached file index cannot go stale; distinct dirs (alt corpora,
+    * scale rungs) get distinct entries.
+    */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    synchronized {
+      loaded.getOrElseUpdate((spark, dir, name),
+        if (name == "events") events(spark, dir)
+        else spark.read.parquet(s"$dir/$name.parquet"))
+    }
+  private val loaded =
+    scala.collection.mutable.Map.empty[(SparkSession, String, String), DataFrame]
 
   /** The events table's `ts` column has shipped in two physical forms
     * across test-data generations: nanosecond-precision parquet timestamps

@@ -30,6 +30,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failures += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
       }
+      finally TmpCleanup.releaseGateScratch() // this gate's replay/roundtrip dirs
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

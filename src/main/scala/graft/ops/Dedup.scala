@@ -333,7 +333,11 @@ object Dedup {
       histIdx: DataFrame, histSets: DataFrame, threshold: Double,
       w: Int = 3, k: Int = 64, bands: Int = 16, rows: Int = 4)
       : (DataFrame, DataFrame, DataFrame) = {
-    val bsh = shingleSets(batch, idCol, textCol, w)
+    // fanOutInput = false: ingest micro-batches are small by
+    // construction and their plan stats are often UNKNOWN (streaming
+    // frames), so the skew-guard exchange would be pure per-batch
+    // overhead (r16 ADVICE)
+    val bsh = shingleSets(batch, idCol, textCol, w, fanOutInput = false)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bidx = bsh.select(col("id"),
       posexplode(graft.functions.minhash_buckets(col("sh"), k, bands, rows))

@@ -69,7 +69,13 @@ object Layout {
     val dp = df.sparkSession.sparkContext.defaultParallelism
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val byBytes =
-      if (bytes > BigInt(Long.MaxValue)) dp.toLong
+      // UNKNOWN stats (defaultSizeInBytes = Long.MaxValue — streaming
+      // micro-batch frames, opaque sources) mean "do not repartition":
+      // treating unknown as huge added a full-parallelism exchange to
+      // every tiny micro-batch (r16 ADVICE).  The guard exists for
+      // provably-monolithic scans; when the size is unknowable the
+      // exchange is a gamble, not a measurement.
+      if (bytes >= BigInt(Long.MaxValue)) 1L
       else math.max(1L, bytes.toLong / (48L * 1024))
     math.min(dp.toLong, byBytes).toInt
   }

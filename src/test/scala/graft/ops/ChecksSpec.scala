@@ -276,6 +276,30 @@ class ChecksSpec extends SparkSpec {
       s"only the singleton group is suppressed: ${kept.toSeq}")
   }
 
+  test("suppressBelowHalfMax == suppressBelowK at k = max(floor, " +
+      "maxGroup div 2), scalar folded in without a driver collect") {
+    // max group = 5 → k = max(2, 2) = 2: groups of size 1 drop
+    val df = (Seq.fill(5)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
+      Seq(("b", "x"))).zipWithIndex
+      .map { case ((q1, q2), i) => (q1, q2, i.toDouble) }
+      .toDF("q1", "q2", "s")
+    val viaScalar = Privacy.suppressBelowK(df, Seq("q1", "q2"), k = 2)
+      .select("q1", "q2", "s").collect().toSet
+    val folded = Privacy.suppressBelowHalfMax(df, Seq("q1", "q2"))
+      .select("q1", "q2", "s").collect().toSet
+    assert(folded == viaScalar, s"$folded vs $viaScalar")
+    // floor clamps when the max group is tiny (max 2 → div 2 = 1 → 2)
+    val tiny = Seq(("a", "x", 1.0), ("a", "x", 2.0), ("b", "y", 3.0))
+      .toDF("q1", "q2", "s")
+    val keptTiny = Privacy.suppressBelowHalfMax(tiny, Seq("q1", "q2"))
+      .select("q1").collect().map(_.getString(0)).toSeq
+    assert(keptTiny.sorted == Seq("a", "a"), s"floor k=2: $keptTiny")
+    // the fold must not add a driver-side pass: no collect happens at
+    // plan time (construction alone runs no job)
+    val planned = Privacy.suppressBelowHalfMax(df, Seq("q1", "q2"))
+    assert(planned.queryExecution.analyzed != null)
+  }
+
   test("bootstrapMeanCI: brackets the sample mean, deterministic, " +
       "Poisson weight mass near e^-1") {
     val df = (1 to 500).map(i => (i.toLong, (i % 100) / 10.0))

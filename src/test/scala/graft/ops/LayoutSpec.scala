@@ -172,6 +172,45 @@ class LayoutSpec extends SparkSpec {
       s"a sub-chunk input ($bytes B) must not be repartitioned, got $after")
   }
 
+  test("fanOut raises a single-partition frame to the bytes-derived " +
+      "target (positive repartition path)") {
+    // synthetic monolithic input with KNOWN plan stats well above
+    // several 48 KB chunks: Range stats are numElements * 8 bytes, so
+    // the bytes-derived target is exact and the repartition path (not
+    // just the no-op upper bounds) is asserted — r16 ADVICE: the
+    // positive branch had no test at sf0.001
+    val n = 400000L
+    val mono = spark.range(0, n).toDF("id").coalesce(1)
+    assert(mono.rdd.getNumPartitions == 1)
+    val bytes = mono.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(bytes >= 48L * 1024 * 4, s"stats too small to exercise: $bytes")
+    val dp = spark.sparkContext.defaultParallelism
+    val expected = math.min(dp.toLong,
+      math.max(1L, bytes.toLong / (48L * 1024))).toInt
+    val after = Layout.fanOut(mono).rdd.getNumPartitions
+    assert(after == expected,
+      s"bytes=$bytes dp=$dp: expected fanOut to $expected, got $after")
+    assert(after > 1, "positive path must actually repartition")
+  }
+
+  test("fanOut leaves a frame with UNKNOWN plan stats alone") {
+    // unknown stats (defaultSizeInBytes = Long.MaxValue: streaming
+    // micro-batch frames, opaque sources) must mean "do not
+    // repartition" — treating unknown as huge added a full-parallelism
+    // exchange to every tiny micro-batch (r16 ADVICE)
+    val tiny = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+    val stats = tiny.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (stats >= BigInt(Long.MaxValue)) {
+      assert(Layout.fanOut(tiny).rdd.getNumPartitions ==
+        tiny.rdd.getNumPartitions,
+        "unknown-stats frame must pass through unchanged")
+    }
+  }
+
   test("fanOut is a no-op when the scan already meets the parallelism") {
     val wide = spark.range(0, 1000, 1,
       spark.sparkContext.defaultParallelism * 2).toDF("id")
